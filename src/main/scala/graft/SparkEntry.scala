@@ -1,13 +1,676 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Enrich, Ingest, Upsert}
+import graft.functions.GradeScale
+import graft.model.{Dims, Tables}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.query.{Dashboards, EventsAdapter, Progress}
+
+/** Driver contract (SURVEY.md §5): every operator of SURVEY.md §2 plus the
+  * north-star extensions, registered as a named query over the driver's
+  * parquet tables with matching ANSI SQL for the DuckDB oracle.
+  *
+  * Naming: `s*`/`t*`/`a*` = the SURVEY §2 operator the query certifies;
+  * `join_*`/`setop_*`/`w_*`/`rollup_*` = §2.4 table rows; `x*`/`d*`/`e*`/
+  * `m*` = north-star text / dedup / embedding / multimodal operators.
+  * Queries without oracle SQL (sketches, LSH internals) get the driver's
+  * rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private type Q = (SparkSession, String) => DataFrame
+  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("flagship_progress")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- registry
+
+  private lazy val registry: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- S1/T12: tabular scan, blank-row filter, projection (pro.py:34-44)
+    ("s1_scan_clean",
+      (s, d) => Ingest.dropBlankRows(ev(s, d))
+        .select("event_id", "user_id", "event_type", "value"),
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+        |WHERE nullif(CAST(event_id AS VARCHAR), '') IS NOT NULL
+        |   OR nullif(CAST(ts AS VARCHAR), '') IS NOT NULL
+        |   OR nullif(CAST(user_id AS VARCHAR), '') IS NOT NULL
+        |   OR nullif(event_type, '') IS NOT NULL
+        |   OR nullif(CAST(value AS VARCHAR), '') IS NOT NULL
+        |   OR nullif(props, '') IS NOT NULL""".stripMargin)),
+
+    // ---- T1: content-hash duplicate groups (pro.py:29-32)
+    ("t1_dedup_groups",
+      (s, d) => Dedup.exactDedupGroups(docs(s, d), "text"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id,
+        |count(*) AS n_dups FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // ---- T1: MD5 anti-join delta vs seen-hashes state (pro.py:46-55)
+    ("t1_delta_antijoin",
+      (s, d) => {
+        val e = ev(s, d)
+        val h = md5(concat_ws("|", col("event_type"), col("props"),
+          (col("event_id") % 1000).cast("string")))
+        val seen = e.filter(col("event_id") < 500)
+          .select(h.as("row_hash")).distinct()
+        e.withColumn("row_hash", h)
+          .join(seen, Seq("row_hash"), "left_anti")
+          .select("event_id", "event_type", "props")
+      },
+      Some("""SELECT e.event_id, e.event_type, e.props FROM events e
+        |WHERE md5(concat_ws('|', e.event_type, e.props, CAST(e.event_id % 1000 AS VARCHAR)))
+        |  NOT IN (SELECT md5(concat_ws('|', s.event_type, s.props, CAST(s.event_id % 1000 AS VARCHAR)))
+        |          FROM events s WHERE s.event_id < 500)""".stripMargin)),
+
+    // ---- T2: strict total ingest order (pro.py:27,70-73)
+    ("t2_monotonic_seq",
+      (s, d) => Ingest.monotonicTimestamp(
+          ev(s, d).select("event_id", "ts"), Seq(col("ts"), col("event_id")))
+        .select("event_id", "ingest_seq"),
+      Some("""SELECT event_id,
+        |CAST(row_number() OVER (ORDER BY ts, event_id) AS INT) AS ingest_seq
+        |FROM events""".stripMargin)),
+
+    // ---- T3/T4: ''->null normalization + column reorder (pro.py:76-82)
+    ("t3_null_normalize",
+      (s, d) => Ingest.columnFirst(
+        ev(s, d).select(
+          nullif(col("event_type"), lit("")).as("event_type_n"),
+          col("event_id"),
+          coalesce(nullif(col("props"), lit("")), lit("{}")).as("props_n")),
+        "event_id"),
+      Some("""SELECT event_id, nullif(event_type, '') AS event_type_n,
+        |coalesce(nullif(props, ''), '{}') AS props_n FROM events""".stripMargin)),
+
+    // ---- T5: epoch-ms <-> timestamp <-> formatted string (con.py:35-36)
+    ("t5_epoch_iso",
+      (s, d) => ev(s, d).select(
+        col("event_id"),
+        unix_millis(col("ts")).as("epoch_ms"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("iso_s"),
+        to_date(col("ts")).as("day")),
+      Some("""SELECT event_id, epoch_ms(ts) AS epoch_ms,
+        |strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_s,
+        |CAST(ts AS DATE) AS day FROM events""".stripMargin)),
+
+    // ---- T6: lenient cast, junk -> null + invalid audit (con.py:39-43)
+    ("t6_lenient_cast",
+      (s, d) => ev(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").try_cast("double").as("k_num"),
+        col("event_type").try_cast("double").as("junk_cast"),
+        when(col("props").isNotNull &&
+          get_json_object(col("props"), "$.k").try_cast("double").isNull, 1)
+          .otherwise(0).as("is_invalid")),
+      Some("""SELECT event_id,
+        |TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num,
+        |TRY_CAST(event_type AS DOUBLE) AS junk_cast,
+        |CASE WHEN props IS NOT NULL
+        |      AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NULL
+        |     THEN 1 ELSE 0 END AS is_invalid FROM events""".stripMargin)),
+
+    // ---- T7: conditional enrichment by prefix (con.py:46-52)
+    ("t7_conditional_enrich",
+      (s, d) => ev(s, d).select(
+        col("event_id"),
+        when(col("event_type").startsWith("p"), col("event_type")).as("mmt_course"),
+        when(col("event_type").startsWith("p"), col("value")).as("mmt_score"),
+        when(col("event_type").startsWith("s"), col("event_type")).as("nna_course"),
+        when(col("event_type").startsWith("s"), col("value")).as("nna_score")),
+      Some("""SELECT event_id,
+        |CASE WHEN event_type LIKE 'p%' THEN event_type END AS mmt_course,
+        |CASE WHEN event_type LIKE 'p%' THEN value END AS mmt_score,
+        |CASE WHEN event_type LIKE 's%' THEN event_type END AS nna_course,
+        |CASE WHEN event_type LIKE 's%' THEN value END AS nna_score
+        |FROM events""".stripMargin)),
+
+    // ---- T8: composite key with fallback + rejection (con.py:23-30)
+    ("t8_composite_key",
+      (s, d) => {
+        val f1 = col("event_type")
+        val f2 = col("user_id").cast("string")
+        val f3 = when(col("event_id") % 5 === 0, lit(null: String))
+          .otherwise((col("event_id") % 100).cast("string"))
+        val f4 = when(col("event_id") % 3 === 0, lit(null: String))
+          .otherwise((col("event_id") % 10).cast("string"))
+        ev(s, d).select(
+          col("event_id"),
+          when(f1.isNotNull && f2.isNotNull && f3.isNotNull && f4.isNotNull,
+            concat_ws("_", f1, f2, f3, f4))
+            .when(f1.isNotNull && f2.isNotNull && f3.isNotNull,
+              concat_ws("_", f1, f2, f3))
+            .as("doc_key"))
+          .withColumn("rejected", when(col("doc_key").isNull, 1).otherwise(0))
+      },
+      Some("""WITH k AS (SELECT event_id, event_type AS f1,
+        |  CAST(user_id AS VARCHAR) AS f2,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE CAST(event_id % 100 AS VARCHAR) END AS f3,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE CAST(event_id % 10 AS VARCHAR) END AS f4
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN f1 IS NOT NULL AND f2 IS NOT NULL AND f3 IS NOT NULL AND f4 IS NOT NULL
+        |         THEN f1 || '_' || f2 || '_' || f3 || '_' || f4
+        |       WHEN f1 IS NOT NULL AND f2 IS NOT NULL AND f3 IS NOT NULL
+        |         THEN f1 || '_' || f2 || '_' || f3
+        |  END AS doc_key,
+        |  CASE WHEN (CASE WHEN f1 IS NOT NULL AND f2 IS NOT NULL AND f3 IS NOT NULL AND f4 IS NOT NULL
+        |         THEN f1 || '_' || f2 || '_' || f3 || '_' || f4
+        |       WHEN f1 IS NOT NULL AND f2 IS NOT NULL AND f3 IS NOT NULL
+        |         THEN f1 || '_' || f2 || '_' || f3 END) IS NULL THEN 1 ELSE 0 END AS rejected
+        |FROM k""".stripMargin)),
+
+    // ---- T9: daily partition routing (con.py:58)
+    ("t9_partition_route",
+      (s, d) => ev(s, d).select(
+        col("event_id"),
+        to_date(col("ts")).as("ingest_date"),
+        concat(lit("phantich1-"), date_format(col("ts"), "yyyy.MM.dd")).as("index_name")),
+      Some("""SELECT event_id, CAST(ts AS DATE) AS ingest_date,
+        |'phantich1-' || strftime(ts, '%Y.%m.%d') AS index_name FROM events""".stripMargin)),
+
+    // ---- T10: point lookup (app.py:60-67)
+    ("t10_point_lookup",
+      (s, d) => ev(s, d).filter(col("user_id") === 12)
+        .select("event_id", "ts", "event_type", "value"),
+      Some("SELECT event_id, ts, event_type, value FROM events WHERE user_id = 12")),
+
+    // ---- T11: deterministic top-k limit (app.py:66)
+    ("t11_topk",
+      (s, d) => ev(s, d).orderBy(col("ts").desc, col("event_id").asc)
+        .limit(1000).select("event_id", "ts", "value"),
+      Some("""SELECT event_id, ts, value FROM events
+        |ORDER BY ts DESC, event_id LIMIT 1000""".stripMargin)),
+
+    // ---- T14/T15: compound predicate + exclusion filters (app.py:128,131)
+    ("t14_t15_filters",
+      (s, d) => ev(s, d)
+        .filter(col("value") >= 100.0 && !col("event_type").contains("r") &&
+          col("event_id") % 10 =!= 7)
+        .select("event_id", "event_type", "value"),
+      Some("""SELECT event_id, event_type, value FROM events
+        |WHERE value >= 100.0 AND NOT contains(event_type, 'r')
+        |  AND event_id % 10 <> 7""".stripMargin)),
+
+    // ---- T16: 10-scale -> 4-scale banding ladder (app.py:39-55)
+    ("t16_grade_band",
+      (s, d) => ev(s, d).select(
+        col("event_id"),
+        (col("value") / 50.0).as("grade10"),
+        GradeScale.grade4(col("value") / 50.0).as("grade4")),
+      Some(s"""SELECT event_id, value/50.0 AS grade10,
+        |${GradeScale.grade4Sql("(value/50.0)")} AS grade4 FROM events""".stripMargin)),
+
+    // ---- T17: substring year/semester split (app.py:181-182)
+    ("t17_substr_split",
+      (s, d) => ev(s, d).select(
+        col("event_id"),
+        date_format(col("ts"), "yyyyMM").as("nhhk_str"),
+        substring(date_format(col("ts"), "yyyyMM"), 1, 4).cast("int").as("nam_hoc"),
+        substring(date_format(col("ts"), "yyyyMM"), 5, 2).cast("int").as("hoc_ky")),
+      Some("""SELECT event_id, strftime(ts, '%Y%m') AS nhhk_str,
+        |CAST(substr(strftime(ts, '%Y%m'), 1, 4) AS INT) AS nam_hoc,
+        |CAST(substr(strftime(ts, '%Y%m'), 5, 2) AS INT) AS hoc_ky FROM events""".stripMargin)),
+
+    // ---- T18: broadcast dimension joins (app.py:15-36,86,100-101)
+    ("t18_dim_join",
+      (s, d) => Tables(s, d, "customer")
+        .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), sum(col("c_acctbal")).as("total_bal")),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust, sum(c_acctbal) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin)),
+
+    // ---- §2.4: large-side shuffle join + aggregation
+    ("join_shuffle_agg",
+      (s, d) => Tables(s, d, "orders")
+        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")),
+      Some("""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+        |sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)),
+
+    // ---- §2.4: semi join (EXISTS)
+    ("join_semi",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val li = Tables(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+          .groupBy("o_orderstatus").count()
+      },
+      Some("""SELECT o_orderstatus, count(*) AS count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- §2.4: anti join (NOT EXISTS — the T1 diff's relational core)
+    ("join_anti",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // ---- §2.4: set ops (EXCEPT)
+    ("setop_except",
+      (s, d) => {
+        val e = ev(s, d)
+        val a = e.filter(col("event_type") === "signup")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val b = e.filter(col("event_type") === "error")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        a.except(b)
+      },
+      Some("""SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |WHERE event_type = 'signup'
+        |EXCEPT
+        |SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |WHERE event_type = 'error'""".stripMargin)),
+
+    // ---- A1: weighted average with zero-denominator guard (app.py:137-144)
+    ("a1_weighted_gpa",
+      (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        when(sum(col("l_quantity")) > 0,
+          sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")))
+          .otherwise(0.0).as("wavg_price")),
+      Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |CASE WHEN sum(l_quantity) > 0
+        |     THEN sum(l_extendedprice * l_quantity) / sum(l_quantity)
+        |     ELSE 0.0 END AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- A2: existential aggregate -> major classification (app.py:90-98)
+    ("a2_exists_major",
+      (s, d) => ev(s, d).groupBy("user_id").agg(
+        max(when(col("event_type").startsWith("p"), 1).otherwise(0)).as("any_di"),
+        max(when(col("event_type").startsWith("s"), 1).otherwise(0)).as("any_fl"))
+        .select(col("user_id"),
+          when(col("any_di") === 1, "MMT")
+            .when(col("any_fl") === 1, "NNA")
+            .otherwise("Chưa xác định").as("major")),
+      Some("""SELECT user_id,
+        |CASE WHEN max(CASE WHEN event_type LIKE 'p%' THEN 1 ELSE 0 END) = 1 THEN 'MMT'
+        |     WHEN max(CASE WHEN event_type LIKE 's%' THEN 1 ELSE 0 END) = 1 THEN 'NNA'
+        |     ELSE 'Chưa xác định' END AS major
+        |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ---- A3: first-value pick, pinned deterministic (app.py:108)
+    ("a3_latest_value",
+      (s, d) => Upsert.latestByKey(ev(s, d), Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("value").as("last_value"),
+          col("event_id").as("last_event_id")),
+      Some("""SELECT user_id, value AS last_value, event_id AS last_event_id
+        |FROM (SELECT user_id, value, event_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin)),
+
+    // ---- A4: counts (app.py:75)
+    ("a4_counts",
+      (s, d) => ev(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users")),
+      Some("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---- A5: score histogram (Kibana layer, README.md:25-27)
+    ("a5_histogram",
+      (s, d) => Dashboards.histogram(ev(s, d), "value", 20.0),
+      Some("""SELECT floor(value/20.0)*20.0 AS bin_lo, count(*) AS n
+        |FROM events WHERE value IS NOT NULL GROUP BY floor(value/20.0)*20.0""".stripMargin)),
+
+    // ---- A5: date histogram / trend
+    ("a5_date_histogram",
+      (s, d) => Dashboards.dateHistogram(ev(s, d), "ts", "value"),
+      Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n, sum(value) AS total,
+        |avg(value) AS mean, min(value) AS lo, max(value) AS hi
+        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin)),
+
+    // ---- A5: per-group stats with exact distinct entities
+    ("a5_group_stats",
+      (s, d) => Dashboards.groupStats(
+        ev(s, d).withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "value", "user_id"),
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |avg(value) AS mean, count(DISTINCT user_id) AS n_entities
+        |FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin)),
+
+    // ---- A5 sketch form: HLL distinct (rows-only; sketches differ by engine)
+    ("a5_group_stats_approx",
+      (s, d) => Dashboards.groupStatsApprox(
+        ev(s, d).withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "value", "user_id"),
+      None),
+
+    // ---- §2.4: window function (running aggregate)
+    ("w_running_sum",
+      (s, d) => ev(s, d).select(
+        col("user_id"), col("event_id"),
+        sum(col("value")).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_total")),
+      Some("""SELECT user_id, event_id,
+        |sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |FROM events""".stripMargin)),
+
+    // ---- §2.4: rollup aggregation
+    ("rollup_agg",
+      (s, d) => Tables(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |count(*) AS n FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- S5: keyed last-write-wins upsert arbitration (con.py:55-63)
+    ("s5_upsert_latest",
+      (s, d) => Upsert.latestByKey(ev(s, d), Seq("user_id", "event_type"), "ts", "event_id")
+        .select("user_id", "event_type", "ts", "value"),
+      Some("""SELECT user_id, event_type, ts, value
+        |FROM (SELECT user_id, event_type, ts, value,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin)),
+
+    // ---- S6/flagship: the whole app.py query, set-at-a-time (SURVEY §3.3)
+    ("flagship_progress",
+      (s, d) => Progress.report(s, EventsAdapter.enrollmentView(ev(s, d)),
+          Progress.Params(currentYear = 2024, excludedSemester = EventsAdapter.ExcludedSemester))
+        .select(col("F_MASV").as("masv"), col("major"), col("khoa"),
+          col("n_records"), col("completed_credits"), col("total_credits"),
+          col("remaining_credits"), col("remaining_semesters"),
+          col("progress_pct"), col("dtbctl"), col("status")),
+      Some(flagshipSql)),
+
+    // ---- x: text analysis (north star)
+    ("x1_token_stats",
+      (s, d) => TextAnalysis.tokenStats(docs(s, d), "text"),
+      Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS word_tokens,
+        |CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |  + (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |  + length(text) // 16 AS INT) AS bpe_estimate
+        |FROM documents""".stripMargin)),
+
+    ("x2_quality",
+      (s, d) => TextAnalysis.qualityScore(docs(s, d), "text"),
+      Some(qualitySql)),
+
+    ("x3_langid",
+      (s, d) => TextAnalysis.languageId(s, docs(s, d), "text"),
+      Some(langIdSql)),
+
+    ("x4_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(docs(s, d), "text", 8),
+      Some("""SELECT doc_id,
+        |(SELECT min(md5(substr(text, i, 8)))
+        | FROM unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)) AS fingerprint
+        |FROM documents""".stripMargin)),
+
+    // ---- d: dedup family (north star)
+    ("d2_minhash_sig",
+      (s, d) => Dedup.minhashSignatures(docs(s, d), "text", 3),
+      Some(minhashSql)),
+
+    ("d3_lsh_jaccard_pairs",
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = Dedup.candidatePairs(
+          Dedup.lshBands(Dedup.minhashSignatures(dd, "text", 3), 2))
+        Dedup.jaccardPairs(dd, pairs, "text", 3)
+      },
+      Some(lshPairsSql)),
+
+    ("d4_simhash_sig",
+      (s, d) => Dedup.simhash(docs(s, d), "text"),
+      Some(simhashSql)),
+
+    ("d5_simhash_neardup",
+      (s, d) => Dedup.simhashNearDup(Dedup.simhash(docs(s, d), "text"), maxHamming = 8),
+      None),
+
+    // ---- e: embedding similarity (north star)
+    ("e1_cosine_topk",
+      (s, d) => Similarity.bruteForceTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM q, embeddings c WHERE c.vec_id <> q.vec_id)
+        |SELECT query_id, nbr_id, cos, rank FROM (
+        |  SELECT query_id, nbr_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, nbr_id) AS INT) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin)),
+
+    ("e2_embed_neardup",
+      (s, d) => Similarity.embeddingNearDup(emb(s, d), 0.3),
+      Some("""SELECT l.label, l.vec_id AS a, r.vec_id AS b,
+        |list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+        |                       CAST(r.embedding AS DOUBLE[])) AS cos
+        |FROM embeddings l JOIN embeddings r
+        |  ON l.label = r.label AND l.vec_id < r.vec_id
+        |WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+        |                             CAST(r.embedding AS DOUBLE[])) >= 0.3""".stripMargin)),
+
+    ("e3_srp_ann_topk",
+      (s, d) => Similarity.lshTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),
+      None),
+
+    // ---- m: multimodal plumbing (north star; codecs stubbed, dataflow real)
+    ("m1_media_meta",
+      (s, d) => Multimodal.syntheticMedia(docs(s, d))
+        .select(col("media_id"), col("media_type"), col("width"), col("height"),
+          col("duration_ms"), md5(col("content")).as("content_md5")),
+      Some("""SELECT doc_id AS media_id,
+        |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |     ELSE 'video' END AS media_type,
+        |CAST(length(text) % 640 + 64 AS INT) AS width,
+        |CAST(length(text) % 480 + 48 AS INT) AS height,
+        |CAST(length(text) * 100 AS BIGINT) AS duration_ms,
+        |md5(text) AS content_md5 FROM documents""".stripMargin)),
+
+    ("m2_frame_sample",
+      (s, d) => Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, d)))
+        .select("media_id", "frame_no", "frame_md5"),
+      Some("""SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
+        |md5(substr(text, CAST(1 + i*64 AS INT), 16)) AS frame_md5
+        |FROM documents,
+        |unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)""".stripMargin))
+  )
+
+  // ------------------------------------------------------- generated oracles
+
+  /** 8-permutation MinHash signature SQL, sharing constants with Dedup. */
+  private lazy val minhashSql: String = {
+    val mhCols = Dedup.minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hashes, x -> (${a} * x + ${b}) % ${Dedup.P})) AS mh$i"
+    }.mkString(",\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(1, len(t) - 2)),
+       |    i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks),
+       |hs AS (
+       |  SELECT doc_id, list_transform(shingles,
+       |    s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % ${Dedup.P}) AS hashes FROM sh)
+       |SELECT doc_id,
+       |  $mhCols
+       |FROM hs""".stripMargin
+  }
+
+  /** LSH candidate pairs + exact Jaccard verify, sharing the MinHash CTEs. */
+  private lazy val lshPairsSql: String = {
+    val mhArr = Dedup.minhashSeeds.map { case (a, b) =>
+      s"list_min(list_transform(hashes, x -> ($a * x + $b) % ${Dedup.P}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(1, len(t) - 2)),
+       |    i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks),
+       |hs AS (
+       |  SELECT doc_id, shingles, list_transform(shingles,
+       |    s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % ${Dedup.P}) AS hashes FROM sh),
+       |sig AS (SELECT doc_id, shingles, $mhArr AS mh FROM hs),
+       |bands AS (
+       |  SELECT doc_id, b.band_id,
+       |    md5(CAST(mh[2*b.band_id + 1] AS VARCHAR) || '_' ||
+       |        CAST(mh[2*b.band_id + 2] AS VARCHAR)) AS band_key
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+       |SELECT p.a, p.b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |    (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+       |    AS jaccard
+       |FROM pairs p JOIN sh sa ON p.a = sa.doc_id JOIN sh sb ON p.b = sb.doc_id""".stripMargin
+  }
+
+  /** 16-bit SimHash SQL: per-bit majority votes, generated per bit. */
+  private lazy val simhashSql: String = {
+    val votes = (0 until 16).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n  ")
+    val sig = (0 until 16).map { j =>
+      s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 4) AS BIGINT) AS h FROM tok),
+       |votes AS (SELECT doc_id,
+       |  $votes
+       |FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes""".stripMargin
+  }
+
+  /** Stopword-vote language ID SQL, sharing the lexicon with TextAnalysis. */
+  private lazy val langIdSql: String = {
+    val lexicon = TextAnalysis.stopwords.toSeq.sortBy(_._1).flatMap { case (lang, ws) =>
+      ws.map(w => s"('$lang', '$w')")
+    }.mkString(", ")
+    s"""WITH lex(cand_lang, token) AS (VALUES $lexicon),
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |hits AS (
+       |  SELECT t.doc_id, l.cand_lang, count(*) AS hits
+       |  FROM tok t JOIN lex l ON t.token = l.token
+       |  GROUP BY t.doc_id, l.cand_lang),
+       |best AS (
+       |  SELECT doc_id, cand_lang, hits FROM (
+       |    SELECT doc_id, cand_lang, hits,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+       |    FROM hits) WHERE rn = 1)
+       |SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang,
+       |  CAST(coalesce(b.hits, 0) AS BIGINT) AS hits
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin
+  }
+
+  /** Quality-score SQL mirroring TextAnalysis.qualityScore. */
+  private lazy val qualitySql: String = {
+    val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+       |    CAST(length(text) AS INT) AS n_chars
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    CASE WHEN len(toks) > 0
+       |         THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+       |         ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN length(text) > 0
+       |         THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+       |         ELSE 0.0 END AS punct_ratio,
+       |    CASE WHEN len(toks) > 0
+       |         THEN CAST(len(list_filter(toks, t -> list_contains($allStop, t))) AS DOUBLE) / len(toks)
+       |         ELSE 0.0 END AS stopword_ratio
+       |  FROM base)
+       |SELECT doc_id, n_chars, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
+       |  CASE WHEN n_tokens < 5 THEN 0.0
+       |       WHEN punct_ratio > 0.3 THEN 0.2
+       |       WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 0.4
+       |       WHEN stopword_ratio >= 0.05 THEN 1.0
+       |       ELSE 0.7 END AS quality
+       |FROM m""".stripMargin
+  }
+
+  /** The flagship app.py query over events-mapped enrollments, as one SQL. */
+  private lazy val flagshipSql: String = {
+    val dims = (
+      Seq(46 -> 156, 47 -> 156, 48 -> 161, 49 -> 161, 50 -> 161)
+        .map { case (k, c) => s"('MMT', $k, $c, 13)" } ++
+      (46 to 50).map(k => s"('NNA', $k, 141, 12)")
+    ).mkString(", ")
+    val ladder = GradeScale.grade4Sql("diem2")
+    val eligible = s"diem2 >= 4.0 AND NOT contains(tenmh, '*') AND nhhk <> ${EventsAdapter.ExcludedSemester}"
+    s"""WITH enroll AS (${EventsAdapter.sql}),
+       |dims(major, khoa, total_credits, total_semesters) AS (VALUES $dims),
+       |per AS (
+       |  SELECT masv,
+       |    CAST(46 + CAST(substr(masv, 3, 1) AS INT) AS INT) AS khoa,
+       |    max(CASE WHEN tenlop LIKE 'DI%' THEN 1 ELSE 0 END) AS any_di,
+       |    max(CASE WHEN tenlop LIKE 'FL%' THEN 1 ELSE 0 END) AS any_fl,
+       |    sum(CASE WHEN $eligible THEN ($ladder) * dvht ELSE 0.0 END) AS total_points,
+       |    sum(CASE WHEN $eligible THEN dvht ELSE 0.0 END) AS credits_earned,
+       |    max(tcdttl) AS completed_credits,
+       |    count(*) AS n_records
+       |  FROM enroll GROUP BY masv),
+       |classified AS (
+       |  SELECT *, CASE WHEN any_di = 1 THEN 'MMT'
+       |                 WHEN any_fl = 1 THEN 'NNA'
+       |                 ELSE 'Chưa xác định' END AS major
+       |  FROM per)
+       |SELECT c.masv, c.major, c.khoa, c.n_records, c.completed_credits,
+       |  d.total_credits,
+       |  d.total_credits - c.completed_credits AS remaining_credits,
+       |  d.total_semesters - (2024 - (2020 + c.khoa - 46)) * 3 AS remaining_semesters,
+       |  c.completed_credits / d.total_credits * 100 AS progress_pct,
+       |  CASE WHEN c.credits_earned > 0 THEN c.total_points / c.credits_earned
+       |       ELSE 0.0 END AS dtbctl,
+       |  CASE WHEN d.total_credits - c.completed_credits <= 0 THEN 'Hoàn thành'
+       |       WHEN d.total_credits - c.completed_credits <=
+       |            (d.total_semesters - (2024 - (2020 + c.khoa - 46)) * 3) * 20
+       |         THEN 'Đúng tiến độ'
+       |       ELSE 'Chậm tiến độ' END AS status
+       |FROM classified c LEFT JOIN dims d ON c.major = d.major AND c.khoa = d.khoa""".stripMargin
+  }
+
+  // ------------------------------------------------------------- public maps
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, q, _) => n -> q }.toMap
+
+  /** Equivalent ANSI SQL for DuckDB on the same parquet tables. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

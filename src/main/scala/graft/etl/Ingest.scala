@@ -1,0 +1,70 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Producer-side ingestion semantics (reference `pro.py`, SURVEY.md §2.2).
+  *
+  * The reference watches a directory, re-reads whole Excel files on every
+  * create/modify event, and emits only rows whose MD5 hash was not seen
+  * before (`pro.py:29-55`) — i.e. the delta-dedup IS the change-capture
+  * contract. We reproduce that contract declaratively: a canonical row hash
+  * plus an anti-join against the set of already-seen hashes. At scale the
+  * "seen" side is a table (not driver memory — fixing the reference's
+  * lost-state-on-restart bug, `pro.py:18`), and the anti-join shuffles only
+  * the 16-byte hash column.
+  */
+object Ingest {
+
+  /** S1: header-first tabular scan semantics — drop rows where every column is
+    * null/empty (`pro.py:42`: `if any(row)`). */
+  def dropBlankRows(df: DataFrame): DataFrame = {
+    val anyPresent = df.columns
+      .map(c => nullif(col(c).cast("string"), lit("")).isNotNull)
+      .reduce(_ || _)
+    df.filter(anyPresent)
+  }
+
+  /** Canonical serialized row: sorted-column JSON. The reference uses Python
+    * `json.dumps(row, sort_keys=True)` (`pro.py:31`); byte-for-byte parity is
+    * a non-goal (SURVEY.md §7.4) — what matters is a deterministic canonical
+    * form so identical rows collide and distinct rows don't. */
+  def canonicalJson(df: DataFrame): Column =
+    to_json(struct(df.columns.sorted.map(col).toIndexedSeq: _*))
+
+  /** T1: content hash of the canonical row (reference `pro.py:29-32`). */
+  def rowHash(df: DataFrame): Column = md5(canonicalJson(df))
+
+  /** T1: emit only rows whose hash is not in `seenHashes(row_hash)` —
+    * the MD5 anti-join diff of `pro.py:46-55`. Only the hash column crosses
+    * the shuffle; with AQE the small seen-side broadcasts. */
+  def deltaDedup(incoming: DataFrame, seenHashes: DataFrame): DataFrame = {
+    val hashed = incoming.withColumn("row_hash", rowHash(incoming))
+    hashed.join(seenHashes.select("row_hash").distinct(), Seq("row_hash"), "left_anti")
+  }
+
+  /** T1 (intra-batch form): keep one row per distinct content hash. */
+  def dedupByContent(df: DataFrame): DataFrame =
+    df.withColumn("row_hash", rowHash(df)).dropDuplicates("row_hash")
+
+  /** T3: the producer deletes None/'' values (`pro.py:76`) so downstream
+    * `'k' in doc` guards treat '' as absent. Columnar twin: '' -> null. */
+  def normalizeEmpty(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, nullif(col(c), lit(""))))
+
+  /** T2: strictly monotone ingest timestamp. The reference fakes uniqueness
+    * with a +0.0001 s counter (`pro.py:27,70-73`) — a ~10k rec/s design
+    * ceiling and a driver-side bottleneck at scale. Spark-first: a total
+    * order from (event time, tiebreaker) via row_number, used only where a
+    * strict order is genuinely required (upsert arbitration). */
+  def monotonicTimestamp(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("ingest_seq",
+      row_number().over(Window.orderBy(orderCols: _*)))
+  }
+
+  /** T4: rebuild with `@timestamp` (or any given column) first — cosmetic
+    * (`pro.py:79-82`). */
+  def columnFirst(df: DataFrame, first: String): DataFrame =
+    df.select((first +: df.columns.filterNot(_ == first).toIndexedSeq).map(col): _*)
+}

@@ -1,0 +1,72 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S5: keyed last-write-wins upsert (reference `con.py:55-63`).
+  *
+  * The reference gets upsert semantics from Elasticsearch's deterministic
+  * document id (`es.index(index, doc, id)`): re-delivery of the same key
+  * overwrites, so at-least-once delivery becomes effectively exactly-once.
+  * Spark-first equivalent: arbitrate duplicates with a window over the key
+  * ordered by event time (latest wins), then merge into a date-partitioned
+  * parquet table with dynamic partition overwrite — only partitions touched
+  * by the batch are rewritten, which at 100 TB means a day's partitions, not
+  * the table.
+  */
+object Upsert {
+
+  /** Latest row per key — the arbitration rule. Deterministic: ties on the
+    * timestamp break on `tieCol` (the reference relies on ES arrival order,
+    * which is unstable; SURVEY.md §7.4 pins a total order instead). */
+  def latestByKey(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Merge a (deduplicated) batch into the keyed table at `path`:
+    * new version of a key replaces the old, unseen keys append.
+    * Implemented as partition-local merge: rows are routed by
+    * `partitionCol`, and dynamic partition overwrite rewrites only the
+    * partitions present in the batch. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, path: String,
+                 keyCols: Seq[String], tsCol: String, tieCol: String,
+                 partitionCol: String): Unit = {
+    val incoming = latestByKey(batch, keyCols, tsCol, tieCol)
+    val existing =
+      try spark.read.parquet(path)
+      catch { case _: org.apache.spark.sql.AnalysisException => null }
+
+    val merged =
+      if (existing == null) incoming
+      else {
+        // Restrict the existing side to partitions the batch touches, union,
+        // re-arbitrate. Keys outside touched partitions are untouched on disk.
+        val touched = incoming.select(partitionCol).distinct()
+        val relevant = existing.join(broadcast(touched), Seq(partitionCol), "left_semi")
+          .select(incoming.columns.map(col): _*)
+        latestByKey(relevant.unionByName(incoming), keyCols, tsCol, tieCol)
+      }
+
+    merged.write
+      .mode("overwrite")
+      .partitionBy(partitionCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path)
+  }
+
+  /** Streaming form: plug into `writeStream.foreachBatch`. Checkpointed Kafka
+    * offsets + this idempotent keyed merge = exactly-once end-to-end
+    * (strictly stronger than the reference's manual commit + idempotent id,
+    * `con.py:18,79-88`). */
+  def foreachBatchMerge(path: String, keyCols: Seq[String], tsCol: String,
+                        tieCol: String, partitionCol: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      mergeBatch(batch.sparkSession, batch, path, keyCols, tsCol, tieCol, partitionCol)
+}

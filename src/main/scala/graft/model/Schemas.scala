@@ -1,0 +1,99 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Declared schemas for the reference's data model (SURVEY.md §1).
+  *
+  * The reference (`/root/reference/src/pro.py:38-44`) never declares a schema —
+  * column names come from the Excel header row at runtime and Elasticsearch
+  * dynamic mapping infers types on ingest. We declare the schema the reference
+  * leaves implicit: one row per student-course-enrollment record, every grade
+  * field nullable (rows may omit fields; `pro.py:76` deletes None/'' keys).
+  */
+object Schemas {
+
+  /** The enrollment record (reference `con.py` / `app.py` field usage). */
+  val enrollment: StructType = StructType(Seq(
+    StructField("@timestamp", TimestampType, nullable = true),
+    StructField("F_MASV", StringType, nullable = true),     // student id
+    StructField("F_MAMH", StringType, nullable = true),     // course code
+    StructField("F_TENMHVN", StringType, nullable = true),  // course name; '*' = non-GPA
+    StructField("F_TENLOP", StringType, nullable = true),   // class; DI->MMT, FL->NNA
+    StructField("F_KHOAHOC", StringType, nullable = true),  // intake cohort
+    StructField("NHHK", IntegerType, nullable = true),      // YYYYS year+semester
+    StructField("F_DIEM2", StringType, nullable = true),    // grade, string at ingest (con.py:39)
+    StructField("F_DVHT", DoubleType, nullable = true),     // credits
+    StructField("F_TCDTTL", DoubleType, nullable = true)    // registrar cumulative credits
+  ))
+
+  /** Enrollment after consumer-side enrichment (reference `con.py:35-63`). */
+  val enrichedEnrollment: StructType = StructType(enrollment.fields.map {
+    case StructField("F_DIEM2", _, _, m) => StructField("F_DIEM2", DoubleType, nullable = true, m)
+    case f => f
+  } ++ Seq(
+    StructField("NNA", StringType, nullable = true),
+    StructField("DIEM_NNA", DoubleType, nullable = true),
+    StructField("MMT", StringType, nullable = true),
+    StructField("DIEM_MMT", DoubleType, nullable = true),
+    StructField("doc_id", StringType, nullable = true),
+    StructField("ingest_date", DateType, nullable = true)
+  ))
+}
+
+/** Static lookup tables compiled into the reference app (`app.py:15-36`).
+  * Tiny — always broadcast-joined (SURVEY.md §1.2, T18). At 100 TB these stay
+  * dimension-table-sized; broadcast is the permanently correct plan.
+  */
+object Dims {
+  import org.apache.spark.sql.functions.broadcast
+
+  /** student-id prefix -> cohort number (app.py:15-21). */
+  def cohort(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    broadcast(Seq(("B20", 46), ("B21", 47), ("B22", 48), ("B23", 49), ("B24", 50))
+      .toDF("masv_prefix", "khoa"))
+  }
+
+  /** (major, cohort) -> total credits required (app.py:24-27). */
+  def creditReq(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val mmt = Seq(46 -> 156, 47 -> 156, 48 -> 161, 49 -> 161, 50 -> 161).map { case (k, c) => ("MMT", k, c) }
+    val nna = (46 to 50).map(k => ("NNA", k, 141))
+    broadcast((mmt ++ nna).toDF("major", "khoa", "total_credits"))
+  }
+
+  /** (major, cohort) -> program duration in semesters (app.py:33-36). */
+  def duration(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val mmt = (46 to 50).map(k => ("MMT", k, 13))
+    val nna = (46 to 50).map(k => ("NNA", k, 12))
+    broadcast((mmt ++ nna).toDF("major", "khoa", "total_semesters"))
+  }
+
+  /** semester-type -> max credits (app.py:30). */
+  def semCredits(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    broadcast(Seq(1 -> 20, 2 -> 20, 3 -> 8).toDF("semester_type", "max_credits"))
+  }
+}
+
+/** Loader for the driver's parquet tables (TESTDATA.md).
+  *
+  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+  * rejects by default; we read nanos as long and truncate to a micros
+  * timestamp — exactly what DuckDB does on the same file, so oracle
+  * comparisons agree.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Exception => }
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
+}

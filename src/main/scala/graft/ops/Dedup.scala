@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (north star):
+  * exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+  *
+  * Design for 100 TB:
+  *  - every hash is computed map-side from the text column; only fixed-width
+  *    signatures / 16-byte digests ever reach a shuffle, never the documents;
+  *  - MinHash+LSH turns the O(n²) all-pairs problem into a band-bucket
+  *    equi-join: documents shuffle once on (band_id, band_key) and only
+  *    bucket-mates are compared;
+  *  - all hashing is md5-derived 31-bit arithmetic — deterministic and
+  *    reproducible in ANSI SQL (the DuckDB oracle runs the same formulas).
+  */
+object Dedup {
+
+  /** Modulus for the universal-hash family: the Mersenne prime 2^31-1.
+    * Inputs are reduced mod P before multiplying so a*x + b stays < 2^63. */
+  val P = 2147483647L
+
+  /** Fixed (a, b) pairs for the k=8 MinHash permutations h_i(x) = (a·x+b) mod P. */
+  val minhashSeeds: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L),
+    (1299709L, 771943L),
+    (15485863L, 32452843L),
+    (982451653L, 57885161L),
+    (715225739L, 179424673L),
+    (2038074743L, 97L),
+    (87178291L, 199L),
+    (514229L, 39916801L))
+
+  /** 31-bit integer hash of a string via md5: first 8 hex chars -> int, mod P.
+    * Identical in DuckDB as CAST('0x' || substr(md5(s),1,8) AS BIGINT) % P. */
+  def strHash31(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % P
+
+  /** Word n-gram shingles of a text column (space-joined token runs). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    transform(
+      sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+  }
+
+  /** Distinct shingle hash set (array<long>), the MinHash input. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(array_distinct(wordShingles(text, n)), s => strHash31(s))
+
+  /** The k MinHash signature columns mh0..mh{k-1} for a text column. */
+  def minhashColumns(text: Column, n: Int): Seq[Column] = {
+    val hashes = shingleHashes(text, n)
+    minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(hashes, x => (lit(a) * x + lit(b)) % P)).as(s"mh$i")
+    }
+  }
+
+  /** Per-document MinHash signatures (flat columns, shuffle-friendly). */
+  def minhashSignatures(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    df.select((col("doc_id") +: minhashColumns(col(textCol), n)): _*)
+
+  /** LSH banding: k signature columns -> k/r bands; band key = md5 of the
+    * band's slice. Docs sharing any (band_id, band_key) are candidates. */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
+    val k = minhashSeeds.size
+    val bands = (0 until k / rowsPerBand).map { bnd =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}").cast("string"))
+      struct(lit(bnd).as("band_id"), md5(concat_ws("_", slice: _*)).as("band_key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
+  }
+
+  /** Candidate near-dup pairs (a < b) from shared LSH buckets. The join is an
+    * equi-join on the band key — the only shuffle of the near-dup pipeline. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val l = bands.as("l")
+    val r = bands.as("r")
+    l.join(r,
+        col("l.band_id") === col("r.band_id") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact duplicate groups by content hash: representative (min id) + size. */
+  def exactDedupGroups(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup: one surviving row per distinct content. */
+  def exactDedup(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("content_hash", md5(col(textCol))).dropDuplicates("content_hash")
+
+  /** n-gram Jaccard similarity for given (a, b) doc-id pairs: |A∩B| / |A∪B|
+    * over distinct word n-gram sets. Pairs come from LSH candidates (or any
+    * bounded candidate source) — never all-pairs. */
+  def jaccardPairs(docs: DataFrame, pairs: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(wordShingles(col(textCol), n)).as("shingles"))
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("shingles", "sh_a"), Seq("a"))
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("shingles", "sh_b"), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicate pipeline: signatures -> bands -> candidate
+    * pairs -> exact Jaccard verify -> pairs above threshold. */
+  def nearDupPairs(docs: DataFrame, textCol: String, n: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    val pairs = candidatePairs(lshBands(minhashSignatures(docs, textCol, n)))
+    jaccardPairs(docs, pairs, textCol, n).filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash over the token multiset: per-bit majority vote of
+    * md5-derived token hashes. 16 bits keeps the per-bit vote columns flat
+    * (16 conditional sums, one aggregation pass) while demonstrating the
+    * full SimHash dataflow; widen by raising `bits`. */
+  def simhash(df: DataFrame, textCol: String, bits: Int = 16): DataFrame = {
+    val tok = df.select(col("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val h = conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long")
+    val votes = (0 until bits).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    val voted = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until bits).map { j =>
+      when(col(s"v$j") > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pairs within `maxHamming` bit flips,
+    * bucketed by nibble bands to avoid all-pairs comparison. */
+  def simhashNearDup(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // 4 nibble bands: a pair within hamming<=3 shares at least one nibble.
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), b * 4).bitwiseAND(0xF).as("nib"))): _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_id").as("band_id"), col("band.nib").as("nib"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+        col("l.band_id") === col("r.band_id") && col("l.nib") === col("r.nib") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`), north star.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * one codegen'd map pass over the corpus, per-query top-k via window.
+  * Scale path: sign-random-projection (hyperplane) LSH — each vector maps to
+  * a small integer bucket; candidates share a bucket, so the search becomes
+  * an equi-join + local rerank instead of a full scan per query.
+  *
+  * Dot products run on `double` (floats cast first) with a sequential fold —
+  * the exact arithmetic the DuckDB oracle reproduces.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: for every query vector, the k nearest corpus
+    * vectors (excluding itself). Query side must be small — it is broadcast;
+    * the corpus is scanned exactly once regardless of query count. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = c.join(q, col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosine(col("q_emb"), col("nbr_emb")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cos"), col("__rn").as("rank"))
+  }
+
+  /** Deterministic ±1 hyperplane weights: plane p, dimension d -> sign from
+    * one md5-derived bit. Reproducible anywhere (incl. SQL oracles). */
+  def planeSign(p: Int, d: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane_${p}_$d".getBytes("UTF-8"))
+    if ((hex(0) & 1) == 1) 1 else -1
+  }
+
+  /** Sign-random-projection bucket id: `planes` sign bits packed into a long.
+    * Map-only; emits (vec_id, bucket). Cosine-similar vectors collide with
+    * high probability (SRP-LSH). */
+  def srpBucket(df: DataFrame, planes: Int = 12, dims: Int = 64): DataFrame = {
+    val emb = col("embedding")
+    val bucket = (0 until planes).map { p =>
+      val signs = (0 until dims).map(d => planeSign(p, d))
+      // dot(v, plane_p) with ±1 weights = sum of signed components
+      val proj = (0 until dims).map { d =>
+        val e = element_at(emb, d + 1).cast("double")
+        if (signs(d) > 0) e else -e
+      }.reduce(_ + _)
+      when(proj > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+    df.select(col("vec_id"), emb, bucket.as("bucket"))
+  }
+
+  /** LSH-accelerated ANN: candidates = bucket-mates (plus optional probing of
+    * the query's own bucket only, for simplicity); exact cosine rerank. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 12): DataFrame = {
+    val cb = srpBucket(corpus, planes)
+      .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"), col("bucket"))
+    val qb = broadcast(srpBucket(queries, planes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket")))
+    val scored = cb.join(qb, Seq("bucket"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosine(col("q_emb"), col("nbr_emb")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cos"), col("__rn").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine above `threshold` among pairs
+    * sharing a coarse partition key (here: label) — the pattern that bounds
+    * the pair space; swap the key for an SRP bucket at scale. */
+  def embeddingNearDup(df: DataFrame, threshold: Double): DataFrame = {
+    val l = df.select(col("label"), col("vec_id").as("a"), col("embedding").as("emb_a"))
+    val r = df.select(col("label"), col("vec_id").as("b"), col("embedding").as("emb_b"))
+    l.join(r, Seq("label")).filter(col("a") < col("b"))
+      .select(col("label"), col("a"), col("b"),
+        cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

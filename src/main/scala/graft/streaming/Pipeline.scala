@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.etl.{Enrich, Ingest, Upsert}
+import graft.model.Schemas
+
+/** Structured-Streaming wiring for the reference's pipeline
+  * (SURVEY.md §2.1 S2-S5, §2.5):
+  *
+  *   watched dir -> (producer: diff + publish) -> Kafka -> (consumer: enrich
+  *   + upsert) -> date-partitioned store
+  *
+  * Delivery contract: the reference is at-least-once (manual commit per 100)
+  * made effectively exactly-once by idempotent doc ids. Here: checkpointed
+  * source offsets + idempotent keyed merge in foreachBatch = exactly-once,
+  * strictly stronger, and the dedup/upsert state is durable (fixing the
+  * reference's in-memory hash state lost on restart, `pro.py:18`).
+  */
+object Pipeline {
+
+  /** S2: streaming file source over a watched directory. Spark's file source
+    * discovers *new* files; the reference's modified-file re-processing is
+    * recovered by the T1 content-hash dedup downstream (the actual semantic
+    * contract — each distinct row version flows through exactly once). */
+  def watchedDirSource(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream
+      .schema(Schemas.enrollment)
+      .option("maxFilesPerTrigger", 16)
+      .format(format)
+      .load(dir)
+
+  /** T1 (streaming): content-hash dedup with watermark-bounded state. */
+  def dedupStream(df: DataFrame, watermarkCol: String = "@timestamp",
+                  horizon: String = "1 hour"): DataFrame = {
+    val hashed = df.withColumn("row_hash",
+      md5(to_json(struct(df.columns.sorted.map(col).toIndexedSeq: _*))))
+    hashed
+      .withWatermark(s"`$watermarkCol`", horizon) // backquoted: '@timestamp'
+      .dropDuplicatesWithinWatermark("row_hash")
+  }
+
+  /** S3: publish records to Kafka as UTF-8 JSON (`pro.py:21-24,85`). */
+  def kafkaJsonSink(df: DataFrame, servers: String, topic: String,
+                    checkpoint: String): DataStreamWriter[Row] =
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** S4: Kafka JSON source (`con.py:14-21`). `startingOffsets=earliest` like
+    * the reference; offset tracking via checkpoint (≙ manual commit, but
+    * transactional with the sink). The Kafka `timestamp` column drives T5. */
+  def kafkaJsonSource(spark: SparkSession, servers: String, topic: String): DataFrame = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+    raw.select(
+        from_json(col("value").cast("string"), Schemas.enrollment).as("rec"),
+        col("timestamp"))
+      .select(col("rec.*"), unix_millis(col("timestamp")).as("kafka_ts_ms"))
+  }
+
+  /** Consumer transform chain on a (possibly streaming) frame: T5 timestamp
+    * overwrite, then the full enrichment pipeline (T6-T9). */
+  def consumerTransform(df: DataFrame): DataFrame = {
+    val stamped =
+      if (df.columns.contains("kafka_ts_ms")) Enrich.timestampFromEpochMs(df, "kafka_ts_ms").drop("kafka_ts_ms")
+      else df
+    Enrich.consumerPipeline(stamped)
+  }
+
+  /** S5: end-to-end sink — enriched stream upserted into the partitioned
+    * store, exactly-once via checkpoint + idempotent keyed merge. */
+  def upsertSink(enriched: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    enriched.writeStream
+      .foreachBatch(Upsert.foreachBatchMerge(
+        path, keyCols = Seq("doc_id"), tsCol = "@timestamp",
+        tieCol = "doc_id", partitionCol = "ingest_date"))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  /** Full consumer leg: Kafka -> enrich -> upsert (compile-time wiring; needs
+    * live brokers, exercised in tests via MemoryStream + consumerTransform). */
+  def runConsumer(spark: SparkSession, servers: String, topic: String,
+                  path: String, checkpoint: String): StreamingQuery =
+    upsertSink(consumerTransform(kafkaJsonSource(spark, servers, topic)),
+      path, checkpoint).start()
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.etl.{Enrich, Ingest, Upsert}
+
+/** §2.2 producer/consumer transforms: T1 dedup, T3 normalization, T7 guards,
+  * T8 key fallback branches, S5 upsert idempotence (SURVEY.md §5.2-5.3). */
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("T1: delta dedup emits only unseen rows and is idempotent") {
+    val v1 = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val v2 = Seq(("a", 1), ("b", 3), ("c", 4)).toDF("k", "v") // b changed, c new
+    val seen = v1.select(Ingest.rowHash(v1).as("row_hash"))
+    val delta = Ingest.deltaDedup(v2, seen).select("k", "v").as[(String, Int)]
+      .collect().toSet
+    assert(delta == Set(("b", 3), ("c", 4)))
+    // idempotence: diff(x, hashes(x)) = empty
+    val seen2 = v2.select(Ingest.rowHash(v2).as("row_hash"))
+    assert(Ingest.deltaDedup(v2, seen2).count() == 0)
+  }
+
+  test("T1: row hash is stable under column order") {
+    val ab = Seq(("x", 1)).toDF("a", "b")
+    val ba = Seq((1, "x")).toDF("b", "a")
+    val h1 = ab.select(Ingest.rowHash(ab)).first().getString(0)
+    val h2 = ba.select(Ingest.rowHash(ba)).first().getString(0)
+    assert(h1 == h2)
+  }
+
+  test("S1: blank-row filter drops all-empty rows like pro.py:42") {
+    val df = Seq(("a", "1"), ("", ""), (null, null), ("b", "")).toDF("x", "y")
+    assert(Ingest.dropBlankRows(df).count() == 2)
+  }
+
+  test("T3: ''->null normalization makes presence guards match pro.py:76") {
+    val df = Seq(("", "DI01")).toDF("F_TENMHVN", "F_TENLOP")
+    val n = Ingest.normalizeEmpty(df, Seq("F_TENMHVN", "F_TENLOP"))
+    assert(n.filter(col("F_TENMHVN").isNull).count() == 1)
+  }
+
+  test("T7: enrichment guarded on both fields present (con.py:46-52)") {
+    val df = Seq(
+      ("Math", "DI-1", 8.0),   // -> MMT
+      ("Eng", "FL-2", 7.0),    // -> NNA
+      (null, "DI-1", 6.0),     // guard: course name absent -> no enrich
+      ("Hist", null, 5.0),     // guard: class absent -> no enrich
+      ("Bio", "XX-9", 4.0)     // unknown prefix -> no enrich
+    ).toDF("F_TENMHVN", "F_TENLOP", "F_DIEM2")
+    val e = Enrich.enrichMajorColumns(df)
+    assert(e.filter(col("MMT") === "Math" && col("DIEM_MMT") === 8.0).count() == 1)
+    assert(e.filter(col("NNA") === "Eng" && col("DIEM_NNA") === 7.0).count() == 1)
+    assert(e.filter(col("MMT").isNotNull).count() == 1)
+    assert(e.filter(col("NNA").isNotNull).count() == 1)
+  }
+
+  test("T8: composite key 4-field, 3-field fallback, and rejection (con.py:23-30)") {
+    val df = Seq(
+      ("C1", "S1", "46", Some(20241)),  // full 4-field key
+      ("C2", "S2", "46", None),         // NHHK absent -> 3-field
+      (null, "S3", "46", Some(20241))   // required field absent -> rejected
+    ).toDF("F_MAMH", "F_MASV", "F_KHOAHOC", "NHHK")
+    val k = Enrich.compositeKey(df).select("doc_id").as[Option[String]].collect().toSet
+    assert(k == Set(Some("C1_S1_46_20241"), Some("C2_S2_46"), None))
+    assert(Enrich.rejected(Enrich.compositeKey(df)).count() == 1)
+  }
+
+  test("S5: latestByKey is last-write-wins with deterministic tiebreak") {
+    val df = Seq(
+      ("k1", ts("2024-01-01 00:00:00"), 1L, 10.0),
+      ("k1", ts("2024-01-02 00:00:00"), 2L, 20.0),
+      ("k1", ts("2024-01-02 00:00:00"), 3L, 30.0), // same ts, higher tie -> wins
+      ("k2", ts("2024-01-01 00:00:00"), 4L, 40.0)
+    ).toDF("k", "t", "seq", "v")
+    val latest = Upsert.latestByKey(df, Seq("k"), "t", "seq")
+      .select("k", "v").as[(String, Double)].collect().toMap
+    assert(latest == Map("k1" -> 30.0, "k2" -> 40.0))
+  }
+
+  test("S5: mergeBatch upsert is idempotent under re-delivery") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString
+    val b1 = Seq(("k1", ts("2024-01-01 10:00:00"), 1L, 1.0),
+                 ("k2", ts("2024-01-01 11:00:00"), 2L, 2.0))
+      .toDF("k", "t", "seq", "v").withColumn("day", to_date(col("t")))
+    Upsert.mergeBatch(spark, b1, dir, Seq("k"), "t", "seq", "day")
+    // re-deliver the same batch (at-least-once): table unchanged
+    Upsert.mergeBatch(spark, b1, dir, Seq("k"), "t", "seq", "day")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 2)
+    // new version of k1 wins
+    val b2 = Seq(("k1", ts("2024-01-01 12:00:00"), 3L, 9.0))
+      .toDF("k", "t", "seq", "v").withColumn("day", to_date(col("t")))
+    Upsert.mergeBatch(spark, b2, dir, Seq("k"), "t", "seq", "day")
+    val m = spark.read.parquet(dir).select("k", "v").as[(String, Double)].collect().toMap
+    assert(m == Map("k1" -> 9.0, "k2" -> 2.0))
+  }
+
+  test("consumer pipeline end-to-end enriches and rejects like con.py") {
+    val df = Seq(
+      (ts("2024-01-05 00:00:00"), "S1", "C1", "Math", "DI-X", "46", Some(20241), "8.5", 3.0, 30.0),
+      (ts("2024-01-05 00:00:00"), "S2", "C2", "Eng", "FL-Y", "46", None, "junk", 2.0, 20.0),
+      (ts("2024-01-05 00:00:00"), null, "C3", "Hist", "DI-Z", "46", Some(20241), "7.0", 3.0, 10.0)
+    ).toDF("@timestamp", "F_MASV", "F_MAMH", "F_TENMHVN", "F_TENLOP",
+      "F_KHOAHOC", "NHHK", "F_DIEM2", "F_DVHT", "F_TCDTTL")
+    val out = Enrich.consumerPipeline(df)
+    assert(out.count() == 2) // S3's row rejected (no F_MASV)
+    val s1 = out.filter(col("F_MASV") === "S1").first()
+    assert(s1.getAs[String]("doc_id") == "C1_S1_46_20241")
+    assert(s1.getAs[String]("MMT") == "Math")
+    val s2 = out.filter(col("F_MASV") === "S2").first()
+    assert(s2.getAs[String]("doc_id") == "C2_S2_46")  // 3-field fallback
+    assert(s2.isNullAt(s2.fieldIndex("F_DIEM2")))     // junk -> null (T6)
+  }
+}

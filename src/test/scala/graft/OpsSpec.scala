@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** North-star operators: dedup family, similarity search, text analysis,
+  * multimodal plumbing. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
+    (2L, "completely different content about spark query engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank")  // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups duplicates by content hash") {
+    val g = Dedup.exactDedupGroups(docs, "text").collect()
+    assert(g.length == 3)
+    val dupGroup = g.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("rep_doc_id") == 0L)
+    assert(Dedup.exactDedup(docs, "text").count() == 3)
+  }
+
+  test("minhash: identical docs share full signature; near-dups collide in LSH") {
+    val sigs = Dedup.minhashSignatures(docs, "text", 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until Dedup.minhashSeeds.size).map(i => r.getAs[Long](s"mh$i")))
+      .toMap
+    assert(sigs(0L) == sigs(3L)) // identical text -> identical signature
+    assert(sigs(0L) != sigs(2L)) // different text -> different signature
+    val pairs = Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignatures(docs, "text", 3)))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("near-dup pipeline finds the one-word-changed pair via jaccard") {
+    val nd = Dedup.nearDupPairs(docs, "text", 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((0L, 3L)))          // exact dup: jaccard 1.0
+    // 0 vs 1 share most shingles; whether LSH catches them depends on bands,
+    // but if present the jaccard must be high and 0-vs-2 must be absent.
+    assert(!nd.exists(p => p == (0L, 2L) || p == (1L, 2L)))
+  }
+
+  test("simhash: identical -> hamming 0; near-dup closer than unrelated") {
+    val sh = Dedup.simhash(docs, "text").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(3L)) == 0)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("cosine: self-similarity 1, orthogonal 0") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 2)
+      .orderBy(col("rank")).collect()
+    assert(top.head.getAs[Long]("nbr_id") == 2L) // colinear -> cos 1
+    assert(math.abs(top.head.getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(math.abs(top(1).getAs[Double]("cos")) < 1e-12) // orthogonal
+  }
+
+  test("SRP-LSH: colinear vectors share a bucket, ANN finds the neighbor") {
+    val vecs = (0 until 8).map { i =>
+      val base = Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat)
+      (i.toLong, base, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val dup = Seq((100L, Array.tabulate(64)(d => (math.sin(d) * 2).toFloat), 0))
+      .toDF("vec_id", "embedding", "label") // colinear with vec 0
+    val all = vecs.union(dup)
+    val res = Similarity.lshTopK(all, all.filter(col("vec_id") === 100), 1).collect()
+    assert(res.nonEmpty && res.head.getAs[Long]("nbr_id") == 0L)
+    assert(math.abs(res.head.getAs[Double]("cos") - 1.0) < 1e-6)
+  }
+
+  test("token stats and quality on a known string") {
+    val d = Seq((1L, "The quick brown fox! It runs.")).toDF("doc_id", "text")
+    val ts = TextAnalysis.tokenStats(d, "text").collect().head
+    assert(ts.getAs[Int]("ws_tokens") == 6)
+    assert(ts.getAs[Int]("word_tokens") == 6)
+    val q = TextAnalysis.qualityScore(d, "text").collect().head
+    assert(q.getAs[Int]("n_tokens") == 6)
+    assert(q.getAs[Double]("stopword_ratio") > 0.0) // 'the', 'it'
+  }
+
+  test("language id votes the stopword-richest language") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(spark, d, "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("fingerprint: stable under identity, changes with content") {
+    val f = TextAnalysis.fingerprint(docs, "text").as[(Long, String)].collect().toMap
+    assert(f(0L) == f(3L))
+    assert(f(0L) != f(2L))
+  }
+
+  test("multimodal: stub decode + features are deterministic; frames sliced") {
+    val media = Multimodal.syntheticMedia(
+      Seq((1L, "x" * 200, "en", "src0", 200L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 1 && feats.head.features.length == 8)
+    val again = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.head.features.toSeq == again.head.features.toSeq)
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.length == 3) // 200 bytes / 64 stride -> 3 frames
+  }
+}

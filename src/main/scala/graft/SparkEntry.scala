@@ -540,15 +540,21 @@ object SparkEntry {
        |    md5(CAST(mh[2*b.band_id + 1] AS VARCHAR) || '_' ||
        |        CAST(mh[2*b.band_id + 2] AS VARCHAR)) AS band_key
        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+       |ok AS (
+       |  SELECT band_id, band_key FROM bands
+       |  GROUP BY band_id, band_key HAVING count(*) <= 64),
+       |pruned AS (
+       |  SELECT b.* FROM bands b JOIN ok
+       |    ON b.band_id = ok.band_id AND b.band_key = ok.band_key),
        |pairs AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM bands l JOIN bands r
+       |  FROM pruned l JOIN pruned r
        |    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
        |SELECT p.a, p.b,
-       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-       |    (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+       |  CAST(len(list_intersect(sa.hashes, sb.hashes)) AS DOUBLE) /
+       |    (len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes)))
        |    AS jaccard
-       |FROM pairs p JOIN sh sa ON p.a = sa.doc_id JOIN sh sb ON p.b = sb.doc_id""".stripMargin
+       |FROM pairs p JOIN hs sa ON p.a = sa.doc_id JOIN hs sb ON p.b = sb.doc_id""".stripMargin
   }
 
   /** 16-bit SimHash SQL: per-bit majority votes, generated per bit. */

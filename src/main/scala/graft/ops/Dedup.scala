@@ -37,29 +37,55 @@ object Dedup {
   def strHash31(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long") % P
 
-  /** Word n-gram shingles of a text column (space-joined token runs). */
+  /** Word n-gram shingles of a text column (space-joined token runs).
+    * Built with O(1) `element_at` lookups per shingle rather than
+    * `slice` (which copies O(n) per shingle → O(len²) per document). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     transform(
       sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
-      i => array_join(slice(toks, i, lit(n)), " "))
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
   }
 
   /** Distinct shingle hash set (array<long>), the MinHash input. */
   def shingleHashes(text: Column, n: Int): Column =
     transform(array_distinct(wordShingles(text, n)), s => strHash31(s))
 
-  /** The k MinHash signature columns mh0..mh{k-1} for a text column. */
-  def minhashColumns(text: Column, n: Int): Seq[Column] = {
-    val hashes = shingleHashes(text, n)
-    minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(hashes, x => (lit(a) * x + lit(b)) % P)).as(s"mh$i")
-    }
+  /** Shingle hashes as skinny (doc_id, h) rows — the workhorse form.
+    *
+    * Each projection step ends in an `explode` (a Generate node): Catalyst
+    * does not collapse projections through generators, so the token array
+    * and the shingle array are each *materialized once per document*. The
+    * pure-expression form above re-evaluates the token regexp inside every
+    * lambda element (higher-order functions don't hoist loop invariants) —
+    * measured 3x slower, and worse the wider the expression is shared. */
+  def shingleHashRows(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toks = col("__toks")
+    docs
+      .select(col("doc_id"), explode(array(TextAnalysis.tokens(col(textCol)))).as("__toks"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))).as("__shingle"))
+      .select(col("doc_id"), strHash31(col("__shingle")).as("h"))
   }
 
-  /** Per-document MinHash signatures (flat columns, shuffle-friendly). */
-  def minhashSignatures(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
-    df.select((col("doc_id") +: minhashColumns(col(textCol), n)): _*)
+  /** Per-document MinHash signatures (flat columns, shuffle-friendly).
+    *
+    * Shape matters here: computing the k minima as k array expressions over
+    * a shared `hashes` array would re-inline the (expensive) shingle
+    * pipeline once PER signature column — Catalyst's CollapseProject
+    * re-expands shared subexpressions. Instead the shingle hashes are
+    * exploded once and the k minima are k `min` aggregates over the skinny
+    * (doc_id, h) rows: one shingle evaluation total, map-side partial
+    * aggregation, and the resulting shuffle exchange is reused by every
+    * downstream branch (LSH banding's self-joins) instead of recomputed. */
+  def minhashSignatures(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    // min() is duplicate-insensitive, so no distinct pass is needed here.
+    val aggs = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$i")
+    }
+    shingleHashRows(df, textCol, n).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH banding: k signature columns -> k/r bands; band key = md5 of the
     * band's slice. Docs sharing any (band_id, band_key) are candidates. */
@@ -74,10 +100,21 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs (a < b) from shared LSH buckets. The join is an
-    * equi-join on the band key — the only shuffle of the near-dup pipeline. */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val l = bands.as("l")
-    val r = bands.as("r")
+    * equi-join on the band key — the only shuffle of the near-dup pipeline.
+    *
+    * Buckets larger than `maxBucket` are skipped: a band key shared by a
+    * large fraction of the corpus (e.g. the globally-minimal shingle of a
+    * shared vocabulary) carries no near-dup signal but turns the self-join
+    * quadratic — the standard LSH skew guard. At 100 TB this cap is what
+    * keeps the pair space linear in corpus size. */
+  def candidatePairs(bands: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val ok = bands.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band_id", "band_key")
+    val pruned = bands.join(ok, Seq("band_id", "band_key"), "left_semi")
+    val l = pruned.as("l")
+    val r = pruned.as("r")
     l.join(r,
         col("l.band_id") === col("r.band_id") &&
         col("l.band_key") === col("r.band_key") &&
@@ -97,16 +134,25 @@ object Dedup {
 
   /** n-gram Jaccard similarity for given (a, b) doc-id pairs: |A∩B| / |A∪B|
     * over distinct word n-gram sets. Pairs come from LSH candidates (or any
-    * bounded candidate source) — never all-pairs. */
+    * bounded candidate source) — never all-pairs.
+    *
+    * Sets are compared as 31-bit shingle *hashes*, not strings: the per-pair
+    * intersection is integer comparisons instead of string comparisons, and
+    * the arrays shipped into the pair join are 8 bytes/element. Same shingle
+    * hash family as MinHash, so the oracle reproduces it. */
   def jaccardPairs(docs: DataFrame, pairs: DataFrame, textCol: String, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      array_distinct(wordShingles(col(textCol), n)).as("shingles"))
+    // Distinct shingle-hash set per doc, built from the skinny row form; the
+    // groupBy exchange is reused by both sides of the pair join.
+    val sh = shingleHashRows(docs, textCol, n)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("sh"))
     pairs
-      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("shingles", "sh_a"), Seq("a"))
-      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("shingles", "sh_b"), Seq("b"))
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
       .select(col("a"), col("b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+          (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b"))))).as("jaccard"))
   }
 
   /** MinHash-LSH near-duplicate pipeline: signatures -> bands -> candidate
@@ -122,8 +168,12 @@ object Dedup {
     * (16 conditional sums, one aggregation pass) while demonstrating the
     * full SimHash dataflow; widen by raising `bits`. */
   def simhash(df: DataFrame, textCol: String, bits: Int = 16): DataFrame = {
+    // Materialize the token hash once; 16 vote columns then reference the
+    // column instead of each recomputing md5 (16x less hashing).
     val tok = df.select(col("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
-    val h = conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long")
+      .select(col("doc_id"),
+        conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long").as("h"))
+    val h = col("h")
     val votes = (0 until bits).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
     }
@@ -151,7 +201,7 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // filter BEFORE distinct: shrink the shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -30,11 +30,13 @@ object Similarity {
     * vectors (excluding itself). Query side must be small — it is broadcast;
     * the corpus is scanned exactly once regardless of query count. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"),
+      l2norm(col("embedding")).as("nbr_nrm"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), l2norm(col("embedding")).as("q_nrm")))
     val scored = c.join(q, col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        cosine(col("q_emb"), col("nbr_emb")).as("cos"))
+        (dot(col("q_emb"), col("nbr_emb")) / (col("q_nrm") * col("nbr_nrm"))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -71,13 +73,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 12): DataFrame = {
     val cb = srpBucket(corpus, planes)
-      .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"), col("bucket"))
+      .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"),
+        l2norm(col("embedding")).as("nbr_nrm"), col("bucket"))
     val qb = broadcast(srpBucket(queries, planes)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"), col("bucket")))
     val scored = cb.join(qb, Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        cosine(col("q_emb"), col("nbr_emb")).as("cos"))
+        (dot(col("q_emb"), col("nbr_emb")) / (col("q_nrm") * col("nbr_nrm"))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -86,13 +90,21 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine above `threshold` among pairs
     * sharing a coarse partition key (here: label) — the pattern that bounds
-    * the pair space; swap the key for an SRP bucket at scale. */
+    * the pair space; swap the key for an SRP bucket at scale.
+    *
+    * Norms are computed once per vector before the pair join (norm(v) is
+    * pair-invariant); only the dot product runs per pair — 3x less array
+    * arithmetic than naive cosine-per-pair, same values. */
   def embeddingNearDup(df: DataFrame, threshold: Double): DataFrame = {
-    val l = df.select(col("label"), col("vec_id").as("a"), col("embedding").as("emb_a"))
-    val r = df.select(col("label"), col("vec_id").as("b"), col("embedding").as("emb_b"))
+    val normed = df.select(col("label"), col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val l = normed.select(col("label"), col("vec_id").as("a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = normed.select(col("label"), col("vec_id").as("b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     l.join(r, Seq("label")).filter(col("a") < col("b"))
       .select(col("label"), col("a"), col("b"),
-        cosine(col("emb_a"), col("emb_b")).as("cos"))
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

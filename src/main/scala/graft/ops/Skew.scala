@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling primitives for cluster-scale joins and aggregations.
+  *
+  * AQE's skew-join split handles sort-merge skew automatically
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default); these helpers
+  * cover the cases AQE does not: skewed *aggregation* keys and broadcast-
+  * ineligible skewed joins. Both are pure DataFrame rewrites — no custom
+  * physical operators needed.
+  */
+object Skew {
+
+  /** Salted two-phase aggregation: groupBy(keys + salt) partial, then final
+    * groupBy(keys). Turns one hot key's single reducer into `buckets`
+    * parallel reducers. `aggs` must be merge-associative pairs of
+    * (partialExpr, finalExpr-on-partial) — the standard sum/count/min/max
+    * family. */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                buckets: Int = 32): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"), sum(col("__pcnt")).as("n"))
+  }
+
+  /** Salted join for a skewed left side against a non-broadcastable right
+    * side: left rows get a random salt in [0, buckets); right rows are
+    * replicated `buckets` times. The hot key spreads over `buckets` tasks at
+    * the cost of replicating the right side — the classic trade when the
+    * right side is too big to broadcast but far smaller than the left. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 buckets: Int = 8): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(buckets)))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -351,6 +351,51 @@ object SparkEntry {
         |avg(value) AS mean, count(DISTINCT user_id) AS n_entities
         |FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin)),
 
+    // ---- A5: top-k per group via Misra-Gries TypedImperativeAggregate.
+    // capacity (64) > distinct event types, so sketch counts are exact and
+    // the plain GROUP BY oracle reproduces them.
+    ("a5_topk_sketch",
+      (s, d) => {
+        graft.functions.TopKSketch.register(s)
+        val w = Window.partitionBy("day").orderBy(col("n").desc, col("etype").asc)
+        ev(s, d).withColumn("day", to_date(col("ts")))
+          .groupBy("day").agg(expr("topk_sketch(event_type, 64)").as("tk"))
+          .select(col("day"), explode(col("tk")).as(Seq("etype", "n")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+      },
+      Some("""SELECT day, etype, n, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS etype, count(*) AS n,
+        |    row_number() OVER (PARTITION BY CAST(ts AS DATE)
+        |                       ORDER BY count(*) DESC, event_type) AS rnk
+        |  FROM events GROUP BY 1, 2) WHERE rnk <= 3""".stripMargin)),
+
+    // ---- A5: pivoted daily counts (wide dashboard table)
+    ("a5_pivot_daily",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = ev(s, d).withColumn("day", to_date(col("ts")))
+          .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
+        p.select((col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t))): _*)
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+        |count(*) FILTER (event_type = 'click') AS click,
+        |count(*) FILTER (event_type = 'error') AS error,
+        |count(*) FILTER (event_type = 'purchase') AS purchase,
+        |count(*) FILTER (event_type = 'signup') AS signup,
+        |count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- A5: exact interpolated percentiles
+    ("a5_percentiles",
+      (s, d) => ev(s, d).groupBy("event_type").agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        percentile(col("value"), lit(0.99)).as("p99")),
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin)),
+
     // ---- A5 sketch form: HLL distinct (rows-only; sketches differ by engine)
     ("a5_group_stats_approx",
       (s, d) => Dashboards.groupStatsApprox(

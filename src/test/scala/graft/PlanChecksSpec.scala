@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Physical-plan shape checks: the properties that decide 100 TB behavior —
+  * filter pushdown to the scan, broadcast of dimension tables, and
+  * shuffle-free joins on co-bucketed tables. A plan regression here is a
+  * scale regression even when results stay correct. */
+class PlanChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame) = df.queryExecution.executedPlan
+
+  /** Execute, then render the finalized adaptive plan (AQE buries completed
+    * stages inside leaf QueryStageExec nodes, so tree collect() undercounts —
+    * the string form prints the full final plan). */
+  private def finalPlanString(df: DataFrame): String = {
+    df.collect()
+    // keep only the final plan; the rendering appends "== Initial Plan ==",
+    // which would double-count every node
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  private def countOf(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).size
+
+  test("point lookup pushes the filter into the parquet scan") {
+    val plan = SparkEntry.queries("t10_point_lookup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(user_id,12)"), s"no pushdown in:\n$plan")
+  }
+
+  test("projection prunes the parquet read schema") {
+    val plan = SparkEntry.queries("t16_grade_band")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // reads only the two referenced columns, not all six
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,value:double>"),
+      s"no column pruning in:\n$plan")
+  }
+
+  test("dimension joins broadcast the small sides") {
+    val plan = finalPlanString(SparkEntry.queries("t18_dim_join")(spark, sf))
+    assert(countOf(plan, "BroadcastHashJoin") == 2, s"expected 2 broadcast joins:\n$plan")
+  }
+
+  test("flagship query aggregates with a single student shuffle") {
+    val plan = finalPlanString(SparkEntry.queries("flagship_progress")(spark, sf))
+    // one shuffle for the per-student aggregation; dims broadcast
+    val shuffles = countOf(plan, "Exchange hashpartitioning")
+    assert(shuffles <= 1, s"too many shuffles ($shuffles):\n$plan")
+    assert(countOf(plan, "BroadcastHashJoin") >= 1)
+  }
+
+  test("co-bucketed tables join without a shuffle") {
+    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    val left = (1L to 10000L).map(i => (i, s"u$i")).toDF("id", "name")
+    val right = (1L to 10000L by 2).map(i => (i, i * 2.0)).toDF("id", "score")
+    left.write.mode("overwrite").bucketBy(8, "id").sortBy("id")
+      .option("path", s"$wh/lb").saveAsTable("lb")
+    right.write.mode("overwrite").bucketBy(8, "id").sortBy("id")
+      .option("path", s"$wh/rb").saveAsTable("rb")
+    try {
+      val joined = spark.table("lb").join(spark.table("rb"), "id")
+      val shuffles = physical(joined).collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"bucketed join shuffled:\n${physical(joined)}")
+      assert(joined.count() == 5000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lb")
+      spark.sql("DROP TABLE IF EXISTS rb")
+    }
+  }
+}

@@ -445,6 +445,60 @@ object SparkEntry {
           col("progress_pct"), col("dtbctl"), col("status")),
       Some(flagshipSql)),
 
+    // ---- S3/S4: Kafka JSON serde semantics, batch-certified — serialize the
+    // record to JSON and parse fields back; identity vs the source columns.
+    ("s3_s4_json_roundtrip",
+      (s, d) => {
+        val e = ev(s, d)
+        val j = to_json(struct(col("event_id"), col("event_type"), col("user_id")))
+        e.select(
+          col("event_id"),
+          get_json_object(j, "$.event_type").as("rt_type"),
+          get_json_object(j, "$.user_id").try_cast("long").as("rt_user"))
+      },
+      Some("SELECT event_id, event_type AS rt_type, user_id AS rt_user FROM events")),
+
+    // ---- A5/flagship: GPA trend — per-semester and cumulative weighted GPA
+    // (the 'trends' dashboard of README.md:25-27 on the flagship domain).
+    ("flagship_gpa_trend",
+      (s, d) => {
+        val enr = EventsAdapter.enrollmentView(ev(s, d))
+        val eligible = col("F_DIEM2") >= 4.0 &&
+          !col("F_TENMHVN").contains("*") &&
+          col("NHHK") =!= EventsAdapter.ExcludedSemester
+        val g4 = GradeScale.grade4(col("F_DIEM2"))
+        val perSem = enr.groupBy(col("F_MASV").as("masv"), col("NHHK").as("nhhk")).agg(
+          sum(when(eligible, g4 * col("F_DVHT")).otherwise(0.0)).as("pts"),
+          sum(when(eligible, col("F_DVHT")).otherwise(0.0)).as("cr"))
+        val w = Window.partitionBy("masv").orderBy("nhhk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perSem.select(
+          col("masv"), col("nhhk"),
+          when(col("cr") > 0, col("pts") / col("cr")).otherwise(0.0).as("sem_gpa"),
+          when(sum(col("cr")).over(w) > 0,
+            sum(col("pts")).over(w) / sum(col("cr")).over(w)).otherwise(0.0).as("cum_gpa"))
+      },
+      Some(s"""WITH enroll AS (${EventsAdapter.sql}),
+        |per AS (
+        |  SELECT masv, nhhk,
+        |    sum(CASE WHEN diem2 >= 4.0 AND NOT contains(tenmh, '*')
+        |              AND nhhk <> ${EventsAdapter.ExcludedSemester}
+        |             THEN (${GradeScale.grade4Sql("diem2")}) * dvht ELSE 0.0 END) AS pts,
+        |    sum(CASE WHEN diem2 >= 4.0 AND NOT contains(tenmh, '*')
+        |              AND nhhk <> ${EventsAdapter.ExcludedSemester}
+        |             THEN dvht ELSE 0.0 END) AS cr
+        |  FROM enroll GROUP BY masv, nhhk)
+        |SELECT masv, nhhk,
+        |  CASE WHEN cr > 0 THEN pts / cr ELSE 0.0 END AS sem_gpa,
+        |  CASE WHEN sum(cr) OVER (PARTITION BY masv ORDER BY nhhk
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+        |       THEN sum(pts) OVER (PARTITION BY masv ORDER BY nhhk
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          / sum(cr) OVER (PARTITION BY masv ORDER BY nhhk
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       ELSE 0.0 END AS cum_gpa
+        |FROM per""".stripMargin)),
+
     // ---- x: text analysis (north star)
     ("x1_token_stats",
       (s, d) => TextAnalysis.tokenStats(docs(s, d), "text"),

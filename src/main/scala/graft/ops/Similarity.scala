@@ -53,16 +53,19 @@ object Similarity {
 
   /** Sign-random-projection bucket id: `planes` sign bits packed into a long.
     * Map-only; emits (vec_id, bucket). Cosine-similar vectors collide with
-    * high probability (SRP-LSH). */
+    * high probability (SRP-LSH).
+    *
+    * Each plane's projection is a `zip_with` fold against a *literal* weight
+    * array — expression size O(planes), not O(planes × dims). The unrolled
+    * element_at form generated a 768-term codegen class whose one-time
+    * compilation dominated the query. */
   def srpBucket(df: DataFrame, planes: Int = 12, dims: Int = 64): DataFrame = {
     val emb = col("embedding")
     val bucket = (0 until planes).map { p =>
-      val signs = (0 until dims).map(d => planeSign(p, d))
-      // dot(v, plane_p) with ±1 weights = sum of signed components
-      val proj = (0 until dims).map { d =>
-        val e = element_at(emb, d + 1).cast("double")
-        if (signs(d) > 0) e else -e
-      }.reduce(_ + _)
+      val w = typedLit((0 until dims).map(d => planeSign(p, d).toDouble))
+      val proj = aggregate(
+        zip_with(emb, w, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
       when(proj > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
     df.select(col("vec_id"), emb, bucket.as("bucket"))

@@ -31,6 +31,10 @@ object Profile {
           "d3_lsh_jaccard_pairs", "d3_lsh_jaccard_pairs").foreach { n =>
         time(n)(graft.SparkEntry.queries(n)(spark, sfDir).count())
       }
+      // does reclaiming driver state (ContextCleaner via GC) restore speed?
+      time("gc+settle") { (1 to 3).foreach { _ => System.gc(); Thread.sleep(2000) } }
+      time("d3 after gc")(
+        graft.SparkEntry.queries("d3_lsh_jaccard_pairs")(spark, sfDir).count())
       spark.stop(); return
     }
 

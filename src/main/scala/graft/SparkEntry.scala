@@ -656,18 +656,18 @@ object SparkEntry {
        |FROM pairs p JOIN hs sa ON p.a = sa.doc_id JOIN hs sb ON p.b = sb.doc_id""".stripMargin
   }
 
-  /** 16-bit SimHash SQL: per-bit majority votes, generated per bit. */
+  /** 32-bit SimHash SQL: per-bit majority votes, generated per bit. */
   private lazy val simhashSql: String = {
-    val votes = (0 until 16).map { j =>
+    val votes = (0 until 32).map { j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
     }.mkString(",\n  ")
-    val sig = (0 until 16).map { j =>
+    val sig = (0 until 32).map { j =>
       s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
        |  FROM documents),
-       |h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 4) AS BIGINT) AS h FROM tok),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM tok),
        |votes AS (SELECT doc_id,
        |  $votes
        |FROM h GROUP BY doc_id)

@@ -163,16 +163,15 @@ object Dedup {
     jaccardPairs(docs, pairs, textCol, n).filter(col("jaccard") >= threshold)
   }
 
-  /** 16-bit SimHash over the token multiset: per-bit majority vote of
-    * md5-derived token hashes. 16 bits keeps the per-bit vote columns flat
-    * (16 conditional sums, one aggregation pass) while demonstrating the
-    * full SimHash dataflow; widen by raising `bits`. */
-  def simhash(df: DataFrame, textCol: String, bits: Int = 16): DataFrame = {
-    // Materialize the token hash once; 16 vote columns then reference the
-    // column instead of each recomputing md5 (16x less hashing).
+  /** 32-bit SimHash over the token multiset: per-bit majority vote of
+    * md5-derived token hashes, computed as `bits` flat conditional sums in
+    * one aggregation pass. */
+  def simhash(df: DataFrame, textCol: String, bits: Int = 32): DataFrame = {
+    // Materialize the token hash once; the vote columns then reference the
+    // column instead of each recomputing md5 (bits-times less hashing).
     val tok = df.select(col("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .select(col("doc_id"),
-        conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long").as("h"))
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("h"))
     val h = col("h")
     val votes = (0 until bits).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
@@ -185,13 +184,15 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: pairs within `maxHamming` bit flips,
-    * bucketed by nibble bands to avoid all-pairs comparison. */
+    * bucketed by byte bands to avoid all-pairs comparison: a pair within
+    * hamming <= 3 differs in at most 3 of the 4 bytes, so it shares at
+    * least one byte band. 256-way bands keep buckets ~corpus/256 — the
+    * candidate set stays near-linear in corpus size. */
   def simhashNearDup(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // 4 nibble bands: a pair within hamming<=3 shares at least one nibble.
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
-          shiftright(col("simhash"), b * 4).bitwiseAND(0xF).as("nib"))): _*)).as("band"))
+          shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).as("nib"))): _*)).as("band"))
       .select(col("doc_id"), col("simhash"),
         col("band.band_id").as("band_id"), col("band.nib").as("nib"))
     val l = banded.as("l")

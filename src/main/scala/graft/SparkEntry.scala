@@ -231,15 +231,23 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin)),
 
-    // ---- §2.4: large-side shuffle join + aggregation
+    // ---- §2.4: large-side shuffle join + aggregation.
+    // Revenue sums exact integer cents (price and discount both have 2
+    // decimals) so the result is independent of partitioning / summation
+    // order — a double sum here hash-mismatched the oracle in round 1.
     ("join_shuffle_agg",
-      (s, d) => Tables(s, d, "orders")
-        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")),
+      (s, d) => {
+        val cents = round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))
+        Tables(s, d, "orders")
+          .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+            (sum(cents) / 10000.0).as("revenue"))
+      },
       Some("""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
-        |sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin)),
 
@@ -532,10 +540,9 @@ object SparkEntry {
 
     ("d3_lsh_jaccard_pairs",
       (s, d) => {
-        val dd = docs(s, d)
-        val pairs = Dedup.candidatePairs(
-          Dedup.lshBands(Dedup.minhashSignatures(dd, "text", 3), 2))
-        Dedup.jaccardPairs(dd, pairs, "text", 3)
+        val sigs = Dedup.minhashSignaturesWithSets(docs(s, d), "text", 3)
+        Dedup.jaccardFromSets(
+          Dedup.candidatePairs(Dedup.lshBands(sigs, 2)), sigs)
       },
       Some(lshPairsSql)),
 
@@ -543,9 +550,13 @@ object SparkEntry {
       (s, d) => Dedup.simhash(docs(s, d), "text"),
       Some(simhashSql)),
 
+    // Exact by construction: bands are derived from maxHamming (pigeonhole),
+    // so the LSH-banded join returns precisely the all-pairs Hamming filter
+    // the oracle computes.
     ("d5_simhash_neardup",
-      (s, d) => Dedup.simhashNearDup(Dedup.simhash(docs(s, d), "text"), maxHamming = 8),
-      None),
+      (s, d) => Dedup.simhashNearDup(Dedup.simhash(docs(s, d), "text"), maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming")),
+      Some(simhashNearDupSql)),
 
     // ---- e: embedding similarity (north star)
     ("e1_cosine_topk",
@@ -656,23 +667,36 @@ object SparkEntry {
        |FROM pairs p JOIN hs sa ON p.a = sa.doc_id JOIN hs sb ON p.b = sb.doc_id""".stripMargin
   }
 
-  /** 32-bit SimHash SQL: per-bit majority votes, generated per bit. */
-  private lazy val simhashSql: String = {
+  /** 32-bit SimHash CTE chain (per-bit majority votes), shared by the d4
+    * signature oracle and the d5 near-dup oracle. */
+  private lazy val simhashCtes: String = {
     val votes = (0 until 32).map { j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
     }.mkString(",\n  ")
     val sig = (0 until 32).map { j =>
       s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
        |  FROM documents),
        |h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM tok),
        |votes AS (SELECT doc_id,
        |  $votes
-       |FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes""".stripMargin
+       |FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes)""".stripMargin
   }
+
+  private lazy val simhashSql: String =
+    s"WITH $simhashCtes\nSELECT doc_id, simhash FROM sig"
+
+  /** d5 oracle: with bands derived from maxHamming the banded join is exact,
+    * so the ground truth is the plain all-pairs Hamming filter. */
+  private lazy val simhashNearDupSql: String =
+    s"""WITH $simhashCtes
+       |SELECT l.doc_id AS a, r.doc_id AS b,
+       |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+       |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin
 
   /** Stopword-vote language ID SQL, sharing the lexicon with TextAnalysis. */
   private lazy val langIdSql: String = {

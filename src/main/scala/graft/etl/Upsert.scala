@@ -53,11 +53,25 @@ object Upsert {
         latestByKey(relevant.unionByName(incoming), keyCols, tsCol, tieCol)
       }
 
-    merged.write
-      .mode("overwrite")
-      .partitionBy(partitionCol)
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(path)
+    // Materialize the merge to a staging dir BEFORE touching `path`: the
+    // merged plan reads `path` lazily, so overwriting it in the same job
+    // would race the delete of its own input. Staging first closes that
+    // window; the final overwrite commits from already-durable data. (The
+    // partition swap itself is still not atomic on a plain file listing —
+    // a transactional table format is the long-term answer.)
+    val staging = s"$path.__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    try {
+      spark.read.parquet(staging).write
+        .mode("overwrite")
+        .partitionBy(partitionCol)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
   }
 
   /** Streaming form: plug into `writeStream.foreachBatch`. Checkpointed Kafka

@@ -47,20 +47,27 @@ case class TopKSketch(
     buf
   }
 
-  /** Misra-Gries insert: new key over capacity decrements everyone. */
+  /** Weighted Misra-Gries insert (mergeable-summaries form): an unseen key
+    * arriving at a full buffer decrements every resident by
+    * m = min(c, current minimum) — the minimum resident dies when m reaches
+    * it, freeing a slot for the incoming key's residual weight c - m. This
+    * keeps heavy hitters across merges (a key with count > n/capacity can
+    * never be fully cancelled), preserving the error <= n/capacity bound;
+    * the old "drop the incoming key" path lost merged heavy hitters. */
   private def add(buf: mutable.HashMap[String, Long], k: String, c: Long): Unit = {
+    if (c <= 0L) return
     if (buf.contains(k) || buf.size < capacity) {
       buf.update(k, buf.getOrElse(k, 0L) + c)
     } else {
-      // decrement all by the incoming count; drop zeros (may free a slot)
-      val dec = c
+      val m = math.min(c, buf.valuesIterator.min)
       val dead = mutable.ArrayBuffer.empty[String]
       buf.keysIterator.foreach { key =>
-        val nv = buf(key) - dec
+        val nv = buf(key) - m
         if (nv <= 0) dead += key else buf.update(key, nv)
       }
       dead.foreach(buf.remove)
-      if (buf.size < capacity && dec > 0) () // slot freed; next insert takes it
+      val residual = c - m
+      if (residual > 0) buf.update(k, residual) // slot freed by the dead minimum
     }
   }
 

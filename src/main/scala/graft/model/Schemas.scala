@@ -87,13 +87,37 @@ object Dims {
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Exception => }
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4's ICU-backed lower()/upper() triggers
+      // CollationAwareUTF8String.<clinit>, which builds a full ICU titlecase
+      // table on first use — measured ~60 s of CPU once per JVM, blocking
+      // every concurrent task (profiled via jstack: all 32 tasks parked on
+      // the class-init monitor). Our corpora are ASCII; JVM case mapping is
+      // identical there (and matches DuckDB), so opt out of ICU.
+      spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    } catch { case _: Exception => }
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val fixed = df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case None => df
     }
+    fixed
+  }
+
+  /** Spread a frame to the session's parallelism when its scan would produce
+    * fewer tasks than cores. Parquet splits only at row-group boundaries, so
+    * a small single-file table scans as ONE task and serializes any CPU-heavy
+    * pipeline above it (shingling/minhash ran 1-of-32 cores). Hash-partition
+    * on `key` (deterministic — no sort-before-repartition pass, unlike
+    * round-robin). At 100 TB inputs arrive with thousands of natural splits
+    * and this is a no-op; callers are the CPU-bound text operators, not every
+    * scan — a blanket repartition taxes cheap queries with a full-row
+    * shuffle. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
   }
 }

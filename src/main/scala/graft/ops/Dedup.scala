@@ -61,7 +61,7 @@ object Dedup {
     * measured 3x slower, and worse the wider the expression is shared. */
   def shingleHashRows(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     val toks = col("__toks")
-    docs
+    graft.model.Tables.spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
       .select(col("doc_id"), explode(array(TextAnalysis.tokens(col(textCol)))).as("__toks"))
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
@@ -85,6 +85,32 @@ object Dedup {
       min((lit(a) * col("h") + lit(b)) % P).as(s"mh$i")
     }
     shingleHashRows(df, textCol, n).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One-pass form: MinHash signature columns AND the distinct shingle-hash
+    * set from a single shingle evaluation and a single doc_id shuffle. The
+    * near-dup pipeline consumes this frame three times (banding, pair left
+    * side, pair right side); the identical aggregation exchange is planned
+    * once and re-read via ReusedExchange, so documents are shingled exactly
+    * once end-to-end — round 1 shingled twice (signatures + jaccard sets). */
+  def minhashSignaturesWithSets(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val aggs = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$i")
+    } :+ sort_array(collect_set(col("h"))).as("sh")
+    shingleHashRows(df, textCol, n).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact Jaccard for candidate (a, b) pairs from a precomputed
+    * (doc_id, ..., sh) frame — no re-shingling. */
+  def jaccardFromSets(pairs: DataFrame, sets: DataFrame): DataFrame = {
+    val sh = sets.select(col("doc_id"), col("sh"))
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b"))))).as("jaccard"))
   }
 
   /** LSH banding: k signature columns -> k/r bands; band key = md5 of the
@@ -159,8 +185,9 @@ object Dedup {
     * pairs -> exact Jaccard verify -> pairs above threshold. */
   def nearDupPairs(docs: DataFrame, textCol: String, n: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
-    val pairs = candidatePairs(lshBands(minhashSignatures(docs, textCol, n)))
-    jaccardPairs(docs, pairs, textCol, n).filter(col("jaccard") >= threshold)
+    val sigs = minhashSignaturesWithSets(docs, textCol, n)
+    val pairs = candidatePairs(lshBands(sigs))
+    jaccardFromSets(pairs, sigs).filter(col("jaccard") >= threshold)
   }
 
   /** 32-bit SimHash over the token multiset: per-bit majority vote of
@@ -169,7 +196,8 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String, bits: Int = 32): DataFrame = {
     // Materialize the token hash once; the vote columns then reference the
     // column instead of each recomputing md5 (bits-times less hashing).
-    val tok = df.select(col("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val tok = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .select(col("doc_id"),
         conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("h"))
     val h = col("h")
@@ -183,16 +211,23 @@ object Dedup {
     voted.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: pairs within `maxHamming` bit flips,
-    * bucketed by byte bands to avoid all-pairs comparison: a pair within
-    * hamming <= 3 differs in at most 3 of the 4 bytes, so it shares at
-    * least one byte band. 256-way bands keep buckets ~corpus/256 — the
-    * candidate set stays near-linear in corpus size. */
-  def simhashNearDup(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** SimHash near-dup pairs within `maxHamming` bit flips, bucketed by bit
+    * bands to avoid all-pairs comparison. The band count is DERIVED from
+    * `maxHamming`: with maxHamming+1 bands, a pair differing in <= maxHamming
+    * bits leaves at least one band untouched (pigeonhole), so every true
+    * near-dup shares a band and the result is EXACT — identical to the
+    * all-pairs filter, at equi-join cost. (Round-1 hardcoded 4 bands but
+    * allowed maxHamming=8, silently missing 4-8-bit pairs spread across all
+    * bands.) Wide buckets keep candidates ~corpus²/2^width per band — at
+    * 100 TB pick `bits`/`maxHamming` so width >= ~16 bits. */
+  def simhashNearDup(sigs: DataFrame, maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = (bits + nBands - 1) / nBands
+    val mask = (1L << width) - 1
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band_id"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).as("nib"))): _*)).as("band"))
+          shiftright(col("simhash"), b * width).bitwiseAND(mask).as("nib"))): _*)).as("band"))
       .select(col("doc_id"), col("simhash"),
         col("band.band_id").as("band_id"), col("band.nib").as("nib"))
     val l = banded.as("l")

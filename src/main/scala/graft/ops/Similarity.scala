@@ -68,17 +68,21 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
-    df.select(col("vec_id"), emb, bucket.as("bucket"))
+    // Guard: a vector of the wrong length would null-pad in zip_with, null
+    // the fold, and silently collapse every row into bucket 0 (turning the
+    // LSH join quadratic). Wrong-length vectors are excluded instead —
+    // callers pass the corpus dimensionality explicitly.
+    df.filter(size(emb) === dims).select(col("vec_id"), emb, bucket.as("bucket"))
   }
 
   /** LSH-accelerated ANN: candidates = bucket-mates (plus optional probing of
     * the query's own bucket only, for simplicity); exact cosine rerank. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 12): DataFrame = {
-    val cb = srpBucket(corpus, planes)
+              planes: Int = 12, dims: Int = 64): DataFrame = {
+    val cb = srpBucket(corpus, planes, dims)
       .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"),
         l2norm(col("embedding")).as("nbr_nrm"), col("bucket"))
-    val qb = broadcast(srpBucket(queries, planes)
+    val qb = broadcast(srpBucket(queries, planes, dims)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         l2norm(col("embedding")).as("q_nrm"), col("bucket")))
     val scored = cb.join(qb, Seq("bucket"))

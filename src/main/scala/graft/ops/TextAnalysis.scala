@@ -51,7 +51,7 @@ object TextAnalysis {
       stopwords.toSeq.flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
         .toDF("cand_lang", "token"))
 
-    val hits = df
+    val hits = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
       .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
       .join(lexicon, Seq("token"), "inner")
       .groupBy("doc_id", "cand_lang")
@@ -105,7 +105,7 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
     val t = col(textCol)
     val nShingles = greatest(length(t) - (k - 1), lit(1))
-    df.select(
+    graft.model.Tables.spread(df.select(col("doc_id"), t), col("doc_id")).select(
       col("doc_id"),
       array_min(transform(sequence(lit(1), nShingles),
         i => md5(t.substr(i, lit(k))))).as("fingerprint"))

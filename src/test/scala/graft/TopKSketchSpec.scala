@@ -30,6 +30,19 @@ class TopKSketchSpec extends SparkSpec {
     assert(got.size <= 8)
   }
 
+  test("merge keeps a heavy hitter arriving at a full buffer (capacity 1)") {
+    // Round-1 bug: with capacity=1, partials {A:400} merge {B:600} dropped B
+    // entirely. Weighted MG must keep B with count 600-400=200.
+    TopKSketch.register(spark)
+    // Two partitions, one value each -> merge of two single-entry buffers.
+    val df = (Seq.fill(400)(("A", 0)) ++ Seq.fill(600)(("B", 1)))
+      .toDF("v", "p").repartition(2, col("p"))
+    val got = df.agg(expr("topk_sketch(v, 1)").as("tk"))
+      .select(explode(col("tk"))).as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("B"), s"heavy hitter lost: $got")
+    assert(got("B") >= 600L - 400L && got("B") <= 600L)
+  }
+
   test("null inputs are ignored") {
     TopKSketch.register(spark)
     val got = Seq(Some("x"), None, Some("x"), None).toDF("v")

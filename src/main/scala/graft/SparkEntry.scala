@@ -433,6 +433,15 @@ object SparkEntry {
         |count(*) AS n FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // ---- §2.4: cube aggregation (all grouping-set combinations)
+    ("cube_agg",
+      (s, d) => Tables(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |count(*) AS n FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
     // ---- S5: keyed last-write-wins upsert arbitration (con.py:55-63)
     ("s5_upsert_latest",
       (s, d) => Upsert.latestByKey(ev(s, d), Seq("user_id", "event_type"), "ts", "event_id")
@@ -585,7 +594,14 @@ object SparkEntry {
 
     ("e3_srp_ann_topk",
       (s, d) => Similarity.lshTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),
-      None),
+      Some(srpAnnSql)),
+
+    // ---- e: IVF-style ANN — coarse-quantize to deterministic centroids
+    // (vec_id < 8 stands in for sampled k-means output), probe 2 cells.
+    ("e4_ivf_topk",
+      (s, d) => Similarity.ivfTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10),
+        emb(s, d).filter(col("vec_id") < 8), 3, nprobe = 2),
+      Some(ivfSql)),
 
     // ---- m: multimodal plumbing (north star; codecs stubbed, dataflow real)
     ("m1_media_meta",
@@ -697,6 +713,66 @@ object SparkEntry {
        |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
        |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
        |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin
+
+  /** e3 oracle: the SRP bucket is a sum of sign bits of ±1-weighted plane
+    * projections. The plane sums are unrolled with the SAME signs
+    * (Similarity.planeSign) and the same left-to-right add order as Spark's
+    * zip_with/aggregate fold, so the projections — and hence buckets — are
+    * bit-identical; rerank mirrors the e1 cosine oracle. */
+  private lazy val srpAnnSql: String = {
+    val planes = 12; val dims = 64
+    val bucketExpr = (0 until planes).map { p =>
+      val terms = (0 until dims).map { d =>
+        val sgn = if (Similarity.planeSign(p, d) > 0) "+" else "-"
+        s"$sgn emb[${d + 1}]"
+      }.mkString(" ")
+      s"(CASE WHEN (0.0 $terms) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings WHERE len(embedding) = $dims),
+       |bk AS (
+       |  SELECT vec_id, emb,
+       |    $bucketExpr AS bucket
+       |  FROM base),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM bk WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS nbr_id,
+       |    list_cosine_similarity(q.q_emb, c.emb) AS cos
+       |  FROM bk c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+       |SELECT query_id, nbr_id, cos, rank FROM (
+       |  SELECT query_id, nbr_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, nbr_id) AS INT) AS rank
+       |  FROM scored) WHERE rank <= 3""".stripMargin
+  }
+
+  /** e4 oracle: nearest-of-8-centroids cell assignment (argmax cosine, ties
+    * to the lower centroid id), 2-cell probing, exact rerank. */
+  private lazy val ivfSql: String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id < 8),
+       |cassign AS (
+       |  SELECT vec_id, emb, cent_id AS cell FROM (
+       |    SELECT b.vec_id, b.emb, c.cent_id,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY list_cosine_similarity(b.emb, c.cent_emb) DESC, c.cent_id) AS rn
+       |    FROM base b, cent c) WHERE rn <= 1),
+       |qassign AS (
+       |  SELECT vec_id AS query_id, emb AS q_emb, cent_id AS cell FROM (
+       |    SELECT b.vec_id, b.emb, c.cent_id,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY list_cosine_similarity(b.emb, c.cent_emb) DESC, c.cent_id) AS rn
+       |    FROM base b, cent c WHERE b.vec_id < 10) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS nbr_id,
+       |    list_cosine_similarity(q.q_emb, c.emb) AS cos
+       |  FROM cassign c JOIN qassign q ON c.cell = q.cell AND c.vec_id <> q.query_id)
+       |SELECT query_id, nbr_id, cos, rank FROM (
+       |  SELECT query_id, nbr_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, nbr_id) AS INT) AS rank
+       |  FROM scored) WHERE rank <= 3""".stripMargin
 
   /** Stopword-vote language ID SQL, sharing the lexicon with TextAnalysis. */
   private lazy val langIdSql: String = {

@@ -95,6 +95,42 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cos"), col("__rn").as("rank"))
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus by max-cosine against a small
+    * centroid set (broadcast — at scale these come from a sampled k-means;
+    * here any deterministic centroid frame), probe each query's `nprobe`
+    * nearest cells, exact cosine rerank within probed cells only. The
+    * corpus-side scan assigns cells map-side against broadcast centroids;
+    * the probe join is an equi-join on cell id — never an all-pairs pass. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    val cent = broadcast(centroids.select(col("vec_id").as("cent_id"),
+      col("embedding").as("cent_emb"), l2norm(col("embedding")).as("cent_nrm")))
+
+    def assign(df: DataFrame, idAs: String, embAs: String, nrmAs: String,
+               keep: Int): DataFrame = {
+      val base = df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        l2norm(col("embedding")).as(nrmAs))
+      val scored = base.join(cent)
+        .select(col(idAs), col(embAs), col(nrmAs), col("cent_id"),
+          (dot(col(embAs), col("cent_emb")) / (col(nrmAs) * col("cent_nrm"))).as("__ccos"))
+      val w = Window.partitionBy(idAs).orderBy(col("__ccos").desc, col("cent_id").asc)
+      scored.withColumn("__crn", row_number().over(w))
+        .filter(col("__crn") <= keep)
+        .select(col(idAs), col(embAs), col(nrmAs), col("cent_id").as("cell"))
+    }
+
+    val cb = assign(corpus, "nbr_id", "nbr_emb", "nbr_nrm", keep = 1)
+    val qb = broadcast(assign(queries, "query_id", "q_emb", "q_nrm", keep = nprobe))
+    val scored = cb.join(qb, Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (dot(col("q_emb"), col("nbr_emb")) / (col("q_nrm") * col("nbr_nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cos"), col("__rn").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine above `threshold` among pairs
     * sharing a coarse partition key (here: label) — the pattern that bounds
     * the pair space; swap the key for an SRP bucket at scale.

@@ -77,6 +77,46 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(res.head.getAs[Double]("cos") - 1.0) < 1e-6)
   }
 
+  test("simhash near-dup: bands derived from maxHamming catch all-bytes-touched pairs") {
+    // Pair differing in bits 0, 8, 16, 24 (hamming 4) touches all four bytes
+    // — the round-1 fixed 4-byte banding missed it. With maxHamming=4 the
+    // derived 5-band layout must find it (pigeonhole: 4 flips, 5 bands).
+    val sigs = Seq(
+      (1L, 0L),
+      (2L, (1L << 0) | (1L << 8) | (1L << 16) | (1L << 24)),
+      (3L, 0xFFFFL)) // far from both
+    .toDF("doc_id", "simhash")
+    val got = Dedup.simhashNearDup(sigs, maxHamming = 4)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 4)))
+  }
+
+  test("srp bucket excludes wrong-length vectors instead of collapsing to bucket 0") {
+    val vecs = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.fill(32)(1.0f)) // wrong dims: must be excluded, not bucket 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.srpBucket(vecs, planes = 12, dims = 64)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("IVF: corpus assigned to nearest centroid, probe finds same-direction neighbors") {
+    // Two orthogonal directions; neighbors cluster around each. A query near
+    // e1 must retrieve the e1-direction corpus vectors, not the e2 ones.
+    def v(x: Double, y: Double) = Array.tabulate(4)(i => (if (i == 0) x else if (i == 1) y else 0.0).toFloat)
+    val corpus = Seq(
+      (0L, v(1, 0)), (1L, v(0, 1)),          // double as centroids
+      (10L, v(0.9, 0.1)), (11L, v(0.95, 0.05)),
+      (20L, v(0.1, 0.9)), (21L, v(0.05, 0.95))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 10L)
+    val centroids = corpus.filter(col("vec_id") < 2)
+    val got = Similarity.ivfTopK(corpus, queries, centroids, k = 2, nprobe = 1)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(got == Set(11L, 0L)) // same-direction vectors, not 20/21
+  }
+
   test("token stats and quality on a known string") {
     val d = Seq((1L, "The quick brown fox! It runs.")).toDF("doc_id", "text")
     val ts = TextAnalysis.tokenStats(d, "text").collect().head

@@ -88,16 +88,20 @@ object Dedup {
   }
 
   /** One-pass form: MinHash signature columns AND the distinct shingle-hash
-    * set from a single shingle evaluation and a single doc_id shuffle. The
-    * near-dup pipeline consumes this frame three times (banding, pair left
-    * side, pair right side); the identical aggregation exchange is planned
-    * once and re-read via ReusedExchange, so documents are shingled exactly
-    * once end-to-end — round 1 shingled twice (signatures + jaccard sets). */
+    * set from a single shingle evaluation and a single doc_id shuffle,
+    * materialized via `localCheckpoint`. The near-dup pipeline consumes the
+    * frame five times (band self-join ×3, jaccard set join ×2); without
+    * materialization Catalyst prunes each branch's aggregate differently, the
+    * exchanges stop canonicalizing equal, ReusedExchange never fires, and the
+    * documents are re-shingled per branch (measured: 5 shingle evaluations in
+    * the d3 plan). Signatures are ~100 bytes/doc — at 100 TB of text this is
+    * the classic "materialize the sketch, not the corpus" trade. */
   def minhashSignaturesWithSets(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     val aggs = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"mh$i")
     } :+ sort_array(collect_set(col("h"))).as("sh")
     shingleHashRows(df, textCol, n).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
   }
 
   /** Exact Jaccard for candidate (a, b) pairs from a precomputed
@@ -224,7 +228,10 @@ object Dedup {
     val nBands = maxHamming + 1
     val width = (bits + nBands - 1) / nBands
     val mask = (1L << width) - 1
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    // Materialize the (doc_id, simhash) aggregate once: the band self-join
+    // references it twice and would otherwise re-tokenize the corpus per side.
+    val sigsM = sigs.localCheckpoint()
+    val banded = sigsM.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band_id"),
           shiftright(col("simhash"), b * width).bitwiseAND(mask).as("nib"))): _*)).as("band"))

@@ -433,6 +433,21 @@ object SparkEntry {
         |count(*) AS n FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // ---- skew: salted two-phase aggregation — same answer as a plain
+    // groupBy (sum/count are merge-associative), but a hot key fans out over
+    // `buckets` reducers instead of one. Summed as integer cents so the
+    // result is independent of the partial-combine order (the salt
+    // deliberately randomizes that order — a double sum would not be
+    // bitwise-stable against the oracle's sequential sum).
+    ("skew_salted_agg",
+      (s, d) => graft.ops.Skew.saltedSum(
+          ev(s, d).withColumn("value_c", round(col("value") * 100).cast("long")),
+          Seq("event_type"), "value_c")
+        .select(col("event_type"), (col("sum_value_c") / 100.0).as("sum_value"), col("n")),
+      Some("""SELECT event_type,
+        |sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+        |count(*) AS n FROM events GROUP BY event_type""".stripMargin)),
+
     // ---- §2.4: cube aggregation (all grouping-set combinations)
     ("cube_agg",
       (s, d) => Tables(s, d, "lineitem")

@@ -57,6 +57,27 @@ class PlanChecksSpec extends SparkSpec {
     assert(countOf(plan, "BroadcastHashJoin") >= 1)
   }
 
+  test("near-dup pipeline shingles the corpus exactly once (materialized sketch)") {
+    // The signature frame feeds 5 plan branches; without materialization each
+    // branch re-runs the shingle pipeline (pruning blocks ReusedExchange).
+    // After localCheckpoint the downstream plan must contain NO aggregation
+    // partials for the signatures — they are read from the checkpointed RDD.
+    val plan = finalPlanString(SparkEntry.queries("d3_lsh_jaccard_pairs")(spark, sf))
+    assert(countOf(plan, "partial_min") == 0 && countOf(plan, "partial_collect_set") == 0,
+      s"signature aggregate re-evaluated downstream:\n$plan")
+    assert(!plan.contains("documents.parquet"), "corpus re-scanned downstream of the sketch")
+  }
+
+  test("spread repartitions a 1-task scan but leaves many-split inputs alone") {
+    import graft.model.Tables
+    val tiny = Tables(spark, sf, "documents").select("doc_id", "text")
+    val spreadDf = Tables.spread(tiny, col("doc_id"))
+    assert(spreadDf.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    val wide = tiny.repartition(spark.sparkContext.defaultParallelism * 2, col("doc_id"))
+    assert(Tables.spread(wide, col("doc_id")).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism * 2) // untouched: already parallel
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     val left = (1L to 10000L).map(i => (i, s"u$i")).toDF("id", "name")

@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two array columns, computed in double. */
+  /** Elementwise dot product of two array columns, computed in double.
+    * Inner casts are no-ops (removed by Catalyst) when callers pre-cast the
+    * array once per row via [[asDouble]] — do that before any pair join so
+    * the float→double conversion runs once per vector, not once per pair. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** One-time float[]→double[] conversion (exact; matches the oracle's
+    * CAST(embedding AS DOUBLE[])). */
+  def asDouble(a: Column): Column = a.cast("array<double>")
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -30,10 +37,10 @@ object Similarity {
     * vectors (excluding itself). Query side must be small — it is broadcast;
     * the corpus is scanned exactly once regardless of query count. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"),
+    val c = corpus.select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("nbr_emb"),
       l2norm(col("embedding")).as("nbr_nrm"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), l2norm(col("embedding")).as("q_nrm")))
+      asDouble(col("embedding")).as("q_emb"), l2norm(col("embedding")).as("q_nrm")))
     val scored = c.join(q, col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (dot(col("q_emb"), col("nbr_emb")) / (col("q_nrm") * col("nbr_nrm"))).as("cos"))
@@ -80,10 +87,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 12, dims: Int = 64): DataFrame = {
     val cb = srpBucket(corpus, planes, dims)
-      .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"),
+      .select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("nbr_emb"),
         l2norm(col("embedding")).as("nbr_nrm"), col("bucket"))
     val qb = broadcast(srpBucket(queries, planes, dims)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"),
         l2norm(col("embedding")).as("q_nrm"), col("bucket")))
     val scored = cb.join(qb, Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
@@ -104,11 +111,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2): DataFrame = {
     val cent = broadcast(centroids.select(col("vec_id").as("cent_id"),
-      col("embedding").as("cent_emb"), l2norm(col("embedding")).as("cent_nrm")))
+      asDouble(col("embedding")).as("cent_emb"), l2norm(col("embedding")).as("cent_nrm")))
 
     def assign(df: DataFrame, idAs: String, embAs: String, nrmAs: String,
                keep: Int): DataFrame = {
-      val base = df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+      val base = df.select(col("vec_id").as(idAs), asDouble(col("embedding")).as(embAs),
         l2norm(col("embedding")).as(nrmAs))
       val scored = base.join(cent)
         .select(col(idAs), col(embAs), col(nrmAs), col("cent_id"),
@@ -139,8 +146,8 @@ object Similarity {
     * pair-invariant); only the dot product runs per pair — 3x less array
     * arithmetic than naive cosine-per-pair, same values. */
   def embeddingNearDup(df: DataFrame, threshold: Double): DataFrame = {
-    val normed = df.select(col("label"), col("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("nrm"))
+    val normed = df.select(col("label"), col("vec_id"),
+      asDouble(col("embedding")).as("embedding"), l2norm(col("embedding")).as("nrm"))
     val l = normed.select(col("label"), col("vec_id").as("a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val r = normed.select(col("label"), col("vec_id").as("b"),

@@ -81,6 +81,57 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("a" -> 1.0, "b" -> 2.0)) // both batches exactly once
   }
 
+  test("stateful running GPA accumulates across micro-batches and survives by key") {
+    import graft.streaming.StatefulGpa
+    val input = MemoryStream[(String, String, Double, Double, Int)]
+    val df = input.toDF().toDF("F_MASV", "F_TENMHVN", "F_DIEM2", "F_DVHT", "NHHK")
+    val out = StatefulGpa.runningGpa(
+      StatefulGpa.eligiblePartials(df, excludedSemester = 20251))
+    val q = out.toDF().writeStream.format("memory").queryName("gpa_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: S1 takes two courses: 9.5 (A=4.0) x 3cr, 6.0 (C=2.0, via >=5.5) x 2cr
+      input.addData(("S1", "Math", 9.5, 3.0, 20231), ("S1", "Lit", 6.0, 2.0, 20231))
+      q.processAllAvailable()
+      // batch 2: a failed course (excluded), a '*' course (excluded), one real: 8.0 (B+=3.5) x 5cr
+      input.addData(("S1", "PE*", 9.0, 1.0, 20232), ("S1", "Chem", 3.0, 4.0, 20232),
+        ("S1", "Phys", 8.0, 5.0, 20232))
+      q.processAllAvailable()
+      val rows = spark.table("gpa_out").collect()
+        .map(r => (r.getAs[String]("masv"), r.getAs[Double]("dtbctl"), r.getAs[Double]("credits")))
+      // batch1 emit: (4.0*3 + 2.0*2)/5 = 3.2 over 5 cr; batch2: +3.5*5 -> 33.5/10
+      assert(rows.contains(("S1", 3.2, 5.0)))
+      assert(rows.contains(("S1", 3.35, 10.0)))
+    } finally q.stop()
+  }
+
+  test("watermarked event-time window drops data later than the horizon") {
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val windowed = input.toDF().toDF("t", "k", "v")
+      .withWatermark("t", "10 minutes")
+      .groupBy(window(col("t"), "10 minutes"), col("k"))
+      .agg(sum(col("v")).as("total"))
+      .select(col("window.start").as("ws"), col("k"), col("total"))
+    val q = windowed.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:05:00"), "a", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the first window, closing it
+      input.addData((ts("2024-01-01 11:00:00"), "a", 5.0))
+      q.processAllAvailable()
+      // a record 50 min late, inside the long-closed first window: dropped
+      input.addData((ts("2024-01-01 10:06:00"), "a", 100.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:30:00"), "a", 7.0)) // close 11:00 window
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .select("ws", "total").as[(Timestamp, Double)].collect().toMap
+      assert(out(ts("2024-01-01 10:00:00")) == 1.0, s"late row leaked into closed window: $out")
+      assert(out(ts("2024-01-01 11:00:00")) == 5.0)
+    } finally q.stop()
+  }
+
   test("consumer transform chain runs on a stream (enrich + key + route)") {
     val input = MemoryStream[(Timestamp, String, String, String, String, String, Int, String, Double, Double)]
     val df = input.toDF().toDF("@timestamp", "F_MASV", "F_MAMH", "F_TENMHVN",

@@ -448,6 +448,25 @@ object SparkEntry {
         |sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
         |count(*) AS n FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- as-of join: for each purchase, the user's latest view at or
+    // before it (union + one keyed window pass; DuckDB's native ASOF JOIN
+    // is the oracle). Right side pre-arbitrated unique per (user, ts).
+    ("join_asof",
+      (s, d) => {
+        val e = ev(s, d)
+        val views = e.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max(col("event_id")).as("view_event"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        graft.ops.AsOfJoin.asOf(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_event"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, max(event_id) AS view_event
+        |            FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts, v.view_event
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)),
+
     // ---- §2.4: cube aggregation (all grouping-set combinations)
     ("cube_agg",
       (s, d) => Tables(s, d, "lineitem")

@@ -117,6 +117,20 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(11L, 0L)) // same-direction vectors, not 20/21
   }
 
+  test("as-of join: latest at-or-before value per key, null when none precedes") {
+    import graft.ops.AsOfJoin
+    val left = Seq((1L, "u1", 10L), (2L, "u1", 20L), (3L, "u2", 5L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u1", 10L, "r@10"), ("u1", 15L, "r@15"), ("u2", 7L, "r@7"))
+      .toDF("k", "rt", "v")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(
+      1L -> Some("r@10"), // exact tie counts (<=)
+      2L -> Some("r@15"), // most recent earlier, not first
+      3L -> None))        // nothing at or before t=5
+  }
+
   test("token stats and quality on a known string") {
     val d = Seq((1L, "The quick brown fox! It runs.")).toDF("doc_id", "text")
     val ts = TextAnalysis.tokenStats(d, "text").collect().head

@@ -44,8 +44,15 @@ object Dedup {
     val toks = TextAnalysis.tokens(text)
     transform(
       sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+      i => concat_ws(" ", (0 until n).map(k => shingleTok(toks, i + k)): _*))
   }
+
+  /** Token lookup guarded against the short-document edge: a doc with fewer
+    * than n tokens still yields one (truncated) shingle — concat_ws skips the
+    * nulls, matching the oracle's truncating array slice t[i:i+n-1]. Unguarded
+    * element_at throws under ANSI mode (found by PropertySpec). */
+  private def shingleTok(toks: Column, i: Column): Column =
+    when(i <= size(toks), element_at(toks, i))
 
   /** Distinct shingle hash set (array<long>), the MinHash input. */
   def shingleHashes(text: Column, n: Int): Column =
@@ -65,7 +72,7 @@ object Dedup {
       .select(col("doc_id"), explode(array(TextAnalysis.tokens(col(textCol)))).as("__toks"))
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))).as("__shingle"))
+        i => concat_ws(" ", (0 until n).map(k => shingleTok(toks, i + k)): _*))).as("__shingle"))
       .select(col("doc_id"), strHash31(col("__shingle")).as("h"))
   }
 

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Upsert
+import graft.functions.GradeScale4
+import graft.ops.Dedup
+
+/** Property-based checks (SURVEY.md §5.3): grade banding is monotone and
+  * bounded, the GPA is always in [0, 4], hash-diff dedup is idempotent, and
+  * the keyed upsert is idempotent under redelivery. Pure properties run 200
+  * scalacheck cases; Spark-backed ones run fewer (a job per case). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(label: String, cases: Int)(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases), p)
+    assert(r.passed, s"$label: ${r.status}")
+  }
+
+  private val grades = Set(0.0, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0)
+
+  test("grade banding maps into the 8 band values and is monotone") {
+    check("range", 200)(Prop.forAll(Gen.choose(-5.0, 15.0)) { d =>
+      grades.contains(GradeScale4.eval(d))
+    })
+    check("monotone", 200)(Prop.forAll(
+      Gen.choose(-5.0, 15.0), Gen.choose(-5.0, 15.0)) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      GradeScale4.eval(lo) <= GradeScale4.eval(hi)
+    })
+  }
+
+  test("credit-weighted GPA is always within [0, 4]") {
+    val course = for {
+      g <- Gen.choose(0.0, 10.0)
+      cr <- Gen.choose(0.5, 6.0)
+    } yield (g, cr)
+    check("gpa-range", 200)(Prop.forAll(Gen.nonEmptyListOf(course)) { cs =>
+      val pts = cs.map { case (g, cr) => GradeScale4.eval(g) * cr }.sum
+      val cr = cs.map(_._2).sum
+      val gpa = if (cr > 0) pts / cr else 0.0
+      gpa >= 0.0 && gpa <= 4.0
+    })
+  }
+
+  test("hash-diff dedup is idempotent: diff(x, hashes(x)) is empty") {
+    val rows = Gen.listOfN(30, Gen.zip(Gen.alphaStr.map(_.take(8)), Gen.choose(0, 99)))
+    check("t1-idempotent", 8)(Prop.forAll(rows) { xs =>
+      val df = xs.toDF("k", "v")
+      val h = md5(concat_ws("|", col("k"), col("v")))
+      val seen = df.select(h.as("row_hash")).distinct()
+      df.withColumn("row_hash", h)
+        .join(seen, Seq("row_hash"), "left_anti")
+        .count() == 0L
+    })
+  }
+
+  test("keyed upsert merge is idempotent: re-delivering a batch changes nothing") {
+    val rows = Gen.listOfN(20, Gen.zip(Gen.choose(1, 5), Gen.choose(1, 1000)))
+    check("upsert-idempotent", 5)(Prop.forAll(rows) { xs =>
+      val dir = java.nio.file.Files.createTempDirectory("prop-upsert").toString
+      val batch = xs.zipWithIndex
+        .map { case ((k, v), i) => (k, v.toDouble, i.toLong, s"p${k % 2}") }
+        .toDF("k", "v", "seq", "part")
+      Upsert.mergeBatch(spark, batch, dir, Seq("k"), "seq", "seq", "part")
+      val once = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+      Upsert.mergeBatch(spark, batch, dir, Seq("k"), "seq", "seq", "part")
+      val twice = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+      once.nonEmpty && once == twice
+    })
+  }
+
+  test("minhash signature entries stay within the hash universe [0, P)") {
+    val doc = Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+      .map(_.mkString(" "))
+    check("minhash-universe", 5)(Prop.forAll(Gen.listOfN(6, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(df, "text", 2).collect()
+      sigs.forall(r => (1 to Dedup.minhashSeeds.size).forall { i =>
+        val v = r.getLong(i); v >= 0 && v < Dedup.P
+      })
+    })
+  }
+}

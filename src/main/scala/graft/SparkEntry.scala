@@ -773,7 +773,8 @@ object SparkEntry {
        |scored AS (
        |  SELECT q.query_id, c.vec_id AS nbr_id,
        |    list_cosine_similarity(q.q_emb, c.emb) AS cos
-       |  FROM bk c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+       |  FROM bk c JOIN q
+       |    ON bit_count(xor(c.bucket, q.bucket)) <= 1 AND c.vec_id <> q.query_id)
        |SELECT query_id, nbr_id, cos, rank FROM (
        |  SELECT query_id, nbr_id, cos,
        |    CAST(row_number() OVER (PARTITION BY query_id

@@ -82,16 +82,24 @@ object Similarity {
     df.filter(size(emb) === dims).select(col("vec_id"), emb, bucket.as("bucket"))
   }
 
-  /** LSH-accelerated ANN: candidates = bucket-mates (plus optional probing of
-    * the query's own bucket only, for simplicity); exact cosine rerank. */
+  /** LSH-accelerated ANN with multi-probe: each query searches its own SRP
+    * bucket plus every bucket one plane-flip away (`multiProbe = 1`), the
+    * standard recall fix for SRP's hard bucket boundaries — a near neighbor
+    * that lands one sign-bit off is still found. The query side explodes to
+    * planes+1 probe rows and stays broadcast; the corpus keeps ONE bucket
+    * per vector, so the probe join is still a plain equi-join and each
+    * (query, candidate) pair is produced at most once. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 12, dims: Int = 64): DataFrame = {
+              planes: Int = 12, dims: Int = 64, multiProbe: Int = 1): DataFrame = {
     val cb = srpBucket(corpus, planes, dims)
       .select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("nbr_emb"),
         l2norm(col("embedding")).as("nbr_nrm"), col("bucket"))
+    val probes =
+      if (multiProbe <= 0) Seq(col("bucket"))
+      else col("bucket") +: (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
     val qb = broadcast(srpBucket(queries, planes, dims)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"),
-        l2norm(col("embedding")).as("q_nrm"), col("bucket")))
+        l2norm(col("embedding")).as("q_nrm"), explode(array(probes: _*)).as("bucket")))
     val scored = cb.join(qb, Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),

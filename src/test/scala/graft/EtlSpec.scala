@@ -99,6 +99,31 @@ class EtlSpec extends SparkSpec {
     assert(m == Map("k1" -> 9.0, "k2" -> 2.0))
   }
 
+  test("permissive JSON parse: drifted/corrupt records captured, not fatal") {
+    // SURVEY §1.3: ES dynamic mapping ≙ declared StructType + PERMISSIVE
+    // parse — unknown fields ignored, type drift nulls the field, junk lands
+    // in the corrupt-record column with the stream unharmed.
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("F_MASV", StringType).add("F_DIEM2", DoubleType)
+      .add("_corrupt_record", StringType)
+    val lines = Seq(
+      """{"F_MASV":"S1","F_DIEM2":8.5}""",             // clean
+      """{"F_MASV":"S2","F_DIEM2":8.5,"extra":true}""", // schema drift: extra field
+      """{"F_MASV":"S3","F_DIEM2":"abc"}""",            // type drift
+      """{not json at all"""                            // corrupt
+    ).toDF("value")
+    val parsed = lines.select(from_json(col("value"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+      .select("r.*")
+    val rows = parsed.collect()
+    assert(rows.length == 4) // nothing dropped, nothing thrown
+    assert(parsed.filter(col("_corrupt_record").isNotNull).count() >= 1) // junk captured
+    assert(parsed.filter(col("F_MASV") === "S2").count() == 1) // drifted row parsed
+    val s3 = parsed.filter(col("F_MASV") === "S3").first()
+    assert(s3.isNullAt(s3.fieldIndex("F_DIEM2"))) // type drift -> null field
+  }
+
   test("consumer pipeline end-to-end enriches and rejects like con.py") {
     val df = Seq(
       (ts("2024-01-05 00:00:00"), "S1", "C1", "Math", "DI-X", "46", Some(20241), "8.5", 3.0, 30.0),

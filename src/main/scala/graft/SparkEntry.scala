@@ -411,6 +411,32 @@ object SparkEntry {
         Seq("event_type", "day"), "value", "user_id"),
       None),
 
+    // ---- sessionization: gap-based session ids per user (30-min gap) —
+    // lag + conditional cumulative sum, one shuffle on the user key.
+    ("w_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapS = 1800L
+        val prev = lag(unix_micros(col("ts")), 1).over(byUser)
+        val isNew = when(prev.isNull ||
+          unix_micros(col("ts")) - prev > gapS * 1000000L, 1L).otherwise(0L)
+        ev(s, d).select(col("user_id"), col("event_id"), col("ts"),
+          sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("session_id"))
+      },
+      Some("""SELECT user_id, event_id, ts,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events)""".stripMargin)),
+
     // ---- §2.4: window function (running aggregate)
     ("w_running_sum",
       (s, d) => ev(s, d).select(

@@ -132,6 +132,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window groups events by inactivity gap and closes on watermark") {
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = input.toDF().toDF("t", "u")
+      .withWatermark("t", "5 minutes")
+      .groupBy(session_window(col("t"), "10 minutes"), col("u"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"), col("u"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // two events 5 min apart -> one session; third event 30 min later
+      input.addData((ts("2024-01-01 10:00:00"), "u1"), (ts("2024-01-01 10:05:00"), "u1"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:40:00"), "u1")) // watermark 10:35 > session end 10:15
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:30:00"), "u1")) // close the 10:40 session too
+      q.processAllAvailable()
+      val out = spark.table("sess_out").select("ss", "n").as[(Timestamp, Long)].collect().toMap
+      assert(out(ts("2024-01-01 10:00:00")) == 2L, s"first session wrong: $out")
+      assert(out(ts("2024-01-01 10:40:00")) == 1L)
+    } finally q.stop()
+  }
+
   test("consumer transform chain runs on a stream (enrich + key + route)") {
     val input = MemoryStream[(Timestamp, String, String, String, String, String, Int, String, Double, Double)]
     val df = input.toDF().toDF("@timestamp", "F_MASV", "F_MAMH", "F_TENMHVN",

@@ -81,6 +81,25 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("a" -> 1.0, "b" -> 2.0)) // both batches exactly once
   }
 
+  test("S2: streaming file source picks up newly arrived files with scan semantics") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("watched").toString
+    val schema = new StructType().add("name", StringType).add("score", DoubleType)
+    def drop(f: String, lines: String*): Unit =
+      Files.write(Paths.get(dir, f), lines.mkString("\n").getBytes("UTF-8"))
+    drop("g1.csv", "name,score", "an,7.5", ",", "binh,8.0") // one all-blank row
+    val q = graft.sources.Tabular.scanStream(spark, dir, schema)
+      .writeStream.format("memory").queryName("watch_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      drop("g2.csv", "name,score", "chi,9.0") // a new gradebook lands later
+      q.processAllAvailable()
+      val out = spark.table("watch_out").as[(String, Double)].collect().toSet
+      assert(out == Set(("an", 7.5), ("binh", 8.0), ("chi", 9.0)), s"got $out")
+    } finally q.stop()
+  }
+
   test("stateful running GPA accumulates across micro-batches and survives by key") {
     import graft.streaming.StatefulGpa
     val input = MemoryStream[(String, String, Double, Double, Int)]

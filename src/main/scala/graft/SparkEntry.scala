@@ -602,6 +602,23 @@ object SparkEntry {
         | FROM unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)) AS fingerprint
         |FROM documents""".stripMargin)),
 
+    // ---- x5: composed cleaning pass (C4-style): quality gate + language
+    // filter + exact dedup (min doc_id survives per content hash). The ops
+    // compose as plain DataFrame stages; one pipeline, one oracle.
+    ("x5_clean_corpus",
+      (s, d) => {
+        val dd = docs(s, d)
+        val quality = TextAnalysis.qualityScore(dd, "text")
+          .select(col("doc_id"), col("quality"))
+        val lang = TextAnalysis.languageId(s, dd, "text")
+          .select(col("doc_id"), col("pred_lang"))
+        val kept = dd.join(quality, "doc_id").join(lang, "doc_id")
+          .filter(col("quality") >= 0.7 && col("pred_lang") === "en")
+        Dedup.exactDedupGroups(kept, "text")
+          .select(col("rep_doc_id").as("doc_id"), col("n_dups"))
+      },
+      Some(cleanCorpusSql)),
+
     // ---- d: dedup family (north star)
     ("d2_minhash_sig",
       (s, d) => Dedup.minhashSignatures(docs(s, d), "text", 3),
@@ -834,6 +851,19 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |                            ORDER BY cos DESC, nbr_id) AS INT) AS rank
        |  FROM scored) WHERE rank <= 3""".stripMargin
+
+  /** x5 oracle: quality + language oracles composed as nested CTEs, then the
+    * exact-dedup group oracle over the surviving docs. */
+  private lazy val cleanCorpusSql: String =
+    s"""WITH q AS ($qualitySql),
+       |l AS ($langIdSql),
+       |kept AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN q ON d.doc_id = q.doc_id
+       |  JOIN l ON d.doc_id = l.doc_id
+       |  WHERE q.quality >= 0.7 AND l.pred_lang = 'en')
+       |SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+       |FROM kept GROUP BY md5(text)""".stripMargin
 
   /** Stopword-vote language ID SQL, sharing the lexicon with TextAnalysis. */
   private lazy val langIdSql: String = {

@@ -72,6 +72,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Misra-Gries sketch respects the undercount bound under random partitioning") {
+    graft.functions.TopKSketch.register(spark)
+    val stream = Gen.listOfN(300,
+      Gen.frequency(5 -> Gen.const("HOT"), 3 -> Gen.oneOf("w1", "w2", "w3"),
+        2 -> Gen.choose(0, 50).map(i => s"rare$i")))
+    check("mg-bound", 5)(Prop.forAll(stream, Gen.choose(2, 7)) { (xs, parts) =>
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val capacity = 8
+      val est = xs.toDF("v").repartition(parts)
+        .agg(expr(s"topk_sketch(v, $capacity)").as("tk"))
+        .select(explode(col("tk"))).as[(String, Long)].collect().toMap
+      val bound = xs.size.toLong / capacity
+      // every estimate is an undercount by at most n/capacity, and any value
+      // with true count > n/capacity must survive the merges
+      est.forall { case (k, c) => c <= truth(k) && truth(k) - c <= bound } &&
+        truth.filter(_._2 > bound).keySet.subsetOf(est.keySet)
+    })
+  }
+
   test("minhash signature entries stay within the hash universe [0, P)") {
     val doc = Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
       .map(_.mkString(" "))

@@ -151,6 +151,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches streaming rows against a broadcast dim") {
+    val dim = Seq(("DI", "MMT"), ("FL", "NNA")).toDF("prefix", "major")
+    val input = MemoryStream[(String, Double)]
+    val joined = input.toDF().toDF("cls", "score")
+      .withColumn("prefix", substring(col("cls"), 1, 2))
+      .join(broadcast(dim), Seq("prefix"), "left")
+    val q = joined.writeStream.format("memory").queryName("dimjoin_out")
+      .outputMode("append").start()
+    try {
+      input.addData(("DI-K46", 8.0), ("FL-K47", 7.0), ("XX-1", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("dimjoin_out").select("cls", "major")
+        .as[(String, Option[String])].collect().toMap
+      assert(out == Map("DI-K46" -> Some("MMT"), "FL-K47" -> Some("NNA"), "XX-1" -> None))
+    } finally q.stop()
+  }
+
   test("session_window groups events by inactivity gap and closes on watermark") {
     val input = MemoryStream[(Timestamp, String)]
     val sessions = input.toDF().toDF("t", "u")

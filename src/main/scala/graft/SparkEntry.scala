@@ -680,6 +680,12 @@ object SparkEntry {
         emb(s, d).filter(col("vec_id") < 8), 3, nprobe = 2),
       Some(ivfSql)),
 
+    // ---- e5: metadata-free near-dup — SRP bucket candidates + cosine verify
+    // (the scale path e2 points at: no label column required).
+    ("e5_srp_neardup",
+      (s, d) => Similarity.srpNearDup(emb(s, d), 0.3),
+      Some(srpNearDupSql)),
+
     // ---- m: multimodal plumbing (north star; codecs stubbed, dataflow real)
     ("m1_media_meta",
       (s, d) => Multimodal.syntheticMedia(docs(s, d))
@@ -823,6 +829,30 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |                            ORDER BY cos DESC, nbr_id) AS INT) AS rank
        |  FROM scored) WHERE rank <= 3""".stripMargin
+  }
+
+  /** e5 oracle: same-bucket pairs (exactly equal SRP buckets) with cosine
+    * at or above threshold — shares the bucket expression with e3. */
+  private lazy val srpNearDupSql: String = {
+    val planes = 12; val dims = 64
+    val bucketExpr = (0 until planes).map { p =>
+      val terms = (0 until dims).map { d =>
+        val sgn = if (Similarity.planeSign(p, d) > 0) "+" else "-"
+        s"$sgn emb[${d + 1}]"
+      }.mkString(" ")
+      s"(CASE WHEN (0.0 $terms) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings WHERE len(embedding) = $dims),
+       |bk AS (
+       |  SELECT vec_id, emb,
+       |    $bucketExpr AS bucket
+       |  FROM base)
+       |SELECT l.vec_id AS a, r.vec_id AS b,
+       |  list_cosine_similarity(l.emb, r.emb) AS cos
+       |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |WHERE list_cosine_similarity(l.emb, r.emb) >= 0.3""".stripMargin
   }
 
   /** e4 oracle: nearest-of-8-centroids cell assignment (argmax cosine, ties

@@ -146,6 +146,28 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cos"), col("__rn").as("rank"))
   }
 
+  /** Embedding near-dup pairs at scale: candidates share an SRP bucket (no
+    * label or other metadata needed), exact cosine verify above `threshold`.
+    * The bucket equi-join bounds the pair space to ~n²/2^planes per bucket;
+    * raise `planes` as the corpus grows. Recall trades off at bucket
+    * boundaries exactly like lshTopK — near-identical vectors agree on all
+    * sign bits with high probability. */
+  def srpNearDup(df: DataFrame, threshold: Double, planes: Int = 12,
+                 dims: Int = 64): DataFrame = {
+    val b = srpBucket(df, planes, dims)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+        l2norm(col("embedding")).as("nrm"), col("bucket"))
+      .localCheckpoint() // consumed by both sides of the self-join
+    val l = b.select(col("bucket"), col("vec_id").as("a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs: cosine above `threshold` among pairs
     * sharing a coarse partition key (here: label) — the pattern that bounds
     * the pair space; swap the key for an SRP bucket at scale.

@@ -78,6 +78,22 @@ class PlanChecksSpec extends SparkSpec {
       spark.sparkContext.defaultParallelism * 2) // untouched: already parallel
   }
 
+  test("date-partitioned store prunes partitions for a date predicate") {
+    // The S5/T9 storage layout: writes route by ingest_date, a date filter
+    // must become a PartitionFilter (directory pruning), not a row filter.
+    val dir = java.nio.file.Files.createTempDirectory("parts").toString
+    Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-03", 3.0))
+      .toDF("ingest_date", "v")
+      .write.mode("overwrite").partitionBy("ingest_date").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("ingest_date") === "2024-01-02")
+    val plan = q.queryExecution.executedPlan.toString
+    // the predicate must appear INSIDE PartitionFilters (directory pruning),
+    // not as a post-scan row Filter
+    val pf = "PartitionFilters: \\[[^\\]]*ingest_date[^\\]]*\\]".r
+    assert(pf.findFirstIn(plan).isDefined, s"no partition pruning:\n$plan")
+    assert(q.count() == 1)
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     val left = (1L to 10000L).map(i => (i, s"u$i")).toDF("id", "name")

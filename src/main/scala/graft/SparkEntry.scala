@@ -699,6 +699,18 @@ object SparkEntry {
         |CAST(length(text) * 100 AS BIGINT) AS duration_ms,
         |md5(text) AS content_md5 FROM documents""".stripMargin)),
 
+    // mapPartitions decode path: the stub codec's dims are md5-derived ints,
+    // so the typed Dataset leg (codec init per partition) is fully oracled.
+    ("m3_decode_meta",
+      (s, d) => Multimodal.extractFeatures(s, Multimodal.syntheticMedia(docs(s, d)))
+        .toDF().select("media_id", "media_type", "dec_width", "dec_height"),
+      Some("""SELECT doc_id AS media_id,
+        |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |     ELSE 'video' END AS media_type,
+        |CAST(((CAST('0x' || substr(md5(text), 1, 2) AS INT) & 127) * 16) + 64 AS INT) AS dec_width,
+        |CAST(((CAST('0x' || substr(md5(text), 3, 2) AS INT) & 127) * 8) + 48 AS INT) AS dec_height
+        |FROM documents""".stripMargin)),
+
     ("m2_frame_sample",
       (s, d) => Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, d)))
         .select("media_id", "frame_no", "frame_md5"),

@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two array columns, computed in double.
-    * Inner casts are no-ops (removed by Catalyst) when callers pre-cast the
-    * array once per row via [[asDouble]] — do that before any pair join so
-    * the float→double conversion runs once per vector, not once per pair. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Elementwise dot product of two array columns, computed in double via
+    * the codegen'd [[graft.functions.DotProduct]] primitive (bit-identical
+    * to the old zip_with/aggregate fold, ~10x faster in pair joins where the
+    * interpreted higher-order functions dominated). Float arrays implicitly
+    * cast; pre-cast once per row via [[asDouble]] before pair joins so the
+    * conversion doesn't run per pair. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   /** One-time float[]→double[] conversion (exact; matches the oracle's
     * CAST(embedding AS DOUBLE[])). */
@@ -62,17 +65,15 @@ object Similarity {
     * Map-only; emits (vec_id, bucket). Cosine-similar vectors collide with
     * high probability (SRP-LSH).
     *
-    * Each plane's projection is a `zip_with` fold against a *literal* weight
-    * array — expression size O(planes), not O(planes × dims). The unrolled
-    * element_at form generated a 768-term codegen class whose one-time
-    * compilation dominated the query. */
+    * Each plane's projection is a [[dot]] against a *literal* weight array —
+    * expression size O(planes), not O(planes × dims) (an unrolled element_at
+    * form generated a 768-term codegen class whose one-time compilation
+    * dominated the query), and the loop itself is codegen'd. */
   def srpBucket(df: DataFrame, planes: Int = 12, dims: Int = 64): DataFrame = {
     val emb = col("embedding")
     val bucket = (0 until planes).map { p =>
       val w = typedLit((0 until dims).map(d => planeSign(p, d).toDouble))
-      val proj = aggregate(
-        zip_with(emb, w, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(emb, w)
       when(proj > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
     // Guard: a vector of the wrong length would null-pad in zip_with, null

@@ -208,6 +208,17 @@ object SparkEntry {
       Some(s"""SELECT event_id, value/50.0 AS grade10,
         |${GradeScale.grade4Sql("(value/50.0)")} AS grade4 FROM events""".stripMargin)),
 
+    // ---- T16 via the native codegen Expression (same ladder; certifies the
+    // custom-Expression surface in the gate)
+    ("t16_grade_band_native",
+      (s, d) => {
+        graft.functions.GradeScale4.register(s)
+        ev(s, d).select(col("event_id"),
+          expr("grade4(value / 50.0)").as("grade4"))
+      },
+      Some(s"""SELECT event_id, ${GradeScale.grade4Sql("(value/50.0)")} AS grade4
+        |FROM events""".stripMargin)),
+
     // ---- T17: substring year/semester split (app.py:181-182)
     ("t17_substr_split",
       (s, d) => ev(s, d).select(
@@ -299,6 +310,23 @@ object SparkEntry {
           sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")))
           .otherwise(0.0).as("wavg_price")),
       Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |CASE WHEN sum(l_quantity) > 0
+        |     THEN sum(l_extendedprice * l_quantity) / sum(l_quantity)
+        |     ELSE 0.0 END AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- A1 via the typed Aggregator (same semantics as the expression
+    // form above; certifies the custom-UDAF surface in the gate)
+    ("a1_weighted_gpa_typed",
+      (s, d) => {
+        val wm = udaf(new graft.functions.WeightedMean(),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaDouble))
+        Tables(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(wm(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+      },
+      Some("""SELECT l_returnflag,
         |CASE WHEN sum(l_quantity) > 0
         |     THEN sum(l_extendedprice * l_quantity) / sum(l_quantity)
         |     ELSE 0.0 END AS wavg_price

@@ -117,6 +117,7 @@ object Tables {
     * scan — a blanket repartition taxes cheap queries with a full-row
     * shuffle. */
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    if (df.isStreaming) return df // .rdd is illegal on a streaming frame
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
   }

@@ -28,6 +28,10 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(rightVals.toSet.intersect(leftCols.toSet).isEmpty,
+      s"rightVals ${rightVals.toSet.intersect(leftCols.toSet)} collide with left columns")
+    require(!(leftCols ++ right.columns).exists(Set("__t", "__side")),
+      "__t/__side are reserved by asOf")
     // Common shape: keys ++ __t ++ __side ++ leftCols' ++ rightVals
     // (left-only columns null on right rows and vice versa).
     val lPart = left

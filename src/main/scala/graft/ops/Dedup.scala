@@ -107,8 +107,8 @@ object Dedup {
     val aggs = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"mh$i")
     } :+ sort_array(collect_set(col("h"))).as("sh")
-    shingleHashRows(df, textCol, n).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint()
+    val sigs = shingleHashRows(df, textCol, n).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    if (df.isStreaming) sigs else sigs.localCheckpoint()
   }
 
   /** Exact Jaccard for candidate (a, b) pairs from a precomputed
@@ -237,7 +237,7 @@ object Dedup {
     val mask = (1L << width) - 1
     // Materialize the (doc_id, simhash) aggregate once: the band self-join
     // references it twice and would otherwise re-tokenize the corpus per side.
-    val sigsM = sigs.localCheckpoint()
+    val sigsM = if (sigs.isStreaming) sigs else sigs.localCheckpoint()
     val banded = sigsM.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band_id"),

@@ -155,10 +155,11 @@ object Similarity {
     * sign bits with high probability. */
   def srpNearDup(df: DataFrame, threshold: Double, planes: Int = 12,
                  dims: Int = 64): DataFrame = {
-    val b = srpBucket(df, planes, dims)
+    val b0 = srpBucket(df, planes, dims)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         l2norm(col("embedding")).as("nrm"), col("bucket"))
-      .localCheckpoint() // consumed by both sides of the self-join
+    // consumed by both sides of the self-join
+    val b = if (b0.isStreaming) b0 else b0.localCheckpoint()
     val l = b.select(col("bucket"), col("vec_id").as("a"),
       col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val r = b.select(col("bucket"), col("vec_id").as("b"),

@@ -18,6 +18,51 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Mismatched lengths yield null (the fold's zip_with null-pad semantics);
   * null ELEMENTS are not supported (embeddings are dense).
   */
+/** Word n-gram shingles of a token array as a native expression — replaces
+  * the `transform(sequence(...), i => concat_ws(element_at...))` form, whose
+  * higher-order lambdas are interpreted per element (~1000 interpreted
+  * expression-node evaluations per document; the dominant CPU in the minhash
+  * sketch stage). Semantics are IDENTICAL to the HOF form, including edges:
+  * fewer than n tokens -> one truncated shingle; zero tokens -> [""].
+  */
+case class WordShingles(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.eval(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.eval($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  private val SEP = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def eval(tokens: ArrayData, n: Int): ArrayData = {
+    val size = tokens.numElements()
+    val count = math.max(1, size - (n - 1))
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val hi = math.min(i + n, size)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](math.max(hi - i, 0))
+      var k = i
+      while (k < hi) { parts(k - i) = tokens.getUTF8String(k); k += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(SEP, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
 

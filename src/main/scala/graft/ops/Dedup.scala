@@ -41,40 +41,24 @@ object Dedup {
     * Built with O(1) `element_at` lookups per shingle rather than
     * `slice` (which copies O(n) per shingle → O(len²) per document). */
   def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    transform(
-      sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
-      i => concat_ws(" ", (0 until n).map(k => shingleTok(toks, i + k)): _*))
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.WordShingles(
+      Bridge.expression(TextAnalysis.tokens(text)), n))
   }
-
-  /** Token lookup guarded against the short-document edge: a doc with fewer
-    * than n tokens still yields one (truncated) shingle — concat_ws skips the
-    * nulls, matching the oracle's truncating array slice t[i:i+n-1]. Unguarded
-    * element_at throws under ANSI mode (found by PropertySpec). */
-  private def shingleTok(toks: Column, i: Column): Column =
-    when(i <= size(toks), element_at(toks, i))
 
   /** Distinct shingle hash set (array<long>), the MinHash input. */
   def shingleHashes(text: Column, n: Int): Column =
     transform(array_distinct(wordShingles(text, n)), s => strHash31(s))
 
   /** Shingle hashes as skinny (doc_id, h) rows — the workhorse form.
-    *
-    * Each projection step ends in an `explode` (a Generate node): Catalyst
-    * does not collapse projections through generators, so the token array
-    * and the shingle array are each *materialized once per document*. The
-    * pure-expression form above re-evaluates the token regexp inside every
-    * lambda element (higher-order functions don't hoist loop invariants) —
-    * measured 3x slower, and worse the wider the expression is shared. */
-  def shingleHashRows(docs: DataFrame, textCol: String, n: Int): DataFrame = {
-    val toks = col("__toks")
+    * [[wordShingles]] is a native expression (its token child evaluates once,
+    * no interpreted lambdas — the old HOF form needed an explode barrier to
+    * avoid re-running the token regexp per element), so a single Generate
+    * explodes shingles straight into the codegen'd md5 hash. */
+  def shingleHashRows(docs: DataFrame, textCol: String, n: Int): DataFrame =
     graft.model.Tables.spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
-      .select(col("doc_id"), explode(array(TextAnalysis.tokens(col(textCol)))).as("__toks"))
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
-        i => concat_ws(" ", (0 until n).map(k => shingleTok(toks, i + k)): _*))).as("__shingle"))
+      .select(col("doc_id"), explode(wordShingles(col(textCol), n)).as("__shingle"))
       .select(col("doc_id"), strHash31(col("__shingle")).as("h"))
-  }
 
   /** Per-document MinHash signatures (flat columns, shuffle-friendly).
     *

@@ -77,6 +77,33 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(res.head.getAs[Double]("cos") - 1.0) < 1e-6)
   }
 
+  test("dot product expression: exact sum, null on length mismatch, float cast") {
+    import graft.ops.Similarity.dot
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0), Array(1.0, 2.0)))
+      .toDF("f", "d", "short")
+    val r = df.select(
+      dot(col("f"), col("d")).as("fd"),
+      dot(col("d"), col("short")).as("mismatch")).first()
+    assert(r.getDouble(0) == 1.0 * 4 + 2 * 5 + 3 * 6)
+    assert(r.isNullAt(1))
+  }
+
+  test("word shingles: native expression matches expected n-grams incl. edges") {
+    val cases = Seq(
+      ("", Seq("")),                          // no tokens -> one empty shingle
+      ("one", Seq("one")),                    // fewer than n tokens -> truncated
+      ("a b", Seq("a b")),
+      ("a b c", Seq("a b c")),
+      ("a b c d", Seq("a b c", "b c d")),
+      ("Hello, World! 123", Seq("hello world 123"))
+    )
+    cases.foreach { case (text, want) =>
+      val got = Seq(text).toDF("text")
+        .select(Dedup.wordShingles(col("text"), 3).as("s")).as[Seq[String]].head()
+      assert(got == want, s"text='$text': got $got")
+    }
+  }
+
   test("simhash near-dup: bands derived from maxHamming catch all-bytes-touched pairs") {
     // Pair differing in bits 0, 8, 16, 24 (hamming 4) touches all four bytes
     // — the round-1 fixed 4-byte banding missed it. With maxHamming=4 the

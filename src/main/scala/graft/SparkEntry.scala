@@ -672,6 +672,14 @@ object SparkEntry {
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming")),
       Some(simhashNearDupSql)),
 
+    // ---- d6: near-dup clusters — connected components over the d5 pair
+    // graph; cluster_id = min reachable doc_id (the survivor each cluster
+    // keeps). Oracle computes the same closure with a recursive CTE.
+    ("d6_dup_clusters",
+      (s, d) => Dedup.connectedComponents(
+        Dedup.simhashNearDup(Dedup.simhash(docs(s, d), "text"), maxHamming = 3)),
+      Some(dupClustersSql)),
+
     // ---- e: embedding similarity (north star)
     ("e1_cosine_topk",
       (s, d) => Similarity.bruteForceTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),
@@ -934,6 +942,22 @@ object SparkEntry {
        |  WHERE q.quality >= 0.7 AND l.pred_lang = 'en')
        |SELECT min(doc_id) AS doc_id, count(*) AS n_dups
        |FROM kept GROUP BY md5(text)""".stripMargin
+
+  /** d6 oracle: transitive closure of the undirected d5 pair graph via a
+    * recursive CTE; cluster id = smallest reachable doc_id. */
+  private lazy val dupClustersSql: String =
+    s"""WITH RECURSIVE $simhashCtes,
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b
+       |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
+       |und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT x, y FROM und
+       |  UNION
+       |  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x)
+       |SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+       |FROM reach GROUP BY x""".stripMargin
 
   /** Stopword-vote language ID SQL, sharing the lexicon with TextAnalysis. */
   private lazy val langIdSql: String = {

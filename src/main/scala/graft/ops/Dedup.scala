@@ -185,6 +185,41 @@ object Dedup {
     jaccardFromSets(pairs, sigs).filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup clustering: connected components over candidate pairs by
+    * min-label propagation — every doc's label converges to the smallest
+    * doc_id reachable through dup edges, giving (doc_id, cluster_id) and
+    * hence the survivor set (doc_id == cluster_id) a dedup pass drops
+    * against.
+    *
+    * Each iteration is one join + groupBy (labels localCheckpoint'ed so
+    * lineage stays flat) and the loop runs O(component diameter) rounds —
+    * dup clusters are shallow in practice (near-identical docs all pair with
+    * each other), so this terminates in a handful of rounds even at 100 TB;
+    * the driver-side loop only ever sees a changed-row COUNT, never data. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+                          bCol: String = "b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .unionByName(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("y"), col("label").as("ylabel")), "y")
+        .groupBy(col("x").as("id")).agg(min(col("ylabel")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 32-bit SimHash over the token multiset: per-bit majority vote of
     * md5-derived token hashes, computed as `bits` flat conditional sums in
     * one aggregation pass. */

@@ -77,6 +77,14 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(res.head.getAs[Double]("cos") - 1.0) < 1e-6)
   }
 
+  test("connected components: chains collapse to min id, singletons untouched") {
+    import graft.ops.Dedup
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("dot product expression: exact sum, null on length mismatch, float cast") {
     import graft.ops.Similarity.dot
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0), Array(1.0, 2.0)))

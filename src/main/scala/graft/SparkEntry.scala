@@ -647,6 +647,33 @@ object SparkEntry {
       },
       Some(cleanCorpusSql)),
 
+    // ---- x6/x7: deterministic sampling — stable hash-based train/valid/test
+    // split (map-only, shuffle-free) and stratified fixed-size take.
+    ("x6_hash_split",
+      (s, d) => graft.ops.Sampling.deterministicSplit(docs(s, d), "doc_id", "r2",
+          Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+        .select("doc_id", "bucket", "split"),
+      Some(s"""SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_r2'), 1, 8) AS BIGINT)
+        |    % ${Dedup.P} % 100 AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_r2'), 1, 8) AS BIGINT)
+        |            % ${Dedup.P} % 100 < 80 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_r2'), 1, 8) AS BIGINT)
+        |            % ${Dedup.P} % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin)),
+
+    ("x7_stratified_sample",
+      (s, d) => graft.ops.Sampling.stratifiedTake(docs(s, d), "source", "doc_id",
+          5, "r2")
+        .select("source", "doc_id"),
+      Some(s"""SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_r2'), 1, 8) AS BIGINT)
+        |        % ${Dedup.P} % ${Int.MaxValue}, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin)),
+
     // ---- d: dedup family (north star)
     ("d2_minhash_sig",
       (s, d) => Dedup.minhashSignatures(docs(s, d), "text", 3),

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-dependent per partitioning and irreproducible across
+  * engines; these operators derive membership from a content/id HASH, so the
+  * same row lands in the same split on any cluster, any partitioning, any
+  * engine (the DuckDB oracle reproduces the md5 arithmetic exactly) — the
+  * property that keeps train/test splits stable across pipeline re-runs, and
+  * lets a 100 TB corpus be split map-only with no shuffle at all.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a key column + salt. Changing the
+    * salt re-rolls every assignment (a fresh independent split). */
+  def hashBucket(key: Column, buckets: Int, salt: String): Column =
+    Dedup.strHash31(concat(key.cast("string"), lit("_" + salt))) % buckets
+
+  /** Train/valid/test split by cumulative percentage. `splits` maps name ->
+    * percent, summing to 100; assignment is map-only and shuffle-free. */
+  def deterministicSplit(df: DataFrame, keyCol: String, salt: String,
+                         splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split percents must sum to 100")
+    val bucket = hashBucket(col(keyCol), 100, salt)
+    val split = splits.tail.scanLeft((splits.head._1, splits.head._2)) {
+      case ((_, cum), (name, pct)) => (name, cum + pct)
+    }.foldRight(lit(splits.last._1): Column) { case ((name, cum), acc) =>
+      when(bucket < cum, name).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /** Stratified fixed-size sample: the `k` rows with the smallest salted
+    * hash per stratum — deterministic, uniform within each stratum, one
+    * shuffle on the stratum key. */
+  def stratifiedTake(df: DataFrame, strataCol: String, keyCol: String,
+                     k: Int, salt: String): DataFrame = {
+    val h = hashBucket(col(keyCol), Int.MaxValue, salt)
+    val w = Window.partitionBy(strataCol).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

@@ -77,6 +77,27 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(res.head.getAs[Double]("cos") - 1.0) < 1e-6)
   }
 
+  test("deterministic split: partition-invariant, proportions near 80/10/10") {
+    import graft.ops.Sampling
+    val ids = (1L to 2000L).toDF("doc_id")
+    val split = Sampling.deterministicSplit(ids, "doc_id", "s1",
+      Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 1600L) < 100, s"train skewed: $counts")
+    assert(math.abs(counts("valid") - 200L) < 60 && math.abs(counts("test") - 200L) < 60)
+    // same rows land in the same split regardless of partitioning
+    val a = split.filter(col("split") === "test").select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSplit(ids.repartition(13), "doc_id", "s1",
+        Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+      .filter(col("split") === "test").select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // a different salt re-rolls membership
+    val c = Sampling.deterministicSplit(ids, "doc_id", "s2",
+        Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+      .filter(col("split") === "test").select("doc_id").as[Long].collect().toSet
+    assert(a != c)
+  }
+
   test("connected components: chains collapse to min id, singletons untouched") {
     import graft.ops.Dedup
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L)).toDF("a", "b")

@@ -378,6 +378,16 @@ object SparkEntry {
         |avg(value) AS mean, min(value) AS lo, max(value) AS hi
         |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin)),
 
+    // ---- A5: event-time tumbling window (batch form of the streaming
+    // windowed agg; 6h buckets are epoch-aligned in both engines)
+    ("a5_window_tumble",
+      (s, d) => ev(s, d).groupBy(window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("mean"))
+        .select(col("window.start").as("bucket_start"), col("n"), col("mean")),
+      Some("""SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+        |count(*) AS n, avg(value) AS mean
+        |FROM events GROUP BY 1""".stripMargin)),
+
     // ---- A5: per-group stats with exact distinct entities
     ("a5_group_stats",
       (s, d) => Dashboards.groupStats(

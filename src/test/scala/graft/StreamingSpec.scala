@@ -191,6 +191,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessions close on in-batch gap and on event-time timeout") {
+    import graft.streaming.Sessionize
+    val input = MemoryStream[(Long, Timestamp)]
+    val out = Sessionize.sessions(
+      input.toDF().toDF("user_id", "ts"), gapMs = 10L * 60 * 1000, watermark = "5 minutes")
+    val q = out.toDF().writeStream.format("memory").queryName("sess_state_out")
+      .outputMode("append").start()
+    try {
+      // session 1: two events 5 min apart
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // 11:00 event: watermark -> 10:55 > 10:15 timeout; session 1 emitted by
+      // timeout, 11:00 starts session 2
+      input.addData((1L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // same batch contains a >gap jump: session 2 closes in-batch, 12:00 opens s3
+      input.addData((1L, ts("2024-01-01 11:02:00")), (1L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_state_out")
+        .select("session_start", "n_events").as[(Timestamp, Long)].collect().toMap
+      assert(rows(ts("2024-01-01 10:00:00")) == 2L, s"got $rows") // timeout-closed
+      assert(rows(ts("2024-01-01 11:00:00")) == 2L, s"got $rows") // in-batch closed
+    } finally q.stop()
+  }
+
   test("consumer transform chain runs on a stream (enrich + key + route)") {
     val input = MemoryStream[(Timestamp, String, String, String, String, String, Int, String, Double, Double)]
     val df = input.toDF().toDF("@timestamp", "F_MASV", "F_MAMH", "F_TENMHVN",

@@ -35,8 +35,12 @@ case class WordShingles(child: Expression, n: Int)
   override protected def nullSafeEval(input: Any): Any =
     WordShingles.eval(input.asInstanceOf[ArrayData], n)
 
+  // NB: must call through MODULE$ — scalac suppresses the companion's static
+  // `eval` forwarder because this class inherits `eval(InternalRow)` from
+  // Expression, so the bare `WordShingles.eval(...)` form fails to compile in
+  // Janino and silently de-optimizes the whole stage to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.eval($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles$$.MODULE$$.eval($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)

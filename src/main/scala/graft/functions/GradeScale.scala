@@ -49,8 +49,10 @@ case class GradeScale4(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     GradeScale4.eval(input.asInstanceOf[Double])
 
+  // MODULE$ call: the static forwarder for the companion's `eval(double)` is
+  // suppressed by the inherited `eval(InternalRow)`, same trap as WordShingles.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.GradeScale4.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GradeScale4$$.MODULE$$.eval($c)")
 
   override protected def withNewChildInternal(newChild: Expression): GradeScale4 =
     copy(child = newChild)

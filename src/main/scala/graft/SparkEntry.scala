@@ -617,11 +617,11 @@ object SparkEntry {
     // ---- x: text analysis (north star)
     ("x1_token_stats",
       (s, d) => TextAnalysis.tokenStats(docs(s, d), "text"),
-      Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+      Some(s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
         |CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
-        |CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS word_tokens,
-        |CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
-        |  + (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |CAST(len(regexp_extract_all(lower(text), '$tokenRe')) AS INT) AS word_tokens,
+        |CAST(len(regexp_extract_all(lower(text), '$tokenRe'))
+        |  + (length(text) - length(regexp_replace(text, '$nonTokenRe', '', 'g')))
         |  + length(text) // 16 AS INT) AS bpe_estimate
         |FROM documents""".stripMargin)),
 
@@ -644,17 +644,7 @@ object SparkEntry {
     // filter + exact dedup (min doc_id survives per content hash). The ops
     // compose as plain DataFrame stages; one pipeline, one oracle.
     ("x5_clean_corpus",
-      (s, d) => {
-        val dd = docs(s, d)
-        val quality = TextAnalysis.qualityScore(dd, "text")
-          .select(col("doc_id"), col("quality"))
-        val lang = TextAnalysis.languageId(s, dd, "text")
-          .select(col("doc_id"), col("pred_lang"))
-        val kept = dd.join(quality, "doc_id").join(lang, "doc_id")
-          .filter(col("quality") >= 0.7 && col("pred_lang") === "en")
-        Dedup.exactDedupGroups(kept, "text")
-          .select(col("rep_doc_id").as("doc_id"), col("n_dups"))
-      },
+      (s, d) => TextAnalysis.cleanCorpus(docs(s, d), "text", 0.7, "en"),
       Some(cleanCorpusSql)),
 
     // ---- x6/x7: deterministic sampling — stable hash-based train/valid/test
@@ -795,13 +785,18 @@ object SparkEntry {
 
   // ------------------------------------------------------- generated oracles
 
+  /** Token regexes shared verbatim between Spark and the DuckDB oracle
+    * (identical meaning in Java regex and RE2). */
+  private val tokenRe = TextAnalysis.TokenRegex
+  private val nonTokenRe = TextAnalysis.NonTokenRegex
+
   /** 8-permutation MinHash signature SQL, sharing constants with Dedup. */
   private lazy val minhashSql: String = {
     val mhCols = Dedup.minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hashes, x -> (${a} * x + ${b}) % ${Dedup.P})) AS mh$i"
     }.mkString(",\n  ")
     s"""WITH toks AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t FROM documents),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(1, len(t) - 2)),
@@ -820,7 +815,7 @@ object SparkEntry {
       s"list_min(list_transform(hashes, x -> ($a * x + $b) % ${Dedup.P}))"
     }.mkString("[", ", ", "]")
     s"""WITH toks AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t FROM documents),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(1, len(t) - 2)),
@@ -861,7 +856,7 @@ object SparkEntry {
       s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
     s"""tok AS (
-       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokenRe')) AS token
        |  FROM documents),
        |h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM tok),
        |votes AS (SELECT doc_id,
@@ -1003,7 +998,7 @@ object SparkEntry {
     }.mkString(", ")
     s"""WITH lex(cand_lang, token) AS (VALUES $lexicon),
        |tok AS (
-       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokenRe')) AS token
        |  FROM documents),
        |hits AS (
        |  SELECT t.doc_id, l.cand_lang, count(*) AS hits
@@ -1025,7 +1020,7 @@ object SparkEntry {
       .map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH base AS (
        |  SELECT doc_id, text,
-       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+       |    regexp_extract_all(lower(text), '$tokenRe') AS toks,
        |    CAST(length(text) AS INT) AS n_chars
        |  FROM documents),
        |m AS (
@@ -1035,7 +1030,7 @@ object SparkEntry {
        |         THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
        |         ELSE 0.0 END AS mean_word_len,
        |    CASE WHEN length(text) > 0
-       |         THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+       |         THEN CAST(length(text) - length(regexp_replace(lower(text), '$nonTokenRe', '', 'g')) AS DOUBLE) / length(text)
        |         ELSE 0.0 END AS punct_ratio,
        |    CASE WHEN len(toks) > 0
        |         THEN CAST(len(list_filter(toks, t -> list_contains($allStop, t))) AS DOUBLE) / len(toks)

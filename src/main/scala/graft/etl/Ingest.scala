@@ -19,8 +19,15 @@ object Ingest {
   /** S1: header-first tabular scan semantics — drop rows where every column is
     * null/empty (`pro.py:42`: `if any(row)`). */
   def dropBlankRows(df: DataFrame): DataFrame = {
-    val anyPresent = df.columns
-      .map(c => nullif(col(c).cast("string"), lit("")).isNotNull)
+    // Only string columns can hold the empty-string "blank" — a non-null
+    // numeric/timestamp never casts to ''. Casting every column to string
+    // per row (the old form) priced a 6-column scan at ~14x a plain filter.
+    val anyPresent = df.schema.fields
+      .map { f =>
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          nullif(col(f.name), lit("")).isNotNull
+        else col(f.name).isNotNull
+      }
       .reduce(_ || _)
     df.filter(anyPresent)
   }

@@ -1,24 +1,35 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline (north star,
   * BASELINE.json): tokenization, quality scoring, language ID, document
   * fingerprinting. All pure Catalyst expressions (no UDFs) so every operator
   * stays inside whole-stage codegen and scales as a map-only pass — the only
-  * shuffle in this file is the language-ID vote aggregation.
+  * shuffle in this file is the per-document aggregation in language ID /
+  * corpus cleaning.
   */
 object TextAnalysis {
 
-  /** Word tokens: lowercased maximal [a-z0-9] runs. Defined via
+  /** Token regex: maximal runs of Unicode letters/digits. `\p{L}`/`\p{Nd}`
+    * mean the same thing in Java regex (Spark) and RE2 (DuckDB), so the
+    * oracle can reuse the literal verbatim. Covers diacritic text — the
+    * reference's domain is Vietnamese ("Chưa xác định", app.py:92), which the
+    * old `[a-z0-9]+` shredded into fragments at every diacritic. */
+  val TokenRegex = "[\\p{L}\\p{Nd}]+"
+
+  /** Complement class for punctuation counting: anything that is not a
+    * letter, digit, or space. */
+  val NonTokenRegex = "[^\\p{L}\\p{Nd} ]"
+
+  /** Word tokens: lowercased maximal letter/digit runs. Defined via
     * `regexp_extract_all` so the DuckDB oracle can use the identical regex. */
   def tokens(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+    regexp_extract_all(lower(c), lit(TokenRegex), lit(0))
 
   /** Token / char counting: whitespace tokens, regex word tokens, and a
-    * BPE-ish subword estimate (word-or-punctuation pieces + length/4 for
+    * BPE-ish subword estimate (word-or-punctuation pieces + length/16 for
     * long words — a deterministic stand-in for a real tokenizer's piece
     * count). */
   def tokenStats(df: DataFrame, textCol: String): DataFrame = {
@@ -28,45 +39,64 @@ object TextAnalysis {
       length(t).as("n_chars"),
       size(split(t, " ")).as("ws_tokens"),
       size(tokens(t)).as("word_tokens"),
-      (size(tokens(t)) + (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))) +
+      (size(tokens(t)) + (length(t) - length(regexp_replace(t, NonTokenRegex, ""))) +
         (length(t) / lit(16)).cast("int")).as("bpe_estimate"))
   }
 
   /** Small built-in stopword lexicon per language — the n-gram/stopword-vote
-    * language-ID heuristic. Deliberately tiny and deterministic. */
+    * language-ID heuristic. Deliberately tiny and deterministic. The `vi`
+    * list carries the real diacritic forms (the reference's corpus domain,
+    * `con.py:46-52`) alongside the ASCII-folded spellings that appear in
+    * un-normalized text. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
     "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "es", "por"),
     "fr" -> Seq("le", "la", "les", "et", "de", "un", "est", "que", "pour", "dans"),
-    "vi" -> Seq("va", "la", "cua", "cho", "trong", "mot", "nguoi", "khong", "duoc", "den")
+    "vi" -> Seq("và", "là", "của", "cho", "trong", "một", "người", "không", "được", "đến",
+                "va", "cua", "mot", "nguoi", "khong", "duoc", "den")
   )
 
-  /** Language ID: explode tokens, count hits against each language's stopword
-    * list (broadcast), pick the argmax language (ties -> lexicographically
-    * first; no hits -> 'und'). One shuffle on doc_id. */
+  /** Languages in deterministic (lexicographic) order — ties break toward the
+    * earlier name, matching `row_number() OVER (ORDER BY hits DESC, lang)`. */
+  private val langsSorted: Seq[(String, Seq[String])] = stopwords.toSeq.sortBy(_._1)
+
+  /** Per-language occurrence counts as conditional-sum aggregates over
+    * exploded tokens. `isInCollection` compiles to a codegen'd hash-set
+    * membership test — no lexicon join, no interpreted lambda. */
+  private def langHitAggs: Seq[Column] =
+    langsSorted.zipWithIndex.map { case ((_, ws), i) =>
+      sum(when(col("token").isInCollection(ws), 1L).otherwise(0L)).as(s"__h$i")
+    }
+
+  /** Argmax over the per-language hit columns: max hits, ties to the
+    * lexicographically first language, zero hits -> ('und', 0).
+    * Struct comparison orders by field position, so greatest(struct(hits,
+    * -index)) picks exactly the window-function winner without a window. */
+  private def bestLang(df: DataFrame): DataFrame = {
+    val names = typedLit(langsSorted.map(_._1))
+    val best = greatest(langsSorted.indices.map(i =>
+      struct(col(s"__h$i").as("h"), lit(-i).as("ni"))): _*)
+    df.withColumn("__b", best)
+      .withColumn("pred_lang",
+        when(col("__b.h") > 0,
+          element_at(names, (lit(1) - col("__b.ni")).cast("int")))
+          .otherwise(lit("und")))
+      .withColumn("hits", when(col("__b.h") > 0, col("__b.h")).otherwise(lit(0L)))
+      .drop((langsSorted.indices.map(i => s"__h$i") :+ "__b"): _*)
+  }
+
+  /** Language ID: explode tokens once, count per-language stopword
+    * occurrences as conditional sums in ONE doc_id aggregation, then take the
+    * argmax in a projection. One shuffle total; the round-2 form's lexicon
+    * join, ranking window, and join back to the doc list are gone — at 100 TB
+    * those were two extra shuffles and a per-doc sort. */
   def languageId(spark: SparkSession, df: DataFrame, textCol: String): DataFrame = {
-    import spark.implicits._
-    val lexicon = broadcast(
-      stopwords.toSeq.flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
-        .toDF("cand_lang", "token"))
-
-    val hits = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
-      .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
-      .join(lexicon, Seq("token"), "inner")
-      .groupBy("doc_id", "cand_lang")
-      .agg(count(lit(1)).as("hits"))
-
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("hits").desc, col("cand_lang").asc)
-    val best = hits.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("hits"))
-
-    df.select("doc_id").join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+    val tok = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), explode_outer(tokens(col(textCol))).as("token"))
+    val aggs = langHitAggs
+    val voted = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    bestLang(voted).select("doc_id", "pred_lang", "hits")
   }
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
@@ -78,7 +108,7 @@ object TextAnalysis {
     val nTok = size(toks)
     val allStop = typedLit(stopwords.values.flatten.toSeq.distinct.sorted)
     val stopHits = size(filter(toks, tk => array_contains(allStop, tk)))
-    val alnumSpace = length(regexp_replace(lower(t), "[^a-z0-9 ]", ""))
+    val alnumSpace = length(regexp_replace(lower(t), NonTokenRegex, ""))
 
     val scored = df.select(
       col("doc_id"),
@@ -90,12 +120,62 @@ object TextAnalysis {
         .otherwise(0.0).as("punct_ratio"),
       when(nTok > 0, stopHits.cast("double") / nTok).otherwise(0.0).as("stopword_ratio"))
 
-    scored.withColumn("quality",
-      when(col("n_tokens") < 5, 0.0)
-        .when(col("punct_ratio") > 0.3, 0.2)
-        .when(col("mean_word_len") < 2.0 || col("mean_word_len") > 12.0, 0.4)
-        .when(col("stopword_ratio") >= 0.05, 1.0)
-        .otherwise(0.7))
+    scored.withColumn("quality", qualityBand)
+  }
+
+  /** The banded composite score over the ratio columns (shared by the
+    * map-only scorer and the fused corpus cleaner). */
+  private def qualityBand: Column =
+    when(col("n_tokens") < 5, 0.0)
+      .when(col("punct_ratio") > 0.3, 0.2)
+      .when(col("mean_word_len") < 2.0 || col("mean_word_len") > 12.0, 0.4)
+      .when(col("stopword_ratio") >= 0.05, 1.0)
+      .otherwise(0.7)
+
+  /** Fused C4-style cleaning pass: quality gate + language filter + exact
+    * dedup in ONE tokenization and ONE doc_id shuffle.
+    *
+    * The round-2 composition ran qualityScore, languageId, and the dedup as
+    * three separate pipelines joined on doc_id — three corpus tokenizations
+    * and four shuffles. Here the text-level stats (length, punctuation count,
+    * content hash) ride along the exploded token rows as first() aggregates,
+    * the stopword and per-language counts are conditional sums in the same
+    * groupBy, and the survivor groups are one further groupBy on the 16-byte
+    * content hash. At 100 TB: two shuffles total, both over skinny rows. */
+  def cleanCorpus(df: DataFrame, textCol: String, minQuality: Double = 0.7,
+                  keepLang: String = "en"): DataFrame = {
+    val t = col(textCol)
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    val base = graft.model.Tables.spread(df.select(col("doc_id"), t), col("doc_id"))
+      .select(col("doc_id"),
+        length(t).as("__nc"),
+        (length(t) - length(regexp_replace(lower(t), NonTokenRegex, ""))).as("__pc"),
+        md5(t).as("content_hash"),
+        explode_outer(tokens(t)).as("token"))
+    val aggs = Seq(
+      first(col("__nc")).as("n_chars"),
+      first(col("__pc")).as("punct_chars"),
+      first(col("content_hash")).as("content_hash"),
+      count(col("token")).as("n_tokens"),
+      coalesce(sum(length(col("token"))), lit(0L)).as("tok_chars"),
+      sum(when(col("token").isInCollection(allStop), 1L).otherwise(0L)).as("stop_hits")
+    ) ++ langHitAggs
+    val agg = base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_word_len",
+        when(col("n_tokens") > 0, col("tok_chars").cast("double") / col("n_tokens"))
+          .otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0, col("punct_chars").cast("double") / col("n_chars"))
+          .otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0, col("stop_hits").cast("double") / col("n_tokens"))
+          .otherwise(0.0))
+    val kept = bestLang(agg)
+      .withColumn("quality", qualityBand)
+      .filter(col("quality") >= minQuality && col("pred_lang") === keepLang)
+    kept.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .select("doc_id", "n_dups")
   }
 
   /** Document fingerprint: minimum md5 over all `k`-char shingles of the

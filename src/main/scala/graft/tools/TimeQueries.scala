@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc timer for named SparkEntry queries:
+  * `runMain graft.tools.TimeQueries <sfDir> q1 q2 ...` — times each query
+  * (count-forced) in registration conditions matching Bench (local[32],
+  * 32 shuffle partitions), two passes so warm-JVM numbers are visible. */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("d6_dup_clusters")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.model.Tables(spark, sfDir, "documents").limit(1).count() // warm session
+    for (pass <- 1 to 2; n <- names) {
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"[time] pass=$pass $n rows=$rows t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,277 @@
+package graft.sources.xlsx
+
+import java.util.zip.ZipInputStream
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Excel (`.xlsx`) batch source as a DataSourceV2 (reference `pro.py:34-44`:
+  * openpyxl reads the sheet, first row is the header, every value is
+  * stringified). Registered as `.format("xlsx")` via the standard
+  * `DataSourceRegister` service file.
+  *
+  * Implementation is JDK-only: an `.xlsx` file is a zip (ECMA-376) holding
+  * `xl/worksheets/sheetN.xml` plus an optional `xl/sharedStrings.xml`; both
+  * are parsed with the built-in StAX reader — no external library, which is
+  * what lets this run in a hermetic executor image.
+  *
+  * Scale shape: one InputPartition per FILE. A single workbook is not
+  * splittable (one zip central directory, one XML stream) and is small by
+  * construction — Excel caps at ~1M rows — so the 100 TB story is *many*
+  * files fanning out across executors, the same layout the directory-watcher
+  * ingest (S2) produces. All columns are strings (`pro.py` stringifies too);
+  * downstream casts are `try_cast`-based lenient casts (T6).
+  *
+  * Options: `header` (default true), `sheet` (1-based index, default 1).
+  */
+class XlsxDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "xlsx"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = XlsxIO.listFiles(options)
+    require(files.nonEmpty, s"no .xlsx files at ${options.get("path")}")
+    val header = XlsxIO.boolOpt(options, "header", default = true)
+    val sheet = XlsxIO.intOpt(options, "sheet", default = 1)
+    val first = XlsxIO.readSheet(files.head, sheet).take(1).toSeq.headOption
+      .getOrElse(Seq.empty)
+    val width = if (first.isEmpty) 0 else first.map(_._1).max + 1
+    val names =
+      if (header) {
+        val byIdx = first.toMap
+        (0 until width).map(i => byIdx.getOrElse(i, s"_c$i"))
+      } else (0 until width).map(i => s"_c$i")
+    StructType(names.map(n => StructField(n, StringType, nullable = true)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    require(schema.fields.forall(_.dataType == StringType),
+      "xlsx source reads every column as string (cast downstream, T6 lenient-cast semantics)")
+    new XlsxTable(schema, new CaseInsensitiveStringMap(properties))
+  }
+}
+
+class XlsxTable(schema0: StructType, options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  override def name(): String = s"xlsx:${options.get("path")}"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new XlsxScan(schema0, options)
+    }
+}
+
+class XlsxScan(schema0: StructType, options: CaseInsensitiveStringMap) extends Scan with Batch {
+  override def readSchema(): StructType = schema0
+  override def toBatch: Batch = this
+  override def description(): String = s"xlsx scan of ${options.get("path")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    XlsxIO.listFiles(options).map(p =>
+      XlsxFilePartition(p, XlsxIO.intOpt(options, "sheet", 1),
+        XlsxIO.boolOpt(options, "header", default = true)): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val width = schema0.length
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val part = partition.asInstanceOf[XlsxFilePartition]
+        new XlsxPartitionReader(part, width)
+      }
+    }
+  }
+}
+
+/** One workbook file = one partition (a zip stream is not splittable). */
+case class XlsxFilePartition(path: String, sheet: Int, header: Boolean) extends InputPartition
+
+class XlsxPartitionReader(part: XlsxFilePartition, width: Int)
+  extends PartitionReader[InternalRow] {
+  private val rows: Iterator[Seq[(Int, String)]] = {
+    val it = XlsxIO.readSheet(part.path, part.sheet)
+    if (part.header && it.hasNext) { it.next(); it } else it
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!rows.hasNext) false
+    else {
+      val cells = rows.next()
+      val arr = new Array[Any](width)
+      cells.foreach { case (i, v) =>
+        if (i < width && v != null) arr(i) = UTF8String.fromString(v)
+      }
+      current = new GenericInternalRow(arr)
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Zip + sheet-XML plumbing shared by schema inference and the reader. */
+object XlsxIO {
+
+  def boolOpt(o: CaseInsensitiveStringMap, k: String, default: Boolean): Boolean =
+    Option(o.get(k)).map(_.toBoolean).getOrElse(default)
+  def intOpt(o: CaseInsensitiveStringMap, k: String, default: Int): Int =
+    Option(o.get(k)).map(_.toInt).getOrElse(default)
+
+  /** Resolve the `path` option to concrete workbook files (a file, or every
+    * `.xlsx` directly inside a directory, sorted for determinism). Uses the
+    * Hadoop FileSystem API so the same code reads local paths in tests and
+    * distributed stores on a cluster. */
+  def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("xlsx source requires a path"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(raw)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))
+        .map(_.getPath.toString).sorted
+    else Seq(p.toString)
+  }
+
+  /** Parse one sheet of one workbook into rows of (0-based column index,
+    * string value). Streams the zip entries once, keeping only the shared
+    * string table and the target sheet in memory (sheets are bounded by
+    * Excel's own row limit). Cell types handled: shared string (`t="s"`),
+    * inline string (`t="inlineStr"`), formula string (`t="str"`), boolean
+    * (`t="b"`), and plain numeric (no `t`). */
+  def readSheet(path: String, sheet: Int): Iterator[Seq[(Int, String)]] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val in = hp.getFileSystem(conf).open(hp)
+    val zip = new ZipInputStream(new java.io.BufferedInputStream(in))
+    val target = s"xl/worksheets/sheet$sheet.xml"
+    var sheetBytes: Array[Byte] = null
+    var sharedBytes: Array[Byte] = null
+    try {
+      var e = zip.getNextEntry
+      while (e != null && (sheetBytes == null || sharedBytes == null)) {
+        if (e.getName == target) sheetBytes = zip.readAllBytes()
+        else if (e.getName == "xl/sharedStrings.xml") sharedBytes = zip.readAllBytes()
+        e = zip.getNextEntry
+      }
+    } finally zip.close()
+    require(sheetBytes != null, s"$path has no sheet $sheet ($target)")
+    val shared = if (sharedBytes == null) IndexedSeq.empty else parseSharedStrings(sharedBytes)
+    parseSheet(sheetBytes, shared)
+  }
+
+  private def xmlReader(bytes: Array[Byte]): javax.xml.stream.XMLStreamReader = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** sharedStrings.xml: <sst><si><t>text</t></si>...</sst> (rich-text runs
+    * <si><r><t>a</t></r><r><t>b</t></r></si> concatenate). */
+  def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
+    val r = xmlReader(bytes)
+    val out = mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inSi = false
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = true; sb.clear()
+            case "t" if inSi => inT = true
+            case _ => ()
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
+          sb.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => inSi = false; out += sb.toString
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    r.close()
+    out.toIndexedSeq
+  }
+
+  /** Column index from an A1-style cell reference: "BC12" -> 54. */
+  def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  /** worksheet XML: <sheetData><row><c r="A1" t="s"><v>0</v></c>...</row>. */
+  def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String])
+      : Iterator[Seq[(Int, String)]] = {
+    val r = xmlReader(bytes)
+    val rows = mutable.ArrayBuffer.empty[Seq[(Int, String)]]
+    var row = mutable.ArrayBuffer.empty[(Int, String)]
+    var cellIdx = -1
+    var cellType = ""
+    var nextIdx = 0 // fallback position when a cell has no r= attribute
+    var inV = false
+    var inIsT = false
+    val sb = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              row = mutable.ArrayBuffer.empty; nextIdx = 0
+            case "c" =>
+              val ref = Option(r.getAttributeValue(null, "r"))
+              cellIdx = ref.map(colIndex).getOrElse(nextIdx)
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              sb.clear()
+            case "v" => inV = true
+            case "t" if cellType == "inlineStr" => inIsT = true
+            case _ => ()
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inV || inIsT =>
+          sb.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" => inV = false
+            case "t" => inIsT = false
+            case "c" =>
+              val raw = sb.toString
+              val value = cellType match {
+                case "s" => shared(raw.trim.toInt)
+                case "b" => if (raw.trim == "1") "true" else "false"
+                case _ => raw // inlineStr text, formula str, or numeric literal
+              }
+              if (value.nonEmpty) row += ((cellIdx, value))
+              nextIdx = cellIdx + 1
+            case "row" => rows += row.toSeq
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    r.close()
+    rows.iterator
+  }
+}

@@ -153,14 +153,20 @@ object TextAnalysis {
         md5(t).as("content_hash"),
         explode_outer(tokens(t)).as("token"))
     val aggs = Seq(
-      first(col("__nc")).as("n_chars"),
-      first(col("__pc")).as("punct_chars"),
-      first(col("content_hash")).as("content_hash"),
       count(col("token")).as("n_tokens"),
       coalesce(sum(length(col("token"))), lit(0L)).as("tok_chars"),
       sum(when(col("token").isInCollection(allStop), 1L).otherwise(0L)).as("stop_hits")
     ) ++ langHitAggs
-    val agg = base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // The per-doc constants ride in the GROUPING KEY, not as first()
+    // aggregates: a first(string) buffer forces SortAggregate (UnsafeRow
+    // can't mutate var-length fields), while an all-numeric aggregate list
+    // keeps the whole pass in HashAggregate. The key is functionally
+    // doc_id, so hashpartitioning(doc_id) from spread() still satisfies the
+    // clustering — no extra exchange appears.
+    val agg = base.groupBy("doc_id", "__nc", "__pc", "content_hash")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("__nc", "n_chars")
+      .withColumnRenamed("__pc", "punct_chars")
       .withColumn("mean_word_len",
         when(col("n_tokens") > 0, col("tok_chars").cast("double") / col("n_tokens"))
           .otherwise(0.0))

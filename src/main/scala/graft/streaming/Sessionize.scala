@@ -45,6 +45,11 @@ object Sessionize {
           } else {
             var closed = List.empty[SessionOut]
             var cur = state.getOption
+            // Bound: this sorts ONE key's rows from ONE micro-batch (state
+            // itself stays O(1) — a single open session). The trigger
+            // interval bounds batch volume; a key hot enough to overflow a
+            // task here needs ingest-side partial sessionization (pre-reduce
+            // to per-(key, trigger) min/max/count spans) before this stage.
             rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
               cur = cur match {
                 case Some(s) if t - s.end <= gapMs =>

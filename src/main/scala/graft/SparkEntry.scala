@@ -442,6 +442,17 @@ object SparkEntry {
         |quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- A5 sketch form: mergeable quantile summary (Greenwald-Khanna) —
+    // the 100 TB default; the exact form above is the audit path. No
+    // engine-portable oracle (sketch internals differ); gated instead by
+    // ApproxBoundSpec's rank-error check against the exact percentiles.
+    ("a5_percentiles_approx",
+      (s, d) => ev(s, d).groupBy("event_type").agg(
+        approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50"),
+        approx_percentile(col("value"), lit(0.9), lit(1000)).as("p90"),
+        approx_percentile(col("value"), lit(0.99), lit(1000)).as("p99")),
+      None),
+
     // ---- A5 sketch form: HLL distinct (rows-only; sketches differ by engine)
     ("a5_group_stats_approx",
       (s, d) => Dashboards.groupStatsApprox(
@@ -749,6 +760,15 @@ object SparkEntry {
       (s, d) => Similarity.srpNearDup(emb(s, d), 0.3),
       Some(srpNearDupSql)),
 
+    // ---- e6: distributed Lloyd's k-means — the real IVF centroid producer
+    // (e4's coarse cells come from a frame like this at scale). Fixed-point
+    // per-dimension sums keep the iteration order-independent, so the DuckDB
+    // oracle replays the identical two iterations and the final assignment
+    // hash-matches exactly.
+    ("e6_kmeans_assign",
+      (s, d) => Similarity.kmeansAssign(emb(s, d), k = 8, iters = 2, dims = 64),
+      Some(kmeansSql)),
+
     // ---- m: multimodal plumbing (north star; codecs stubbed, dataflow real)
     ("m1_media_meta",
       (s, d) => Multimodal.syntheticMedia(docs(s, d))
@@ -990,6 +1010,45 @@ object SparkEntry {
        |  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x)
        |SELECT x AS doc_id, least(x, min(y)) AS cluster_id
        |FROM reach GROUP BY x""".stripMargin
+
+  /** Lloyd's k-means oracle: replays the exact fixed-point iterations of
+    * Similarity.kmeansCentroids (seeds = k lowest vec_ids; assignment =
+    * max list_cosine_similarity with cell-ascending ties; update =
+    * sum(round(x*1e6) BIGINT) / (1e6 * n) per dimension; empty cells keep
+    * their previous centroid). */
+  private lazy val kmeansSql: String = {
+    val k = 8; val iters = 2; val dims = 64
+    val sumsCols = (0 until dims).map(d =>
+      s"sum(CAST(round(emb[${d + 1}] * 1000000.0) AS BIGINT)) AS s$d").mkString(", ")
+    val newc = (0 until dims).map(d =>
+      s"CAST(s.s$d AS DOUBLE) / (1000000.0 * s.n)").mkString("list_value(", ", ", ")")
+    val cte = new StringBuilder
+    cte ++= s"""base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings WHERE len(embedding) = $dims),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, emb AS c
+       |  FROM base ORDER BY vec_id LIMIT $k)""".stripMargin
+    for (i <- 1 to iters) {
+      cte ++= s""",
+         |a$i AS (
+         |  SELECT b.vec_id, b.emb, c.cell
+         |  FROM base b CROSS JOIN c${i - 1} c
+         |  QUALIFY row_number() OVER (PARTITION BY b.vec_id
+         |    ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) = 1),
+         |s$i AS (
+         |  SELECT cell, count(*) AS n, $sumsCols
+         |  FROM a$i GROUP BY cell),
+         |c$i AS (
+         |  SELECT c.cell, CASE WHEN s.cell IS NULL THEN c.c ELSE $newc END AS c
+         |  FROM c${i - 1} c LEFT JOIN s$i s ON c.cell = s.cell)""".stripMargin
+    }
+    s"""WITH $cte
+       |SELECT b.vec_id, c.cell
+       |FROM base b CROSS JOIN c$iters c
+       |QUALIFY row_number() OVER (PARTITION BY b.vec_id
+       |  ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) = 1""".stripMargin
+  }
 
   /** Stopword-vote language ID SQL, sharing the lexicon with TextAnalysis. */
   private lazy val langIdSql: String = {

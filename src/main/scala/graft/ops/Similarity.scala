@@ -170,6 +170,82 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Distributed Lloyd's k-means over the embedding column — the real
+    * producer of IVF coarse centroids ([[ivfTopK]] accepts any centroid
+    * frame; this closes the "sampled k-means" hand-wave).
+    *
+    * Execution shape is the standard distributed-k-means contract (what
+    * Spark MLlib's KMeans does): per iteration, ONE codegen'd map pass
+    * assigns every vector to its max-cosine centroid (k dot products against
+    * literal arrays — no join, no window), ONE groupBy reduces per-cell
+    * sums, and only k×dims aggregated values ever reach the driver. The
+    * corpus never moves; driver traffic is O(k·dims·iters).
+    *
+    * Determinism / oracle parity: per-dimension sums run in fixed-point
+    * (round(x·1e6) as BIGINT) so they are order-independent across
+    * partitionings — the same integer-cents trick the money aggregates use —
+    * and seeds are the k lowest vec_ids. Every float op (dot, norms,
+    * quantize, de-quantize) has the identical sequential form in the
+    * generated DuckDB oracle, so assignments hash-match exactly.
+    */
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int, dims: Int = 64)
+      : Seq[(Int, Array[Double])] = {
+    val scale = 1e6
+    val corpus = df.filter(size(col("embedding")) === dims)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+        l2norm(col("embedding")).as("nrm"))
+    var cents: Seq[(Int, Array[Double])] = corpus.orderBy("vec_id").limit(k)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Double](0).toArray).zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+
+    def cellOf(cs: Seq[(Int, Array[Double])]): Column = {
+      val structs = cs.map { case (cell, c) =>
+        val nrm = math.sqrt(c.map(x => x * x).sum) // sequential, oracle-identical
+        struct((dot(col("emb"), typedLit(c.toSeq)) / (col("nrm") * lit(nrm))).as("cos"),
+          lit(-cell).as("ni"))
+      }
+      -greatest(structs: _*).getField("ni")
+    }
+
+    for (_ <- 1 to iters) {
+      val sums = (0 until dims).map(d =>
+        sum(round(element_at(col("emb"), d + 1) * scale).cast("long")).as(s"s$d"))
+      val reduced = corpus.select(cellOf(cents).as("cell"), col("emb"))
+        .groupBy("cell").agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map(r => r.getAs[Int]("cell") ->
+          ((0 until dims).map(d => r.getAs[Long](s"s$d").toDouble /
+            (scale * r.getAs[Long]("n").toDouble)).toArray))
+        .toMap
+      cents = cents.map { case (cell, old) => (cell, reduced.getOrElse(cell, old)) }
+    }
+    cents
+  }
+
+  /** Final cell assignment (vec_id, cell) under [[kmeansCentroids]] — the
+    * integer-only output shape the cross-engine correctness gate hashes. */
+  def kmeansAssign(df: DataFrame, k: Int, iters: Int, dims: Int = 64): DataFrame = {
+    val cents = kmeansCentroids(df, k, iters, dims)
+    val corpus = df.filter(size(col("embedding")) === dims)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+        l2norm(col("embedding")).as("nrm"))
+    val structs = cents.map { case (cell, c) =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(col("emb"), typedLit(c.toSeq)) / (col("nrm") * lit(nrm))).as("cos"),
+        lit(-cell).as("ni"))
+    }
+    corpus.select(col("vec_id"), (-greatest(structs: _*).getField("ni")).as("cell"))
+  }
+
+  /** [[kmeansCentroids]] as a centroid frame consumable by [[ivfTopK]]. */
+  def kmeansCentroidFrame(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                          k: Int, iters: Int, dims: Int = 64): DataFrame = {
+    import spark.implicits._
+    kmeansCentroids(df, k, iters, dims)
+      .map { case (cell, c) => (cell.toLong, c.toSeq) }
+      .toDF("vec_id", "embedding")
+  }
+
   /** Embedding near-duplicate pairs: cosine above `threshold` among pairs
     * sharing a coarse partition key (here: label) — the pattern that bounds
     * the pair space; swap the key for an SRP bucket at scale.

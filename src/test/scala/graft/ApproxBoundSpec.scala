@@ -29,6 +29,31 @@ class ApproxBoundSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile rank error stays within the GK accuracy bound") {
+    // approx_percentile(accuracy=N) guarantees rank error <= n/N per group:
+    // the returned value's rank must fall within [target - n/N, target + n/N].
+    val accuracy = 1000
+    val ev = graft.model.Tables(spark, sf, "events")
+    val approx = graft.SparkEntry.queries("a5_percentiles_approx")(spark, sf).collect()
+    val byType = ev.select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val vals = byType(r.getString(0))
+      val n = vals.length.toDouble
+      for ((q, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+        val v = r.getDouble(i + 1)
+        // rank range of v in the sorted sample (ties included)
+        val lo = vals.count(_ < v)
+        val hi = vals.count(_ <= v)
+        val target = q * n
+        // +1: rank conventions (floor/ceil, 0/1-based) differ by one position
+        assert(target >= lo - n / accuracy - 1 && target <= hi + n / accuracy + 1,
+          s"${r.getString(0)} p$q: value $v rank [$lo,$hi] vs target $target (n=$n)")
+      }
+    }
+  }
+
   test("approx row set matches the exact group key set") {
     val ev = graft.model.Tables(spark, sf, "events").withColumn("day", to_date(col("ts")))
     val exactKeys = graft.query.Dashboards.groupStats(ev, Seq("event_type", "day"), "value", "user_id")

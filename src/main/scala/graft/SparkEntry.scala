@@ -698,6 +698,13 @@ object SparkEntry {
       },
       Some(lshPairsSql)),
 
+    // ---- d7: the per-ROW signature form (graft.functions.MinHashSig, the
+    // streaming-safe projection) against the SAME oracle as d2 — proves the
+    // native one-loop minima are bit-identical to the aggregate formulation.
+    ("d7_minhash_rowsig",
+      (s, d) => Dedup.rowMinhashSignatures(docs(s, d), "text", 3).drop("sh"),
+      Some(minhashSql)),
+
     ("d4_simhash_sig",
       (s, d) => Dedup.simhash(docs(s, d), "text"),
       Some(simhashSql)),

@@ -67,6 +67,71 @@ object WordShingles {
   }
 }
 
+/** k MinHash minima over a shingle-hash array in ONE native loop — the
+  * per-ROW signature form. The batch pipeline aggregates minima over exploded
+  * skinny rows (map-side combine, one shuffle); that shape is unavailable in
+  * a stateless streaming select, and the HOF alternative
+  * (`array_min(transform(...))` × k) re-inlines the hash array per signature
+  * column AND runs interpreted. This expression evaluates the array once and
+  * emits all k minima; identical arithmetic to the aggregate form
+  * ((a·h + b) mod P per seed, empty/null array -> null).
+  */
+case class MinHashSig(child: Expression, seeds: Seq[(Long, Long)], p: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true // null on empty input
+
+  @transient private lazy val as: Array[Long] = seeds.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = seeds.map(_._2).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.eval(input.asInstanceOf[ArrayData], as, bs, p)
+
+  // The seed arrays ride along as codegen references; the helper call goes
+  // through MODULE$ (the bare companion reference loses its static forwarder
+  // to the inherited eval(InternalRow) — see WordShingles).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.MinHashSig$$.MODULE$$.eval($c, $aRef, $bRef, ${p}L);
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  def eval(hashes: ArrayData, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val k = as.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % p
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
 

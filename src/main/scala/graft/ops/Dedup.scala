@@ -95,6 +95,38 @@ object Dedup {
     if (df.isStreaming) sigs else sigs.localCheckpoint()
   }
 
+  /** Per-ROW MinHash signatures + shingle set: the streaming-safe form.
+    *
+    * The aggregate form ([[minhashSignatures]]) needs a groupBy — a stateful
+    * operation on a stream. Here the k minima come from ONE native loop over
+    * the row's shingle-hash array ([[graft.functions.MinHashSig]], codegen'd)
+    * so the whole signature is a stateless projection usable in a streaming
+    * select. Two Generate barriers pin evaluation order: the shingle-hash
+    * array materializes once (CollapseProject cannot re-inline through a
+    * Generate), then the signature array and the distinct set both read that
+    * column. Values are IDENTICAL to the aggregate form (min is duplicate-
+    * insensitive; same (a·h+b) mod P family) — certified by the d2 oracle
+    * run against this form as `d7_minhash_rowsig`. */
+  def rowMinhashSignatures(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val base =
+      if (df.isStreaming) df.select(col("doc_id"), col(textCol))
+      else graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
+    val withHashes = base.select(col("doc_id"),
+      explode(array(shingleHashes(col(textCol), n))).as("__h"))
+    val sig = Bridge.column(graft.functions.MinHashSig(
+      Bridge.expression(col("__h")), minhashSeeds, P))
+    val packed = withHashes.select(col("doc_id"),
+      explode(array(struct(sig.as("mharr"),
+        // distinct HASH values (not just distinct shingles): matches the
+        // aggregate form's collect_set(h) under hash collisions
+        sort_array(array_distinct(col("__h"))).as("sh")))).as("__s"))
+    packed.select(col("doc_id") +:
+      (minhashSeeds.indices.map(i =>
+        element_at(col("__s.mharr"), i + 1).as(s"mh$i")) :+
+        col("__s.sh").as("sh")): _*)
+  }
+
   /** Exact Jaccard for candidate (a, b) pairs from a precomputed
     * (doc_id, ..., sh) frame — no re-shingling. */
   def jaccardFromSets(pairs: DataFrame, sets: DataFrame): DataFrame = {

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Streaming near-duplicate detection: incoming documents checked against a
+  * STATIC corpus index — the incremental leg of the MinHash+LSH dedup family
+  * (a pretraining pipeline admits new crawl batches by deduping them against
+  * the already-curated corpus).
+  *
+  * Everything on the stream side is STATELESS: per-row signatures
+  * ([[Dedup.rowMinhashSignatures]] — one native loop, no groupBy), band
+  * explosion, and a stream-static equi-join on (band_id, band_key) against
+  * the prebuilt index. No watermark, no state store; at scale the index is a
+  * bucketed table on band_key so the join is a lookup, and the stream shuffles
+  * only fixed-width signatures.
+  *
+  * A pair that shares multiple bands surfaces once per shared band; dedupe
+  * per micro-batch in the sink (`foreachBatch` + `dropDuplicates`) — each
+  * document lives in exactly one micro-batch of a stream-static join, so
+  * batch-local dedup is globally exact. [[StreamDedupSpec]] certifies
+  * equivalence with the batch pipeline.
+  */
+object StreamDedup {
+
+  /** Build the static corpus index: (doc_id, band_id, band_key, sh).
+    * At scale: write bucketed by band_key; rebuild as the corpus grows. */
+  def corpusIndex(docs: DataFrame, textCol: String, n: Int = 3,
+                  rowsPerBand: Int = 2): DataFrame = {
+    val sigs = Dedup.minhashSignaturesWithSets(docs, textCol, n)
+    Dedup.lshBands(sigs, rowsPerBand)
+      .join(sigs.select(col("doc_id"), col("sh")), "doc_id")
+  }
+
+  /** Near-dup candidates of a streaming doc frame against the static index,
+    * with exact Jaccard verification: (new_doc_id, corpus_doc_id, jaccard).
+    * Rows may repeat per shared band — see the class doc for the sink-side
+    * per-batch dedup contract. */
+  def nearDupAgainst(stream: DataFrame, index: DataFrame, textCol: String,
+                     n: Int = 3, rowsPerBand: Int = 2,
+                     threshold: Double = 0.5): DataFrame = {
+    val sigs = Dedup.rowMinhashSignatures(stream, textCol, n)
+    val k = Dedup.minhashSeeds.size
+    val bandCols = (0 until k / rowsPerBand).map { bnd =>
+      val slice = (0 until rowsPerBand)
+        .map(r => col(s"mh${bnd * rowsPerBand + r}").cast("string"))
+      struct(lit(bnd).as("band_id"), md5(concat_ws("_", slice: _*)).as("band_key"))
+    }
+    val banded = sigs.select(col("doc_id").as("new_doc_id"), col("sh").as("sh_new"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("new_doc_id"), col("sh_new"),
+        col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
+    banded
+      .join(index.select(col("band_id"), col("band_key"),
+          col("doc_id").as("corpus_doc_id"), col("sh").as("sh_corpus")),
+        Seq("band_id", "band_key"))
+      .filter(col("new_doc_id") =!= col("corpus_doc_id"))
+      .select(col("new_doc_id"), col("corpus_doc_id"),
+        (size(array_intersect(col("sh_new"), col("sh_corpus"))).cast("double") /
+          (size(col("sh_new")) + size(col("sh_corpus")) -
+            size(array_intersect(col("sh_new"), col("sh_corpus"))))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

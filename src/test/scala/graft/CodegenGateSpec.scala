@@ -68,6 +68,26 @@ class CodegenGateSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSig compiles under strict codegen and matches the aggregate minima") {
+    withStrictCodegen {
+      val df = Seq((1L, Seq(5L, 17L, 5L, 999999L))).toDF("id", "hs")
+      val sig = df.select(Bridge.column(graft.functions.MinHashSig(
+          Bridge.expression(col("hs")), graft.ops.Dedup.minhashSeeds, graft.ops.Dedup.P))
+          .as("sig"))
+        .as[Seq[Long]].head()
+      val expected = graft.ops.Dedup.minhashSeeds.map { case (a, b) =>
+        Seq(5L, 17L, 999999L).map(h => (a * h + b) % graft.ops.Dedup.P).min
+      }
+      assert(sig == expected)
+      // empty array -> null
+      val nullSig = Seq((1L, Seq.empty[Long])).toDF("id", "hs")
+        .select(Bridge.column(graft.functions.MinHashSig(
+          Bridge.expression(col("hs")), graft.ops.Dedup.minhashSeeds, graft.ops.Dedup.P)))
+        .collect()(0)
+      assert(nullSig.isNullAt(0))
+    }
+  }
+
   test("DotProduct compiles under strict codegen") {
     withStrictCodegen {
       val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
@@ -82,7 +102,7 @@ class CodegenGateSpec extends SparkSpec {
     withStrictCodegen {
       // d2/d3 embed WordShingles in the sketch stage; t16 native embeds
       // GradeScale4; e1 embeds DotProduct. Any codegen compile error aborts.
-      for (q <- Seq("d2_minhash_sig", "d3_lsh_jaccard_pairs",
+      for (q <- Seq("d2_minhash_sig", "d3_lsh_jaccard_pairs", "d7_minhash_rowsig",
                     "t16_grade_band_native", "e1_cosine_topk")) {
         val n = SparkEntry.queries(q)(spark, sf).count()
         assert(n >= 0, s"$q failed under strict codegen")

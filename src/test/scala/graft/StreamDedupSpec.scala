@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+import graft.streaming.StreamDedup
+
+/** Streaming near-dup against a static corpus index: stateless stream-side
+  * signatures + stream-static band join must find exactly the pairs the
+  * batch MinHash+LSH pipeline finds for the same documents. */
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "a completely different document about spark catalyst optimizer internals"),
+    (3L, "students enrolled in the database course passed the final exam with honors")
+  ).toDF("doc_id", "text")
+
+  // 101: near-dup of 1 (one word changed); 102: near-dup of 3 (one word
+  // changed); 103: novel text, no corpus relative
+  private val incoming = Seq(
+    (101L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (102L, "students enrolled in the database course passed the final exam with distinction"),
+    (103L, "totally unrelated content regarding quantum chemistry simulations on clusters")
+  )
+
+  test("stream-static near-dup equals the batch pipeline on the same docs") {
+    val index = StreamDedup.corpusIndex(corpus, "text")
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF.toDF("doc_id", "text")
+    val out = StreamDedup.nearDupAgainst(stream, index, "text", threshold = 0.3)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-batch dedup of multi-band hits — globally exact for
+        // stream-static joins (each doc lives in one micro-batch)
+        collected ++= batch.dropDuplicates("new_doc_id", "corpus_doc_id")
+          .as[(Long, Long, Double)].collect()
+        ()
+      }.start()
+    try {
+      input.addData(incoming.take(2))
+      q.processAllAvailable()
+      input.addData(incoming.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch ground truth: near-dup pairs over corpus+incoming, restricted to
+    // (incoming x corpus) orientation
+    val all = corpus.unionByName(incoming.toDF("doc_id", "text"))
+    val batchPairs = Dedup.nearDupPairs(all, "text", threshold = 0.3)
+      .filter((col("a") >= 100 && col("b") < 100) || (col("b") >= 100 && col("a") < 100))
+      .select(greatest(col("a"), col("b")).as("new_doc_id"),
+        least(col("a"), col("b")).as("corpus_doc_id"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(collected.toSet == batchPairs,
+      s"\nstream: ${collected.toSet}\nbatch:  $batchPairs")
+    assert(collected.map(_._1).toSet == Set(101L, 102L)) // 103 is novel
+  }
+
+  test("row signatures match aggregate signatures exactly") {
+    val byRow = Dedup.rowMinhashSignatures(corpus, "text").drop("sh")
+    val byAgg = Dedup.minhashSignatures(corpus, "text")
+    assert(byRow.exceptAll(byAgg).isEmpty && byAgg.exceptAll(byRow).isEmpty)
+    val rowSets = Dedup.rowMinhashSignatures(corpus, "text").select("doc_id", "sh")
+    val aggSets = Dedup.minhashSignaturesWithSets(corpus, "text").select("doc_id", "sh")
+    assert(rowSets.exceptAll(aggSets).isEmpty && aggSets.exceptAll(rowSets).isEmpty)
+  }
+}

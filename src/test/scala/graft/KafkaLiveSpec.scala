@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** OPT-IN live-broker integration leg for S3/S4 (reference `pro.py:13-24`,
+  * `con.py:14-21`): runs only when `GRAFT_KAFKA_BOOTSTRAP` points at a real
+  * broker — this build environment has neither a broker nor the
+  * spark-sql-kafka connector jar, so the suite self-cancels there and the
+  * serde + transform chain stays certified by the batch-equivalent
+  * `s3_s4_json_roundtrip` oracle query and the MemoryStream StreamingSpec.
+  *
+  * To run for real: start Kafka, add the spark-sql-kafka-0-10 jar, then
+  *   GRAFT_KAFKA_BOOTSTRAP=localhost:9092 sbt "testOnly graft.KafkaLiveSpec"
+  */
+class KafkaLiveSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val bootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
+
+  test("kafka JSON roundtrip through the S3 sink and a broker read") {
+    assume(bootstrap.isDefined, "GRAFT_KAFKA_BOOTSTRAP not set — live leg skipped")
+    val servers = bootstrap.get
+    val topic = s"graft_it_${System.currentTimeMillis()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka_ckpt").toString
+
+    val input = MemoryStream[(Long, String, Double)]
+    val df = input.toDF.toDF("event_id", "event_type", "value")
+    val q = graft.streaming.Pipeline
+      .kafkaJsonSink(df, servers, topic, ckpt)
+      .start()
+    try {
+      input.addData(Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val back = spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), df.schema).as("rec"))
+      .select(col("rec.*"))
+    assert(back.orderBy("event_id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+  }
+}

@@ -651,6 +651,19 @@ object SparkEntry {
         | FROM unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)) AS fingerprint
         |FROM documents""".stripMargin)),
 
+    // ---- x8: PII redaction (pretraining hygiene) — typed placeholders +
+    // audit counts, map-only; same regex literals in Spark and the oracle.
+    ("x8_redact_pii",
+      (s, d) => TextAnalysis.redactPii(docs(s, d), "text"),
+      Some(redactPiiSql)),
+
+    // ---- x10: benchmark decontamination — fraction of each doc's distinct
+    // shingles that appear in the benchmark subset (doc_id % 50 == 0 stands
+    // in for an eval suite). Only 8-byte shingle hashes cross the join.
+    ("x10_contamination",
+      (s, d) => Dedup.contaminationScore(docs(s, d), col("doc_id") % 50 === 0, "text"),
+      Some(contaminationSql)),
+
     // ---- x5: composed cleaning pass (C4-style): quality gate + language
     // filter + exact dedup (min doc_id survives per content hash). The ops
     // compose as plain DataFrame stages; one pipeline, one oracle.
@@ -1017,6 +1030,42 @@ object SparkEntry {
        |  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x)
        |SELECT x AS doc_id, least(x, min(y)) AS cluster_id
        |FROM reach GROUP BY x""".stripMargin
+
+  /** x8 oracle: identical regex chain (URL -> EMAIL -> PHONE, global). */
+  private lazy val redactPiiSql: String = {
+    val (u, e, ph) = (TextAnalysis.UrlRegex, TextAnalysis.EmailRegex, TextAnalysis.PhoneRegex)
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$u')) AS INT) AS n_urls,
+       |  CAST(len(regexp_extract_all(regexp_replace(text, '$u', '<URL>', 'g'),
+       |       '$e')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text, '$u', '<URL>', 'g'),
+       |       '$e', '<EMAIL>', 'g'), '$ph')) AS INT) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text, '$u', '<URL>', 'g'),
+       |       '$e', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g') AS clean_text
+       |FROM documents""".stripMargin
+  }
+
+  /** x10 oracle: distinct shingle hashes per doc, benchmark = docs with
+    * doc_id % 50 = 0, hit fraction via left join. */
+  private lazy val contaminationSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(1, len(t) - 2)),
+       |    i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks),
+       |hs AS (
+       |  SELECT doc_id, list_distinct(list_transform(shingles,
+       |    s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % ${Dedup.P})) AS hashes FROM sh),
+       |dsh AS (SELECT doc_id, unnest(hashes) AS h FROM hs),
+       |bench AS (SELECT DISTINCT h FROM dsh WHERE doc_id % 50 = 0),
+       |tgt AS (SELECT * FROM dsh WHERE doc_id % 50 <> 0)
+       |SELECT t.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+       |    AS contamination
+       |FROM tgt t LEFT JOIN bench b ON t.h = b.h
+       |GROUP BY t.doc_id""".stripMargin
 
   /** Lloyd's k-means oracle: replays the exact fixed-point iterations of
     * Similarity.kmeansCentroids (seeds = k lowest vec_ids; assignment =

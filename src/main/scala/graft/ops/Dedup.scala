@@ -266,6 +266,31 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Benchmark decontamination score: the fraction of each document's
+    * distinct word-n-gram shingles that also occur anywhere in a benchmark
+    * corpus — the standard pretraining hygiene check that evaluation data
+    * has not leaked into training data (docs above a threshold get dropped
+    * or audited).
+    *
+    * Scale shape: both sides reduce to distinct 31-bit shingle HASHES before
+    * any join — the benchmark side collapses to one distinct-hash column
+    * (tiny next to the corpus; broadcastable for real benchmark suites), and
+    * the per-doc rows join it with a left join + hit flag, then aggregate to
+    * (n_shingles, n_hit, fraction) per doc. The documents themselves never
+    * cross a shuffle. */
+  def contaminationScore(docs: DataFrame, benchmarkFilter: Column, textCol: String,
+                         n: Int = 3): DataFrame = {
+    val sh = shingleHashRows(docs, textCol, n).dropDuplicates("doc_id", "h")
+    val bench = sh.filter(benchmarkFilter).select(col("h")).distinct()
+    val target = sh.filter(!benchmarkFilter)
+    target.join(bench.withColumn("__hit", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
   /** 32-bit SimHash over the token multiset: per-bit majority vote of
     * md5-derived token hashes, computed as `bits` flat conditional sums in
     * one aggregation pass. */

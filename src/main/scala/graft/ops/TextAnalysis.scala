@@ -184,6 +184,31 @@ object TextAnalysis {
       .select("doc_id", "n_dups")
   }
 
+  /** PII patterns shared verbatim with the oracle (Java regex ∩ RE2: no
+    * lookaround, no backrefs). Order matters: URLs first (an email-shaped
+    * userinfo inside a URL must not be double-redacted), then emails, then
+    * phone-shaped digit runs. */
+  val UrlRegex = "https?://[^\\s]+"
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
+
+  /** PII redaction pass (pretraining hygiene): URLs / emails / phone-shaped
+    * runs replaced by typed placeholders, with per-kind match counts for
+    * audit dashboards. Map-only, fully codegen; the same regex literals run
+    * in the DuckDB oracle. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val afterUrl = regexp_replace(t, UrlRegex, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, EmailRegex, "<EMAIL>")
+    val clean = regexp_replace(afterEmail, PhoneRegex, "<PHONE>")
+    df.select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit(UrlRegex), lit(0))).as("n_urls"),
+      size(regexp_extract_all(afterUrl, lit(EmailRegex), lit(0))).as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(PhoneRegex), lit(0))).as("n_phones"),
+      clean.as("clean_text"))
+  }
+
   /** Document fingerprint: minimum md5 over all `k`-char shingles of the
     * text (a min-hash-style content fingerprint; robust to local edits in a
     * way whole-document md5 is not). Map-only; the per-row shingle array is

@@ -240,28 +240,39 @@ object Dedup {
       .distinct().repartition(col("y")).localCheckpoint()
     var labels = edges.select(col("x").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
+
+    // One neighbor-min propagation + pointer jump (take the candidate
+    // label's own label too): labels shortcut along chains. `label0` (the
+    // label at the last materialization) rides along so the convergence
+    // count reads the checkpointed frame instead of re-joining.
+    def propagate(l: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(l.select(col("id").as("y"), col("label").as("ylabel")), "y")
+        .groupBy(col("x").as("id")).agg(min(col("ylabel")).as("nmin"))
+      val cand = l.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label0"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("cand"))
+      cand
+        .join(l.select(col("id").as("cand"), col("label").as("cand_label")),
+          Seq("cand"), "left")
+        .select(col("id"), col("label0"),
+          least(col("cand"), coalesce(col("cand_label"), col("cand"))).as("label"))
+    }
+
     var changed = 1L
     while (changed > 0) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("y"), col("label").as("ylabel")), "y")
-        .groupBy(col("x").as("id")).agg(min(col("ylabel")).as("nmin"))
-      // Neighbor-min propagation + pointer jumping (take the candidate
-      // label's own label too): labels shortcut along chains, so rounds grow
-      // ~logarithmically with component diameter instead of linearly —
-      // measured 13 -> 5 rounds on a chain-heavy sf0.1 dup graph. One
-      // materialization carries old + new, so the convergence count reads
-      // the checkpointed frame instead of re-joining per round.
-      val cand = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("cand"))
-      val step = cand
-        .join(labels.select(col("id").as("cand"), col("label").as("cand_label")),
-          Seq("cand"), "left")
-        .select(col("id"), col("label"),
-          least(col("cand"), coalesce(col("cand_label"), col("cand"))).as("next"))
+      // TWO rounds per materialization: the driver-side fixed costs (job
+      // scheduling, checkpoint, count) dominate each iteration at small
+      // frontier sizes, so halving the materializations nearly halves loop
+      // wall-clock (13 -> 7 for the sf0.1 dup graph). The doubled plan stays
+      // cheap: every consumer of the inner round uses both (id, label)
+      // columns, so its exchanges canonicalize equal and are computed once
+      // (ReusedExchange). Convergence over the PAIR is safe: a no-change
+      // first round forces a no-change second round.
+      val step = propagate(propagate(labels.withColumn("label0", col("label"))))
         .localCheckpoint()
-      changed = step.filter(col("next") =!= col("label")).count()
-      labels = step.select(col("id"), col("next").as("label"))
+      changed = step.filter(col("label") =!= col("label0")).count()
+      labels = step.select(col("id"), col("label"))
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }

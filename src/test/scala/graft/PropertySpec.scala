@@ -102,4 +102,37 @@ class PropertySpec extends SparkSpec {
       })
     })
   }
+  test("row-form MinHash signatures equal the aggregate form on random docs") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "người", "được", "học")
+    val doc = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    check("row-vs-agg", 8)(Prop.forAll(Gen.listOfN(6, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val byRow = Dedup.rowMinhashSignatures(df, "text").drop("sh")
+      val byAgg = Dedup.minhashSignatures(df, "text")
+      byRow.exceptAll(byAgg).isEmpty && byAgg.exceptAll(byRow).isEmpty
+    })
+  }
+
+  test("kmeans assignment is invariant under input row order") {
+    val emb = graft.model.Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(60)
+    val a = graft.ops.Similarity.kmeansAssign(emb, k = 4, iters = 2, dims = 64)
+      .orderBy("vec_id").collect().toSeq
+    val shuffled = emb.orderBy(md5(col("vec_id").cast("string"))) // scrambled order
+    val b = graft.ops.Similarity.kmeansAssign(shuffled, k = 4, iters = 2, dims = 64)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b, "fixed-point sums must make k-means order-independent")
+  }
+
+  test("xlsx roundtrip preserves arbitrary unicode cell text") {
+    val cell = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))
+      .map(_.mkString.trim).suchThat(_.nonEmpty)
+    check("xlsx-roundtrip", 6)(Prop.forAll(Gen.listOfN(4, cell)) { cells =>
+      val d = java.nio.file.Files.createTempDirectory("xp").toFile
+      val f = new java.io.File(d, "t.xlsx").getAbsolutePath
+      XlsxTestFixture.write(f, Seq(Seq("c0", "c1", "c2", "c3"), cells.map(x => x: Any)))
+      val got = spark.read.format("xlsx").load(f).collect()(0)
+      (0 until 4).forall(i => got.getString(i) == cells(i))
+    })
+  }
 }

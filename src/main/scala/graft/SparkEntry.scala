@@ -651,6 +651,23 @@ object SparkEntry {
         | FROM unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)) AS fingerprint
         |FROM documents""".stripMargin)),
 
+    // ---- x9: intra-document repetition (boilerplate heuristic) — the
+    // fraction of word-3-gram shingles repeating an earlier shingle.
+    ("x9_repetition",
+      (s, d) => TextAnalysis.repetitionScore(docs(s, d), "text"),
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(1, len(t) - 2)),
+        |    i -> array_to_string(t[i:i+2], ' ')) AS shingles
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t
+        |        FROM documents)
+        |  )
+        |SELECT doc_id, CAST(len(shingles) AS INT) AS n_shingles,
+        |  CAST(len(list_distinct(shingles)) AS INT) AS n_distinct,
+        |  CAST(len(shingles) - len(list_distinct(shingles)) AS DOUBLE) / len(shingles)
+        |    AS repetition
+        |FROM sh""".stripMargin)),
+
     // ---- x8: PII redaction (pretraining hygiene) — typed placeholders +
     // audit counts, map-only; same regex literals in Spark and the oracle.
     ("x8_redact_pii",
@@ -737,6 +754,29 @@ object SparkEntry {
       (s, d) => Dedup.connectedComponents(
         Dedup.simhashNearDup(Dedup.simhash(docs(s, d), "text"), maxHamming = 3)),
       Some(dupClustersSql)),
+
+    // ---- interval join: points-in-range via the bucketized equi-join
+    // (ops/IntervalJoin) — intervals are 2-hour windows opened at every
+    // 97th event; oracle is DuckDB's plain range theta-join.
+    ("join_interval",
+      (s, d) => {
+        val e = ev(s, d)
+        val pts = e.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+        val ivs = e.filter(col("event_id") % 97 === 0)
+          .select(col("event_id").as("ivl_id"), col("user_id"),
+            unix_micros(col("ts")).as("start_us"),
+            (unix_micros(col("ts")) + lit(7200000000L)).as("end_us"))
+        graft.ops.IntervalJoin.bucketed(pts, ivs, "user_id", "t_us",
+            "start_us", "end_us", bucketMicros = 7200000000L)
+          .select(col("p_event_id").as("event_id"), col("i_ivl_id").as("ivl_id"))
+      },
+      Some("""SELECT p.event_id AS event_id, i.event_id AS ivl_id
+        |FROM events p JOIN events i
+        |  ON p.user_id = i.user_id
+        | AND i.event_id % 97 = 0
+        | AND epoch_us(p.ts) >= epoch_us(i.ts)
+        | AND epoch_us(p.ts) <= epoch_us(i.ts) + 7200000000""".stripMargin)),
 
     // ---- e: embedding similarity (north star)
     ("e1_cosine_topk",

@@ -184,6 +184,22 @@ object TextAnalysis {
       .select("doc_id", "n_dups")
   }
 
+  /** Intra-document repetition score (C4-style boilerplate heuristic): the
+    * fraction of word n-gram shingles that are repeats of an earlier shingle
+    * in the same document — near 0 for natural prose, near 1 for templated /
+    * looping text. Map-only; the shingle array materializes once behind a
+    * Generate barrier and both counts read it. */
+  def repetitionScore(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val base = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"),
+        explode(array(Dedup.wordShingles(col(textCol), n))).as("__sh"))
+    base.select(col("doc_id"),
+      size(col("__sh")).as("n_shingles"),
+      size(array_distinct(col("__sh"))).as("n_distinct"),
+      ((size(col("__sh")) - size(array_distinct(col("__sh")))).cast("double") /
+        size(col("__sh"))).as("repetition"))
+  }
+
   /** PII patterns shared verbatim with the oracle (Java regex ∩ RE2: no
     * lookaround, no backrefs). Order matters: URLs first (an email-shaped
     * userinfo inside a URL must not be double-redacted), then emails, then

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketized interval join: exact equivalence with the naive range
+  * theta-join, inclusive bounds, and the plan property that motivates it —
+  * the join runs as an EQUI-join on (key, bucket), never a nested loop. */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.IntervalJoin
+
+  private val points = Seq(
+    (1L, 1L, 100L), (2L, 1L, 250L), (3L, 1L, 300L), (4L, 1L, 999L),
+    (5L, 2L, 100L), (6L, 2L, 5000L), (7L, 3L, 42L)
+  ).toDF("pid", "k", "t")
+
+  private val intervals = Seq(
+    (10L, 1L, 100L, 300L),   // catches 1,2,3 (inclusive both ends)
+    (11L, 1L, 301L, 400L),   // catches none
+    (12L, 2L, 0L, 10000L),   // catches 5,6
+    (13L, 9L, 0L, 10000L),   // no points for key 9
+    (14L, 3L, 50L, 40L)      // inverted: dropped
+  ).toDF("iid", "k", "s", "e")
+
+  test("matches the naive range join exactly, bounds inclusive") {
+    for (w <- Seq(1L, 7L, 100L, 1000L, 100000L)) {
+      val got = IntervalJoin.bucketed(points, intervals, "k", "t", "s", "e", w)
+        .select(col("p_pid").as("pid"), col("i_iid").as("iid"))
+        .as[(Long, Long)].collect().toSet
+      val naive = points.join(intervals, Seq("k"))
+        .filter(col("t") >= col("s") && col("t") <= col("e"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"bucket width $w: $got != $naive")
+      assert(got == Set((1L, 10L), (2L, 10L), (3L, 10L), (5L, 12L), (6L, 12L)))
+    }
+  }
+
+  test("carries all prefixed point and interval columns") {
+    val out = IntervalJoin.bucketed(points, intervals, "k", "t", "s", "e", 100L)
+    assert(out.columns.toSet ==
+      Set("p_pid", "p_k", "p_t", "i_iid", "i_k", "i_s", "i_e"))
+  }
+
+  test("plan is an equi-join on (key, bucket), not a nested loop") {
+    val out = IntervalJoin.bucketed(points, intervals, "k", "t", "s", "e", 100L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested loop in:\n$plan")
+    assert(plan.contains("Join") || plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
+  test("a point on a bucket boundary matches intervals in both buckets") {
+    val p = Seq((1L, 1L, 200L)).toDF("pid", "k", "t")
+    val ivs = Seq((10L, 1L, 150L, 200L), (11L, 1L, 200L, 280L)).toDF("iid", "k", "s", "e")
+    val got = IntervalJoin.bucketed(p, ivs, "k", "t", "s", "e", 100L)
+      .select("i_iid").as[Long].collect().toSet
+    assert(got == Set(10L, 11L))
+  }
+}

@@ -715,6 +715,27 @@ object SparkEntry {
         |        % ${Dedup.P} % ${Int.MaxValue}, doc_id) AS rn
         |  FROM documents) WHERE rn <= 5""".stripMargin)),
 
+    // ---- x11: sequence packing — contiguous-fill pack assignment per
+    // hash bucket (the tokenize-and-pack layout step); window cumsum per
+    // bucket, reproduced exactly by the oracle's windowed sum.
+    ("x11_pack_sequences",
+      (s, d) => graft.ops.Packing.packSequences(docs(s, d), "text", capacity = 2048,
+        buckets = 8),
+      Some(s"""WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '$$TOKRE')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_pack'), 1, 8) AS BIGINT)
+        |      % ${Dedup.P} % 8 AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+        |  FROM base)
+        |SELECT doc_id, bucket, n_tokens,
+        |  start // 2048 AS pack_id, start % 2048 AS pack_offset
+        |FROM c""".stripMargin.replace("$TOKRE", tokenRe))),
+
     // ---- d: dedup family (north star)
     ("d2_minhash_sig",
       (s, d) => Dedup.minhashSignatures(docs(s, d), "text", 3),

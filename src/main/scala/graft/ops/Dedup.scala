@@ -88,10 +88,11 @@ object Dedup {
     * the d3 plan). Signatures are ~100 bytes/doc — at 100 TB of text this is
     * the classic "materialize the sketch, not the corpus" trade. */
   def minhashSignaturesWithSets(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
-    val aggs = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$i")
-    } :+ sort_array(collect_set(col("h"))).as("sh")
-    val sigs = shingleHashRows(df, textCol, n).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // Round 4: built on the per-row form — the k minima and the distinct set
+    // come from ONE map-only projection (native MinHashSig loop), so the
+    // aggregation shuffle this function used to pay is gone entirely; the
+    // materialization below is unchanged (the frame still feeds 5 branches).
+    val sigs = rowMinhashSignatures(df, textCol, n)
     if (df.isStreaming) sigs else sigs.localCheckpoint()
   }
 

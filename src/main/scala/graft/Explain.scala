@@ -13,8 +13,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("s1_scan_clean", "t10_point_lookup", "t18_dim_join",
-        "join_shuffle_agg", "a1_weighted_gpa", "flagship_progress",
-        "d3_lsh_jaccard_pairs", "e1_cosine_topk")
+        "join_shuffle_agg", "join_interval", "a1_weighted_gpa",
+        "flagship_progress", "d3_lsh_jaccard_pairs", "d7_minhash_rowsig",
+        "e1_cosine_topk", "x5_clean_corpus", "x10_contamination")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

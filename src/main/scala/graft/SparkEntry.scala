@@ -47,6 +47,30 @@ object SparkEntry {
         |   OR nullif(CAST(value AS VARCHAR), '') IS NOT NULL
         |   OR nullif(props, '') IS NOT NULL""".stripMargin)),
 
+    // ---- s7: one-pass table profile — the post-load data-quality audit
+    // (row count, per-column nulls, min/max) as a single aggregation.
+    ("s7_table_profile",
+      (s, d) => Ingest.profile(ev(s, d)),
+      Some("""SELECT count(*) AS n_rows,
+        |CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+        |min(event_id) AS min_event_id,
+        |max(event_id) AS max_event_id,
+        |CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+        |min(ts) AS min_ts,
+        |max(ts) AS max_ts,
+        |CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+        |min(user_id) AS min_user_id,
+        |max(user_id) AS max_user_id,
+        |CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+        |min(event_type) AS min_event_type,
+        |max(event_type) AS max_event_type,
+        |CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        |min(value) AS min_value,
+        |max(value) AS max_value,
+        |CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        |min(props) AS min_props,
+        |max(props) AS max_props FROM events""".stripMargin)),
+
     // ---- T1: content-hash duplicate groups (pro.py:29-32)
     ("t1_dedup_groups",
       (s, d) => Dedup.exactDedupGroups(docs(s, d), "text"),

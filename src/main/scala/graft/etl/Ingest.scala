@@ -70,6 +70,25 @@ object Ingest {
       row_number().over(Window.orderBy(orderCols: _*)))
   }
 
+  /** One-pass table profile (ANALYZE-style data-quality stats): row count,
+    * per-column null counts, and min/max for orderable columns — the
+    * ingest-side audit a pipeline runs after every load. ONE aggregation
+    * with map-side partials regardless of column count; at 100 TB this is a
+    * single scan, not a query per column. */
+  def profile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val nulls = sum(when(c.isNull, 1L).otherwise(0L)).as(s"null_${f.name}")
+      f.dataType match {
+        case _: NumericType | TimestampType | DateType | StringType =>
+          Seq(nulls, min(c).as(s"min_${f.name}"), max(c).as(s"max_${f.name}"))
+        case _ => Seq(nulls)
+      }
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** T4: rebuild with `@timestamp` (or any given column) first — cosmetic
     * (`pro.py:79-82`). */
   def columnFirst(df: DataFrame, first: String): DataFrame =

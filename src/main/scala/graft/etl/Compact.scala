@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * `compact` rewrites one directory into ~`targetBytes` files: it sizes the
   * output from the ACTUAL input bytes (not a guessed partition count),
-  * rewrites into a staging directory, and atomically swaps via two renames —
-  * readers see either the old layout or the new one, never a half-written
-  * mix. `compactPartitioned` applies the same pass per partition
+  * rewrites into a staging directory, and swaps via two metadata renames.
+  * Readers never observe a half-written mix; there IS a sub-second window
+  * between the renames where the path is absent (a reader retries), and if
+  * the promote rename fails the original directory is restored from the
+  * backup before rethrowing — run compaction from a maintenance window or a
+  * coordinator that fences concurrent readers on stores without atomic
+  * rename. `compactPartitioned` applies the same pass per partition
   * subdirectory (`k=v`), preserving partition pruning, skipping directories
   * already under `maxFiles`.
   *
@@ -49,9 +53,16 @@ object Compact {
     // coalesce, not repartition: merging files needs no shuffle
     spark.read.parquet(dir).coalesce(parts)
       .write.mode("overwrite").parquet(staging.toString)
-    // atomic-enough swap: two metadata renames, no data copy
+    // two metadata renames, no data copy; restore the backup if the
+    // promote fails so the store path never stays missing
     require(f.rename(src, backup), s"could not move $src aside")
-    require(f.rename(staging, src), s"could not promote $staging")
+    try {
+      require(f.rename(staging, src), s"could not promote $staging")
+    } catch {
+      case e: Throwable =>
+        f.rename(backup, src) // best-effort restore of the original layout
+        throw e
+    }
     f.delete(backup, true)
     (before, dataFileCount(spark, src))
   }

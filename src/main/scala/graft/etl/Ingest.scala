@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
+  /** Column ref that survives dots/backticks in the name. */
+  private def qcol(name: String): Column = col(s"`${name.replace("`", "``")}`")
+
   /** S1: header-first tabular scan semantics — drop rows where every column is
     * null/empty (`pro.py:42`: `if any(row)`). */
   def dropBlankRows(df: DataFrame): DataFrame = {
@@ -25,8 +28,8 @@ object Ingest {
     val anyPresent = df.schema.fields
       .map { f =>
         if (f.dataType == org.apache.spark.sql.types.StringType)
-          nullif(col(f.name), lit("")).isNotNull
-        else col(f.name).isNotNull
+          nullif(qcol(f.name), lit("")).isNotNull
+        else qcol(f.name).isNotNull
       }
       .reduce(_ || _)
     df.filter(anyPresent)
@@ -78,7 +81,7 @@ object Ingest {
   def profile(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ df.schema.fields.flatMap { f =>
-      val c = col(f.name)
+      val c = qcol(f.name)
       val nulls = sum(when(c.isNull, 1L).otherwise(0L)).as(s"null_${f.name}")
       f.dataType match {
         case _: NumericType | TimestampType | DateType | StringType =>

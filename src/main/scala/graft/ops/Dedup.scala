@@ -110,9 +110,13 @@ object Dedup {
     * run against this form as `d7_minhash_rowsig`. */
   def rowMinhashSignatures(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
+    // Null-text docs are DROPPED, matching the aggregate form (whose explode
+    // of a null shingle array emits no rows) — otherwise they'd all share
+    // the md5('') band key downstream and cross-join as fake near-dups.
+    val base0 = df.select(col("doc_id"), col(textCol)).filter(col(textCol).isNotNull)
     val base =
-      if (df.isStreaming) df.select(col("doc_id"), col(textCol))
-      else graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
+      if (df.isStreaming) base0
+      else graft.model.Tables.spread(base0, col("doc_id"))
     val withHashes = base.select(col("doc_id"),
       explode(array(shingleHashes(col(textCol), n))).as("__h"))
     val sig = Bridge.column(graft.functions.MinHashSig(
@@ -135,23 +139,32 @@ object Dedup {
     pairs
       .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
       .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
-      .select(col("a"), col("b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) -
-            size(array_intersect(col("sh_a"), col("sh_b"))))).as("jaccard"))
+      .select(col("a"), col("b"), jaccardExpr(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
-  /** LSH banding: k signature columns -> k/r bands; band key = md5 of the
-    * band's slice. Docs sharing any (band_id, band_key) are candidates. */
-  def lshBands(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
+  /** The (band_id, band_key) structs for the k/r LSH bands over the flat
+    * mh0..mhK-1 signature columns — the ONE definition of the band key
+    * (md5 of the '_'-joined slice) shared by the batch pipeline and the
+    * streaming probe, so the two sides can never drift apart. */
+  def bandStructs(rowsPerBand: Int): Seq[Column] = {
     val k = minhashSeeds.size
-    val bands = (0 until k / rowsPerBand).map { bnd =>
+    (0 until k / rowsPerBand).map { bnd =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}").cast("string"))
       struct(lit(bnd).as("band_id"), md5(concat_ws("_", slice: _*)).as("band_key"))
     }
-    sigs.select(col("doc_id"), explode(array(bands: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
   }
+
+  /** Exact Jaccard of two sorted distinct-hash set columns — the one
+    * formula, shared by every verify stage. */
+  def jaccardExpr(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      (size(a) + size(b) - size(array_intersect(a, b)))
+
+  /** LSH banding: k signature columns -> k/r bands; band key = md5 of the
+    * band's slice. Docs sharing any (band_id, band_key) are candidates. */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame =
+    sigs.select(col("doc_id"), explode(array(bandStructs(rowsPerBand): _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
 
   /** Candidate near-dup pairs (a < b) from shared LSH buckets. The join is an
     * equi-join on the band key — the only shuffle of the near-dup pipeline.
@@ -203,10 +216,7 @@ object Dedup {
     pairs
       .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
       .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
-      .select(col("a"), col("b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) -
-            size(array_intersect(col("sh_a"), col("sh_b"))))).as("jaccard"))
+      .select(col("a"), col("b"), jaccardExpr(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
   /** MinHash-LSH near-duplicate pipeline: signatures -> bands -> candidate

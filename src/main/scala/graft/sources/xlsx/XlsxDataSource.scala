@@ -4,6 +4,7 @@ import java.util.zip.ZipInputStream
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -85,10 +86,15 @@ class XlsxScan(schema0: StructType, options: CaseInsensitiveStringMap) extends S
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val width = schema0.length
+    // Ship the SESSION Hadoop conf (spark.hadoop.* keys: credentials, HA
+    // nameservices) to executors — a bare `new Configuration()` works on
+    // local paths but breaks on any real cluster store.
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val part = partition.asInstanceOf[XlsxFilePartition]
-        new XlsxPartitionReader(part, width)
+        new XlsxPartitionReader(part, width, conf)
       }
     }
   }
@@ -97,10 +103,11 @@ class XlsxScan(schema0: StructType, options: CaseInsensitiveStringMap) extends S
 /** One workbook file = one partition (a zip stream is not splittable). */
 case class XlsxFilePartition(path: String, sheet: Int, header: Boolean) extends InputPartition
 
-class XlsxPartitionReader(part: XlsxFilePartition, width: Int)
+class XlsxPartitionReader(part: XlsxFilePartition, width: Int,
+                          conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReader[InternalRow] {
   private val rows: Iterator[Seq[(Int, String)]] = {
-    val it = XlsxIO.readSheet(part.path, part.sheet)
+    val it = XlsxIO.readSheet(part.path, part.sheet, conf.value)
     if (part.header && it.hasNext) { it.next(); it } else it
   }
   private var current: InternalRow = _
@@ -136,7 +143,8 @@ object XlsxIO {
   def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
     val raw = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("xlsx source requires a path"))
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // driver side: the active session's Hadoop conf carries spark.hadoop.*
+    val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(raw)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
@@ -153,8 +161,9 @@ object XlsxIO {
     * Excel's own row limit). Cell types handled: shared string (`t="s"`),
     * inline string (`t="inlineStr"`), formula string (`t="str"`), boolean
     * (`t="b"`), and plain numeric (no `t`). */
-  def readSheet(path: String, sheet: Int): Iterator[Seq[(Int, String)]] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+  def readSheet(path: String, sheet: Int,
+                conf0: org.apache.hadoop.conf.Configuration = null): Iterator[Seq[(Int, String)]] = {
+    val conf = if (conf0 != null) conf0 else SparkSession.active.sessionState.newHadoopConf()
     val hp = new org.apache.hadoop.fs.Path(path)
     val in = hp.getFileSystem(conf).open(hp)
     val zip = new ZipInputStream(new java.io.BufferedInputStream(in))
@@ -258,12 +267,17 @@ object XlsxIO {
             case "t" => inIsT = false
             case "c" =>
               val raw = sb.toString
+              // typed-empty cells (<c t="s"/>) and out-of-range sst indices
+              // yield a null cell, not a task failure
               val value = cellType match {
-                case "s" => shared(raw.trim.toInt)
+                case "s" =>
+                  raw.trim.toIntOption
+                    .filter(i => i >= 0 && i < shared.length)
+                    .map(shared).orNull
                 case "b" => if (raw.trim == "1") "true" else "false"
                 case _ => raw // inlineStr text, formula str, or numeric literal
               }
-              if (value.nonEmpty) row += ((cellIdx, value))
+              if (value != null && value.nonEmpty) row += ((cellIdx, value))
               nextIdx = cellIdx + 1
             case "row" => rows += row.toSeq
             case _ => ()

@@ -42,14 +42,11 @@ object StreamDedup {
                      n: Int = 3, rowsPerBand: Int = 2,
                      threshold: Double = 0.5): DataFrame = {
     val sigs = Dedup.rowMinhashSignatures(stream, textCol, n)
-    val k = Dedup.minhashSeeds.size
-    val bandCols = (0 until k / rowsPerBand).map { bnd =>
-      val slice = (0 until rowsPerBand)
-        .map(r => col(s"mh${bnd * rowsPerBand + r}").cast("string"))
-      struct(lit(bnd).as("band_id"), md5(concat_ws("_", slice: _*)).as("band_key"))
-    }
+    // band keys and the jaccard formula come from the SAME definitions the
+    // batch index uses (Dedup.bandStructs / Dedup.jaccardExpr) — any future
+    // change to the banding scheme changes both sides together
     val banded = sigs.select(col("doc_id").as("new_doc_id"), col("sh").as("sh_new"),
-        explode(array(bandCols: _*)).as("band"))
+        explode(array(Dedup.bandStructs(rowsPerBand): _*)).as("band"))
       .select(col("new_doc_id"), col("sh_new"),
         col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
     banded
@@ -58,9 +55,7 @@ object StreamDedup {
         Seq("band_id", "band_key"))
       .filter(col("new_doc_id") =!= col("corpus_doc_id"))
       .select(col("new_doc_id"), col("corpus_doc_id"),
-        (size(array_intersect(col("sh_new"), col("sh_corpus"))).cast("double") /
-          (size(col("sh_new")) + size(col("sh_corpus")) -
-            size(array_intersect(col("sh_new"), col("sh_corpus"))))).as("jaccard"))
+        Dedup.jaccardExpr(col("sh_new"), col("sh_corpus")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -14,6 +14,10 @@ run / fork := true
 // Forked run output must reach stdout RAW (no sbt "[info] " prefix): the
 // driver parses Bench's one-line JSON from stdout.
 Compile / run / outputStrategy := Some(StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." line so Bench's JSON
+// stays the LAST line on stdout — a parser that reads the final line (or a
+// bounded tail) must see the JSON, not sbt bookkeeping.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -757,7 +757,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
         |  FROM base)
         |SELECT doc_id, bucket, n_tokens,
-        |  start // 2048 AS pack_id, start % 2048 AS pack_offset
+        |  CAST(start // 2048 AS BIGINT) AS pack_id,
+        |  CAST(start % 2048 AS BIGINT) AS pack_offset
         |FROM c""".stripMargin.replace("$TOKRE", tokenRe))),
 
     // ---- d: dedup family (north star)

@@ -18,6 +18,7 @@ Compile / run / outputStrategy := Some(StdoutOutput)
 // stays the LAST line on stdout — a parser that reads the final line (or a
 // bounded tail) must see the JSON, not sbt bookkeeping.
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

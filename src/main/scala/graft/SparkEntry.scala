@@ -523,6 +523,52 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
         |FROM events""".stripMargin)),
 
+    // ---- §2.4: offset + bucketing window functions (lag delta, ntile)
+    ("w_lag_ntile",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        ev(s, d).select(col("user_id"), col("event_id"),
+          (col("value") - lag(col("value"), 1).over(byUser)).as("delta"),
+          ntile(4).over(byUser).cast("int").as("quartile"))
+      },
+      Some("""SELECT user_id, event_id,
+        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile
+        |FROM events""".stripMargin)),
+
+    // ---- a6: strict ordered funnel (view → click → purchase). The Spark
+    // side is ONE shuffle (per-user greedy fold over time-sorted events);
+    // the oracle states the equivalent min-timestamp chain.
+    ("a6_funnel",
+      (s, d) => graft.ops.Funnels.funnel(ev(s, d), Seq("view", "click", "purchase")),
+      Some("""WITH a AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |b AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN a ON e.user_id = a.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN b ON e.user_id = b.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS step_name, (SELECT count(*) FROM a) AS users
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', (SELECT count(*) FROM b)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', (SELECT count(*) FROM c)""".stripMargin)),
+
+    // ---- a7: cohort retention — cohort = first event date per user,
+    // retained at offset d if any event lands exactly d days later.
+    ("a7_retention",
+      (s, d) => graft.ops.Funnels.retention(ev(s, d), maxDays = 30),
+      Some("""WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY 1)
+        |SELECT f.cohort_date,
+        |  CAST(datediff('day', f.cohort_date, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |WHERE datediff('day', f.cohort_date, CAST(e.ts AS DATE)) BETWEEN 0 AND 30
+        |GROUP BY 1, 2""".stripMargin)),
+
     // ---- §2.4: rollup aggregation
     ("rollup_agg",
       (s, d) => Tables(s, d, "lineitem")
@@ -663,6 +709,28 @@ object SparkEntry {
     ("x2_quality",
       (s, d) => TextAnalysis.qualityScore(docs(s, d), "text"),
       Some(qualitySql)),
+
+    // ---- x12: per-document distinctive terms (TF-IDF ranking with
+    // integer-exact keys: tf DESC, df ASC — ties by term; no float log).
+    ("x12_tfidf_topterms",
+      (s, d) => TextAnalysis.tfidfTopTerms(docs(s, d), "text", 5),
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokenRe')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, term, tf, df, rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS INT) AS rank
+        |  FROM tf JOIN dfq USING (term))
+        |WHERE rank <= 5""".stripMargin)),
+
+    // ---- x13: Gopher-style quality rule gates — integer cross-multiplied
+    // thresholds (no float division), so flags are exact in any engine.
+    ("x13_gopher_rules",
+      (s, d) => TextAnalysis.gopherRules(docs(s, d), "text"),
+      Some(gopherSql)),
 
     ("x3_langid",
       (s, d) => TextAnalysis.languageId(s, docs(s, d), "text"),
@@ -824,6 +892,19 @@ object SparkEntry {
         | AND epoch_us(p.ts) >= epoch_us(i.ts)
         | AND epoch_us(p.ts) <= epoch_us(i.ts) + 7200000000""".stripMargin)),
 
+    // ---- join_fuzzy: entity-resolution fuzzy matching — every customer-name
+    // pair within edit distance 1, found via symmetric-delete (FastSS)
+    // blocking + levenshtein verify. The oracle is the all-pairs ground
+    // truth (feasible at oracle SF; the Spark plan never goes quadratic).
+    ("join_fuzzy",
+      (s, d) => graft.ops.FuzzyJoin.editDistancePairs(
+        Tables(s, d, "customer"), "c_custkey", "c_name"),
+      Some("""SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        |  a.c_name AS a_key, b.c_name AS b_key,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
+
     // ---- e: embedding similarity (north star)
     ("e1_cosine_topk",
       (s, d) => Similarity.bruteForceTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),
@@ -874,6 +955,36 @@ object SparkEntry {
     ("e6_kmeans_assign",
       (s, d) => Similarity.kmeansAssign(emb(s, d), k = 8, iters = 2, dims = 64),
       Some(kmeansSql)),
+
+    // ---- e7: scalar-quantized (int8) cosine top-k — the 4x-smaller
+    // storage/bandwidth ANN path; quantized dots are exact integers, so
+    // the ranking is bit-stable across engines.
+    ("e7_sq8_topk",
+      (s, d) => Similarity.quantizedTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 8), 3),
+      Some("""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS mx FROM e),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx > 0 THEN list_transform(emb, x -> round(x * 127 / mx))
+        |         ELSE list_transform(emb, x -> 0.0) END AS q
+        |  FROM m),
+        |n AS (
+        |  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM q8
+        |  WHERE sqrt(list_dot_product(q, q)) > 0),
+        |p AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+        |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS qdot,
+        |    list_dot_product(a.q, b.q) / (a.nrm * b.nrm) AS approx_cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 8)
+        |SELECT query_id, nbr_id, qdot, approx_cos, rank FROM (
+        |  SELECT query_id, nbr_id, qdot, approx_cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY approx_cos DESC, nbr_id) AS INT) AS rank
+        |  FROM p)
+        |WHERE rank <= 3""".stripMargin)),
 
     // ---- m: multimodal plumbing (north star; codecs stubbed, dataflow real)
     ("m1_media_meta",
@@ -1244,6 +1355,38 @@ object SparkEntry {
        |       WHEN stopword_ratio >= 0.05 THEN 1.0
        |       ELSE 0.7 END AS quality
        |FROM m""".stripMargin
+  }
+
+  /** Gopher-rule SQL mirroring TextAnalysis.gopherRules — the same integer
+    * cross-multiplied thresholds, so every flag is exact. */
+  private lazy val gopherSql: String = {
+    val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(lower(text), '$tokenRe') AS toks,
+       |    length(text) AS nc,
+       |    length(text) - length(regexp_replace(lower(text), '$nonTokenRe', '', 'g')) AS punct,
+       |    len(regexp_extract_all(text, '\\.\\.\\.')) AS ellipses
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, nc, punct, ellipses,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(array_to_string(toks, '')) AS BIGINT) AS tok_chars,
+       |    CAST(len(list_filter(toks, t -> list_contains($allStop, t))) AS BIGINT) AS stop_hits
+       |  FROM b)
+       |SELECT doc_id, n_tokens,
+       |  n_tokens >= 50 AND n_tokens <= 100000 AS ok_word_count,
+       |  n_tokens > 0 AND tok_chars >= n_tokens * 3 AND tok_chars <= n_tokens * 10 AS ok_mean_word_len,
+       |  punct * 10 < nc * 3 AS ok_symbol_ratio,
+       |  stop_hits >= 2 AS ok_stopwords,
+       |  ellipses * 20 < n_tokens AS ok_ellipsis,
+       |  (n_tokens >= 50 AND n_tokens <= 100000)
+       |    AND (n_tokens > 0 AND tok_chars >= n_tokens * 3 AND tok_chars <= n_tokens * 10)
+       |    AND (punct * 10 < nc * 3)
+       |    AND (stop_hits >= 2)
+       |    AND (ellipses * 20 < n_tokens) AS keep
+       |FROM c""".stripMargin
   }
 
   /** The flagship app.py query over events-mapped enrollments, as one SQL. */

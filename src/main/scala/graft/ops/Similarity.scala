@@ -246,6 +246,53 @@ object Similarity {
       .toDF("vec_id", "embedding")
   }
 
+  /** Scalar-quantized (int8) brute-force top-k — the memory/bandwidth path
+    * for ANN at 100 TB: each vector is quantized once to 64 small integers
+    * (q[i] = round(x[i]·127/maxabs), the symmetric per-vector scheme), and
+    * every pair comparison runs on the quantized form. A float32 corpus
+    * shrinks 4x (int8 storage), scan bandwidth shrinks with it, and the
+    * dot products stay EXACT integers (|q·q'| ≤ 64·127² < 2^53), so the
+    * ranking is bit-stable across engines — no float-accumulation drift.
+    *
+    * Quantized values ride as integer-valued doubles so the codegen'd
+    * [[dot]] primitive computes the integer dot exactly; a dedicated int8
+    * kernel is a storage-format change, not a plan change. The per-vector
+    * max|x| is hoisted behind a Generate barrier — inside the transform
+    * lambda it would re-evaluate per element (64x).
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def quant(df: DataFrame, idAs: String, pre: String): DataFrame = {
+      val hoisted = df.select(col("vec_id").as(idAs),
+        explode(array(struct(
+          asDouble(col("embedding")).as("e"),
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("m")))).as("__q"))
+      // max|x| > 0 guarantees some q element is ±127, so norms are nonzero —
+      // filtering HERE (on the scalar) instead of on the norm keeps the
+      // quantization out of a pushed-down filter predicate (CollapseProject
+      // would otherwise re-expand it per consumer: measured 3x per row).
+      val qExpr = transform(col("__q.e"), x => round(x * lit(127.0) / col("__q.m")))
+      hoisted.filter(col("__q.m") > 0)
+        .select(col(idAs), explode(array(qExpr)).as(pre + "q")) // barrier
+        .select(col(idAs), col(pre + "q"),
+          sqrt(dot(col(pre + "q"), col(pre + "q"))).as(pre + "nrm"))
+    }
+    val c = quant(corpus, "nbr_id", "nbr_")
+    val q = broadcast(quant(queries, "query_id", "q_"))
+    // one dot per pair: the shared product sits behind a Generate barrier so
+    // qdot and approx_cos don't each re-run the 64-term loop
+    val scored = c.join(q, col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"), col("q_nrm"), col("nbr_nrm"),
+        explode(array(dot(col("q_q"), col("nbr_q")))).as("__d"))
+      .select(col("query_id"), col("nbr_id"),
+        col("__d").cast("long").as("qdot"),
+        (col("__d") / (col("q_nrm") * col("nbr_nrm"))).as("approx_cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("nbr_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("nbr_id"), col("qdot"), col("approx_cos"),
+        col("__rn").cast("int").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine above `threshold` among pairs
     * sharing a coarse partition key (here: label) — the pattern that bounds
     * the pair space; swap the key for an SRP bucket at scale.

@@ -232,6 +232,77 @@ object TextAnalysis {
       regexp_replace(col("__s2.ae"), PhoneRegex, "<PHONE>").as("clean_text"))
   }
 
+  /** Per-document distinctive terms — the TF-IDF ranking with integer-exact
+    * keys: top `k` terms per doc ordered by (tf DESC, df ASC, term ASC).
+    * Ranking by the raw (tf, df) pair orders identically to tf·log(N/df)
+    * whenever tf ties break by rarity, and keeps the result bit-stable
+    * across engines (no float log whose last ulp differs per libm).
+    *
+    * Plan: explode tokens → per-(doc, term) counts (shuffle 1, map-side
+    * combined), document frequency per term over that frame (shuffle 2,
+    * skinny (term, df) rows), join df back on term (reuses shuffle 2's
+    * clustering on one side), then a per-doc top-k window that Spark
+    * rewrites to WindowGroupLimit — partial top-k before the final shuffle.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf0 = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // both the join's left side and the document-frequency aggregate consume
+    // tf; without materialization Spark re-tokenizes the whole corpus for
+    // each branch (column pruning specializes the subtrees, so ReusedExchange
+    // never canonicalizes them equal — same fix as the d3 sketch frame)
+    val tf = if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Gopher-style quality rule gates (Rae et al. 2021's heuristic family):
+    * per-document boolean rules plus the conjunction. All thresholds are
+    * evaluated with integer cross-multiplication (`10*sum >= 3*n` instead of
+    * `sum/n >= 0.3`), so the flags are exact in any engine — no float
+    * division in the gate. Map-only, one pass, tokenizes once behind a
+    * Generate barrier. */
+  def gopherRules(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    // tokens + raw text stats materialized once (CollapseProject barrier)
+    val base = df.select(col("doc_id"),
+      explode(array(struct(
+        tokens(t).as("toks"),
+        length(t).as("nc"),
+        (length(t) - length(regexp_replace(lower(t), NonTokenRegex, ""))).as("punct"),
+        size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0))).as("ellipses")))).as("__b"))
+    val toks = col("__b.toks")
+    val nTok = size(toks).cast("long")
+    val tokChars = length(concat_ws("", toks)).cast("long")
+    val stopHits = size(filter(toks, tk => tk.isInCollection(allStop))).cast("long")
+    base.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      // 50 <= words <= 100k
+      (nTok >= 50 && nTok <= 100000L).as("ok_word_count"),
+      // 3 <= mean word length <= 10  ⇔  3n <= Σlen <= 10n
+      (nTok > 0 && tokChars >= nTok * 3 && tokChars <= nTok * 10).as("ok_mean_word_len"),
+      // punctuation chars < 30% of text  ⇔  10·punct < 3·chars
+      (col("__b.punct") * 10 < col("__b.nc") * 3).as("ok_symbol_ratio"),
+      // at least 2 stopword hits and hits >= 2% of tokens won't be required:
+      // the published rule is an absolute floor
+      (stopHits >= 2).as("ok_stopwords"),
+      // fewer than 1 '...' per 20 tokens  ⇔  20·ellipses < n
+      (col("__b.ellipses") * 20 < nTok).as("ok_ellipsis"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_stopwords") && col("ok_ellipsis"))
+  }
+
   /** Document fingerprint: minimum md5 over all `k`-char shingles of the
     * text (a min-hash-style content fingerprint; robust to local edits in a
     * way whole-document md5 is not). Map-only; the per-row shingle array is

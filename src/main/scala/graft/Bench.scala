@@ -61,13 +61,17 @@ object Bench {
       val s = if (dec == 1) f"$v%.1f" else f"$v%.2f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    def line(dec: Int): String = {
+    def line(dec: Int, sf: String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
-    val out = { val l2 = line(2); if (l2.length <= 1900) l2 else line(1) }
+    // Degrade ladder: 2-decimal → 1-decimal → 1-decimal with sf basename.
+    // The driver keeps a 2000-char stdout tail; stay under it with margin.
+    val out = Seq(line(2, sfDir), line(1, sfDir),
+      line(1, new java.io.File(sfDir).getName)).find(_.length <= 1900)
+      .getOrElse(line(1, new java.io.File(sfDir).getName))
     spark.stop()
     // Print AFTER spark.stop() so no late executor/driver log line can land
     // between the JSON and process exit.

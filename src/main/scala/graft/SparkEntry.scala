@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.etl.{Enrich, Ingest, Upsert}
+import graft.etl.{Enrich, IncrementalAgg, Ingest, Layout, Upsert}
 import graft.functions.GradeScale
 import graft.model.{Dims, Tables}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -1017,7 +1017,38 @@ object SparkEntry {
       Some("""SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
         |md5(substr(text, CAST(1 + i*64 AS INT), 16)) AS frame_md5
         |FROM documents,
-        |unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)""".stripMargin))
+        |unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)""".stripMargin)),
+
+    // ---- i1: incremental (delta-maintained) aggregate. The query splits
+    // events into a base batch and a delta batch, aggregates each to partial
+    // state, merges, and finishes — the oracle is the FROM-SCRATCH aggregate,
+    // so the hash match proves merge(state(a), state(b)) == state(a ∪ b).
+    ("i1_inc_agg",
+      (s, d) => {
+        val e = ev(s, d)
+        val base = e.filter(col("event_id") % 7 =!= 0)
+        val delta = e.filter(col("event_id") % 7 === 0)
+        val keys = Seq("event_type")
+        IncrementalAgg.finish(IncrementalAgg.merge(keys,
+          IncrementalAgg.state(base, keys, "value"),
+          IncrementalAgg.state(delta, keys, "value")))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        |  min(value) AS vmin, max(value) AS vmax,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS mean_value
+        |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---- l1: Z-order curve value (data-layout clustering key). The write
+    // path (Layout.zorderWrite) is certified by LayoutSpec's file-pruning
+    // assertions; this query certifies the interleaved-bit arithmetic.
+    ("l1_zvalue",
+      (s, d) => ev(s, d).select(col("event_id"),
+        Layout.zValue(col("user_id").bitwiseAND(65535), col("event_id").bitwiseAND(65535))
+          .as("z")),
+      Some(s"""SELECT event_id,
+        |  ${Layout.zValueSql("(user_id & 65535)", "(event_id & 65535)")} AS z
+        |FROM events""".stripMargin))
   )
 
   // ------------------------------------------------------- generated oracles

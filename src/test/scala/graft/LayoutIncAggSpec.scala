@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{IncrementalAgg, Layout}
+
+class LayoutIncAggSpec extends SparkSpec {
+
+  test("incremental state merge equals from-scratch aggregation (any split, any order)") {
+    import spark.implicits._
+    val rows = (1 to 997).map(i => (i.toLong, s"t${i % 5}", math.sin(i) * 100))
+      .toDF("event_id", "event_type", "value")
+    val keys = Seq("event_type")
+    val scratch = IncrementalAgg.finish(IncrementalAgg.state(rows, keys, "value"))
+
+    // three-way split, merged in two different shapes
+    val parts = Seq(0, 1, 2).map(r => rows.filter(col("event_id") % 3 === r))
+    val states = parts.map(IncrementalAgg.state(_, keys, "value"))
+    val mergedA = IncrementalAgg.finish(IncrementalAgg.merge(keys, states: _*))
+    val mergedB = IncrementalAgg.finish(IncrementalAgg.merge(keys,
+      IncrementalAgg.merge(keys, states(2), states(0)), states(1)))
+
+    val want = scratch.orderBy("event_type").collect().toSeq
+    assert(mergedA.orderBy("event_type").collect().toSeq == want)
+    assert(mergedB.orderBy("event_type").collect().toSeq == want)
+  }
+
+  test("z-value interleaves bits (known points) and matches its SQL form") {
+    import spark.implicits._
+    // interleave(x=0b101, y=0b011) = y2 x2 y1 x1 y0 x0 = 0b011011... compute:
+    // x bits at even positions: 1,0,1 -> 1 + 0 + 16 = 17
+    // y bits at odd positions:  1,1,0 -> 2 + 8 + 0 = 10 -> z = 27
+    val df = Seq((5L, 3L)).toDF("x", "y")
+    val z = df.select(Layout.zValue(col("x"), col("y"), bits = 4)).head.getLong(0)
+    assert(z == 27L)
+    val zSql = df.selectExpr(Layout.zValueSql("x", "y", bits = 4)).head.getLong(0)
+    assert(zSql == 27L)
+  }
+
+  test("zorderWrite yields disjoint z-ranges and prunes files on BOTH dimensions") {
+    import spark.implicits._
+    val n = 4096
+    val df = (0 until n).map { i => (i.toLong % 64, (i.toLong * 37) % 64, i.toLong) }
+      .toDF("x", "y", "payload")
+    val dir = Files.createTempDirectory("zorder").toFile
+    dir.deleteOnExit()
+    Layout.zorderWrite(df, "x", "y", dir.getAbsolutePath, files = 8, bits = 6)
+
+    // Per-file min/max of BOTH source columns, as a parquet reader's footer
+    // stats would expose them. Z-ordering must keep both tight: a point
+    // predicate on either dimension may only touch a strict subset of files.
+    val stats = spark.read.parquet(dir.getAbsolutePath)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("xlo"), max("x").as("xhi"),
+        min("y").as("ylo"), max("y").as("yhi"))
+      .collect()
+    assert(stats.length >= 4, s"expected multiple files, got ${stats.length}")
+    def touched(lo: String, hi: String, v: Long) =
+      stats.count(r => r.getAs[Long](lo) <= v && v <= r.getAs[Long](hi))
+    // With a linear sort on x, y ranges would be full-width in every file.
+    // The Z-curve must prune at least half the files for a midpoint probe
+    // on each dimension.
+    assert(touched("xlo", "xhi", 13L) <= stats.length / 2,
+      s"x probe touched ${touched("xlo", "xhi", 13L)} of ${stats.length} files")
+    assert(touched("ylo", "yhi", 45L) <= stats.length / 2,
+      s"y probe touched ${touched("ylo", "yhi", 45L)} of ${stats.length} files")
+    // Round-trip: no rows lost or duplicated by the rewrite.
+    assert(spark.read.parquet(dir.getAbsolutePath).count() == n)
+  }
+}

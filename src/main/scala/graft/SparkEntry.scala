@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.{Enrich, IncrementalAgg, Ingest, Layout, Upsert}
 import graft.functions.GradeScale
 import graft.model.{Dims, Tables}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 import graft.query.{Dashboards, EventsAdapter, Progress}
 
 /** Driver contract (SURVEY.md §5): every operator of SURVEY.md §2 plus the
@@ -1048,8 +1048,18 @@ object SparkEntry {
           .as("z")),
       Some(s"""SELECT event_id,
         |  ${Layout.zValueSql("(user_id & 65535)", "(event_id & 65535)")} AS z
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+
+    // ---- r1: BM25 lexical retrieval (the mining/eval side of a pipeline:
+    // rank corpus documents against a term query). Per-(doc,term)
+    // contributions are 1e-6 fixed-point BEFORE the per-doc sum, so the
+    // score is an order-independent integer sum in both engines.
+    ("r1_bm25",
+      (s, d) => Retrieval.bm25TopK(docs(s, d), "text", bm25Terms, 20),
+      Some(Retrieval.bm25Sql(TextAnalysis.TokenRegex, bm25Terms, 20)))
   )
+
+  private val bm25Terms = Seq("vector", "stream", "hash")
 
   // ------------------------------------------------------- generated oracles
 

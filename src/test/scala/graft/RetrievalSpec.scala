@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** BM25 semantics (ops/Retrieval.scala): term-frequency saturation, length
+  * normalization, idf ordering, and determinism of the fixed-point score. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("more query-term hits rank higher at equal length") {
+    val df = frame(
+      1L -> "cat dog cat dog cat dog cat dog",
+      2L -> "cat cat cat cat dog dog dog dog",
+      3L -> "cat fish bird fish bird fish bird fish")
+    val out = graft.ops.Retrieval.bm25TopK(df, "text", Seq("cat"), 3).collect()
+    // docs 1 and 2 both have tf=4, doc 3 has tf=1; same dl=8 everywhere
+    assert(out.map(_.getLong(0)).take(2).toSet == Set(1L, 2L))
+    assert(out.last.getLong(0) == 3L)
+    assert(out.head.getDouble(2) > out.last.getDouble(2))
+  }
+
+  test("length normalization: same tf, shorter doc wins") {
+    val df = frame(
+      1L -> "cat dog",
+      2L -> "cat dog fish bird mouse horse goat sheep")
+    val Array(first, second) =
+      graft.ops.Retrieval.bm25TopK(df, "text", Seq("cat"), 2).collect()
+    assert(first.getLong(0) == 1L && second.getLong(0) == 2L)
+    assert(first.getDouble(2) > second.getDouble(2))
+  }
+
+  test("rarer term contributes more (idf ordering)") {
+    // 'rare' appears in 1 of 4 docs, 'common' in all 4 — equal tf and dl
+    val df = frame(
+      1L -> "rare pad pad",
+      2L -> "common pad pad",
+      3L -> "common foo bar",
+      4L -> "common baz qux")
+    val out = graft.ops.Retrieval
+      .bm25TopK(df, "text", Seq("rare", "common"), 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(2L))
+  }
+
+  test("tf saturation: score is concave in tf (k1 cap)") {
+    val df = frame(
+      1L -> "cat x x x x x x x",
+      2L -> "cat cat x x x x x x",
+      3L -> "cat cat cat cat cat cat cat x")
+    val s = graft.ops.Retrieval.bm25TopK(df, "text", Seq("cat"), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val gain12 = s(2L) - s(1L)
+    val gain23 = (s(3L) - s(2L)) / 5.0 // per extra occurrence
+    assert(gain12 > 0 && gain23 > 0 && gain23 < gain12)
+  }
+
+  test("n_terms counts distinct matched terms; k limits output") {
+    val df = frame(
+      1L -> "cat dog fish",
+      2L -> "cat cat cat",
+      3L -> "bird bird bird")
+    val out = graft.ops.Retrieval.bm25TopK(df, "text", Seq("cat", "dog"), 2).collect()
+    assert(out.length == 2)
+    val byId = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byId(1L) == 2 && byId(2L) == 1)
+  }
+
+  test("score is stable under repartitioning (fixed-point sum)") {
+    val df = frame((1L to 40L).map(i =>
+      i -> s"cat dog ${"pad " * (i % 7).toInt}fish"): _*)
+    val a = graft.ops.Retrieval.bm25TopK(df, "text", Seq("cat", "fish"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = graft.ops.Retrieval
+      .bm25TopK(df.repartition(13), "text", Seq("cat", "fish"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b)
+  }
+}

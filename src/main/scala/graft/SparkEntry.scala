@@ -807,6 +807,16 @@ object SparkEntry {
         |        % ${Dedup.P} % ${Int.MaxValue}, doc_id) AS rn
         |  FROM documents) WHERE rn <= 5""".stripMargin)),
 
+    // ---- x14: mixture sampling — downsample each source toward a target
+    // token mixture (the training-mix construction step); membership is
+    // salted-hash arithmetic, so the mix is identical across engines,
+    // partitionings, and re-runs. Budget 2000 tokens, weights cycle 1..4.
+    ("x14_mixture",
+      (s, d) => graft.ops.Sampling.mixtureSample(docs(s, d), "source",
+        size(TextAnalysis.tokens(col("text"))),
+        (0 until 20).map(i => s"src$i" -> (i % 4 + 1)), budget = 2000L, salt = "r5"),
+      Some(mixtureSql)),
+
     // ---- x11: sequence packing — contiguous-fill pack assignment per
     // hash bucket (the tokenize-and-pack layout step); window cumsum per
     // bucket, reproduced exactly by the oracle's windowed sum.
@@ -985,6 +995,28 @@ object SparkEntry {
         |      ORDER BY approx_cos DESC, nbr_id) AS INT) AS rank
         |  FROM p)
         |WHERE rank <= 3""".stripMargin)),
+
+    // ---- d8: SemDeDup — semantic dedup via centroid cells + in-cell cosine
+    // prune; catches paraphrases that share no n-grams with d2/d3's shingle
+    // dedup. Centroids: the deterministic vec_id<8 stand-in e4 uses
+    // (kmeansCentroidFrame is the real producer at scale).
+    ("d8_semdedup",
+      (s, d) => Similarity.semDedup(emb(s, d), emb(s, d).filter(col("vec_id") < 8), 0.3),
+      Some("""WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  WHERE len(embedding) = 64),
+        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM base WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT b.vec_id, b.emb, c.cid AS cell
+        |  FROM base b CROSS JOIN cent c
+        |  QUALIFY row_number() OVER (PARTITION BY b.vec_id
+        |    ORDER BY list_cosine_similarity(b.emb, c.cemb) DESC, c.cid) = 1),
+        |dropped AS (
+        |  SELECT DISTINCT r.vec_id
+        |  FROM assign l JOIN assign r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        |  WHERE list_cosine_similarity(l.emb, r.emb) >= 0.3)
+        |SELECT a.vec_id, a.cell, d.vec_id IS NULL AS keep
+        |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin)),
 
     // ---- m: multimodal plumbing (north star; codecs stubbed, dataflow real)
     ("m1_media_meta",
@@ -1342,6 +1374,26 @@ object SparkEntry {
        |FROM base b CROSS JOIN c$iters c
        |QUALIFY row_number() OVER (PARTITION BY b.vec_id
        |  ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) = 1""".stripMargin
+  }
+
+  /** x14 oracle: identical rate arithmetic (exact integers until one final
+    * double division) and the identical salted id-hash membership test. */
+  private lazy val mixtureSql: String = {
+    val weights = (0 until 20).map(i => s"('src$i', ${i % 4 + 1})").mkString(", ")
+    val wSum = (0 until 20).map(i => i % 4 + 1).sum
+    val h = s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_r5'), 1, 8) AS BIGINT) % ${Dedup.P}"
+    val rate = s"least(1.0, CAST(2000 * w.wt AS DOUBLE) / CAST($wSum * tot.total AS DOUBLE))"
+    s"""WITH w(source, wt) AS (VALUES $weights),
+       |tok AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text), '$tokenRe')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |tot AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM tok GROUP BY source)
+       |SELECT t.doc_id, t.source, t.n_tokens,
+       |  $rate AS rate,
+       |  $h < $rate * ${Dedup.P}.0 AS keep
+       |FROM tok t JOIN w ON t.source = w.source JOIN tot ON t.source = tot.source""".stripMargin
   }
 
   /** Stopword-vote language ID SQL, sharing the lexicon with TextAnalysis. */

@@ -34,6 +34,40 @@ object Sampling {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** Mixture sampling: downsample each source toward a target token mixture —
+    * the pass that turns a raw multi-source corpus into a training mix with
+    * chosen proportions (w_s of a total token `budget` per source).
+    *
+    * rate_s = min(1, budget·w_s / (W·tokens_s)) with W = Σw_s; a document is
+    * kept iff its salted id-hash (uniform on [0, P)) falls below rate_s·P, so
+    * E[kept tokens per source] ≈ budget·w_s/W, capped at what the source has.
+    * Membership is pure hash arithmetic: reproducible across engines, and
+    * re-runs keep the SAME documents (stable mixes across pipeline versions).
+    *
+    * One shuffle total: the per-source token totals are a |S|-row aggregate
+    * broadcast back onto the corpus; the keep decision itself is map-only.
+    * rate_s arithmetic stays in exact integers until a single final double
+    * division, so both engines compute bit-identical rates.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, tokenCount: Column,
+                    weights: Seq[(String, Int)], budget: Long, salt: String): DataFrame = {
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    val w = weights.map(_._2).sum
+    val wCol = weights.foldRight(lit(null).cast("int"): Column) {
+      case ((s, wt), acc) => when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }
+    val base = df.select(col("doc_id"), col(sourceCol).as("source"),
+      tokenCount.cast("long").as("n_tokens"), wCol.as("__w"))
+    val totals = base.groupBy("source").agg(sum(col("n_tokens")).as("__total"))
+    base.join(broadcast(totals), Seq("source"))
+      .withColumn("rate", least(lit(1.0),
+        (lit(budget) * col("__w")).cast("double") / (lit(w) * col("__total")).cast("double")))
+      .withColumn("keep",
+        Dedup.strHash31(concat(col("doc_id").cast("string"), lit("_" + salt))) <
+          col("rate") * lit(Dedup.P.toDouble))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"), col("keep"))
+  }
+
   /** Stratified fixed-size sample: the `k` rows with the smallest salted
     * hash per stratum — deterministic, uniform within each stratum, one
     * shuffle on the stratum key. */

@@ -293,6 +293,55 @@ object Similarity {
         col("__rn").cast("int").as("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication —
+    * cluster the corpus into cells, and within each cell drop every vector
+    * that has an earlier (lower vec_id) cell-mate with cosine ≥ `threshold`.
+    * The "keep one per semantic cluster" pass web-scale training corpora run
+    * after exact/MinHash dedup; unlike d3/d5 it catches paraphrases that
+    * share no n-grams.
+    *
+    * Scale shape: the centroid set is tiny by construction (k·dims values —
+    * the same driver-traffic contract as [[kmeansCentroids]], which is the
+    * real producer of these centroids), so assignment is ONE codegen'd
+    * map pass: k literal-array dot products + `greatest(struct)` argmax — no
+    * join, no window shuffle. The pair comparison is an equi-join on the
+    * cell id; SemDeDup's design point is that k grows with the corpus, so
+    * per-cell pair cost stays bounded (paper uses k≈10⁵ for 10⁹ docs).
+    * Output is every vector's (cell, keep) — callers filter `keep` to
+    * materialize the survivor corpus.
+    */
+  def semDedup(df: DataFrame, centroids: DataFrame, threshold: Double,
+               dims: Int = 64): DataFrame = {
+    val cents: Seq[(Long, Array[Double])] = centroids
+      .filter(size(col("embedding")) === dims)
+      .select(col("vec_id"), asDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    require(cents.nonEmpty, "empty centroid set")
+    // argmax cosine with cid-ascending tie-break: max over (cos, -cid) pairs
+    val structs = cents.map { case (cid, c) =>
+      val nrm = math.sqrt(c.map(x => x * x).sum) // sequential, oracle-identical
+      struct((dot(col("emb"), typedLit(c.toSeq)) / (col("nrm") * lit(nrm))).as("cos"),
+        lit(-cid).as("ni"))
+    }
+    val assigned0 = df.filter(size(col("embedding")) === dims)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+        l2norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        (-greatest(structs: _*).getField("ni")).as("cell"))
+    // consumed by both pair-join sides and the final output
+    val assigned = if (assigned0.isStreaming) assigned0 else assigned0.localCheckpoint()
+    val l = assigned.select(col("cell"), col("vec_id").as("a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = assigned.select(col("cell"), col("vec_id").as("b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val dropped = l.join(r, Seq("cell")).filter(col("a") < col("b"))
+      .filter(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("__d").isNull.as("keep"))
+  }
+
   /** Embedding near-duplicate pairs: cosine above `threshold` among pairs
     * sharing a coarse partition key (here: label) — the pattern that bounds
     * the pair space; swap the key for an SRP bucket at scale.

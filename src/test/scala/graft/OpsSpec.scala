@@ -225,4 +225,43 @@ class OpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media).collect()
     assert(frames.length == 3) // 200 bytes / 64 stride -> 3 frames
   }
+
+  test("SemDeDup: later near-dup cell-mates dropped, dissimilar cell-mates kept") {
+    def v(x: Double, y: Double) =
+      Array.tabulate(4)(i => (if (i == 0) x else if (i == 1) y else 0.0).toFloat)
+    val emb = Seq(
+      (0L, v(1, 0)), (1L, v(0, 1)),             // double as centroids
+      (10L, v(0.7, 0.7)),                       // centroid tie -> min cid = 0
+      (11L, v(0.7, 0.7)),                       // identical to 10 -> dropped
+      (20L, v(0.6, 0.8)),                       // cell 1, far from 1 and 21's twin
+      (21L, v(0.61, 0.79))                      // cos(20,21) ~ 0.9999 -> dropped
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(emb, emb.filter(col("vec_id") < 2), 0.95, dims = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.view.mapValues(_._1).toMap ==
+      Map(0L -> 0L, 1L -> 1L, 10L -> 0L, 11L -> 0L, 20L -> 1L, 21L -> 1L))
+    assert(got.filter(_._2._2).keySet == Set(0L, 1L, 10L, 20L))
+  }
+
+  test("mixture sampling: exact rates, cap at 1, hash membership reproducible") {
+    val docs = (0 until 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", 10L))
+      .toDF("doc_id", "source", "toks").repartition(7)
+    // 500 tokens per source; W=4: rate_a = min(1, 1000*3/(4*500)) = 1 (capped),
+    // rate_b = 1000*1/(4*500) = 0.5
+    val got = graft.ops.Sampling.mixtureSample(docs, "source", col("toks"),
+      Seq("a" -> 3, "b" -> 1), budget = 1000L, salt = "t")
+    val rates = got.select("source", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates == Map("a" -> 1.0, "b" -> 0.5))
+    assert(got.filter(col("source") === "a" && !col("keep")).count() == 0)
+    val keptB = got.filter(col("source") === "b" && col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    def h31(s: String): Long = { // strHash31 reference implementation
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2147483647L
+    }
+    val expB = (0 until 100).filter(_ % 2 == 1)
+      .filter(i => h31(s"${i}_t") < 0.5 * 2147483647.0).map(_.toLong).toSet
+    assert(keptB == expB && keptB.nonEmpty && keptB.size < 50)
+  }
 }

@@ -27,6 +27,46 @@ class LayoutIncAggSpec extends SparkSpec {
     assert(mergedB.orderBy("event_type").collect().toSeq == want)
   }
 
+  test("streaming foreachBatch maintenance: state table converges to from-scratch") {
+    // The production loop i1 models: per micro-batch, aggregate ONLY the
+    // delta, merge with the persisted |keys|-row state table, swap. The
+    // 100 TB history is never re-read; this pins that the maintained state
+    // equals a from-scratch aggregation over everything seen.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("incagg").toFile.getAbsolutePath
+    val keys = Seq("k")
+    var statePath: Option[String] = None
+    val input = MemoryStream[(String, Double)]
+    val q = input.toDF.toDF("k", "v").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val delta = IncrementalAgg.state(batch, keys, "v")
+        val merged = statePath match {
+          case Some(p) => IncrementalAgg.merge(keys, spark.read.parquet(p), delta)
+          case None    => delta
+        }
+        val next = s"$dir/state_$id"
+        merged.write.mode("overwrite").parquet(next) // then swap the pointer
+        statePath = Some(next)
+        ()
+      }.start()
+    val batches = Seq(
+      Seq(("a", 1.25), ("b", -2.0), ("a", 3.5)),
+      Seq(("b", 10.0), ("c", 0.75)),
+      Seq(("a", -0.25), ("c", 99.99), ("b", 0.01)))
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val maintained = IncrementalAgg.finish(spark.read.parquet(statePath.get))
+      .orderBy("k").collect().toSeq
+    val scratch = IncrementalAgg.finish(
+      IncrementalAgg.state(batches.flatten.toDF("k", "v"), keys, "v"))
+      .orderBy("k").collect().toSeq
+    assert(maintained == scratch)
+  }
+
   test("z-value interleaves bits (known points) and matches its SQL form") {
     import spark.implicits._
     // interleave(x=0b101, y=0b011) = y2 x2 y1 x1 y0 x0 = 0b011011... compute:

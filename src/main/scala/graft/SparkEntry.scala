@@ -466,6 +466,19 @@ object SparkEntry {
         |quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- a8: winsorization — clip values to per-group exact [p05, p95];
+    // |groups|-row bounds aggregate broadcast back, map-only clip.
+    ("a8_winsorize",
+      (s, d) => Dashboards.winsorize(ev(s, d), Seq("event_type"), "value", 0.05, 0.95)
+        .select("event_id", "event_type", "value", "value_w"),
+      Some("""WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  least(greatest(e.value, b.lo), b.hi) AS value_w
+        |FROM events e JOIN b USING (event_type)""".stripMargin)),
+
     // ---- A5 sketch form: mergeable quantile summary (Greenwald-Khanna) —
     // the 100 TB default; the exact form above is the audit path. No
     // engine-portable oracle (sketch internals differ); gated instead by

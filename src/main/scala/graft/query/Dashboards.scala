@@ -40,6 +40,27 @@ object Dashboards {
         avg(col(valueCol)).as("mean"),
         countDistinct(col(entityCol)).as("n_entities"))
 
+  /** Winsorization: clip a value column to its per-group [lo, hi] exact
+    * percentiles — the robust-statistics guard dashboards apply before
+    * means/trends so a single fat-finger value can't swamp a panel.
+    *
+    * Scale shape: the bounds frame is |groups| rows (one exact-percentile
+    * aggregate) and comes back as a broadcast; the clip itself is map-only.
+    * At 100 TB swap `percentile` for `approx_percentile` (mergeable GK
+    * sketch, same plan shape) — the exact form is the audit path, mirroring
+    * the a5 percentile pair. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                lo: Double, hi: Double): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, "need 0 <= lo < hi <= 1")
+    val bounds = df.groupBy(groupCols.map(col): _*).agg(
+      percentile(col(valueCol), lit(lo)).as("__lo"),
+      percentile(col(valueCol), lit(hi)).as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(valueCol + "_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Sketch form: HLL++ distinct entities — constant memory per group,
     * mergeable across partitions; the 100 TB default. */
   def groupStatsApprox(df: DataFrame, groupCols: Seq[String], valueCol: String,

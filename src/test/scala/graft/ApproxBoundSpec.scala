@@ -63,4 +63,19 @@ class ApproxBoundSpec extends SparkSpec {
       .select("event_type", "day")
     assert(exactKeys.exceptAll(approxKeys).isEmpty && approxKeys.exceptAll(exactKeys).isEmpty)
   }
+
+  test("winsorize clips to exact per-group interpolated percentile bounds") {
+    import spark.implicits._
+    // 1..100 in group g, one far outlier group kept separate
+    val df = ((1 to 100).map(i => ("g", i.toDouble)) :+ (("h", 1e9)))
+      .toDF("k", "value")
+    val got = graft.query.Dashboards.winsorize(df, Seq("k"), "value", 0.05, 0.95)
+      .select("k", "value", "value_w").as[(String, Double, Double)].collect()
+    val g = got.filter(_._1 == "g")
+    // quantile_cont interpolation on 1..100: p05 = 1 + 0.05*99, p95 = 1 + 0.95*99
+    assert(g.filter(_._2 == 1.0).head._3 == 5.95)
+    assert(g.filter(_._2 == 100.0).head._3 == 95.05)
+    assert(g.filter(_._2 == 50.0).head._3 == 50.0)   // interior untouched
+    assert(got.filter(_._1 == "h").head._3 == 1e9)   // other group's bounds unused
+  }
 }

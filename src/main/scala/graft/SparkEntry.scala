@@ -745,6 +745,13 @@ object SparkEntry {
       (s, d) => TextAnalysis.gopherRules(docs(s, d), "text"),
       Some(gopherSql)),
 
+    // ---- x15: rare-token ratio — the fraction of a doc's token instances
+    // whose corpus document-frequency is under 10% of the corpus; the
+    // model-free, integer-exact stand-in for LM-perplexity filtering.
+    ("x15_rare_tokens",
+      (s, d) => TextAnalysis.rareTokenStats(docs(s, d), "text", pctDenom = 10),
+      Some(rareTokenSql)),
+
     ("x3_langid",
       (s, d) => TextAnalysis.languageId(s, docs(s, d), "text"),
       Some(langIdSql)),
@@ -891,6 +898,17 @@ object SparkEntry {
       (s, d) => Dedup.connectedComponents(
         Dedup.simhashNearDup(Dedup.simhash(docs(s, d), "text"), maxHamming = 3)),
       Some(dupClustersSql)),
+
+    // ---- d9: cross-corpus dedup — flag a fresh slice (doc_id % 10 = 0)
+    // against the incumbent corpus via the MinHash band index; equi-join on
+    // band keys, never all-pairs against the 100 TB incumbent.
+    ("d9_cross_dedup",
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.crossDedup(all.filter(col("doc_id") % 10 === 0),
+          all.filter(col("doc_id") % 10 =!= 0), "text")
+      },
+      Some(crossDedupSql)),
 
     // ---- interval join: points-in-range via the bucketized equi-join
     // (ops/IntervalJoin) — intervals are 2-hour windows opened at every
@@ -1133,11 +1151,14 @@ object SparkEntry {
   }
 
   /** LSH candidate pairs + exact Jaccard verify, sharing the MinHash CTEs. */
-  private lazy val lshPairsSql: String = {
+  /** Shared MinHash banding CTE chain (tokens → shingles → hashes → k-min
+    * signatures → LSH band keys) over `documents` — the prefix of every
+    * MinHash-family oracle (d3, d9). */
+  private lazy val mhBandCtes: String = {
     val mhArr = Dedup.minhashSeeds.map { case (a, b) =>
       s"list_min(list_transform(hashes, x -> ($a * x + $b) % ${Dedup.P}))"
     }.mkString("[", ", ", "]")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t FROM documents),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
@@ -1151,7 +1172,11 @@ object SparkEntry {
        |  SELECT doc_id, b.band_id,
        |    md5(CAST(mh[2*b.band_id + 1] AS VARCHAR) || '_' ||
        |        CAST(mh[2*b.band_id + 2] AS VARCHAR)) AS band_key
-       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b)""".stripMargin
+  }
+
+  private lazy val lshPairsSql: String =
+    s"""WITH $mhBandCtes,
        |ok AS (
        |  SELECT band_id, band_key FROM bands
        |  GROUP BY band_id, band_key HAVING count(*) <= 64),
@@ -1167,7 +1192,50 @@ object SparkEntry {
        |    (len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes)))
        |    AS jaccard
        |FROM pairs p JOIN hs sa ON p.a = sa.doc_id JOIN hs sb ON p.b = sb.doc_id""".stripMargin
-  }
+
+  /** d9 oracle: the same banding chain, restricted to new×corpus pairs, with
+    * the per-new-doc summary (count, best match by jaccard/min-id). */
+  private lazy val crossDedupSql: String =
+    s"""WITH $mhBandCtes,
+       |j AS (
+       |  SELECT DISTINCT n.doc_id, c.doc_id AS corpus_doc_id,
+       |    CAST(len(list_intersect(sa.hashes, sb.hashes)) AS DOUBLE) /
+       |      (len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes)))
+       |      AS jaccard
+       |  FROM bands n JOIN bands c
+       |    ON n.band_id = c.band_id AND n.band_key = c.band_key
+       |   AND n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+       |  JOIN hs sa ON n.doc_id = sa.doc_id JOIN hs sb ON c.doc_id = sb.doc_id),
+       |hits AS (SELECT * FROM j WHERE jaccard >= 0.5),
+       |best AS (
+       |  SELECT doc_id, corpus_doc_id, jaccard FROM hits
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY jaccard DESC, corpus_doc_id) = 1),
+       |summ AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_matches FROM hits GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(s.n_matches, 0) AS n_matches,
+       |  b.corpus_doc_id AS best_match_id, b.jaccard AS best_jaccard,
+       |  s.doc_id IS NULL AS keep
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+       |LEFT JOIN summ s ON d.doc_id = s.doc_id
+       |LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin
+
+  /** x15 oracle: per-(doc,term) counts, corpus document frequency, and the
+    * integer-exact rare-instance ratio. */
+  private lazy val rareTokenSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokenRe')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |nd AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT tf.doc_id,
+       |  CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN d.df * 10 < nd.n_docs THEN tf.tf ELSE 0 END) AS BIGINT) AS n_rare,
+       |  CAST(sum(CASE WHEN d.df * 10 < nd.n_docs THEN tf.tf ELSE 0 END) AS DOUBLE) / sum(tf.tf)
+       |    AS rare_ratio
+       |FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN nd
+       |GROUP BY tf.doc_id""".stripMargin
 
   /** 32-bit SimHash CTE chain (per-bit majority votes), shared by the d4
     * signature oracle and the d5 near-dup oracle. */

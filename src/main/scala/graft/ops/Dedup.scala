@@ -228,6 +228,46 @@ object Dedup {
     jaccardFromSets(pairs, sigs).filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus dedup: flag every `newDocs` document that near-duplicates
+    * the existing `corpus` — the "dedup a fresh crawl against what we already
+    * have" pass, which must NOT pay an all-pairs cost against the 100 TB
+    * incumbent. Candidates come from the same MinHash band index the
+    * streaming path builds ([[graft.streaming.StreamDedup.corpusIndex]]):
+    * new docs carry per-row signatures (shuffle-free), the index join is an
+    * equi-join on (band_id, band_key), and only flagged hits reach the
+    * per-doc summary. Output per new doc: match count, deterministic best
+    * match (max Jaccard, min corpus id on ties), and the keep verdict.
+    */
+  def crossDedup(newDocs: DataFrame, corpus: DataFrame, textCol: String,
+                 n: Int = 3, rowsPerBand: Int = 2,
+                 threshold: Double = 0.5): DataFrame = {
+    val cSigs = minhashSignaturesWithSets(corpus, textCol, n)
+    val index = lshBands(cSigs, rowsPerBand)
+      .join(cSigs.select(col("doc_id").as("corpus_doc_id"), col("sh").as("sh_corpus")),
+        col("doc_id") === col("corpus_doc_id")).drop("doc_id")
+    val nSigs = rowMinhashSignatures(newDocs, textCol, n)
+    val banded = nSigs.select(col("doc_id"), col("sh"),
+        explode(array(bandStructs(rowsPerBand): _*)).as("band"))
+      .select(col("doc_id"), col("sh"),
+        col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
+    val hits = banded
+      .join(index, Seq("band_id", "band_key"))
+      .select(col("doc_id"), col("corpus_doc_id"),
+        jaccardExpr(col("sh"), col("sh_corpus")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct() // multi-band pair copies carry the identical jaccard
+    val summary = hits.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_matches"),
+      max(struct(col("jaccard"), (-col("corpus_doc_id")).as("ni"))).as("__best"))
+    newDocs.select(col("doc_id"))
+      .join(summary, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0)).as("n_matches"),
+        (-col("__best.ni")).as("best_match_id"),
+        col("__best.jaccard").as("best_jaccard"),
+        col("n_matches").isNull.as("keep"))
+  }
+
   /** Near-dup clustering: connected components over candidate pairs by
     * min-label propagation — every doc's label converges to the smallest
     * doc_id reachable through dup edges, giving (doc_id, cluster_id) and

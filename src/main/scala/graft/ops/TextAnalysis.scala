@@ -264,6 +264,33 @@ object TextAnalysis {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Rare-token (OOV-ish) quality signal: the fraction of a document's token
+    * INSTANCES whose corpus-wide document frequency is below `dfThreshold` —
+    * a cheap, integer-exact stand-in for LM-perplexity filtering (documents
+    * dense in corpus-rare tokens are gibberish, boilerplate IDs, or OCR
+    * noise). CCNet uses a trained LM for this; the df-based form needs no
+    * model and no float log, so it cross-checks exactly on any engine.
+    *
+    * Same dataflow as [[tfidfTopTerms]]: (doc, term, tf) materializes once,
+    * document frequency reduces it to skinny (term, df) rows, and the join
+    * back is on the term key (sort-merge at vocab scale; the counts that
+    * follow are map-side partial sums). */
+  def rareTokenStats(df: DataFrame, textCol: String, pctDenom: Int = 10): DataFrame = {
+    val tok = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf0 = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // "rare" is RELATIVE (df·denom < corpus size, integer cross-multiplied):
+    // an absolute cutoff stops meaning anything as the corpus grows
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .groupBy("doc_id").agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("df") * pctDenom < col("n_docs"), col("tf")).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_tokens"))
+  }
+
   /** Gopher-style quality rule gates (Rae et al. 2021's heuristic family):
     * per-document boolean rules plus the conjunction. All thresholds are
     * evaluated with integer cross-multiplication (`10*sum >= 3*n` instead of

@@ -226,6 +226,30 @@ class OpsSpec extends SparkSpec {
     assert(frames.length == 3) // 200 bytes / 64 stride -> 3 frames
   }
 
+  test("cross-corpus dedup: copies flagged with deterministic best match, fresh kept") {
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"), // copy of 0/3
+      (101L, "totally novel content regarding quantum chemistry simulations today")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDedup(incoming, docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(4)))).toMap
+    val (n100, best100, keep100) = got(100L)
+    assert(!keep100 && n100 >= 2)          // matches 0 and its exact dup 3 at least
+    assert(best100.contains(0L))           // jaccard tie between 0 and 3 -> min id
+    assert(got(101L) == ((0, None, true))) // novel doc survives
+  }
+
+  test("rare-token ratio: relative df cutoff flags only corpus-rare instances") {
+    val corpus = ((0 until 19).map(i => (i.toLong, "common common")) :+
+      ((19L, "common weird"))).toDF("doc_id", "text")
+    val got = TextAnalysis.rareTokenStats(corpus, "text", pctDenom = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // df(common)=20 -> 200 >= 20 not rare; df(weird)=1 -> 10 < 20 rare
+    assert(got(0L) == ((2L, 0L, 0.0)))
+    assert(got(19L) == ((2L, 1L, 0.5)))
+  }
+
   test("SemDeDup: later near-dup cell-mates dropped, dissimilar cell-mates kept") {
     def v(x: Double, y: Double) =
       Array.tabulate(4)(i => (if (i == 0) x else if (i == 1) y else 0.0).toFloat)

@@ -837,6 +837,14 @@ object SparkEntry {
         (0 until 20).map(i => s"src$i" -> (i % 4 + 1)), budget = 2000L, salt = "r5"),
       Some(mixtureSql)),
 
+    // ---- x16: epoch upsampling — fractional per-source repeat factors
+    // (num/2 copies, hash-decided remainder); the upsampling half of the
+    // training-mix recipe (x14 is the downsampling half).
+    ("x16_epoch_upsample",
+      (s, d) => graft.ops.Sampling.epochUpsample(docs(s, d), "source",
+        (0 until 20).map(i => s"src$i" -> (i % 4 + 1)), denom = 2, salt = "r5e"),
+      Some(epochSql)),
+
     // ---- x11: sequence packing — contiguous-fill pack assignment per
     // hash bucket (the tokenize-and-pack layout step); window cumsum per
     // bucket, reproduced exactly by the oracle's windowed sum.
@@ -1026,6 +1034,12 @@ object SparkEntry {
         |      ORDER BY approx_cos DESC, nbr_id) AS INT) AS rank
         |  FROM p)
         |WHERE rank <= 3""".stripMargin)),
+
+    // ---- e8: random-projection (JL) dimensionality reduction — 64 -> 16
+    // dims against deterministic ±1 hyperplanes; map-only, shuffle-free.
+    ("e8_rp_reduce",
+      (s, d) => Similarity.randomProjection(emb(s, d), outDims = 16),
+      Some(rpSql)),
 
     // ---- d8: SemDeDup — semantic dedup via centroid cells + in-cell cosine
     // prune; catches paraphrases that share no n-grams with d2/d3's shingle
@@ -1455,6 +1469,39 @@ object SparkEntry {
        |FROM base b CROSS JOIN c$iters c
        |QUALIFY row_number() OVER (PARTITION BY b.vec_id
        |  ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) = 1""".stripMargin
+  }
+
+  /** e8 oracle: the identical 16 signed-sum projections; the ±1 weights are
+    * printed from the same planeSign family the Spark side folds in. */
+  private lazy val rpSql: String = {
+    val outs = (0 until 16).map { p =>
+      val w = (0 until 64).map(d =>
+        if (Similarity.planeSign(p, d) > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"list_dot_product(CAST(embedding AS DOUBLE[]), $w) AS r$p"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $outs
+       |FROM embeddings WHERE len(embedding) = 64""".stripMargin
+  }
+
+  /** x16 oracle: identical per-source (base, rem) literals and salted-hash
+    * remainder decision; epochs via generate_series. */
+  private lazy val epochSql: String = {
+    val vals = (0 until 20).map { i =>
+      val n = i % 4 + 1
+      s"('src$i', ${n / 2}, ${n % 2})"
+    }.mkString(", ")
+    s"""WITH f(source, base, rem) AS (VALUES $vals),
+       |c AS (
+       |  SELECT doc_id, d.source,
+       |    f.base + CASE WHEN
+       |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_r5e'), 1, 8) AS BIGINT)
+       |          % ${Dedup.P} * 2 < f.rem * ${Dedup.P}
+       |      THEN 1 ELSE 0 END AS copies
+       |  FROM documents d JOIN f ON d.source = f.source)
+       |SELECT doc_id, source, CAST(unnest(generate_series(1, copies)) AS INT) AS epoch
+       |FROM c WHERE copies > 0""".stripMargin
   }
 
   /** x14 oracle: identical rate arithmetic (exact integers until one final

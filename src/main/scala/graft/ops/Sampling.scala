@@ -68,6 +68,33 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"), col("keep"))
   }
 
+  /** Epoch upsampling: replicate each document per its source's repeat
+    * factor num_s/`denom` — the data-constrained-scaling recipe (repeat
+    * high-quality sources a fractional number of times) that pairs with
+    * [[mixtureSample]]'s downsampling. Every doc emits ⌊num/denom⌋ copies
+    * plus one more iff its salted hash falls in the fractional remainder, so
+    * E[copies] = num/denom exactly and the decision is reproducible (same
+    * docs upsampled on every engine/re-run — no seed drift between pipeline
+    * versions). Integer-only arithmetic; ⌊num/denom⌋ and the remainder are
+    * folded per-source at PLAN TIME, so no in-engine division at all.
+    * Map-only + Generate; output (doc_id, source, epoch 1..copies).
+    */
+  def epochUpsample(df: DataFrame, sourceCol: String, factors: Seq[(String, Int)],
+                    denom: Int, salt: String): DataFrame = {
+    require(denom > 0 && factors.forall(_._2 >= 0), "need denom > 0, factors >= 0")
+    def perSource(f: Int => Int): Column = factors.foldRight(lit(null).cast("int"): Column) {
+      case ((s, n), acc) => when(col(sourceCol) === s, lit(f(n))).otherwise(acc)
+    }
+    val base = perSource(_ / denom)
+    val rem = perSource(_ % denom)
+    val hv = Dedup.strHash31(concat(col("doc_id").cast("string"), lit("_" + salt)))
+    val copies = base + when(hv * denom < rem * Dedup.P, 1).otherwise(0)
+    df.select(col("doc_id"), col(sourceCol).as("source"), copies.as("__c"))
+      .filter(col("__c") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("__c"))).as("epoch"))
+  }
+
   /** Stratified fixed-size sample: the `k` rows with the smallest salted
     * hash per stratum — deterministic, uniform within each stratum, one
     * shuffle on the stratum key. */

@@ -293,6 +293,26 @@ object Similarity {
         col("__rn").cast("int").as("rank"))
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction:
+    * project each embedding onto `outDims` deterministic ±1 hyperplanes (the
+    * same md5-derived [[planeSign]] family SRP hashing uses — reproducible on
+    * any engine, no stored projection matrix). The map that makes 100 TB ANN
+    * cheaper: downstream distance work runs on outDims ≪ dims columns, at
+    * the JL distortion bound. Achlioptas (2003) shows ±1 entries lose
+    * nothing vs Gaussian. Map-only, codegen'd, shuffle-free; outputs flat
+    * double columns r0..r{outDims-1} (exact signed sums of input floats —
+    * callers rescale by 1/√outDims if they need unbiased norms).
+    */
+  def randomProjection(df: DataFrame, outDims: Int, dims: Int = 64): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    val outs = (0 until outDims).map { p =>
+      val w = typedLit((0 until dims).map(d => planeSign(p, d).toDouble))
+      dot(emb, w).as(s"r$p")
+    }
+    df.filter(size(col("embedding")) === dims)
+      .select(col("vec_id") +: outs: _*)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication —
     * cluster the corpus into cells, and within each cell drop every vector
     * that has an earlier (lower vec_id) cell-mate with cosine ≥ `threshold`.

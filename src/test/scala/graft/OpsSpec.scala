@@ -250,6 +250,34 @@ class OpsSpec extends SparkSpec {
     assert(got(19L) == ((2L, 1L, 0.5)))
   }
 
+  test("random projection: one-hot recovers plane signs, map is linear") {
+    val oneHot = Array.tabulate(64)(d => if (d == 7) 1.0f else 0.0f)
+    val vecs = Seq((0L, oneHot), (1L, oneHot.map(_ * 3))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(vecs, outDims = 4)
+      .collect().map(r => r.getLong(0) -> (0 until 4).map(p => r.getDouble(p + 1))).toMap
+    assert(got(0L) == (0 until 4).map(p => Similarity.planeSign(p, 7).toDouble))
+    assert(got(1L) == got(0L).map(_ * 3)) // linear: scaling commutes
+  }
+
+  test("epoch upsampling: integer factors exact, fractional remainder hash-decided") {
+    val docs = (0 until 200).map(i => (i.toLong, s"s${i % 2}")).toDF("doc_id", "source")
+    // s0: factor 4/2 = 2 copies exactly; s1: factor 3/2 = 1 or 2 copies
+    val got = graft.ops.Sampling.epochUpsample(docs, "source",
+      Seq("s0" -> 4, "s1" -> 3), denom = 2, salt = "t")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getInt(2)).sorted.toSeq).toMap
+    def h31(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2147483647L
+    }
+    (0 until 200).foreach { i =>
+      val want =
+        if (i % 2 == 0) Seq(1, 2)
+        else if (h31(s"${i}_t") * 2 < 2147483647L) Seq(1, 2) else Seq(1)
+      assert(got(i.toLong) == want, s"doc $i")
+    }
+  }
+
   test("SemDeDup: later near-dup cell-mates dropped, dissimilar cell-mates kept") {
     def v(x: Double, y: Double) =
       Array.tabulate(4)(i => (if (i == 0) x else if (i == 1) y else 0.0).toFloat)

@@ -31,8 +31,8 @@ object Bench {
     // vary 5-30x run-to-run in BOTH directions (measured r5: e6 29.8s vs
     // 4.8s, join_semi 15.4s vs 0.95s). A single timing therefore measures
     // the host, not the query. Adaptive stabilization: re-run anything
-    // slower than 1.5s and report the min; one extra run if the two
-    // timings disagree by >2x (a stall hit one of them).
+    // slower than 1.0s and report the min; one extra run if both timings
+    // stayed above 1.5s AND disagree by >2x (a stall hit one of them).
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -1211,6 +1211,9 @@ object SparkEntry {
     * the per-new-doc summary (count, best match by jaccard/min-id). */
   private lazy val crossDedupSql: String =
     s"""WITH $mhBandCtes,
+       |ok AS (
+       |  SELECT band_id, band_key FROM bands WHERE doc_id % 10 <> 0
+       |  GROUP BY band_id, band_key HAVING count(*) <= 64),
        |j AS (
        |  SELECT DISTINCT n.doc_id, c.doc_id AS corpus_doc_id,
        |    CAST(len(list_intersect(sa.hashes, sb.hashes)) AS DOUBLE) /
@@ -1219,6 +1222,7 @@ object SparkEntry {
        |  FROM bands n JOIN bands c
        |    ON n.band_id = c.band_id AND n.band_key = c.band_key
        |   AND n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+       |  JOIN ok ON c.band_id = ok.band_id AND c.band_key = ok.band_key
        |  JOIN hs sa ON n.doc_id = sa.doc_id JOIN hs sb ON c.doc_id = sb.doc_id),
        |hits AS (SELECT * FROM j WHERE jaccard >= 0.5),
        |best AS (

@@ -240,9 +240,18 @@ object Dedup {
     */
   def crossDedup(newDocs: DataFrame, corpus: DataFrame, textCol: String,
                  n: Int = 3, rowsPerBand: Int = 2,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     val cSigs = minhashSignaturesWithSets(corpus, textCol, n)
-    val index = lshBands(cSigs, rowsPerBand)
+    // Same LSH skew guard as candidatePairs: a band key shared by a large
+    // fraction of the incumbent corpus carries no near-dup signal but makes
+    // the probe join quadratic on that key — drop over-full index buckets.
+    val cBands = lshBands(cSigs, rowsPerBand)
+    val okBuckets = cBands.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band_id", "band_key")
+    val index = cBands
+      .join(okBuckets, Seq("band_id", "band_key"), "left_semi")
       .join(cSigs.select(col("doc_id").as("corpus_doc_id"), col("sh").as("sh_corpus")),
         col("doc_id") === col("corpus_doc_id")).drop("doc_id")
     val nSigs = rowMinhashSignatures(newDocs, textCol, n)

@@ -47,8 +47,10 @@ object Funnels {
         acc => acc.getField("step")).as("step"))
     // users-reached-step-k is monotone: one tiny aggregate, then explode the
     // cumulative counts back out to one row per step.
+    // coalesce: a global sum over ZERO users (no event matched any step) is
+    // null; the funnel must report 0 users per step, as count(*) would.
     val aggs = steps.indices.map(i =>
-      sum(when(col("step") >= i + 1, 1L).otherwise(0L)).as(s"c$i"))
+      coalesce(sum(when(col("step") >= i + 1, 1L).otherwise(0L)), lit(0L)).as(s"c$i"))
     reached.agg(aggs.head, aggs.tail: _*)
       .select(posexplode(array(steps.indices.map(i => col(s"c$i")): _*))
         .as(Seq("i", "users")))

@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * Okapi BM25 (Robertson et al., TREC-3): idf(t) · tf·(k1+1) /
   * (tf + k1·(1−b+b·dl/avgdl)), idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
   *
-  * Scale shape: tokenize → explode → filter to the query's terms FIRST (the
-  * per-term postings are a tiny fraction of the corpus after the filter), one
-  * groupBy (doc, term) for tf, a |terms|-row df aggregate broadcast back, and
-  * a final groupBy per doc. The corpus is scanned once; nothing wider than
-  * (doc_id, term) crosses a shuffle; the global top-k is TakeOrdered (no
-  * single-partition window).
+  * Scale shape: the query's term list is small and static, so per-term tf is
+  * computed COLUMNWISE inside the one tokenization scan
+  * (tf_t = |toks| − |toks without t|, all codegen'd array ops — no posting
+  * explode, no per-(doc,term) shuffle). The resulting narrow
+  * (doc_id, dl, tf…) frame is localCheckpoint'ed once (the corpus is
+  * tokenized exactly once), then read twice: a 1-row partial-aggregated
+  * stats+df pass broadcast back, and a map-only scoring pass whose global
+  * top-k is TakeOrdered (no per-doc groupBy, no single-partition window).
   *
   * Determinism: per-(doc,term) contributions are quantized to 1e-6 fixed
   * point BEFORE the per-doc sum, so the score is an integer sum — identical
@@ -29,32 +31,44 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, textCol: String, terms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k > 0)
-    val toks = docs.select(col("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
-        explode(col("__toks")).as("term"))
-    val posting = toks.filter(col("term").isin(terms: _*))
-    // dl is functionally dependent on doc_id; riding in the grouping key
-    // keeps the aggregate list numeric-only -> HashAggregate, and the hash
-    // partitioning on (doc_id, dl, term) still clusters by (doc_id, term).
-    val tf = posting.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
-    val stats = docs.select(
-      count(lit(1)).cast("double").as("n_docs"),
-      (sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).cast("double") /
-        count(lit(1))).as("avgdl"))
-    val contrib = tf
-      .join(broadcast(dft), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("__idf",
-        log(lit(1.0) + (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5))))
-      .withColumn("__tfn",
-        col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // One tokenization pass over the corpus, total. The Generate barrier
+    // (explode of a 1-element array) pins the token array to an attribute so
+    // CollapseProject cannot re-inline the regex into every consumer; the
+    // per-term counts then read that attribute with codegen'd array ops.
+    val perDoc = docs
       .select(col("doc_id"),
-        round(col("__idf") * col("__tfn") * 1e6).cast("long").as("__c_fp"))
-    contrib.groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_terms"), sum(col("__c_fp")).as("__fp"))
+        explode(array(TextAnalysis.tokens(col(textCol)))).as("__toks"))
+      .select(col("doc_id") +: size(col("__toks")).cast("long").as("dl") +:
+        terms.indices.map { i =>
+          (size(col("__toks")) - size(array_remove(col("__toks"), terms(i))))
+            .cast("long").as(s"__tf$i")
+        }: _*)
+      .localCheckpoint() // read twice below; never re-tokenize the corpus
+    // Corpus stats + per-term document frequencies in ONE partial-aggregated
+    // pass over the narrow frame — a 1-row broadcast.
+    val statAggs =
+      count(lit(1)).cast("double").as("n_docs") +:
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    // Map-only scoring: fold the per-term fixed-point contributions
+    // columnwise (the same per-(doc,term) 1e-6 quantization as before, now
+    // summed in a fixed fold order — integer addition, order-independent).
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+      val tfn = tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      when(tf > 0, round(idf * tfn * 1e6).cast("long")).otherwise(lit(0L))
+    }
+    val nTerms = terms.indices
+      .map(i => when(col(s"__tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), nTerms.cast("int").as("n_terms"),
+        contribs.reduce(_ + _).as("__fp"))
+      .filter(col("n_terms") > 0)
       .orderBy(col("__fp").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("n_terms"), (col("__fp") / 1e6).as("score"))

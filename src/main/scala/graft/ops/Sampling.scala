@@ -48,6 +48,10 @@ object Sampling {
     * broadcast back onto the corpus; the keep decision itself is map-only.
     * rate_s arithmetic stays in exact integers until a single final double
     * division, so both engines compute bit-identical rates.
+    *
+    * Sources absent from `weights` are EXCLUDED from the output (weight 0 in
+    * the target mix — the mix definition is the contract; emitting them with
+    * a null rate would silently smuggle unweighted data into the mix).
     */
   def mixtureSample(df: DataFrame, sourceCol: String, tokenCount: Column,
                     weights: Seq[(String, Int)], budget: Long, salt: String): DataFrame = {
@@ -57,7 +61,8 @@ object Sampling {
       case ((s, wt), acc) => when(col(sourceCol) === s, lit(wt)).otherwise(acc)
     }
     val base = df.select(col("doc_id"), col(sourceCol).as("source"),
-      tokenCount.cast("long").as("n_tokens"), wCol.as("__w"))
+        tokenCount.cast("long").as("n_tokens"), wCol.as("__w"))
+      .filter(col("__w").isNotNull)
     val totals = base.groupBy("source").agg(sum(col("n_tokens")).as("__total"))
     base.join(broadcast(totals), Seq("source"))
       .withColumn("rate", least(lit(1.0),

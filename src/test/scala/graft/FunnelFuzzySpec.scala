@@ -34,6 +34,15 @@ class FunnelFuzzySpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("funnel: zero matching events reports 0 users per step, not null") {
+    val events = Seq((1L, ts("2024-01-01 10:00:00"), "unrelated"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnels.funnel(events, Seq("view", "click"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "view", 0L), (2, "click", 0L)))
+  }
+
   test("funnel: same-timestamp next step does not advance (strict >)") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "view"),

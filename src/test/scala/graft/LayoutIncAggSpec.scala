@@ -79,6 +79,21 @@ class LayoutIncAggSpec extends SparkSpec {
     assert(zSql == 27L)
   }
 
+  test("zValue widens IntegerType inputs: no sign-bit overflow at bits=16") {
+    import spark.implicits._
+    // y = 32768 sets bit 15, which interleaves to bit position 31 — the int
+    // sign bit. Without the long widen this came back negative.
+    val df = Seq((0, 32768), (32768, 0), (65535, 65535))
+      .toDF("x", "y") // IntegerType columns
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (0, 32768, 1L << 31),
+      (32768, 0, 1L << 30),
+      (65535, 65535, (1L << 32) - 1)))
+    assert(got.forall(_._3 >= 0L))
+  }
+
   test("zorderWrite yields disjoint z-ranges and prunes files on BOTH dimensions") {
     import spark.implicits._
     val n = 4096

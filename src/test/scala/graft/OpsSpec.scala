@@ -295,6 +295,15 @@ class OpsSpec extends SparkSpec {
     assert(got.filter(_._2._2).keySet == Set(0L, 1L, 10L, 20L))
   }
 
+  test("mixture sampling: sources absent from the weight list are excluded") {
+    val docs = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "mystery", 10L))
+      .toDF("doc_id", "source", "toks")
+    val got = graft.ops.Sampling.mixtureSample(docs, "source", col("toks"),
+      Seq("a" -> 1, "b" -> 1), budget = 100L, salt = "t")
+    assert(got.select("source").distinct().as[String].collect().toSet == Set("a", "b"))
+    assert(got.count() == 2) // the unweighted source contributes no rows
+  }
+
   test("mixture sampling: exact rates, cap at 1, hash membership reproducible") {
     val docs = (0 until 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", 10L))
       .toDF("doc_id", "source", "toks").repartition(7)

@@ -68,6 +68,24 @@ class PlanChecksSpec extends SparkSpec {
     assert(!plan.contains("documents.parquet"), "corpus re-scanned downstream of the sketch")
   }
 
+  test("bm25 tokenizes the corpus exactly once (checkpointed narrow frame)") {
+    // The (doc_id, dl, tf…) frame is localCheckpoint'ed at build time; both
+    // downstream passes (stats broadcast + scoring) must read it from the
+    // checkpoint — a regexp anywhere in the final plan means the corpus is
+    // being re-tokenized.
+    val plan = finalPlanString(SparkEntry.queries("r1_bm25")(spark, sf))
+    assert(!plan.contains("regexp_extract_all"),
+      s"corpus re-tokenized downstream of the checkpoint:\n$plan")
+    assert(!plan.contains("documents.parquet"), "corpus re-scanned downstream")
+  }
+
+  test("crossDedup prunes over-full index buckets before the probe join") {
+    // The maxBucket skew cap is a left-semi prune of the corpus band index;
+    // without it a hot band key makes the probe join quadratic.
+    val plan = finalPlanString(SparkEntry.queries("d9_cross_dedup")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"no semi-join bucket prune in:\n$plan")
+  }
+
   test("spread repartitions a 1-task scan but leaves many-split inputs alone") {
     import graft.model.Tables
     val tiny = Tables(spark, sf, "documents").select("doc_id", "text")

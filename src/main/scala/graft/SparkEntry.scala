@@ -752,6 +752,13 @@ object SparkEntry {
       (s, d) => TextAnalysis.rareTokenStats(docs(s, d), "text", pctDenom = 10),
       Some(rareTokenSql)),
 
+    // ---- x17: cross-document duplicated-span fraction (Lee et al. 2022) —
+    // the span-level dedup signal whole-doc and pairwise dedup both miss;
+    // skinny hash aggregates + one h-clustered join, no doc pairs ever.
+    ("x17_dup_spans",
+      (s, d) => Dedup.dupSpanStats(docs(s, d), "text", n = 5),
+      Some(dupSpanSql)),
+
     ("x3_langid",
       (s, d) => TextAnalysis.languageId(s, docs(s, d), "text"),
       Some(langIdSql)),
@@ -1133,10 +1140,17 @@ object SparkEntry {
     // score is an order-independent integer sum in both engines.
     ("r1_bm25",
       (s, d) => Retrieval.bm25TopK(docs(s, d), "text", bm25Terms, 20),
-      Some(Retrieval.bm25Sql(TextAnalysis.TokenRegex, bm25Terms, 20)))
+      Some(Retrieval.bm25Sql(TextAnalysis.TokenRegex, bm25Terms, 20))),
+
+    // ---- r2: exact phrase retrieval — map-only substring-count scan +
+    // TakeOrdered; the exact-match complement to r1's ranked retrieval.
+    ("r2_phrase_topk",
+      (s, d) => Retrieval.phraseTopK(docs(s, d), "text", phraseTerms, 15),
+      Some(Retrieval.phraseSql(TextAnalysis.TokenRegex, phraseTerms, 15)))
   )
 
   private val bm25Terms = Seq("vector", "stream", "hash")
+  private val phraseTerms = Seq("table", "hash")
 
   // ------------------------------------------------------- generated oracles
 
@@ -1240,6 +1254,28 @@ object SparkEntry {
 
   /** x15 oracle: per-(doc,term) counts, corpus document frequency, and the
     * integer-exact rare-instance ratio. */
+  /** x17 oracle: 5-token spans via the shared shingle+hash family; shared =
+    * span hash held by >= 2 distinct docs (mirrors Dedup.dupSpanStats). */
+  private lazy val dupSpanSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t FROM documents),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % ${Dedup.P} AS h
+       |  FROM (SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, greatest(1, len(t) - 4)),
+       |      i -> array_to_string(t[i:i+4], ' '))) AS s FROM toks)),
+       |per AS (SELECT doc_id, h, count(*) AS c FROM sp GROUP BY doc_id, h),
+       |shared AS (SELECT h FROM per GROUP BY h HAVING count(*) >= 2)
+       |SELECT per.doc_id,
+       |  CAST(sum(per.c) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN sh.h IS NOT NULL THEN per.c ELSE 0 END) AS BIGINT)
+       |    AS n_shared,
+       |  CAST(sum(CASE WHEN sh.h IS NOT NULL THEN per.c ELSE 0 END) AS DOUBLE) /
+       |    sum(per.c) AS dup_fraction
+       |FROM per LEFT JOIN shared sh ON per.h = sh.h
+       |GROUP BY per.doc_id""".stripMargin
+
   private lazy val rareTokenSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokenRe')) AS term

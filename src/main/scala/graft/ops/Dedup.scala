@@ -362,6 +362,37 @@ object Dedup {
         (col("n_hit").cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  /** Cross-document duplicated-span statistics (the Lee et al. 2022
+    * "Deduplicating Training Data" signal): for each document, the fraction
+    * of its word n-gram spans that also occur in at least one OTHER
+    * document. Catches partial overlap — licenses, headers, templated
+    * boilerplate — that whole-document dedup ([[exactDedup]]) and pairwise
+    * near-dup ([[nearDupPairs]]) both miss, and complements
+    * [[graft.ops.TextAnalysis.repetitionScore]] (which is within-doc only).
+    *
+    * Scale shape: spans reduce to 31-bit shingle hashes before anything
+    * crosses a shuffle; per-(doc, span) multiplicities aggregate once
+    * (map-side combined, checkpointed for reuse by both consumers); the
+    * shared-span set is a skinny (h) aggregate over that frame; the join
+    * back rides the same h clustering; the final per-doc rollup ships only
+    * counts. No document pair ever materializes — linear in corpus spans at
+    * any corpus size. Span identity is the 31-bit hash (collisions
+    * over-count shared spans at ~2^-31 per pair; the oracle shares the hash
+    * family, so results stay engine-identical). */
+  def dupSpanStats(docs: DataFrame, textCol: String, n: Int = 5): DataFrame = {
+    val per0 = shingleHashRows(docs, textCol, n)
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val per = if (per0.isStreaming) per0 else per0.localCheckpoint()
+    // distinct docs per span == count(*): `per` is already (doc, h)-distinct
+    val shared = per.groupBy("h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("h"), lit(1).as("__s"))
+    per.join(shared, Seq("h"), "left")
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_spans"),
+        sum(when(col("__s") === 1, col("c")).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_fraction", col("n_shared").cast("double") / col("n_spans"))
+  }
+
   /** 32-bit SimHash over the token multiset: per-bit majority vote of
     * md5-derived token hashes, computed as `bits` flat conditional sums in
     * one aggregation pass. */

@@ -74,6 +74,49 @@ object Retrieval {
       .select(col("doc_id"), col("n_terms"), (col("__fp") / 1e6).as("score"))
   }
 
+  /** Exact phrase-occurrence retrieval: per-document count of a token
+    * phrase's (non-overlapping, left-to-right) occurrences, top-k by count —
+    * the exact-match complement to [[bm25TopK]] (quote mining, benchmark
+    * decontamination audits, template hunting).
+    *
+    * Map-only + TakeOrdered: the token stream flattens to one
+    * double-space-delimited string and occurrences are counted with
+    * substring-replace length arithmetic — fully codegen'd, no explode, no
+    * join, nothing but (doc_id, n_hits) past the scan. The double-space
+    * delimiter gives every token boundary two chars, so back-to-back phrase
+    * repeats each keep a boundary char and are all counted; only
+    * SELF-overlapping repeats (phrase "a a" in "a a a") collapse to the
+    * standard non-overlapping count — identically in the oracle (same
+    * left-to-right `replace` semantics). */
+  def phraseTopK(docs: DataFrame, textCol: String, phrase: Seq[String],
+                 k: Int): DataFrame = {
+    require(phrase.nonEmpty && k > 0)
+    val needle = " " + phrase.mkString("  ") + " "
+    val hay = concat(lit("  "),
+      concat_ws("  ", TextAnalysis.tokens(col(textCol))), lit("  "))
+    docs.select(col("doc_id"),
+        ((length(hay) - length(replace(hay, lit(needle), lit("")))) /
+          lit(needle.length)).cast("int").as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .orderBy(col("n_hits").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** [[phraseTopK]] as DuckDB SQL (oracle), sharing the delimiter scheme. */
+  def phraseSql(tokenRe: String, phrase: Seq[String], k: Int): String = {
+    val needle = " " + phrase.mkString("  ") + " "
+    s"""WITH hay AS (
+       |  SELECT doc_id, '  ' || array_to_string(
+       |    regexp_extract_all(lower(text), '$tokenRe'), '  ') || '  ' AS s
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST((len(s) - len(replace(s, '$needle', ''))) // ${needle.length} AS INT)
+       |    AS n_hits
+       |FROM hay
+       |WHERE len(s) - len(replace(s, '$needle', '')) > 0
+       |ORDER BY n_hits DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** The identical computation as DuckDB SQL (oracle), sharing the token
     * regex and constants. */
   def bm25Sql(tokenRe: String, terms: Seq[String], k: Int,

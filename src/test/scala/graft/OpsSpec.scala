@@ -295,6 +295,25 @@ class OpsSpec extends SparkSpec {
     assert(got.filter(_._2._2).keySet == Set(0L, 1L, 10L, 20L))
   }
 
+  test("dup spans: cross-doc shared spans counted, within-doc repeats alone are not shared") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      // docs 1 & 2 share their only 3-gram span; doc 3 is unique
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"),
+      // doc 4 repeats a span INTERNALLY (multiplicity 2) but shares with no
+      // other doc -> its spans are not "shared"
+      (4L, "one two three one two three one two")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(docs, "text", n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1L, 1L)) && got(2L) == ((1L, 1L)))
+    assert(got(3L) == ((1L, 0L)))
+    // doc 4: 6 spans of 3 tokens; none shared with another document
+    assert(got(4L)._1 == 6L && got(4L)._2 == 0L)
+  }
+
   test("mixture sampling: sources absent from the weight list are excluded") {
     val docs = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "mystery", 10L))
       .toDF("doc_id", "source", "toks")

@@ -68,6 +68,19 @@ class RetrievalSpec extends SparkSpec {
     assert(byId(1L) == 2 && byId(2L) == 1)
   }
 
+  test("phrase top-k: counts occurrences incl. back-to-back repeats, orders by count") {
+    val df = frame(
+      1L -> "the cat sat",                       // 1 hit
+      2L -> "cat sat cat sat",                   // back-to-back: 2 hits
+      3L -> "sat sat cat cat",                   // words present, phrase absent
+      4L -> "Cat SAT!",                          // normalization: 1 hit
+      5L -> "dog ran")
+    val got = graft.ops.Retrieval.phraseTopK(df, "text", Seq("cat", "sat"), 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.head == ((2L, 2)))
+    assert(got.toSet == Set((2L, 2), (1L, 1), (4L, 1)))
+  }
+
   test("score is stable under repartitioning (fixed-point sum)") {
     val df = frame((1L to 40L).map(i =>
       i -> s"cat dog ${"pad " * (i % 7).toInt}fish"): _*)

@@ -94,9 +94,12 @@ object Retrieval {
     val needle = " " + phrase.mkString("  ") + " "
     val hay = concat(lit("  "),
       concat_ws("  ", TextAnalysis.tokens(col(textCol))), lit("  "))
-    docs.select(col("doc_id"),
+    // Generate barrier: without it the Filter condition and the Project
+    // each re-inline the whole tokenize+replace expression (2 regex passes
+    // per row); behind the barrier the count is computed once.
+    docs.select(col("doc_id"), explode(array(
         ((length(hay) - length(replace(hay, lit(needle), lit("")))) /
-          lit(needle.length)).cast("int").as("n_hits"))
+          lit(needle.length)).cast("int"))).as("n_hits"))
       .filter(col("n_hits") > 0)
       .orderBy(col("n_hits").desc, col("doc_id").asc)
       .limit(k)

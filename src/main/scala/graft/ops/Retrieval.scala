@@ -35,7 +35,11 @@ object Retrieval {
     // (explode of a 1-element array) pins the token array to an attribute so
     // CollapseProject cannot re-inline the regex into every consumer; the
     // per-term counts then read that attribute with codegen'd array ops.
-    val perDoc = docs
+    // spread: a few-split scan (small SF, single file) would otherwise pin
+    // the regex-heavy tokenization onto one core; no-op on real multi-split
+    // scans, which already have >= cores partitions.
+    val perDoc = graft.model.Tables
+      .spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
       .select(col("doc_id"),
         explode(array(TextAnalysis.tokens(col(textCol)))).as("__toks"))
       .select(col("doc_id") +: size(col("__toks")).cast("long").as("dl") +:
@@ -97,7 +101,9 @@ object Retrieval {
     // Generate barrier: without it the Filter condition and the Project
     // each re-inline the whole tokenize+replace expression (2 regex passes
     // per row); behind the barrier the count is computed once.
-    docs.select(col("doc_id"), explode(array(
+    graft.model.Tables
+      .spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), explode(array(
         ((length(hay) - length(replace(hay, lit(needle), lit("")))) /
           lit(needle.length)).cast("int"))).as("n_hits"))
       .filter(col("n_hits") > 0)

@@ -479,6 +479,13 @@ object SparkEntry {
         |  least(greatest(e.value, b.lo), b.hi) AS value_w
         |FROM events e JOIN b USING (event_type)""".stripMargin)),
 
+    // ---- a9: trailing-window z-score anomaly flags over the daily event
+    // series — exact BIGINT window sums feed one fixed double expression,
+    // so the score is bit-stable across engines.
+    ("a9_anomaly_days",
+      (s, d) => Dashboards.anomalyDays(ev(s, d), "ts", window = 7, zThreshold = 2.0),
+      Some(Dashboards.anomalyDaysSql("events", "ts", window = 7, zThreshold = 2.0))),
+
     // ---- A5 sketch form: mergeable quantile summary (Greenwald-Khanna) —
     // the 100 TB default; the exact form above is the audit path. No
     // engine-portable oracle (sketch internals differ); gated instead by
@@ -644,6 +651,26 @@ object SparkEntry {
         |                           ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin)),
 
+    // ---- s8: SCD Type-2 history — the keep-ALL-versions complement to s5's
+    // latest-wins arbitration: per-user event_type change intervals with
+    // [valid_from, valid_to) ranges and an is_current flag.
+    ("s8_scd2_history",
+      (s, d) => Upsert.scd2History(ev(s, d), Seq("user_id"), "event_type",
+        "ts", "event_id"),
+      Some("""WITH ch AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ch
+        |  WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS is_current
+        |FROM v""".stripMargin)),
+
     // ---- S6/flagship: the whole app.py query, set-at-a-time (SURVEY §3.3)
     ("flagship_progress",
       (s, d) => Progress.report(s, EventsAdapter.enrollmentView(ev(s, d)),
@@ -758,6 +785,13 @@ object SparkEntry {
     ("x17_dup_spans",
       (s, d) => Dedup.dupSpanStats(docs(s, d), "text", n = 5),
       Some(dupSpanSql)),
+
+    // ---- x18: corpus top-k n-grams — boilerplate discovery / tokenizer
+    // vocabulary diagnostic; map-side partial agg, one (ngram) shuffle,
+    // TakeOrdered top-k.
+    ("x18_ngram_topk",
+      (s, d) => TextAnalysis.ngramTopK(docs(s, d), "text", n = 3, k = 25),
+      Some(TextAnalysis.ngramTopKSql(TextAnalysis.TokenRegex, n = 3, k = 25))),
 
     ("x3_langid",
       (s, d) => TextAnalysis.languageId(s, docs(s, d), "text"),
@@ -924,6 +958,13 @@ object SparkEntry {
           all.filter(col("doc_id") % 10 =!= 0), "text")
       },
       Some(crossDedupSql)),
+
+    // ---- d10: chunk-level exact dedup (line-dedup analog) — keep each
+    // distinct fixed-width token chunk's first corpus-wide occurrence and
+    // reassemble documents; removes boilerplate whole-doc dedup can't see.
+    ("d10_chunk_dedup",
+      (s, d) => Dedup.chunkDedup(docs(s, d), "text", width = 5),
+      Some(Dedup.chunkDedupSql(TextAnalysis.TokenRegex, width = 5))),
 
     // ---- interval join: points-in-range via the bucketized equi-join
     // (ops/IntervalJoin) — intervals are 2-hour windows opened at every
@@ -1146,7 +1187,18 @@ object SparkEntry {
     // TakeOrdered; the exact-match complement to r1's ranked retrieval.
     ("r2_phrase_topk",
       (s, d) => Retrieval.phraseTopK(docs(s, d), "text", phraseTerms, 15),
-      Some(Retrieval.phraseSql(TextAnalysis.TokenRegex, phraseTerms, 15)))
+      Some(Retrieval.phraseSql(TextAnalysis.TokenRegex, phraseTerms, 15))),
+
+    // ---- r3: hybrid retrieval — reciprocal-rank fusion of the r1 lexical
+    // ranking and the e1 dense cosine ranking for one query (vec_id 7's
+    // embedding as the dense query, the shared term list as the lexical
+    // query). Ranks are ints and 1/(60+rank) is exact IEEE division, so the
+    // fused score is bit-stable across engines.
+    ("r3_hybrid_rrf",
+      (s, d) => Retrieval.hybridRrf(docs(s, d), "text", emb(s, d),
+        queryVecId = 7L, bm25Terms, kPerLeg = 20, k = 30),
+      Some(Retrieval.rrfSql(TextAnalysis.TokenRegex, bm25Terms,
+        queryVecId = 7L, kPerLeg = 20, k = 30)))
   )
 
   private val bm25Terms = Seq("vector", "stream", "hash")

@@ -74,6 +74,33 @@ object Upsert {
     }
   }
 
+  /** SCD Type-2 history build: turn a keyed change stream into versioned
+    * validity intervals — the other half of upsert semantics ([[latestByKey]]
+    * keeps only the latest version; this keeps them ALL, with
+    * [valid_from, valid_to) ranges and an is_current flag, the shape every
+    * warehouse dimension-history table takes).
+    *
+    * Consecutive rows with an unchanged tracked value collapse into one
+    * version (only CHANGES open a new interval); `tieCol` breaks same-
+    * timestamp ties so re-delivered batches build identical history.
+    *
+    * Scale: both windows partition by the key — one shuffle on the key,
+    * then two narrow window passes; no self-join, no driver state. */
+  def scd2History(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val keyW = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val changed = df
+      .withColumn("__prev", lag(col(valueCol), 1).over(keyW))
+      // null-safe inequality: a NULL value is a tracked state of its own
+      .filter(!(col(valueCol) <=> col("__prev")))
+    val out = changed
+      .withColumn("valid_to", lead(col(tsCol), 1).over(keyW))
+      .withColumn("is_current", col("valid_to").isNull)
+    out.select((keyCols.map(col) :+ col(valueCol) :+
+      col(tsCol).as("valid_from") :+ col("valid_to") :+ col("is_current")): _*)
+  }
+
   /** Streaming form: plug into `writeStream.foreachBatch`. Checkpointed Kafka
     * offsets + this idempotent keyed merge = exactly-once end-to-end
     * (strictly stronger than the reference's manual commit + idempotent id,

@@ -393,6 +393,88 @@ object Dedup {
       .withColumn("dup_fraction", col("n_shared").cast("double") / col("n_spans"))
   }
 
+  /** Chunk-level exact dedup (the CCNet/RefinedWeb "line dedup" stage,
+    * adapted to unstructured text: fixed-width token chunks stand in for
+    * lines). Splits each document into consecutive `width`-token chunks,
+    * keeps each distinct chunk's FIRST corpus-wide occurrence (ordered by
+    * (doc_id, position)), drops every other copy, and reassembles the
+    * survivors in document order — removing boilerplate/licenses/headers
+    * that whole-document dedup (exact or near) cannot touch because the
+    * surrounding text differs.
+    *
+    * Output: one row per input document —
+    * (doc_id, n_chunks, n_kept, text_dedup); fully-duplicated documents
+    * survive with n_kept=0 and empty text.
+    *
+    * Scale: one tokenization scan, checkpointed as a per-doc chunk array so
+    * the explode and the n_chunks projection never re-tokenize; chunks
+    * shuffle ONCE keyed by chunk text for the global keep-first window (at
+    * 100 TB key the window by xxhash64(chunk) instead to shrink shuffle
+    * width — string identity kept here so the oracle shares it); reassembly
+    * rides a (doc_id) groupBy. No document pair ever materializes — linear
+    * in corpus chunks. */
+  def chunkDedup(docs: DataFrame, textCol: String, width: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width > 0)
+    val toks = col("__t")
+    val arr0 = graft.model.Tables
+      .spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"),
+        explode(array(TextAnalysis.tokens(col(textCol)))).as("__t"))
+      .select(col("doc_id"),
+        when(size(toks) > 0,
+          transform(sequence(lit(0), ((size(toks) - 1) / width).cast("int")),
+            i => array_join(slice(toks, i * width + 1, lit(width)), " ")))
+          .otherwise(array().cast("array<string>")).as("chunks"))
+    val arr = if (arr0.isStreaming) arr0 else arr0.localCheckpoint()
+    val exploded = arr.select(col("doc_id"),
+      posexplode(col("chunks")).as(Seq("pos", "chunk")))
+    val keepFirst = Window.partitionBy("chunk").orderBy(col("doc_id"), col("pos"))
+    val rebuilt = exploded
+      .withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") === 1)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s("chunk")), " ").as("text_dedup"))
+    arr.select(col("doc_id"), size(col("chunks")).as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** [[chunkDedup]] as DuckDB SQL (oracle), sharing the token regex, chunk
+    * slicing, and keep-first ordering. */
+  def chunkDedupSql(tokenRe: String, width: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t
+       |  FROM documents),
+       |arr AS (
+       |  SELECT doc_id, CASE WHEN len(t) > 0 THEN
+       |      list_transform(range(0, (CAST(len(t) AS BIGINT) - 1) // $width + 1),
+       |        i -> array_to_string(t[i*$width+1 : i*$width+$width], ' '))
+       |    ELSE [] END AS chunks
+       |  FROM toks),
+       |ex AS (
+       |  SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS pos,
+       |    unnest(chunks) AS chunk
+       |  FROM arr),
+       |kept AS (
+       |  SELECT doc_id, pos, chunk FROM (
+       |    SELECT doc_id, pos, chunk,
+       |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+       |    FROM ex) WHERE rn = 1),
+       |reb AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+       |  FROM kept GROUP BY doc_id)
+       |SELECT a.doc_id, CAST(len(a.chunks) AS INT) AS n_chunks,
+       |  COALESCE(r.n_kept, 0) AS n_kept,
+       |  COALESCE(r.text_dedup, '') AS text_dedup
+       |FROM arr a LEFT JOIN reb r USING (doc_id)""".stripMargin
+
   /** 32-bit SimHash over the token multiset: per-bit majority vote of
     * md5-derived token hashes, computed as `bits` flat conditional sums in
     * one aggregation pass. */

@@ -111,6 +111,69 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR'09) of
+    * the lexical ([[bm25TopK]]) and dense (brute-force cosine top-k) rankings
+    * for one query. rrf = Σ_leg 1/(rrfK + rank_leg), missing legs contribute
+    * 0 — so a document surfaced by only one modality still scores, and a
+    * document in both dominates.
+    *
+    * Scale shape: each leg is an independently-bounded top-k (the BM25 leg is
+    * one single-tokenization corpus scan + TakeOrdered; the dense leg is one
+    * broadcast-query corpus scan + per-query window limit), so the fusion
+    * join touches ≤ 2·kPerLeg rows regardless of corpus size — the fusion
+    * itself is free; the legs set the cost. Ranks are integers and
+    * 1/(rrfK+rank) is an exact IEEE division, so the fused score is
+    * bit-stable across engines (no float-sum drift to quantize away).
+    */
+  def hybridRrf(docs: DataFrame, textCol: String, emb: DataFrame,
+                queryVecId: Long, terms: Seq[String], kPerLeg: Int, k: Int,
+                rrfK: Int = 60): DataFrame = {
+    require(kPerLeg > 0 && k > 0)
+    import org.apache.spark.sql.expressions.Window
+    // The single-partition windows below rank ≤ kPerLeg rows (post-limit
+    // top-k output), not the corpus — safe at any scale.
+    val wLex = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lex = bm25TopK(docs, textCol, terms, kPerLeg)
+      .select(col("doc_id"), row_number().over(wLex).cast("int").as("lex_rank"))
+    val dense = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") === queryVecId), kPerLeg)
+      .select(col("nbr_id").as("doc_id"), col("rank").cast("int").as("dense_rank"))
+    def rr(r: org.apache.spark.sql.Column) =
+      coalesce(lit(1.0) / (lit(rrfK.toDouble) + r.cast("double")), lit(0.0))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        (rr(col("lex_rank")) + rr(col("dense_rank"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** [[hybridRrf]] as DuckDB SQL (oracle): the dense leg mirrors the e1
+    * cosine oracle, the lexical leg nests [[bm25Sql]], and the fusion uses
+    * the same coalesce-to-0 double arithmetic. */
+  def rrfSql(tokenRe: String, terms: Seq[String], queryVecId: Long,
+             kPerLeg: Int, k: Int, rrfK: Int = 60): String =
+    s"""WITH lex AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+       |  FROM (${bm25Sql(tokenRe, terms, kPerLeg)})),
+       |dense AS (
+       |  SELECT nbr_id AS doc_id, CAST(rn AS INT) AS dense_rank FROM (
+       |    SELECT c.vec_id AS nbr_id,
+       |      row_number() OVER (ORDER BY
+       |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                               CAST(c.embedding AS DOUBLE[])) DESC,
+       |        c.vec_id) AS rn
+       |    FROM embeddings c,
+       |      (SELECT embedding FROM embeddings WHERE vec_id = $queryVecId) q
+       |    WHERE c.vec_id <> $queryVecId)
+       |  WHERE rn <= $kPerLeg)
+       |SELECT doc_id, lex_rank, dense_rank,
+       |  COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + lex_rank), CAST(0.0 AS DOUBLE)) +
+       |  COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + dense_rank), CAST(0.0 AS DOUBLE))
+       |    AS rrf
+       |FROM lex FULL OUTER JOIN dense USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+
   /** [[phraseTopK]] as DuckDB SQL (oracle), sharing the delimiter scheme. */
   def phraseSql(tokenRe: String, phrase: Seq[String], k: Int): String = {
     val needle = " " + phrase.mkString("  ") + " "

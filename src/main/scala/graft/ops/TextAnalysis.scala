@@ -275,6 +275,39 @@ object TextAnalysis {
     * document frequency reduces it to skinny (term, df) rows, and the join
     * back is on the term key (sort-merge at vocab scale; the counts that
     * follow are map-side partial sums). */
+  /** Corpus-level n-gram frequency table, top-k by total occurrences — the
+    * classic LM-data diagnostic (boilerplate discovery, contamination
+    * probes, tokenizer-vocabulary sanity checks).
+    *
+    * Scale: one tokenization scan (native [[Dedup.wordShingles]] expression,
+    * O(1) per gram), grams partial-aggregate map-side before the single
+    * (ngram) shuffle, and the global top-k is TakeOrdered — no full sort.
+    * `n_docs` (distinct documents per gram) rides the same shuffle via a
+    * two-level aggregate instead of a count-distinct expand. */
+  def ngramTopK(df: DataFrame, textCol: String, n: Int = 3, k: Int = 20): DataFrame = {
+    val perDoc = graft.model.Tables
+      .spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), explode(Dedup.wordShingles(col(textCol), n)).as("ngram"))
+      .groupBy("doc_id", "ngram").agg(count(lit(1)).as("__c"))
+    perDoc.groupBy("ngram")
+      .agg(sum(col("__c")).as("occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** [[ngramTopK]] as DuckDB SQL (oracle), sharing the token regex. */
+  def ngramTopKSql(tokenRe: String, n: Int, k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, array_to_string(t[u.i : u.i + $n - 1], ' ') AS ngram
+       |  FROM toks, unnest(range(1, CAST(len(t) AS BIGINT) - $n + 2)) AS u(i))
+       |SELECT ngram, count(*) AS occurrences,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM grams GROUP BY ngram
+       |ORDER BY occurrences DESC, ngram LIMIT $k""".stripMargin
+
   def rareTokenStats(df: DataFrame, textCol: String, pctDenom: Int = 10): DataFrame = {
     val tok = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
       .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))

@@ -61,6 +61,69 @@ object Dashboards {
       .drop("__lo", "__hi")
   }
 
+  /** Trailing-window z-score anomaly flags over a daily count series — the
+    * alerting panel on every ops dashboard (traffic drop / spike detection).
+    *
+    * Each day's count is scored against the mean/stddev of the `window`-day
+    * trailing window ENDING at that day (itself included, so the first days
+    * warm up instead of emitting nulls). Determinism: the window sums
+    * (n, Σc, Σc²) are exact BIGINT sums; mean, sample variance
+    * ((Σc² − (Σc)²/n)/(n−1)), and z are then single fixed double expressions
+    * over those integers — bit-identical in any engine, no float-sum drift.
+    *
+    * Scale shape: the daily rollup is the one real shuffle (map-side partial
+    * agg); the windowing then runs over |days| rows — thousands of rows for
+    * years of data — so the unpartitioned window is deliberate, not a
+    * bottleneck (partition by a series key when scoring many metrics). */
+  def anomalyDays(df: DataFrame, tsCol: String, window: Int = 7,
+                  zThreshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2)
+    val w = Window.orderBy(col("day")).rowsBetween(-(window - 1), 0)
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val c = col("n_events")
+    val scored = daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(c).over(w))
+      .withColumn("__ss", sum(c * c).over(w))
+    val mean = col("__s").cast("double") / col("__n")
+    val variance = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s") / col("__n")) / (col("__n") - 1)
+    val sd = sqrt(variance)
+    val z = when(col("__n") >= 2 && sd > 0, (c.cast("double") - mean) / sd)
+    scored.select(col("day"), c, mean.as("mean_w"), z.as("z"),
+      coalesce(abs(z) > zThreshold, lit(false)).as("is_anomaly"))
+  }
+
+  /** [[anomalyDays]] as DuckDB SQL (oracle), sharing the exact-integer
+    * window sums and the fixed double expression tree. */
+  def anomalyDaysSql(table: String, tsCol: String, window: Int = 7,
+                     zThreshold: Double = 2.0): String =
+    s"""WITH daily AS (
+       |  SELECT CAST($tsCol AS DATE) AS day, count(*) AS n_events
+       |  FROM $table GROUP BY 1),
+       |win AS (
+       |  SELECT day, n_events,
+       |    count(*) OVER w AS n,
+       |    sum(n_events) OVER w AS s,
+       |    sum(n_events * n_events) OVER w AS ss
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN ${window - 1} PRECEDING
+       |               AND CURRENT ROW)),
+       |scored AS (
+       |  SELECT day, n_events,
+       |    CAST(s AS DOUBLE) / n AS mean_w,
+       |    CASE WHEN n >= 2 AND
+       |        sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) > 0
+       |      THEN (CAST(n_events AS DOUBLE) -  CAST(s AS DOUBLE) / n) /
+       |        sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+       |      END AS z
+       |  FROM win)
+       |SELECT day, n_events, mean_w, z,
+       |  COALESCE(abs(z) > $zThreshold, false) AS is_anomaly
+       |FROM scored""".stripMargin
+
   /** Sketch form: HLL++ distinct entities — constant memory per group,
     * mergeable across partitions; the 100 TB default. */
   def groupStatsApprox(df: DataFrame, groupCols: Seq[String], valueCol: String,

@@ -78,4 +78,25 @@ class ApproxBoundSpec extends SparkSpec {
     assert(g.filter(_._2 == 50.0).head._3 == 50.0)   // interior untouched
     assert(got.filter(_._1 == "h").head._3 == 1e9)   // other group's bounds unused
   }
+
+  test("anomalyDays flags a spike against its trailing window, warms up quietly") {
+    import spark.implicits._
+    // 10 days of 4 events, then one day with 40
+    val rows = (for {
+      d <- 1 to 10; i <- 1 to 4
+    } yield (s"2024-01-${"%02d".format(d)} 00:0$i:00")) ++
+      (1 to 40).map(i => s"2024-01-11 00:${"%02d".format(i)}:00")
+    val ev = rows.map(java.sql.Timestamp.valueOf).toDF("ts")
+    val got = graft.query.Dashboards.anomalyDays(ev, "ts", window = 7, zThreshold = 2.0)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4)))).toMap
+    // constant prefix: zero variance -> z null -> not anomalous
+    assert(got("2024-01-05") == ((4L, None, false)))
+    // day 1: window of one row -> n<2 -> null z, quiet warm-up
+    assert(got("2024-01-01")._2.isEmpty && !got("2024-01-01")._3)
+    // the spike: mean of (4*6 + 40)/7, large positive z
+    val (n11, z11, flag11) = got("2024-01-11")
+    assert(n11 == 40L && z11.exists(_ > 2.0) && flag11)
+  }
 }

@@ -81,6 +81,27 @@ class EtlSpec extends SparkSpec {
     assert(latest == Map("k1" -> 30.0, "k2" -> 40.0))
   }
 
+  test("S8: SCD2 collapses unchanged runs and chains validity intervals") {
+    val df = Seq(
+      ("u1", "active", ts("2024-01-01 00:00:00"), 1L),
+      ("u1", "active", ts("2024-01-02 00:00:00"), 2L), // unchanged -> no version
+      ("u1", "churned", ts("2024-01-03 00:00:00"), 3L),
+      ("u1", "active", ts("2024-01-04 00:00:00"), 4L), // value may recur
+      ("u2", "trial", ts("2024-01-01 00:00:00"), 5L)
+    ).toDF("k", "v", "t", "seq")
+    val out = Upsert.scd2History(df, Seq("k"), "v", "t", "seq")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    val u1 = out.filter(_._1 == "u1").sortBy(_._3.getTime)
+    assert(u1.map(_._2).toSeq == Seq("active", "churned", "active"))
+    // each version's valid_to is the next version's valid_from; last is open
+    assert(u1(0)._4.contains(u1(1)._3) && u1(1)._4.contains(u1(2)._3))
+    assert(u1(2)._4.isEmpty && u1(2)._5)
+    assert(!u1(0)._5 && !u1(1)._5)
+    val u2 = out.filter(_._1 == "u2")
+    assert(u2.length == 1 && u2.head._4.isEmpty && u2.head._5)
+  }
+
   test("S5: mergeBatch upsert is idempotent under re-delivery") {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString
     val b1 = Seq(("k1", ts("2024-01-01 10:00:00"), 1L, 1.0),

@@ -314,6 +314,38 @@ class OpsSpec extends SparkSpec {
     assert(got(4L)._1 == 6L && got(4L)._2 == 0L)
   }
 
+  test("ngram top-k: totals and doc counts, count-then-lexical ordering") {
+    val df = Seq(
+      (1L, "a b c a b c"),   // "a b c" x2 (and "b c a", "c a b")
+      (2L, "a b c d"),       // "a b c" once more, "b c d"
+      (3L, "z z z z")        // "z z z" x2 in one doc
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramTopK(df, "text", n = 3, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "a b c": 2 in doc1 + 1 in doc2; "z z z": 2 in doc3; then the
+    // 1-count grams tie-break lexically ("b c a" < "b c d" < "c a b")
+    assert(got.toSeq == Seq(("a b c", 3L, 2L), ("z z z", 2L, 1L), ("b c a", 1L, 1L)))
+  }
+
+  test("chunk dedup: first occurrence kept corpus-wide, docs reassembled in order") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f"),       // chunks (w=3): "a b c", "d e f"
+      (2L, "a b c x y z"),       // "a b c" already seen in doc 1 -> dropped
+      (3L, "x y z"),             // seen in doc 2 -> fully emptied
+      (4L, ""),                  // no tokens -> 0 chunks
+      (5L, "q r")                // short tail chunk kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "text", width = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2, 2L, "a b c d e f")))
+    assert(got(2L) == ((2, 1L, "x y z")))
+    assert(got(3L) == ((1, 0L, "")))
+    assert(got(4L) == ((0, 0L, "")))
+    assert(got(5L) == ((1, 1L, "q r")))
+  }
+
   test("mixture sampling: sources absent from the weight list are excluded") {
     val docs = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "mystery", 10L))
       .toDF("doc_id", "source", "toks")

@@ -81,6 +81,39 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSet == Set((2L, 2), (1L, 1), (4L, 1)))
   }
 
+  test("hybrid RRF: both-leg docs fuse both ranks; single-leg docs keep the other null") {
+    val df = frame(
+      0L -> "dog dog dog",
+      1L -> "cat cat pad",
+      2L -> "cat pad pad",
+      3L -> "dog ran off",
+      4L -> "cat pad")
+    val emb = Seq(
+      0L -> Array(1f, 0f), // query
+      1L -> Array(0.9f, 0.1f),
+      2L -> Array(0f, 1f),
+      3L -> Array(1f, 0f),
+      4L -> Array(-1f, 0f)).toDF("vec_id", "embedding")
+    val out = graft.ops.Retrieval
+      .hybridRrf(df, "text", emb, queryVecId = 0L, Seq("cat"), kPerLeg = 3, k = 10)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Int]),
+         Option(r.get(2)).map(_.asInstanceOf[Int]),
+         r.getDouble(3))).toMap
+    // lexical leg only matches cat-docs {1,2,4}; dense top-3 of query 0 is
+    // {3 (cos 1), 1 (cos≈0.99), 2 (cos 0)} — doc 1 is in BOTH legs.
+    val (l1, d1, rrf1) = out(1L)
+    assert(l1.nonEmpty && d1.nonEmpty)
+    assert(math.abs(rrf1 - (1.0 / (60 + l1.get) + 1.0 / (60 + d1.get))) < 1e-15)
+    val (l3, d3, rrf3) = out(3L) // dense-only
+    assert(l3.isEmpty && d3.nonEmpty && math.abs(rrf3 - 1.0 / (60 + d3.get)) < 1e-15)
+    val (l4, d4, rrf4) = out(4L) // lexical-only
+    assert(l4.nonEmpty && d4.isEmpty && math.abs(rrf4 - 1.0 / (60 + l4.get)) < 1e-15)
+    // both-leg doc 1 outranks every single-leg doc
+    assert(rrf1 > rrf3 && rrf1 > rrf4)
+  }
+
   test("score is stable under repartitioning (fixed-point sum)") {
     val df = frame((1L to 40L).map(i =>
       i -> s"cat dog ${"pad " * (i % 7).toInt}fish"): _*)

@@ -959,6 +959,37 @@ object SparkEntry {
       },
       Some(crossDedupSql)),
 
+    // ---- l2: bucketed-table co-located join — the write pins a hash
+    // partitioning on disk, so the per-user aggregate AND the join back to
+    // rows both run with ZERO Exchange (PlanChecksSpec pins it); the oracle
+    // certifies equality with the plain shuffled join.
+    ("l2_bucketed_join",
+      (s, d) => graft.etl.Bucketing.bucketedUserTotals(s, ev(s, d),
+        s"${System.getProperty("java.io.tmpdir")}/graft_l2"),
+      Some("""SELECT e.event_id, e.user_id,
+        |  CAST(round(e.value * 100) AS BIGINT) AS value_c, s.user_total_c
+        |FROM events e JOIN (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS user_total_c
+        |  FROM events GROUP BY user_id) s USING (user_id)""".stripMargin)),
+
+    // ---- d11: Bloom-prefiltered cross-corpus exact dedup — a mergeable
+    // Bloom sketch of the seen side short-circuits definitely-fresh rows
+    // past the exact anti-join; result is exact (oracle: plain anti-join).
+    ("d11_bloom_dedup",
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.bloomDedup(all.filter(col("doc_id") % 10 =!= 0),
+          all.filter(col("doc_id") % 10 === 0), "text",
+          expectedItems = 10000L)
+      },
+      Some("""SELECT d.doc_id, md5(d.text) AS row_hash
+        |FROM documents d
+        |WHERE d.doc_id % 10 <> 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents s
+        |  WHERE s.doc_id % 10 = 0 AND md5(s.text) = md5(d.text))""".stripMargin)),
+
     // ---- d10: chunk-level exact dedup (line-dedup analog) — keep each
     // distinct fixed-width token chunk's first corpus-wide occurrence and
     // reassemble documents; removes boilerplate whole-doc dedup can't see.

@@ -337,6 +337,51 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Cross-corpus exact dedup with a Bloom prefilter: emit the batch rows
+    * whose content hash does NOT occur in the `seen` corpus, but probe a
+    * mergeable Bloom sketch of `seen` BEFORE the exact anti-join — rows the
+    * sketch rejects are definitely fresh (Bloom filters have no false
+    * negatives) and skip the join entirely; only the ~fpp false-positive
+    * sliver plus the true duplicates pay the shuffle. This is the standard
+    * shape for incremental ingest against a many-billion-row seen-set:
+    * the sketch is built by a distributed mergeable aggregate
+    * (`BloomFilterAggregate`, map-side partial sketches OR-merged), and only
+    * `optimalNumOfBits(n, fpp)/8` bytes — not the seen-set — return to the
+    * driver, exactly the bounded-sketch contract of kmeans' centroids.
+    *
+    * The result is EXACT (the oracle is the plain anti-join): the sketch
+    * only shrinks the join's left side, never changes its answer.
+    *
+    * Output: (doc_id, row_hash) of fresh batch rows. */
+  def bloomDedup(batch: DataFrame, seen: DataFrame, textCol: String,
+                 expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    def keyed(df: DataFrame) =
+      df.select(col("doc_id"), md5(col(textCol)).as("row_hash"))
+    val seenK = keyed(seen)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val sketch = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("row_hash"))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    // One bounded sketch to the driver (the scalar-subquery shape Spark's
+    // own runtime row-group filtering uses); null when `seen` is empty.
+    val bfBytes = seenK.agg(sketch.as("bf")).head().getAs[Array[Byte]]("bf")
+    val batchK = keyed(batch).localCheckpoint() // both branches read it once
+    if (bfBytes == null) return batchK // nothing seen: everything is fresh
+    val maybeSeen = Bridge.column(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType),
+      Bridge.expression(xxhash64(col("row_hash")))))
+    // definitely-fresh rows bypass the join; candidates verify exactly
+    batchK.filter(!maybeSeen).unionByName(
+      batchK.filter(maybeSeen)
+        .join(seenK.select("row_hash").distinct(), Seq("row_hash"), "left_anti")
+        .select("doc_id", "row_hash"))
+  }
+
   /** Benchmark decontamination score: the fraction of each document's
     * distinct word-n-gram shingles that also occur anywhere in a benchmark
     * corpus — the standard pretraining hygiene check that evaluation data

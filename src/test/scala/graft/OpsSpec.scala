@@ -314,6 +314,25 @@ class OpsSpec extends SparkSpec {
     assert(got(4L)._1 == 6L && got(4L)._2 == 0L)
   }
 
+  test("bloom dedup: exact anti-join result; empty seen side passes everything") {
+    import graft.ops.Dedup
+    val seen = Seq((0L, "alpha"), (10L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha"),  // dup of seen 0
+      (2L, "beta"),   // dup of seen 10
+      (3L, "gamma"), (4L, "delta")).toDF("doc_id", "text")
+    val fresh = Dedup.bloomDedup(batch, seen, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fresh == Set(3L, 4L))
+    // plan actually carries the sketch probe (not a plain anti-join)
+    val plan = Dedup.bloomDedup(batch, seen, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+    val all = Dedup.bloomDedup(batch, seen.filter(col("doc_id") < 0), "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+  }
+
   test("ngram top-k: totals and doc counts, count-then-lexical ordering") {
     val df = Seq(
       (1L, "a b c a b c"),   // "a b c" x2 (and "b c a", "c a b")

@@ -130,4 +130,25 @@ class PlanChecksSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS rb")
     }
   }
+
+  test("bucketed user totals: aggregate AND join run with zero Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("l2").toString
+    val ev = (1L to 5000L)
+      .map(i => (i, i % 97, (i % 13) * 0.25)).toDF("event_id", "user_id", "value")
+    try {
+      val out = graft.etl.Bucketing.bucketedUserTotals(spark, ev, dir, buckets = 4)
+      val plan = finalPlanString(out)
+      // zero SHUFFLE exchanges: the aggregate runs straight off the bucketed
+      // scan ("Bucketed: true"); broadcasting the |users|-row totals side is
+      // fine (and with a big totals side, SMJ stays shuffle-free too)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed pipeline shuffled:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      // spot-check one user's total against a driver-side sum
+      val u5 = out.filter(col("user_id") === 5).collect()
+      val expect = (1L to 5000L).filter(_ % 97 == 5)
+        .map(i => math.round((i % 13) * 0.25 * 100)).sum
+      assert(u5.nonEmpty && u5.forall(_.getLong(3) == expect))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_events_bucketed")
+  }
 }

@@ -990,6 +990,13 @@ object SparkEntry {
         |  SELECT 1 FROM documents s
         |  WHERE s.doc_id % 10 = 0 AND md5(s.text) = md5(d.text))""".stripMargin)),
 
+    // ---- d12: cross-source overlap matrix — distinct shingle-hash Jaccard
+    // between every pair of corpus sources; the inter-source duplication
+    // diagnostic behind mixture weights and dedup ordering.
+    ("d12_source_overlap",
+      (s, d) => Dedup.sourceOverlap(docs(s, d), "source", "text", n = 5),
+      Some(sourceOverlapSql)),
+
     // ---- d10: chunk-level exact dedup (line-dedup analog) — keep each
     // distinct fixed-width token chunk's first corpus-wide occurrence and
     // reassemble documents; removes boilerplate whole-doc dedup can't see.
@@ -1220,6 +1227,13 @@ object SparkEntry {
       (s, d) => Retrieval.phraseTopK(docs(s, d), "text", phraseTerms, 15),
       Some(Retrieval.phraseSql(TextAnalysis.TokenRegex, phraseTerms, 15))),
 
+    // ---- r4: ANN recall@k — the e3 SRP-LSH ranking evaluated against the
+    // e1 exact ranking per query; both legs are deterministic, so recall is
+    // exact, not a sampled estimate.
+    ("r4_ann_recall",
+      (s, d) => Similarity.annRecall(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),
+      Some(annRecallSql)),
+
     // ---- r3: hybrid retrieval — reciprocal-rank fusion of the r1 lexical
     // ranking and the e1 dense cosine ranking for one query (vec_id 7's
     // embedding as the dense query, the shared term list as the lexical
@@ -1358,6 +1372,70 @@ object SparkEntry {
        |    sum(per.c) AS dup_fraction
        |FROM per LEFT JOIN shared sh ON per.h = sh.h
        |GROUP BY per.doc_id""".stripMargin
+
+  /** d12 oracle: distinct (source, shingle-hash) pairs, pairwise shared
+    * counts and Jaccard — the shingle fragment mirrors dupSpanSql (n=5). */
+  private lazy val sourceOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, regexp_extract_all(lower(text), '$tokenRe') AS t FROM documents),
+       |sp AS (
+       |  SELECT DISTINCT source,
+       |    CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % ${Dedup.P} AS h
+       |  FROM (SELECT source, unnest(list_transform(
+       |      generate_series(1, greatest(1, len(t) - 4)),
+       |      i -> array_to_string(t[i:i+4], ' '))) AS s FROM toks)),
+       |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY source),
+       |pr AS (
+       |  SELECT l.source AS src_a, r.source AS src_b, CAST(count(*) AS BIGINT) AS shared
+       |  FROM sp l JOIN sp r ON l.h = r.h AND l.source < r.source
+       |  GROUP BY 1, 2)
+       |SELECT pr.src_a, pr.src_b, ta.n AS n_a, tb.n AS n_b, pr.shared,
+       |  CAST(pr.shared AS DOUBLE) / (ta.n + tb.n - pr.shared) AS jaccard
+       |FROM pr JOIN tot ta ON pr.src_a = ta.source
+       |        JOIN tot tb ON pr.src_b = tb.source""".stripMargin
+
+  /** r4 oracle: the e1 exact leg LEFT JOIN the e3 SRP-LSH leg, rolled up to
+    * per-query recall@3 — both legs verbatim from their own oracles. */
+  private lazy val annRecallSql: String = {
+    val planes = 12; val dims = 64
+    val bucketExpr = (0 until planes).map { p =>
+      val terms = (0 until dims).map { d =>
+        val sgn = if (Similarity.planeSign(p, d) > 0) "+" else "-"
+        s"$sgn emb[${d + 1}]"
+      }.mkString(" ")
+      s"(CASE WHEN (0.0 $terms) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 10),
+       |ex AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT q.query_id, c.vec_id AS nbr_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.q_emb, c.emb) DESC, c.vec_id) AS rn
+       |    FROM base c, q WHERE c.vec_id <> q.query_id)
+       |  WHERE rn <= 3),
+       |b64 AS (SELECT vec_id, emb FROM base WHERE len(emb) = $dims),
+       |bk AS (
+       |  SELECT vec_id, emb,
+       |    $bucketExpr AS bucket
+       |  FROM b64),
+       |qb AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM bk WHERE vec_id < 10),
+       |ann AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT qb.query_id, c.vec_id AS nbr_id,
+       |      row_number() OVER (PARTITION BY qb.query_id
+       |        ORDER BY list_cosine_similarity(qb.q_emb, c.emb) DESC, c.vec_id) AS rn
+       |    FROM bk c JOIN qb
+       |      ON bit_count(xor(c.bucket, qb.bucket)) <= 1 AND c.vec_id <> qb.query_id)
+       |  WHERE rn <= 3)
+       |SELECT ex.query_id,
+       |  CAST(count(a.nbr_id) AS BIGINT) AS n_hit,
+       |  CAST(count(*) AS BIGINT) AS k_exact,
+       |  CAST(count(a.nbr_id) AS DOUBLE) / count(*) AS recall
+       |FROM ex LEFT JOIN ann a USING (query_id, nbr_id)
+       |GROUP BY ex.query_id""".stripMargin
+  }
 
   private lazy val rareTokenSql: String =
     s"""WITH tok AS (

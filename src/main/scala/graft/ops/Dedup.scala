@@ -520,6 +520,39 @@ object Dedup {
        |  COALESCE(r.text_dedup, '') AS text_dedup
        |FROM arr a LEFT JOIN reb r USING (doc_id)""".stripMargin
 
+  /** Cross-source overlap matrix: for every pair of corpus sources, the
+    * number of distinct word-n-gram shingle hashes they share and the
+    * Jaccard overlap — the inter-source duplication diagnostic that decides
+    * mixture weights and dedup ordering (two crawls of the same sites, a
+    * dataset republished inside another, benchmark suites leaking into web
+    * scrapes all show up here first).
+    *
+    * Scale: shingles reduce to distinct (source, hash) pairs in one scan +
+    * one aggregate — at most |sources| rows per hash survive. The pair
+    * expansion is a self-equi-join ON h whose output is bounded by
+    * |sources|² per hash (sources are few; documents never pair). The final
+    * rollup is |sources|² rows. Linear in corpus shingles end to end. */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                    n: Int = 5): DataFrame = {
+    val sh = graft.model.Tables
+      .spread(docs.select(col(srcCol).as("src"), col(textCol)), col("src"))
+      .select(col("src"), explode(wordShingles(col(textCol), n)).as("__shingle"))
+      .select(col("src"), strHash31(col("__shingle")).as("h"))
+      .distinct()
+    val shM = if (sh.isStreaming) sh else sh.localCheckpoint()
+    val totals = shM.groupBy("src").agg(count(lit(1)).as("n"))
+    val shared = shM.as("l")
+      .join(shM.as("r"), col("l.h") === col("r.h") && col("l.src") < col("r.src"))
+      .groupBy(col("l.src").as("src_a"), col("r.src").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(totals.select(col("src").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("src").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("shared"),
+        (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+          .as("jaccard"))
+  }
+
   /** 32-bit SimHash over the token multiset: per-bit majority vote of
     * md5-derived token hashes, computed as `bits` flat conditional sums in
     * one aggregation pass. */

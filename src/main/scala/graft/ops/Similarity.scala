@@ -111,6 +111,28 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cos"), col("__rn").as("rank"))
   }
 
+  /** Recall@k of the SRP-LSH ANN ([[lshTopK]]) against the exact
+    * brute-force ranking ([[bruteForceTopK]]) — the evaluation harness every
+    * ANN deployment needs before trusting the approximate path: run both on
+    * a query sample, report per-query overlap. Both legs are deterministic
+    * (ties break on nbr_id), so recall is exact and engine-reproducible,
+    * not a sampled estimate.
+    *
+    * Scale: each leg is its own bounded top-k (one corpus scan each); the
+    * comparison join touches ≤ |queries|·k rows. Run it on a sampled query
+    * set — the corpus cost is the two scans, not the comparison. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("nbr_id"))
+    val ann = lshTopK(corpus, queries, k)
+      .select(col("query_id"), col("nbr_id"), lit(1).as("__hit"))
+    exact.join(ann, Seq("query_id", "nbr_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_exact"), count(col("__hit")).as("n_hit"))
+      .select(col("query_id"), col("n_hit"), col("k_exact"),
+        (col("n_hit").cast("double") / col("k_exact")).as("recall"))
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus by max-cosine against a small
     * centroid set (broadcast — at scale these come from a sampled k-means;
     * here any deterministic centroid frame), probe each query's `nprobe`

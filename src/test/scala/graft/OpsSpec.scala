@@ -314,6 +314,38 @@ class OpsSpec extends SparkSpec {
     assert(got(4L)._1 == 6L && got(4L)._2 == 0L)
   }
 
+  test("source overlap: shared shingles counted pairwise, disjoint sources absent") {
+    import graft.ops.Dedup
+    val df = Seq(
+      (1L, "a", "one two three four five six"),
+      (2L, "b", "one two three four five seven"), // shares the 5-gram prefix? no —
+      // 5-grams: a has {one..five, two..six}; b has {one..five, two..seven}
+      (3L, "c", "totally different words here now")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(df, "source", "text", n = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // a and b share exactly the "one two three four five" shingle
+    val (na, nb, shared, jac) = got(("a", "b"))
+    assert(na == 2L && nb == 2L && shared == 1L)
+    assert(math.abs(jac - 1.0 / 3.0) < 1e-15)
+    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
+  }
+
+  test("ANN recall: identical rankings give recall 1, degraded ANN below 1") {
+    import graft.ops.Similarity
+    // clustered vectors: every query's true neighbors share its bucket, so
+    // SRP-LSH finds the same top-k as brute force -> recall@k = 1
+    val base = (0 until 64).map(_.toFloat).toArray
+    val vecs = (0L to 9L).map { i =>
+      (i, base.map(v => v + (i % 2).toFloat * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.annRecall(vecs, vecs.filter(col("vec_id") < 2), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got.values.forall(_ == 1.0))
+  }
+
   test("bloom dedup: exact anti-join result; empty seen side passes everything") {
     import graft.ops.Dedup
     val seen = Seq((0L, "alpha"), (10L, "beta")).toDF("doc_id", "text")

@@ -280,17 +280,18 @@ object TextAnalysis {
     * probes, tokenizer-vocabulary sanity checks).
     *
     * Scale: one tokenization scan (native [[Dedup.wordShingles]] expression,
-    * O(1) per gram), grams partial-aggregate map-side before the single
-    * (ngram) shuffle, and the global top-k is TakeOrdered — no full sort.
-    * `n_docs` (distinct documents per gram) rides the same shuffle via a
-    * two-level aggregate instead of a count-distinct expand. */
+    * O(1) per gram), then ONE (ngram) shuffle: a single count-distinct
+    * aggregate plans as partial (ngram, doc_id) dedup map-side feeding one
+    * ngram-keyed exchange (no Expand — that only appears with ≥2 distinct
+    * aggregates, and an explicit two-level groupBy would pay a second
+    * full-cardinality shuffle on (doc_id, ngram)). Global top-k is
+    * TakeOrdered — no full sort. */
   def ngramTopK(df: DataFrame, textCol: String, n: Int = 3, k: Int = 20): DataFrame = {
-    val perDoc = graft.model.Tables
+    graft.model.Tables
       .spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
       .select(col("doc_id"), explode(Dedup.wordShingles(col(textCol), n)).as("ngram"))
-      .groupBy("doc_id", "ngram").agg(count(lit(1)).as("__c"))
-    perDoc.groupBy("ngram")
-      .agg(sum(col("__c")).as("occurrences"), count(lit(1)).as("n_docs"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("occurrences").desc, col("ngram").asc)
       .limit(k)
   }

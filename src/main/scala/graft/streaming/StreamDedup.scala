@@ -34,6 +34,38 @@ object StreamDedup {
       .join(sigs.select(col("doc_id"), col("sh")), "doc_id")
   }
 
+  /** EXACT streaming dedup against a static seen-set via a Bloom probe:
+    * the batch-side [[Dedup.bloomDedup]] shape lifted to a stream. The
+    * sketch is built ONCE from the seen corpus (a bounded binary literal —
+    * no stream-static join, no state store, no watermark), and each
+    * streaming row probes it map-side: sketch-negative rows are DEFINITELY
+    * fresh (Bloom filters have no false negatives) and pass with
+    * `is_certain=true`; sketch-positive rows are either true dups or the
+    * ~fpp sliver and are emitted flagged for the sink's exact verification
+    * (a per-batch anti-join in `foreachBatch`, against a seen-set lookup
+    * that only the flagged sliver pays).
+    *
+    * Output: (doc_id, row_hash, maybe_seen). Fully stateless per row —
+    * survives any micro-batch boundary placement. */
+  def bloomFresh(stream: DataFrame, seen: DataFrame, textCol: String,
+                 expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val sketch = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(xxhash64(md5(col(textCol)))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bfBytes = seen.agg(sketch.as("bf")).head().getAs[Array[Byte]]("bf")
+    val keyed = stream.select(col("doc_id"), md5(col(textCol)).as("row_hash"))
+    if (bfBytes == null) return keyed.withColumn("maybe_seen", lit(false))
+    keyed.withColumn("maybe_seen", Bridge.column(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType),
+      Bridge.expression(xxhash64(col("row_hash"))))))
+  }
+
   /** Near-dup candidates of a streaming doc frame against the static index,
     * with exact Jaccard verification: (new_doc_id, corpus_doc_id, jaccard).
     * Rows may repeat per shared band — see the class doc for the sink-side

@@ -63,6 +63,34 @@ class StreamDedupSpec extends SparkSpec {
     assert(collected.map(_._1).toSet == Set(101L, 102L)) // 103 is novel
   }
 
+  test("streaming bloom probe: negatives are exactly-fresh, all true dups flagged") {
+    val seen = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF.toDF("doc_id", "text")
+    val out = StreamDedup.bloomFresh(stream, seen, "text")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= batch.select("doc_id", "maybe_seen")
+          .as[(Long, Boolean)].collect()
+        ()
+      }.start()
+    try {
+      input.addData(Seq((10L, "alpha doc"), (11L, "gamma doc")))
+      q.processAllAvailable()
+      input.addData(Seq((12L, "beta doc"), (13L, "delta doc")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val flags = collected.toMap
+    assert(flags.keySet == Set(10L, 11L, 12L, 13L))
+    // true dups MUST be flagged (no false negatives across batch boundaries)
+    assert(flags(10L) && flags(12L))
+    // sketch-negative rows are definitely fresh; at this sketch size the
+    // two novel docs also pass unflagged (fpp ~3% makes flips vanishingly
+    // unlikely on 2 items, and the sketch is deterministic per build)
+    assert(!flags(11L) && !flags(13L))
+  }
+
   test("row signatures match aggregate signatures exactly") {
     val byRow = Dedup.rowMinhashSignatures(corpus, "text").drop("sh")
     val byAgg = Dedup.minhashSignatures(corpus, "text")

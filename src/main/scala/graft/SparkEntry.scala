@@ -1227,6 +1227,15 @@ object SparkEntry {
       (s, d) => Retrieval.phraseTopK(docs(s, d), "text", phraseTerms, 15),
       Some(Retrieval.phraseSql(TextAnalysis.TokenRegex, phraseTerms, 15))),
 
+    // ---- r5: retrieve-then-rerank cascade — BM25 pre-selects candidates,
+    // only those are cosine-reranked against the query embedding; the
+    // expensive scorer touches |candidates| rows, never the corpus.
+    ("r5_rerank_topk",
+      (s, d) => Retrieval.rerankTopK(docs(s, d), "text", emb(s, d),
+        queryVecId = 7L, bm25Terms, candidates = 25, k = 10),
+      Some(Retrieval.rerankSql(TextAnalysis.TokenRegex, bm25Terms,
+        queryVecId = 7L, candidates = 25, k = 10))),
+
     // ---- r4: ANN recall@k — the e3 SRP-LSH ranking evaluated against the
     // e1 exact ranking per query; both legs are deterministic, so recall is
     // exact, not a sampled estimate.

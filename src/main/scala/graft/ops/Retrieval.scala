@@ -147,6 +147,54 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Retrieve-then-rerank cascade — the standard production retrieval
+    * shape: a cheap lexical pass ([[bm25TopK]]) pre-selects `candidates`
+    * documents, then ONLY those are reranked by embedding cosine against
+    * the query vector. Complements [[hybridRrf]] (which fuses two full
+    * rankings): the cascade never scores the corpus densely at all, so the
+    * expensive model (here cosine; in production a cross-encoder) touches
+    * `candidates` rows, not billions.
+    *
+    * Scale: the corpus pays exactly one tokenization scan (the BM25 leg);
+    * the rerank joins the ≤`candidates`-row lexical output against the
+    * embeddings table on doc_id (broadcast — the candidate list is tiny) and
+    * sorts ≤`candidates` rows. Output: (doc_id, bm25, cos), top-k by cos. */
+  def rerankTopK(docs: DataFrame, textCol: String, emb: DataFrame,
+                 queryVecId: Long, terms: Seq[String], candidates: Int,
+                 k: Int): DataFrame = {
+    require(candidates >= k && k > 0)
+    val lex = bm25TopK(docs, textCol, terms, candidates)
+      .select(col("doc_id"), col("score").as("bm25"))
+    val q = broadcast(emb.filter(col("vec_id") === queryVecId)
+      .select(Similarity.asDouble(col("embedding")).as("q_emb"),
+        Similarity.l2norm(col("embedding")).as("q_nrm")))
+    val corpus = emb.select(col("vec_id").as("doc_id"),
+      Similarity.asDouble(col("embedding")).as("d_emb"),
+      Similarity.l2norm(col("embedding")).as("d_nrm"))
+    broadcast(lex).join(corpus, Seq("doc_id")).crossJoin(q)
+      .select(col("doc_id"), col("bm25"),
+        (Similarity.dot(col("q_emb"), col("d_emb")) /
+          (col("q_nrm") * col("d_nrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** [[rerankTopK]] as DuckDB SQL (oracle): the lexical CTE nests
+    * [[bm25Sql]]; the rerank mirrors the e1 cosine expression. */
+  def rerankSql(tokenRe: String, terms: Seq[String], queryVecId: Long,
+                candidates: Int, k: Int): String =
+    s"""WITH lex AS (
+       |  SELECT doc_id, score AS bm25
+       |  FROM (${bm25Sql(tokenRe, terms, candidates)}))
+       |SELECT l.doc_id, l.bm25,
+       |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                         CAST(c.embedding AS DOUBLE[])) AS cos
+       |FROM lex l
+       |JOIN embeddings c ON c.vec_id = l.doc_id
+       |CROSS JOIN (SELECT embedding FROM embeddings
+       |            WHERE vec_id = $queryVecId) q
+       |ORDER BY cos DESC, l.doc_id LIMIT $k""".stripMargin
+
   /** [[hybridRrf]] as DuckDB SQL (oracle): the dense leg mirrors the e1
     * cosine oracle, the lexical leg nests [[bm25Sql]], and the fusion uses
     * the same coalesce-to-0 double arithmetic. */

@@ -114,6 +114,27 @@ class RetrievalSpec extends SparkSpec {
     assert(rrf1 > rrf3 && rrf1 > rrf4)
   }
 
+  test("rerank cascade: only lexical candidates are reranked, order is by cosine") {
+    import org.apache.spark.sql.functions.col
+    val df = frame(
+      1L -> "cat cat cat",   // strong lexical hit
+      2L -> "cat pad pad",   // weaker lexical hit
+      3L -> "dog dog dog",   // no lexical hit -> must NOT appear even if
+      4L -> "cat pad")       //   its embedding matches the query perfectly
+    val emb = Seq(
+      0L -> Array(1f, 0f),   // query
+      1L -> Array(0f, 1f),   // orthogonal: worst rerank among candidates
+      2L -> Array(1f, 0.5f),
+      3L -> Array(1f, 0f),   // identical to query, but not a candidate
+      4L -> Array(1f, 0.1f)).toDF("vec_id", "embedding")
+    val got = graft.ops.Retrieval
+      .rerankTopK(df, "text", emb, queryVecId = 0L, Seq("cat"),
+        candidates = 3, k = 3)
+      .collect().map(_.getLong(0))
+    // candidates are {1,2,4}; cosine order: 4 (0.995) > 2 (0.894) > 1 (0)
+    assert(got.toSeq == Seq(4L, 2L, 1L))
+  }
+
   test("score is stable under repartitioning (fixed-point sum)") {
     val df = frame((1L to 40L).map(i =>
       i -> s"cat dog ${"pad " * (i % 7).toInt}fish"): _*)

@@ -57,6 +57,42 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("bloom dedup equals the plain anti-join on random overlapping corpora") {
+    // small word pool forces real overlap between batch and seen
+    val doc = Gen.listOfN(4, Gen.oneOf("ant", "bee", "cat", "dog", "elk"))
+      .map(_.mkString(" "))
+    val corpus = Gen.listOfN(25, doc)
+    check("bloom-exact", 6)(Prop.forAll(corpus, corpus) { (seenTexts, batchTexts) =>
+      val seen = seenTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.bloomDedup(batch, seen, "text")
+        .select("doc_id").as[Long].collect().toSet
+      val want = batch.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(seen.select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      got == want
+    })
+  }
+
+  test("chunk dedup: kept chunks are globally distinct and cover every distinct chunk") {
+    val doc = Gen.listOfN(9, Gen.oneOf("ant", "bee", "cat", "dog"))
+      .map(_.mkString(" "))
+    check("chunk-invariants", 6)(Prop.forAll(Gen.listOfN(12, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.chunkDedup(df, "text", width = 3).collect()
+      val keptChunks = out.flatMap(r => r.getString(3).split(" ").grouped(3)
+        .map(_.mkString(" ")).filter(_.nonEmpty))
+      val allChunks = texts.flatMap(_.split(" ").grouped(3).map(_.mkString(" ")))
+      // every surviving chunk is unique corpus-wide, and together the
+      // survivors cover every distinct chunk of the input exactly once
+      keptChunks.length == keptChunks.distinct.length &&
+        keptChunks.toSet == allChunks.toSet
+    })
+  }
+
   test("keyed upsert merge is idempotent: re-delivering a batch changes nothing") {
     val rows = Gen.listOfN(20, Gen.zip(Gen.choose(1, 5), Gen.choose(1, 1000)))
     check("upsert-idempotent", 5)(Prop.forAll(rows) { xs =>

@@ -34,6 +34,43 @@ object StreamDedup {
       .join(sigs.select(col("doc_id"), col("sh")), "doc_id")
   }
 
+  /** Self-maintaining dedup ingest: a `foreachBatch` sink that checks each
+    * micro-batch against the on-disk MinHash band index of EVERYTHING
+    * admitted so far, writes only novel documents to `freshPath`, and
+    * appends their band rows to `indexPath` — so later batches dedup
+    * against earlier ones without any driver state (the index IS the
+    * state, durable and restart-safe; re-reading it per batch is exactly
+    * the stream-static pattern with a static side that grows).
+    *
+    * Contract: dedup is against previously-ADMITTED documents only;
+    * near-dups arriving within one micro-batch are both admitted (run the
+    * batch [[Dedup.nearDupPairs]] on `freshPath` afterwards if intra-batch
+    * pairs matter). At scale, write `indexPath` bucketed by band_key and
+    * compact periodically ([[graft.etl.Compact]]).
+    */
+  def dedupIngest(indexPath: String, freshPath: String, textCol: String = "text",
+                  n: Int = 3, rowsPerBand: Int = 2, threshold: Double = 0.5)
+      : (DataFrame, Long) => Unit = (batch: DataFrame, _: Long) => {
+    val spark = batch.sparkSession
+    val newIdx = corpusIndex(batch, textCol, n, rowsPerBand).localCheckpoint()
+    val existing =
+      try Some(spark.read.parquet(indexPath))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val dupIds = existing match {
+      case None => spark.range(0).select(col("id").as("doc_id"))
+      case Some(idx) =>
+        newIdx.select(col("doc_id"), col("band_id"), col("band_key"), col("sh").as("sh_new"))
+          .join(idx.select(col("band_id"), col("band_key"), col("sh").as("sh_old")),
+            Seq("band_id", "band_key"))
+          .filter(Dedup.jaccardExpr(col("sh_new"), col("sh_old")) >= threshold)
+          .select("doc_id").distinct()
+    }
+    val freshIdx = newIdx.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    batch.join(freshIdx.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .write.mode("append").parquet(freshPath)
+    freshIdx.write.mode("append").parquet(indexPath)
+  }
+
   /** EXACT streaming dedup against a static seen-set via a Bloom probe:
     * the batch-side [[Dedup.bloomDedup]] shape lifted to a stream. The
     * sketch is built ONCE from the seen corpus (a bounded binary literal —

@@ -91,6 +91,40 @@ class StreamDedupSpec extends SparkSpec {
     assert(!flags(11L) && !flags(13L))
   }
 
+  test("dedup ingest: later batches dedup against earlier admissions via the index") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest").toString
+    val idxPath = s"$dir/index"; val freshPath = s"$dir/fresh"
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF.toDF("doc_id", "text")
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch(StreamDedup.dedupIngest(idxPath, freshPath, threshold = 0.3))
+      .start()
+    try {
+      input.addData(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2L, "a completely different document about spark catalyst optimizer internals")))
+      q.processAllAvailable()
+      input.addData(Seq(
+        // near-dup of admitted doc 1 -> rejected
+        (3L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+        // novel -> admitted, and then
+        (4L, "students enrolled in the database course passed the final exam with honors")))
+      q.processAllAvailable()
+      input.addData(Seq(
+        // near-dup of batch-2 admission 4 -> rejected (index grew)
+        (5L, "students enrolled in the database course passed the final exam with distinction"),
+        (6L, "totally unrelated content regarding quantum chemistry simulations on clusters")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fresh = spark.read.parquet(freshPath).select("doc_id")
+      .as[Long].collect().toSet
+    assert(fresh == Set(1L, 2L, 4L, 6L), s"admitted: $fresh")
+    // the index holds band rows for exactly the admitted docs
+    val idxDocs = spark.read.parquet(idxPath).select("doc_id")
+      .as[Long].collect().toSet
+    assert(idxDocs == Set(1L, 2L, 4L, 6L))
+  }
+
   test("row signatures match aggregate signatures exactly") {
     val byRow = Dedup.rowMinhashSignatures(corpus, "text").drop("sh")
     val byAgg = Dedup.minhashSignatures(corpus, "text")

@@ -1182,6 +1182,23 @@ object SparkEntry {
         |FROM documents,
         |unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)""".stripMargin)),
 
+    // ---- m4: cross-media shared-segment detection — media pairs containing
+    // identical sampled frames (re-uploads, shared intros); frame hashes are
+    // capped like every LSH bucket so the pair join never goes quadratic.
+    ("m4_shared_frames",
+      (s, d) => Multimodal.sharedFrames(Multimodal.syntheticMedia(docs(s, d))),
+      Some("""WITH fr AS (
+        |  SELECT DISTINCT doc_id AS media_id,
+        |    md5(substr(text, CAST(1 + i*64 AS INT), 16)) AS frame_md5
+        |  FROM documents,
+        |  unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)),
+        |rare AS (SELECT frame_md5 FROM fr GROUP BY 1 HAVING count(*) <= 32),
+        |pr AS (SELECT * FROM fr WHERE frame_md5 IN (SELECT frame_md5 FROM rare))
+        |SELECT l.media_id AS media_a, r.media_id AS media_b,
+        |  CAST(count(*) AS BIGINT) AS shared_frames
+        |FROM pr l JOIN pr r ON l.frame_md5 = r.frame_md5 AND l.media_id < r.media_id
+        |GROUP BY 1, 2""".stripMargin)),
+
     // ---- i1: incremental (delta-maintained) aggregate. The query splits
     // events into a base batch and a delta batch, aggregates each to partial
     // state, merges, and finishes — the oracle is the FROM-SCRATCH aggregate,

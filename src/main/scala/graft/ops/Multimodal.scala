@@ -81,6 +81,31 @@ object Multimodal {
       }
   }
 
+  /** Cross-media shared-segment detection: which media pairs contain
+    * identical sampled frames — the multimodal analogue of the d12/x17
+    * span-sharing diagnostics (shared intros, watermark cards, re-uploads
+    * of the same clip inside different containers).
+    *
+    * Scale: frames reduce to (media_id, frame_md5) DISTINCT pairs in one
+    * pass; super-common frames (test patterns, black frames) are pruned by
+    * the same bucket-cap rule every LSH join here uses, so the
+    * self-equi-join on frame_md5 expands to ≤ maxMedia² rows per frame and
+    * never goes quadratic in media count. */
+  def sharedFrames(media: DataFrame, frameBytes: Int = 16,
+                   strideBytes: Int = 64, maxMedia: Int = 32): DataFrame = {
+    val fr = sampleFrames(media, frameBytes, strideBytes)
+      .select(col("media_id"), col("frame_md5")).distinct()
+    val frM = if (fr.isStreaming) fr else fr.localCheckpoint()
+    val rare = frM.groupBy("frame_md5").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxMedia).select("frame_md5")
+    val pruned = frM.join(rare, Seq("frame_md5"), "left_semi")
+    pruned.as("l").join(pruned.as("r"),
+        col("l.frame_md5") === col("r.frame_md5") &&
+        col("l.media_id") < col("r.media_id"))
+      .groupBy(col("l.media_id").as("media_a"), col("r.media_id").as("media_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+  }
+
   /** Frame sampling: every `strideBytes`-th fixed-width slice of the payload
     * (stand-in for video frame extraction). Pure expressions — the payload is
     * sliced lazily, exploded rows carry only the sampled frame. */

@@ -226,6 +226,24 @@ class OpsSpec extends SparkSpec {
     assert(frames.length == 3) // 200 bytes / 64 stride -> 3 frames
   }
 
+  test("shared frames: media with identical segments pair up, common frames capped") {
+    import graft.ops.Multimodal
+    // payloads long enough for 2 DISTINCT frames (stride 64, frame 16):
+    // varied bytes so the slice at offset 0 differs from the one at 64
+    val pad = (0 until 128).map(i => ('a' + i % 26).toChar).mkString
+    val media = Seq(
+      (1L, "image", (pad + "AAAA").getBytes("UTF-8")),
+      (2L, "video", (pad + "BBBB").getBytes("UTF-8")), // shares both frames with 1
+      (3L, "video", (pad.toUpperCase + "CC").getBytes("UTF-8"))
+    ).toDF("media_id", "media_type", "content")
+    val got = Multimodal.sharedFrames(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 1 and 2 share the two pad-derived frames; 3 shares none
+    assert(got == Map((1L, 2L) -> 2L))
+    // cap: with maxMedia = 1 every shared frame is "too common" -> no pairs
+    assert(Multimodal.sharedFrames(media, maxMedia = 1).count() == 0L)
+  }
+
   test("cross-corpus dedup: copies flagged with deterministic best match, fresh kept") {
     val incoming = Seq(
       (100L, "the quick brown fox jumps over the lazy dog near the river bank"), // copy of 0/3

@@ -786,6 +786,22 @@ object SparkEntry {
       (s, d) => Dedup.dupSpanStats(docs(s, d), "text", n = 5),
       Some(dupSpanSql)),
 
+    // ---- x19: one-pass corpus dataset card — volume, provenance breadth,
+    // exact-dup rate as a single 1-row aggregate (the documents analogue of
+    // s7's table profile).
+    ("x19_corpus_card",
+      (s, d) => TextAnalysis.corpusCard(docs(s, d), "text"),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '$tokenRe'))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+        |    AS dup_fraction
+        |FROM documents""".stripMargin)),
+
     // ---- x18: corpus top-k n-grams — boilerplate discovery / tokenizer
     // vocabulary diagnostic; map-side partial agg, one (ngram) shuffle,
     // TakeOrdered top-k.

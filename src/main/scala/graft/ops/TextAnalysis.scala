@@ -275,6 +275,31 @@ object TextAnalysis {
     * document frequency reduces it to skinny (term, df) rows, and the join
     * back is on the term key (sort-merge at vocab scale; the counts that
     * follow are map-side partial sums). */
+  /** One-pass corpus "dataset card": the headline numbers every released
+    * training corpus ships — volume (docs, tokens, chars), provenance
+    * breadth (sources, languages), and exact-duplication rate — as a single
+    * 1-row aggregate (the documents-corpus analogue of the s7 table
+    * profile).
+    *
+    * Scale: one scan; the count-distincts expand the aggregate a few ways
+    * but every distinct key is tiny (md5 string, source, lang) and the
+    * output is one row. At extreme corpus sizes swap the distinct counts
+    * for approx_count_distinct — same plan shape, constant memory. */
+  def corpusCard(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(t)).as("n_unique_texts"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(size(tokens(t))).cast("long").as("n_tokens"),
+      sum(length(t)).cast("long").as("n_chars"))
+    .select(col("n_docs"), col("n_unique_texts"), col("n_sources"),
+      col("n_langs"), col("n_tokens"), col("n_chars"),
+      ((col("n_docs") - col("n_unique_texts")).cast("double") / col("n_docs"))
+        .as("dup_fraction"))
+  }
+
   /** Corpus-level n-gram frequency table, top-k by total occurrences — the
     * classic LM-data diagnostic (boilerplate discovery, contamination
     * probes, tokenizer-vocabulary sanity checks).

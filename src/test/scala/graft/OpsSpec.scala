@@ -332,6 +332,19 @@ class OpsSpec extends SparkSpec {
     assert(got(4L)._1 == 6L && got(4L)._2 == 0L)
   }
 
+  test("corpus card: volume, provenance and dup-rate in one row") {
+    val df = Seq(
+      (1L, "one two three", "en", "srcA"),
+      (2L, "one two three", "en", "srcB"), // exact dup of 1
+      (3L, "four five", "vi", "srcA")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.corpusCard(df, "text").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L) // docs, unique texts
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L) // sources, langs
+    assert(r.getLong(4) == 8L)                       // tokens
+    assert(math.abs(r.getDouble(6) - 1.0 / 3.0) < 1e-15)
+  }
+
   test("source overlap: shared shingles counted pairwise, disjoint sources absent") {
     import graft.ops.Dedup
     val df = Seq(

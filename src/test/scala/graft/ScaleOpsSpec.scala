@@ -40,6 +40,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("LSH bucket cap bounds pair output on a pathologically duplicated corpus") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    // 200 near-identical docs (unique trailing token): every band bucket
+    // holds ~200 docs. Uncapped this is ~19.9k pairs; the cap must refuse
+    // to go quadratic and drop the overflowing buckets instead.
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("the quick brown fox jumps over the lazy dog token"),
+        col("id")).as("text"))
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(docs, "text", 3))
+    val capped = Dedup.candidatePairs(bands, maxBucket = 64).count()
+    val open = Dedup.candidatePairs(bands, maxBucket = 1000).count()
+    assert(open > 10000L, s"expected the uncapped pair explosion, got $open")
+    assert(capped == 0L, s"cap failed to drop overflowing buckets: $capped pairs")
+    // a small clean group beside the hot one still pairs under the cap
+    val mixed = docs.unionByName(
+      Seq((900L, "alpha beta gamma delta epsilon"),
+          (901L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"))
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(mixed, "text", 3)), maxBucket = 64)
+      .filter(col("a") === 900L && col("b") === 901L).count()
+    assert(pairs >= 1L, "clean duplicate pair lost to an unrelated hot bucket")
+  }
+
   test("Tabular.scan reads a headered csv, drops blanks, nulls empties") {
     val dir = java.nio.file.Files.createTempDirectory("tab").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/g.csv"),

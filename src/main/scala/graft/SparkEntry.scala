@@ -1276,6 +1276,15 @@ object SparkEntry {
       (s, d) => Similarity.annRecall(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),
       Some(annRecallSql)),
 
+    // ---- r6: same harness over the e4 IVF index — the recall comparison
+    // that picks between competing ANN configurations.
+    ("r6_ivf_recall",
+      (s, d) => Similarity.recallVsExact(
+        Similarity.bruteForceTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),
+        Similarity.ivfTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10),
+          emb(s, d).filter(col("vec_id") < 8), 3, nprobe = 2)),
+      Some(ivfRecallSql)),
+
     // ---- r3: hybrid retrieval — reciprocal-rank fusion of the r1 lexical
     // ranking and the e1 dense cosine ranking for one query (vec_id 7's
     // embedding as the dense query, the shared term list as the lexical
@@ -1436,17 +1445,11 @@ object SparkEntry {
        |FROM pr JOIN tot ta ON pr.src_a = ta.source
        |        JOIN tot tb ON pr.src_b = tb.source""".stripMargin
 
-  /** r4 oracle: the e1 exact leg LEFT JOIN the e3 SRP-LSH leg, rolled up to
-    * per-query recall@3 — both legs verbatim from their own oracles. */
-  private lazy val annRecallSql: String = {
-    val planes = 12; val dims = 64
-    val bucketExpr = (0 until planes).map { p =>
-      val terms = (0 until dims).map { d =>
-        val sgn = if (Similarity.planeSign(p, d) > 0) "+" else "-"
-        s"$sgn emb[${d + 1}]"
-      }.mkString(" ")
-      s"(CASE WHEN (0.0 $terms) > 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString("\n    + ")
+  /** Recall-harness oracle wrapper: the e1 exact leg LEFT JOIN any approx
+    * leg's (query_id, nbr_id) output, rolled up to per-query recall@3. The
+    * approx leg nests verbatim from its own oracle, so the harness can
+    * never drift from the index it certifies. */
+  private def recallSqlOver(annLeg: String): String =
     s"""WITH base AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 10),
@@ -1457,27 +1460,19 @@ object SparkEntry {
        |        ORDER BY list_cosine_similarity(q.q_emb, c.emb) DESC, c.vec_id) AS rn
        |    FROM base c, q WHERE c.vec_id <> q.query_id)
        |  WHERE rn <= 3),
-       |b64 AS (SELECT vec_id, emb FROM base WHERE len(emb) = $dims),
-       |bk AS (
-       |  SELECT vec_id, emb,
-       |    $bucketExpr AS bucket
-       |  FROM b64),
-       |qb AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM bk WHERE vec_id < 10),
-       |ann AS (
-       |  SELECT query_id, nbr_id FROM (
-       |    SELECT qb.query_id, c.vec_id AS nbr_id,
-       |      row_number() OVER (PARTITION BY qb.query_id
-       |        ORDER BY list_cosine_similarity(qb.q_emb, c.emb) DESC, c.vec_id) AS rn
-       |    FROM bk c JOIN qb
-       |      ON bit_count(xor(c.bucket, qb.bucket)) <= 1 AND c.vec_id <> qb.query_id)
-       |  WHERE rn <= 3)
+       |ann AS (SELECT query_id, nbr_id FROM ($annLeg))
        |SELECT ex.query_id,
        |  CAST(count(a.nbr_id) AS BIGINT) AS n_hit,
        |  CAST(count(*) AS BIGINT) AS k_exact,
        |  CAST(count(a.nbr_id) AS DOUBLE) / count(*) AS recall
        |FROM ex LEFT JOIN ann a USING (query_id, nbr_id)
        |GROUP BY ex.query_id""".stripMargin
-  }
+
+  /** r4 oracle: recall of the e3 SRP-LSH leg. */
+  private lazy val annRecallSql: String = recallSqlOver(srpAnnSql)
+
+  /** r6 oracle: recall of the e4 IVF leg. */
+  private lazy val ivfRecallSql: String = recallSqlOver(ivfSql)
 
   private lazy val rareTokenSql: String =
     s"""WITH tok AS (

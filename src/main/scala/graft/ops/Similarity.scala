@@ -121,12 +121,16 @@ object Similarity {
     * Scale: each leg is its own bounded top-k (one corpus scan each); the
     * comparison join touches ≤ |queries|·k rows. Run it on a sampled query
     * set — the corpus cost is the two scans, not the comparison. */
-  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val exact = bruteForceTopK(corpus, queries, k)
-      .select(col("query_id"), col("nbr_id"))
-    val ann = lshTopK(corpus, queries, k)
-      .select(col("query_id"), col("nbr_id"), lit(1).as("__hit"))
-    exact.join(ann, Seq("query_id", "nbr_id"), "left")
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    recallVsExact(bruteForceTopK(corpus, queries, k), lshTopK(corpus, queries, k))
+
+  /** The harness itself, index-agnostic: per-query overlap of ANY
+    * approximate (query_id, nbr_id) ranking with the exact one — plug in
+    * SRP-LSH, IVF, quantized, or a future index. */
+  def recallVsExact(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("nbr_id"))
+    val ap = approx.select(col("query_id"), col("nbr_id"), lit(1).as("__hit"))
+    ex.join(ap, Seq("query_id", "nbr_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("k_exact"), count(col("__hit")).as("n_hit"))
       .select(col("query_id"), col("n_hit"), col("k_exact"),

@@ -456,6 +456,21 @@ object SparkEntry {
         |count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1""".stripMargin)),
 
+    // ---- a5 unpivot (melt): the wide pivot frame back to long form — the
+    // pivot/unpivot pair certifies as a ROUND-TRIP: the oracle is just the
+    // plain long-form aggregate, so pivot ∘ unpivot must be the identity
+    // (modulo the never-happened day×type combos both engines drop).
+    ("a5_unpivot_roundtrip",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = ev(s, d).withColumn("day", to_date(col("ts")))
+          .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
+        p.unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+          .filter(col("n").isNotNull)
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+        |count(*) AS n FROM events GROUP BY 1, 2""".stripMargin)),
+
     // ---- A5: exact interpolated percentiles
     ("a5_percentiles",
       (s, d) => ev(s, d).groupBy("event_type").agg(
@@ -597,6 +612,20 @@ object SparkEntry {
       Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |count(*) AS n FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- arbitrary GROUPING SETS — the general form rollup/cube
+    // specialize; one Expand pass, one shuffle, same as cube.
+    ("gsets_agg",
+      (s, d) => {
+        Tables(s, d, "lineitem").createOrReplaceTempView("__li")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                 sum(l_quantity) AS sum_qty, count(*) AS n
+                 FROM __li
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |count(*) AS n FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)),
 
     // ---- skew: salted two-phase aggregation — same answer as a plain
     // groupBy (sum/count are merge-associative), but a hot key fans out over

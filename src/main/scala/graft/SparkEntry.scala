@@ -326,6 +326,21 @@ object SparkEntry {
         |SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
         |WHERE event_type = 'error'""".stripMargin)),
 
+    ("setop_intersect",
+      (s, d) => {
+        val e = ev(s, d)
+        val a = e.filter(col("event_type") === "signup")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val b = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        a.intersect(b)
+      },
+      Some("""SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |WHERE event_type = 'signup'
+        |INTERSECT
+        |SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |WHERE event_type = 'purchase'""".stripMargin)),
+
     // ---- A1: weighted average with zero-denominator guard (app.py:137-144)
     ("a1_weighted_gpa",
       (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(

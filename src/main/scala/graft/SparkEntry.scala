@@ -573,6 +573,36 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
         |FROM events""".stripMargin)),
 
+    // ---- §2.4: event-time RANGE window — a 1-hour sliding frame per user
+    // (rows vs range is a real semantic difference: peers at the same
+    // timestamp enter together, and gaps shrink the frame). Spark orders by
+    // unix_micros so the [-1h, now] bounds are exact micro arithmetic,
+    // matching DuckDB's INTERVAL frame bit-for-bit; sums are integer cents.
+    ("w_range_window",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0)
+        ev(s, d).select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(round(col("value") * 100).cast("long")).over(w).as("cents_1h"))
+      },
+      Some("""SELECT user_id, event_id,
+        |count(*) OVER w AS n_1h,
+        |CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ---- j1: semi-structured JSON extraction — the events.props payload
+    // parsed in place (no staging table, no UDF); the reference's JSON
+    // round-trip (S3/S4) covers whole records, this covers field access.
+    ("j1_json_extract",
+      (s, d) => ev(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k").isNotNull),
+      Some("""SELECT event_id, CAST(props->>'k' AS INT) AS k
+        |FROM events WHERE props->>'k' IS NOT NULL""".stripMargin)),
+
     // ---- §2.4: offset + bucketing window functions (lag delta, ntile)
     ("w_lag_ntile",
       (s, d) => {

@@ -42,6 +42,29 @@ object Pipeline {
       .dropDuplicatesWithinWatermark("row_hash")
   }
 
+  /** Stream-stream event-time interval join: pair each left event with the
+    * right events of the same key landing within `within` AFTER it —
+    * attribution (click → purchase), causality windows, request/response
+    * matching. Both sides carry watermarks, so the state store provably
+    * expires: a left row can be dropped once the right watermark passes
+    * `left.ts + within`; the time-bound in the join condition is what makes
+    * that possible (an unbounded stream-stream equi-join would grow state
+    * forever). Inner join + append mode — rows emit as soon as both sides
+    * arrive, exactly-once under checkpointing.
+    *
+    * Scale: state per key is bounded by (rate × horizon); the join shuffles
+    * both streams on the key — the same hash partitioning a batch join
+    * would use, held open across micro-batches. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, keyCol: String,
+                          tsCol: String, within: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"r.$tsCol >= l.$tsCol AND r.$tsCol <= l.$tsCol + INTERVAL $within"))
+  }
+
   /** S3: publish records to Kafka as UTF-8 JSON (`pro.py:21-24,85`). */
   def kafkaJsonSink(df: DataFrame, servers: String, topic: String,
                     checkpoint: String): DataStreamWriter[Row] =

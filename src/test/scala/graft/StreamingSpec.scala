@@ -35,6 +35,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the horizon, across batches") {
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Long)]
+    val joined = Pipeline.intervalJoinStreams(
+        clicks.toDF().toDF("ts", "user_id", "click_id"),
+        buys.toDF().toDF("ts", "user_id", "buy_id"),
+        "user_id", "ts", within = "1 hour")
+      .select(col("l.click_id"), col("r.buy_id"))
+    val q = joined.writeStream.format("memory").queryName("cj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 10:00:00"), 1L, 100L),
+                     (ts("2024-01-01 10:00:00"), 2L, 101L))
+      q.processAllAvailable()
+      // purchase arrives in a LATER batch: in-window for user 1;
+      // user 2's purchase is 2h later -> outside the horizon
+      buys.addData((ts("2024-01-01 10:30:00"), 1L, 500L),
+                   (ts("2024-01-01 12:00:00"), 2L, 501L))
+      q.processAllAvailable()
+      // and a same-batch pair for user 3
+      clicks.addData((ts("2024-01-01 11:00:00"), 3L, 102L))
+      buys.addData((ts("2024-01-01 11:10:00"), 3L, 502L))
+      q.processAllAvailable()
+      val out = spark.table("cj_out").as[(Long, Long)].collect().toSet
+      assert(out == Set((100L, 500L), (102L, 502L)))
+    } finally q.stop()
+  }
+
   test("S5 streaming: foreachBatch upsert converges to latest version per key") {
     val dir = java.nio.file.Files.createTempDirectory("stream-upsert").toString
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString

@@ -1094,6 +1094,16 @@ object SparkEntry {
       (s, d) => Dedup.chunkDedup(docs(s, d), "text", width = 5),
       Some(Dedup.chunkDedupSql(TextAnalysis.TokenRegex, width = 5))),
 
+    // ---- d13: inverted-index lexical cosine near-dup — tf-weighted bigram
+    // cosine via a df-capped posting-list self-join; the sparse-vector
+    // near-dup that yields the similarity value itself. Integer-exact dot
+    // and norms make the emitted double deterministic across engines.
+    ("d13_lexical_neardup",
+      (s, d) => Dedup.lexicalNearDup(docs(s, d), "text",
+        threshold = 0.8, maxDf = 100, minShared = 3),
+      Some(Dedup.lexicalNearDupSql(TextAnalysis.TokenRegex,
+        threshold = 0.8, maxDf = 100, minShared = 3))),
+
     // ---- interval join: points-in-range via the bucketized equi-join
     // (ops/IntervalJoin) — intervals are 2-hour windows opened at every
     // 97th event; oracle is DuckDB's plain range theta-join.

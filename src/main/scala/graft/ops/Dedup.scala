@@ -606,4 +606,89 @@ object Dedup {
       .filter(col("hamming") <= maxHamming) // filter BEFORE distinct: shrink the shuffle
       .distinct()
   }
+
+  /** Inverted-index lexical cosine near-dup: tf-weighted cosine over bigram
+    * shingle terms, computed by a posting-list self-join — the sparse-vector
+    * sibling of MinHash/SimHash that also yields the similarity VALUE, not
+    * just a band collision. Bigrams (not unigrams) because a small-vocabulary
+    * corpus makes every unigram posting list hot; word-pair terms restore the
+    * power-law df distribution the prune needs.
+    *
+    * The df cap is the anti-quadratic guard (the posting-list form of the
+    * LSH `maxBucket` rule): terms whose document frequency exceeds `maxDf`
+    * are dropped BEFORE the self-join, so each term expands to at most
+    * maxDf² candidate pairs and boilerplate/stopword-like shingles never
+    * drive an all-pairs pass. Cosine is then computed in the pruned space —
+    * the standard stop-term-filtered tf cosine.
+    *
+    * Determinism: dot and both squared norms are exact integer sums (tf is a
+    * count), so the emitted `cos` double is one sqrt+divide over identical
+    * integers in any engine — no float-accumulation-order drift, and the
+    * threshold decides identically everywhere.
+    *
+    * Scale: one tokenization scan; the (doc, term, tf) posting frame is
+    * materialized once and reused for the df prune, the norms, and both join
+    * sides; pairs shuffle once keyed (a, b); `minShared` discards
+    * coincidental single-shingle collisions before the norm join. At 100 TB
+    * add prefix filtering (index only each doc's lowest-df terms) to shrink
+    * the candidate set further — the cap alone already bounds the blowup. */
+  def lexicalNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
+                     maxDf: Int = 100, minShared: Int = 3): DataFrame = {
+    require(maxDf > 0 && minShared >= 1)
+    val t = col("__t")
+    val grams = graft.model.Tables
+      .spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(t) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - 1),
+          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))).as("term"))
+    val tf0 = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
+    val keep = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("term")
+    val posts0 = tf.join(keep, Seq("term"))
+    val posts = if (posts0.isStreaming) posts0 else posts0.localCheckpoint()
+    val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
+    val pa = posts.select(col("term"), col("doc_id").as("a"), col("tf").as("ta"))
+    val pb = posts.select(col("term"), col("doc_id").as("b"), col("tf").as("tb"))
+    val pairs = pa.join(pb, Seq("term")).filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum(col("ta") * col("tb")).as("dot"), count(lit(1)).as("shared_terms"))
+      .filter(col("shared_terms") >= minShared)
+    pairs
+      .join(norms.select(col("doc_id").as("a"), col("sq").as("__sa")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("sq").as("__sb")), Seq("b"))
+      .withColumn("cos",
+        col("dot") / (sqrt(col("__sa").cast("double")) * sqrt(col("__sb").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("shared_terms"), col("dot"), col("cos"))
+  }
+
+  /** [[lexicalNearDup]] as DuckDB SQL (oracle), sharing the token regex,
+    * bigram construction, df cap, and integer-exact cosine. */
+  def lexicalNearDupSql(tokenRe: String, threshold: Double, maxDf: Int,
+                        minShared: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, CAST(len(t) AS BIGINT)),
+       |      i -> t[i] || ' ' || t[i+1])) AS term
+       |  FROM toks WHERE len(t) >= 2),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+       |keep AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= $maxDf),
+       |posts AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+       |norms AS (SELECT doc_id, sum(tf*tf) AS sq FROM posts GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(sum(a.tf*b.tf) AS BIGINT) AS dot, count(*) AS shared_terms
+       |  FROM posts a JOIN posts b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT a, b, shared_terms, dot,
+       |  dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))) AS cos
+       |FROM pairs JOIN norms na ON pairs.a = na.doc_id
+       |           JOIN norms nb ON pairs.b = nb.doc_id
+       |WHERE dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))
+       |      >= $threshold""".stripMargin
 }

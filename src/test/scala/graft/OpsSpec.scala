@@ -44,6 +44,24 @@ class OpsSpec extends SparkSpec {
     assert(!nd.exists(p => p == (0L, 2L) || p == (1L, 2L)))
   }
 
+  test("lexical cosine near-dup: exact pair at 1.0, near pair high, df cap prunes") {
+    val got = Dedup.lexicalNearDup(docs, "text", threshold = 0.8, maxDf = 100,
+        minShared = 3)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got((0L, 3L)) - 1.0) < 1e-12)        // exact dup
+    assert(got((0L, 1L)) > 0.85 && got((0L, 1L)) < 1.0)  // one-word change
+    assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated absent
+    // minShared keeps only the exact pair (12 shared bigrams vs 11)
+    val strict = Dedup.lexicalNearDup(docs, "text", threshold = 0.8,
+        maxDf = 100, minShared = 12)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(strict == Set((0L, 3L)))
+    // df cap = 1 drops every term two docs share -> no pair can form
+    assert(Dedup.lexicalNearDup(docs, "text", threshold = 0.0, maxDf = 1,
+      minShared = 1).isEmpty)
+  }
+
   test("simhash: identical -> hamming 0; near-dup closer than unrelated") {
     val sh = Dedup.simhash(docs, "text").as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

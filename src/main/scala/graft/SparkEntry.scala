@@ -427,6 +427,23 @@ object SparkEntry {
         |count(*) AS n, avg(value) AS mean
         |FROM events GROUP BY 1""".stripMargin)),
 
+    // ---- a5 sliding window: 6h windows every 3h — each event lands in
+    // exactly size/slide windows. Spark's window(ts, size, slide) replicates
+    // rows map-side then aggregates; the oracle builds the same two window
+    // starts per event with an unnest.
+    ("a5_window_slide",
+      (s, d) => ev(s, d).groupBy(window(col("ts"), "6 hours", "3 hours"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("mean"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"), col("n"), col("mean")),
+      Some("""WITH w AS (
+        |  SELECT time_bucket(INTERVAL '3 hours', ts)
+        |           - CAST(k AS INT) * INTERVAL '3 hours' AS w_start, value
+        |  FROM events, unnest([0, 1]) AS t(k))
+        |SELECT w_start, w_start + INTERVAL '6 hours' AS w_end,
+        |  count(*) AS n, avg(value) AS mean
+        |FROM w GROUP BY 1""".stripMargin)),
+
     // ---- A5: per-group stats with exact distinct entities
     ("a5_group_stats",
       (s, d) => Dashboards.groupStats(
@@ -997,6 +1014,29 @@ object SparkEntry {
         |  CAST(start // 2048 AS BIGINT) AS pack_id,
         |  CAST(start % 2048 AS BIGINT) AS pack_offset
         |FROM c""".stripMargin.replace("$TOKRE", tokenRe))),
+
+    // ---- x20: quantile length bucketing — padding-minimizing batch
+    // assembly: quantile boundaries are one tiny broadcast row, batch
+    // numbering partitions by (bucket, shard) so no global sort exists.
+    ("x20_length_buckets",
+      (s, d) => graft.ops.Packing.lengthBuckets(docs(s, d), "text",
+        nBuckets = 4, batchSize = 8, shards = 4),
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '$$TOKRE')) AS INT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT quantile_cont(n_tok, [0.25, 0.5, 0.75]) AS bs FROM tok),
+        |a AS (
+        |  SELECT doc_id, n_tok,
+        |    (CASE WHEN n_tok > bs[1] THEN 1 ELSE 0 END +
+        |     CASE WHEN n_tok > bs[2] THEN 1 ELSE 0 END +
+        |     CASE WHEN n_tok > bs[3] THEN 1 ELSE 0 END) AS bucket,
+        |    doc_id % 4 AS shard
+        |  FROM tok, b)
+        |SELECT doc_id, n_tok, CAST(bucket AS INT) AS bucket, shard,
+        |  CAST((row_number() OVER (PARTITION BY bucket, shard
+        |          ORDER BY n_tok, doc_id) - 1) // 8 AS BIGINT) AS batch_id
+        |FROM a""".stripMargin.replace("$TOKRE", tokenRe))),
 
     // ---- d: dedup family (north star)
     ("d2_minhash_sig",

@@ -37,4 +37,42 @@ object Packing {
         (col("__start") / capacity).cast("long").as("pack_id"),
         (col("__start") % capacity).as("pack_offset"))
   }
+
+  /** Quantile length bucketing for batched inference/training: group
+    * documents into token-length quantile buckets, then assemble
+    * fixed-count batches of length-adjacent documents inside each bucket —
+    * the padding-minimizing batching every serving/training loop wants
+    * (batch cost is max-length × batch-size; sorting by length first makes
+    * max ≈ min).
+    *
+    * Scale shape: the quantile boundaries are ONE tiny aggregate row
+    * (nBuckets-1 values) cross-joined back broadcast-style — no global sort
+    * of the corpus. Batch numbering partitions by (bucket, shard): shards
+    * split each bucket into independent numbering streams, so window
+    * parallelism = nBuckets × shards, and batches never cross shards. The
+    * within-shard ORDER BY n_tok keeps batches length-homogeneous. Shard
+    * assignment is `doc_id % shards` for engine-portable determinism (swap
+    * in a hash at production scale if ids are clustered).
+    *
+    * Output: (doc_id, n_tok, bucket, shard, batch_id) — batch key is
+    * (bucket, shard, batch_id). */
+  def lengthBuckets(df: DataFrame, textCol: String, nBuckets: Int = 4,
+                    batchSize: Int = 8, shards: Int = 4): DataFrame = {
+    require(nBuckets >= 2 && batchSize > 0 && shards > 0)
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val toks = df.select(col("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).as("n_tok"))
+    val bounds = toks.agg(
+      percentile(col("n_tok"), typedLit(ps)).as("bs"))
+    val bucket = (1 until nBuckets)
+      .map(i => when(col("n_tok") > element_at(col("bs"), i), 1).otherwise(0))
+      .reduce(_ + _)
+    val w = Window.partitionBy("bucket", "shard").orderBy("n_tok", "doc_id")
+    toks.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_tok"), bucket.as("bucket"),
+        (col("doc_id") % shards).as("shard"))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - lit(1)).cast("double") / batchSize)
+          .cast("long"))
+  }
 }

@@ -26,6 +26,30 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("length buckets: quantile-balanced, batches full and length-adjacent") {
+    val nBuckets = 4
+    val out = graft.ops.Packing.lengthBuckets(docs, "text", nBuckets = nBuckets,
+        batchSize = 8, shards = 4)
+      .as[(Long, Int, Int, Long, Long)].collect()
+    assert(out.length == docs.count())
+    // quantile buckets are roughly equal-sized (ties can skew, not collapse)
+    val byBucket = out.groupBy(_._3).view.mapValues(_.length)
+    assert(byBucket.keys.toSet.subsetOf((0 until nBuckets).toSet))
+    assert(byBucket.values.min > out.length / (nBuckets * 4))
+    // batch ids are dense 0..k per (bucket, shard), each full batch has 8 docs
+    out.groupBy(r => (r._3, r._4)).foreach { case (_, g) =>
+      val sizes = g.groupBy(_._5).view.mapValues(_.length).toMap
+      assert(sizes.keySet == (0L until sizes.size.toLong).toSet)
+      (0L until sizes.size.toLong - 1).foreach(b => assert(sizes(b) == 8))
+    }
+    // within a batch, lengths span less than the whole bucket's span
+    val spans = out.groupBy(r => (r._3, r._4, r._5))
+      .map { case (_, g) => g.map(_._2).max - g.map(_._2).min }
+    val bucketSpans = out.groupBy(_._3)
+      .map { case (_, g) => g.map(_._2).max - g.map(_._2).min }
+    assert(spans.max <= bucketSpans.max)
+  }
+
   test("layout is deterministic and changes with the salt") {
     val a = graft.ops.Packing.packSequences(docs, "text", 512).collect().toSet
     val b = graft.ops.Packing.packSequences(docs, "text", 512).collect().toSet

@@ -407,4 +407,67 @@ object Similarity {
         (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Product-quantization ANN top-k (asymmetric distance computation): the
+    * corpus is compressed to `m` small integer codes per vector — each code
+    * the nearest codebook centroid of one `dims/m`-dim subvector — and
+    * queries scan CODES, not floats, via a per-query lookup table. The
+    * memory-bound regime's workhorse (IVF narrows WHERE to look, PQ shrinks
+    * WHAT is scanned); composable with [[ivfTopK]] as IVF-PQ.
+    *
+    * Codebook: the `codes` lowest-vec_id corpus vectors stand in for the
+    * per-subspace k-means codebooks ([[kmeansAssign]] trains real ones at
+    * production — the encode/scan machinery is identical and that is what
+    * this operator demonstrates).
+    *
+    * Determinism: subspace distances use the 3-dot expansion
+    * `‖v‖² − 2·v·c + ‖c‖²` via the sequential-fold [[dot]] (bit-identical in
+    * the oracle); LUT entries are fixed-point longs (floor(d·2²⁰ + 0.5)), so
+    * the ADC sum is an exact integer aggregate — order-free across
+    * partitions — and ties break on (distance, code) / (dist, nbr_id).
+    *
+    * Scale: encode is one broadcast-codebook pass + one (vec, subspace)
+    * min_by aggregate (map-side combinable); the query LUT is
+    * queries × m × codes rows, broadcast; the scan is an equi-join on
+    * (m, code) + one integer sum shuffle keyed (query, nbr). The corpus
+    * never pairs with itself and floats never cross a shuffle. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+             codes: Int = 4, dims: Int = 64): DataFrame = {
+    require(m > 0 && dims % m == 0 && codes > 0)
+    val sub = dims / m
+    val cb = corpus.filter(col("vec_id") < codes)
+      .select(col("vec_id").cast("int").as("code"),
+        asDouble(col("embedding")).as("cb_emb"))
+
+    def subv(e: Column, mi: Int): Column = slice(e, mi * sub + 1, sub)
+    def subDists(e: Column): Column = explode(array((0 until m).map { mi =>
+      val vm = subv(e, mi); val cm = subv(col("cb_emb"), mi)
+      struct(lit(mi).as("m"),
+        (dot(vm, vm) - lit(2.0) * dot(vm, cm) + dot(cm, cm)).as("d"))
+    }: _*))
+
+    val corp = corpus.filter(size(col("embedding")) === dims)
+      .select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("v_emb"))
+    val enc = corp.join(broadcast(cb))
+      .select(col("nbr_id"), col("code"), subDists(col("v_emb")).as("sd"))
+      .groupBy(col("nbr_id"), col("sd.m").as("m"))
+      .agg(min_by(col("code"), struct(col("sd.d"), col("code"))).as("code"))
+
+    val lut = queries.filter(size(col("embedding")) === dims)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .join(broadcast(cb))
+      .select(col("query_id"), col("code"), subDists(col("q_emb")).as("sd"))
+      .select(col("query_id"), col("sd.m").as("m"), col("code"),
+        floor(col("sd.d") * lit(1048576.0) + lit(0.5)).cast("long").as("qd"))
+
+    val scored = enc.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .groupBy("query_id", "nbr_id").agg(sum(col("qd")).as("dist_fx"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist_fx").asc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"),
+        (col("dist_fx").cast("double") / lit(1048576.0)).as("dist"))
+  }
 }

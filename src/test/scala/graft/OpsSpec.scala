@@ -286,6 +286,26 @@ class OpsSpec extends SparkSpec {
     assert(got(19L) == ((2L, 1L, 0.5)))
   }
 
+  test("PQ ANN: same-codebook-cell vectors score ADC distance 0 and rank first") {
+    // ids 0-3 are the codebook; 4,5 copy c0; 6 copies c1; 7 is its own thing
+    def v(seed: Int): Seq[Float] = (0 until 8).map(j => (seed * 8 + j).toFloat * (seed + 1))
+    val rows = Seq(0, 1, 2, 3).map(i => (i.toLong, v(i))) ++
+      Seq((4L, v(0)), (5L, v(0)), (6L, v(1)), (7L, (0 until 8).map(_ => 99f).toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(emb, emb.filter(col("vec_id") === 4), k = 3,
+        m = 4, codes = 4, dims = 8)
+      .select("nbr_id", "rank", "dist").as[(Long, Int, Double)].collect()
+      .sortBy(_._2)
+    // query 4 == c0 exactly: vectors coded as c0 (ids 0 and 5) have ADC 0
+    assert(got.take(2).map(r => (r._1, r._3)).toSeq == Seq((0L, 0.0), (5L, 0.0)))
+    assert(got(2)._3 > 0.0)
+    // wrong-dims vectors are excluded, not collapsed into a shared code
+    val ragged = emb.union(Seq((8L, Seq(1f, 2f))).toDF("vec_id", "embedding"))
+    val ids = Similarity.pqTopK(ragged, ragged.filter(col("vec_id") === 4), k = 8,
+      m = 4, codes = 4, dims = 8).select("nbr_id").as[Long].collect().toSet
+    assert(!ids.contains(8L))
+  }
+
   test("random projection: one-hot recovers plane signs, map is linear") {
     val oneHot = Array.tabulate(64)(d => if (d == 7) 1.0f else 0.0f)
     val vecs = Seq((0L, oneHot), (1L, oneHot.map(_ * 3))).toDF("vec_id", "embedding")

@@ -1274,41 +1274,17 @@ object SparkEntry {
     ("e9_pq_topk",
       (s, d) => Similarity.pqTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10),
         k = 3, m = 4, codes = 4, dims = 64),
-      Some("""WITH base AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-        |  WHERE len(embedding) = 64),
-        |cb AS (SELECT CAST(vec_id AS INT) AS code, emb AS cemb FROM base
-        |       WHERE vec_id < 4),
-        |ms AS (SELECT CAST(unnest(range(4)) AS INT) AS m),
-        |encd AS (
-        |  SELECT v.vec_id AS nbr_id, ms.m, cb.code,
-        |    (list_dot_product(v.emb[ms.m*16+1 : ms.m*16+16],
-        |                      v.emb[ms.m*16+1 : ms.m*16+16])
-        |     - 2.0 * list_dot_product(v.emb[ms.m*16+1 : ms.m*16+16],
-        |                              cb.cemb[ms.m*16+1 : ms.m*16+16])
-        |     + list_dot_product(cb.cemb[ms.m*16+1 : ms.m*16+16],
-        |                        cb.cemb[ms.m*16+1 : ms.m*16+16])) AS d
-        |  FROM base v, ms, cb),
-        |enc AS (
-        |  SELECT nbr_id, m, code FROM (
-        |    SELECT nbr_id, m, code,
-        |      row_number() OVER (PARTITION BY nbr_id, m ORDER BY d, code) AS rn
-        |    FROM encd) WHERE rn = 1),
-        |lut AS (
-        |  SELECT q.nbr_id AS query_id, q.m, q.code,
-        |    CAST(floor(q.d * 1048576 + 0.5) AS BIGINT) AS qd
-        |  FROM encd q WHERE q.nbr_id < 10),
-        |scored AS (
-        |  SELECT lut.query_id, enc.nbr_id, CAST(sum(lut.qd) AS BIGINT) AS dist_fx
-        |  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
-        |  WHERE lut.query_id <> enc.nbr_id
-        |  GROUP BY 1, 2)
-        |SELECT query_id, nbr_id, rank, CAST(dist_fx AS DOUBLE) / 1048576 AS dist
-        |FROM (
-        |  SELECT query_id, nbr_id, dist_fx,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dist_fx, nbr_id) AS INT) AS rank
-        |  FROM scored) WHERE rank <= 3""".stripMargin)),
+      Some(pqSql)),
+
+    // ---- r7: the recall harness's PQ leg — how much nearest-neighbor
+    // fidelity the 16x compression costs, against the same exact-cosine
+    // ground truth as r4 (SRP) and r6 (IVF). Oracle nests pqSql verbatim.
+    ("r7_pq_recall",
+      (s, d) => Similarity.recallVsExact(
+        Similarity.bruteForceTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),
+        Similarity.pqTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10),
+          k = 3, m = 4, codes = 4, dims = 64)),
+      Some(pqRecallSql)),
 
     // ---- d8: SemDeDup — semantic dedup via centroid cells + in-cell cosine
     // prune; catches paraphrases that share no n-grams with d2/d3's shingle
@@ -1640,6 +1616,49 @@ object SparkEntry {
 
   /** r6 oracle: recall of the e4 IVF leg. */
   private lazy val ivfRecallSql: String = recallSqlOver(ivfSql)
+
+  /** e9 oracle: product-quantization ADC top-3. The `lut` CTE reuses `encd`
+    * rows for query vectors (queries ⊂ corpus, and the (vector, m, code)
+    * subspace distance IS the LUT entry). */
+  private lazy val pqSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |  WHERE len(embedding) = 64),
+      |cb AS (SELECT CAST(vec_id AS INT) AS code, emb AS cemb FROM base
+      |       WHERE vec_id < 4),
+      |ms AS (SELECT CAST(unnest(range(4)) AS INT) AS m),
+      |encd AS (
+      |  SELECT v.vec_id AS nbr_id, ms.m, cb.code,
+      |    (list_dot_product(v.emb[ms.m*16+1 : ms.m*16+16],
+      |                      v.emb[ms.m*16+1 : ms.m*16+16])
+      |     - 2.0 * list_dot_product(v.emb[ms.m*16+1 : ms.m*16+16],
+      |                              cb.cemb[ms.m*16+1 : ms.m*16+16])
+      |     + list_dot_product(cb.cemb[ms.m*16+1 : ms.m*16+16],
+      |                        cb.cemb[ms.m*16+1 : ms.m*16+16])) AS d
+      |  FROM base v, ms, cb),
+      |enc AS (
+      |  SELECT nbr_id, m, code FROM (
+      |    SELECT nbr_id, m, code,
+      |      row_number() OVER (PARTITION BY nbr_id, m ORDER BY d, code) AS rn
+      |    FROM encd) WHERE rn = 1),
+      |lut AS (
+      |  SELECT q.nbr_id AS query_id, q.m, q.code,
+      |    CAST(floor(q.d * 1048576 + 0.5) AS BIGINT) AS qd
+      |  FROM encd q WHERE q.nbr_id < 10),
+      |scored AS (
+      |  SELECT lut.query_id, enc.nbr_id, CAST(sum(lut.qd) AS BIGINT) AS dist_fx
+      |  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+      |  WHERE lut.query_id <> enc.nbr_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, nbr_id, rank, CAST(dist_fx AS DOUBLE) / 1048576 AS dist
+      |FROM (
+      |  SELECT query_id, nbr_id, dist_fx,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dist_fx, nbr_id) AS INT) AS rank
+      |  FROM scored) WHERE rank <= 3""".stripMargin
+
+  /** r7 oracle: recall of the e9 PQ leg. */
+  private lazy val pqRecallSql: String = recallSqlOver(pqSql)
 
   private lazy val rareTokenSql: String =
     s"""WITH tok AS (

@@ -112,6 +112,28 @@ class PlanChecksSpec extends SparkSpec {
     assert(q.count() == 1)
   }
 
+  test("dim-filtered join prunes fact partitions dynamically (DPP)") {
+    // The star-schema scale pattern: the fact side is partitioned by the
+    // join key, the dim side carries the selective predicate; Spark must
+    // inject the dim's surviving keys into the fact scan's PartitionFilters
+    // at runtime (dynamic partition pruning) instead of scanning every
+    // partition and filtering after the join.
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    (1 to 10000).map(i => (i, i % 20)).toDF("id", "day_id")
+      .write.mode("overwrite").partitionBy("day_id").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real scan: a LocalRelation folds the filter away and
+    // DPP's has-selective-predicate heuristic never sees it
+    val dimDir = java.nio.file.Files.createTempDirectory("dppdim").toString
+    (0 until 20).map(d => (d, if (d < 2) "keep" else "drop"))
+      .toDF("day_id", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = fact.join(dim.filter(col("tag") === "keep"), "day_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP in:\n$plan")
+    assert(q.count() == 1000)
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     val left = (1L to 10000L).map(i => (i, s"u$i")).toDF("id", "name")

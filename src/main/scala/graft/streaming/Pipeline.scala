@@ -50,19 +50,24 @@ object Pipeline {
     * `left.ts + within`; the time-bound in the join condition is what makes
     * that possible (an unbounded stream-stream equi-join would grow state
     * forever). Inner join + append mode — rows emit as soon as both sides
-    * arrive, exactly-once under checkpointing.
+    * arrive, exactly-once under checkpointing. `joinType = "left_outer"`
+    * additionally emits (left, null) for rows no right event ever matched,
+    * once the watermark proves none still can — the did-NOT-convert leg of
+    * attribution, on the same bounded state.
     *
     * Scale: state per key is bounded by (rate × horizon); the join shuffles
     * both streams on the key — the same hash partitioning a batch join
     * would use, held open across micro-batches. */
   def intervalJoinStreams(left: DataFrame, right: DataFrame, keyCol: String,
                           tsCol: String, within: String = "1 hour",
-                          watermark: String = "2 hours"): DataFrame = {
+                          watermark: String = "2 hours",
+                          joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark).alias("l")
     val r = right.withWatermark(tsCol, watermark).alias("r")
     l.join(r,
       expr(s"l.$keyCol = r.$keyCol AND " +
-        s"r.$tsCol >= l.$tsCol AND r.$tsCol <= l.$tsCol + INTERVAL $within"))
+        s"r.$tsCol >= l.$tsCol AND r.$tsCol <= l.$tsCol + INTERVAL $within"),
+      joinType)
   }
 
   /** S3: publish records to Kafka as UTF-8 JSON (`pro.py:21-24,85`). */

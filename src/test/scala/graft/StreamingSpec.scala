@@ -63,6 +63,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits null for never-matched rows") {
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Long)]
+    val joined = Pipeline.intervalJoinStreams(
+        clicks.toDF().toDF("ts", "user_id", "click_id"),
+        buys.toDF().toDF("ts", "user_id", "buy_id"),
+        "user_id", "ts", within = "1 hour", watermark = "2 hours",
+        joinType = "left_outer")
+      .select(col("l.click_id"), col("r.buy_id"))
+    val q = joined.writeStream.format("memory").queryName("loj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 10:00:00"), 1L, 100L),
+                     (ts("2024-01-01 10:00:00"), 2L, 101L))
+      q.processAllAvailable()
+      // user 1 converts in-window; user 2's purchase is outside the horizon
+      buys.addData((ts("2024-01-01 10:30:00"), 1L, 500L),
+                   (ts("2024-01-01 12:00:00"), 2L, 501L))
+      q.processAllAvailable()
+      // matched pair emits immediately; the null for user 2 must NOT emit
+      // yet (a matching buy could still arrive inside the watermark)
+      val early = spark.table("loj_out").as[(Long, Option[Long])].collect().toSet
+      assert(early == Set((100L, Some(500L))))
+      // push the watermark past click@10:00 + 1h window + 2h delay on BOTH
+      // streams — the operator watermark is the min across inputs
+      clicks.addData((ts("2024-01-01 16:00:00"), 9L, 999L))
+      buys.addData((ts("2024-01-01 16:00:00"), 8L, 888L))
+      q.processAllAvailable()
+      clicks.addData((ts("2024-01-01 16:00:01"), 9L, 998L))
+      buys.addData((ts("2024-01-01 16:00:01"), 8L, 887L))
+      q.processAllAvailable()
+      val out = spark.table("loj_out").as[(Long, Option[Long])].collect().toSet
+      assert(out.contains((101L, None)), s"no null emission: $out")
+      assert(!out.contains((101L, Some(501L))), "horizon must exclude the late buy")
+    } finally q.stop()
+  }
+
   test("S5 streaming: foreachBatch upsert converges to latest version per key") {
     val dir = java.nio.file.Files.createTempDirectory("stream-upsert").toString
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString

@@ -341,6 +341,16 @@ object SparkEntry {
         |SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
         |WHERE event_type = 'purchase'""".stripMargin)),
 
+    // ---- sql surface: ONE SQL text run verbatim by spark.sql AND by the
+    // DuckDB oracle — certifies the spark.sql entry point with zero-drift
+    // parity (the string below IS the oracle; nothing is translated).
+    ("sql_pricing_summary",
+      (s, d) => {
+        Tables(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(pricingSummarySql)
+      },
+      Some(pricingSummarySql)),
+
     // ---- A1: weighted average with zero-denominator guard (app.py:137-144)
     ("a1_weighted_gpa",
       (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
@@ -631,6 +641,25 @@ object SparkEntry {
       Some("""SELECT user_id, event_id,
         |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
         |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile
+        |FROM events""".stripMargin)),
+
+    // ---- w_pctrank: distribution-position windows — percent_rank and
+    // cume_dist per event_type; tie groups share a value, so the output is
+    // deterministic under duplicate values. Rank arithmetic is exact
+    // (rank-1)/(n-1) IEEE division in both engines.
+    ("w_pctrank",
+      (s, d) => {
+        val byType = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        ev(s, d).select(col("event_id"), col("event_type"), col("value"),
+          percent_rank().over(byType).as("pct_rank"),
+          cume_dist().over(byType).as("cume"))
+      },
+      Some("""SELECT event_id, event_type, value,
+        |  percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id)
+        |    AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id)
+        |    AS cume
         |FROM events""".stripMargin)),
 
     // ---- a6: strict ordered funnel (view → click → purchase). The Spark
@@ -1659,6 +1688,20 @@ object SparkEntry {
 
   /** r7 oracle: recall of the e9 PQ leg. */
   private lazy val pqRecallSql: String = recallSqlOver(pqSql)
+
+  /** One SQL text, two engines: the whole point is that this string is
+    * BOTH the spark.sql input and the DuckDB oracle — restricted to the
+    * ANSI intersection (no engine-specific functions, no bare casts). */
+  private lazy val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+      |  avg(l_quantity) AS avg_qty,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem
+      |WHERE l_quantity < 24
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   private lazy val rareTokenSql: String =
     s"""WITH tok AS (

@@ -65,12 +65,24 @@ object Ingest {
   /** T2: strictly monotone ingest timestamp. The reference fakes uniqueness
     * with a +0.0001 s counter (`pro.py:27,70-73`) — a ~10k rec/s design
     * ceiling and a driver-side bottleneck at scale. Spark-first: a total
-    * order from (event time, tiebreaker) via row_number, used only where a
-    * strict order is genuinely required (upsert arbitration). */
+    * order from (event time, tiebreaker), used only where a strict order is
+    * genuinely required (upsert arbitration).
+    *
+    * NOT a global row_number window — that moves the whole table to one
+    * partition. Instead: a range-partitioned sort (parallel) + zipWithIndex
+    * (one extra count job to turn per-partition sizes into offsets) — the
+    * contiguous global sequence at full cluster parallelism. Deterministic
+    * whenever `orderCols` is a total order (callers pass a tiebreaker);
+    * range-boundary sampling can shift rows between partitions but never
+    * their global rank. Batch-only (zipWithIndex is an RDD action). */
   def monotonicTimestamp(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("ingest_seq",
-      row_number().over(Window.orderBy(orderCols: _*)))
+    require(!df.isStreaming, "monotonicTimestamp is batch-only")
+    import org.apache.spark.sql.types.IntegerType
+    val sorted = df.sort(orderCols: _*)
+    val schema = sorted.schema.add("ingest_seq", IntegerType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt) }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** One-pass table profile (ANALYZE-style data-quality stats): row count,

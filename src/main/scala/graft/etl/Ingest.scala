@@ -108,4 +108,23 @@ object Ingest {
     * (`pro.py:79-82`). */
   def columnFirst(df: DataFrame, first: String): DataFrame =
     df.select((first +: df.columns.filterNot(_ == first).toIndexedSeq).map(col): _*)
+
+  /** In-flight audit counters via `Dataset.observe`: the [[profile]] stats
+    * (row count + per-column null counts) accumulate DURING whatever action
+    * the caller runs next — a write, an aggregate — instead of costing a
+    * second scan. At 100 TB that second scan is real money; observation
+    * metrics ride the task completion events for free and reach the
+    * returned [[org.apache.spark.sql.Observation]] (or any
+    * QueryExecutionListener) when the action finishes.
+    *
+    * Batch-only by contract here (the Observation helper requires it);
+    * streaming pipelines attach the same named observe() and read metrics
+    * per micro-batch from StreamingQueryProgress. */
+  def withAudit(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("graft_audit")
+    val metrics = Seq(count(lit(1)).as("n_rows")) ++ df.columns.toSeq.map { c =>
+      sum(when(qcol(c).isNull, 1L).otherwise(0L)).as(s"null_$c")
+    }
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

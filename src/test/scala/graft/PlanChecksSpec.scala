@@ -112,6 +112,35 @@ class PlanChecksSpec extends SparkSpec {
     assert(q.count() == 1)
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true)") {
+    // The runtime half of the skew story: ops/Skew salts by hand where the
+    // key set is known; AQE's OptimizeSkewedJoin must catch the rest. Force
+    // a sort-merge join with one hot key and thresholds scaled to test
+    // data; the finalized plan must mark the join skew=true.
+    val c = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = (1L to 200000L).map(i => (if (i % 10 < 9) 0L else i % 97, i))
+        .toDF("k", "lv")
+      val right = (0L until 97L).map(k => (k, s"r$k")).toDF("k", "rv")
+      val q = left.join(right, "k")
+      val plan = finalPlanString(q)
+      assert(plan.contains("skew=true"), s"no AQE skew split in:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
+
   test("dim-filtered join prunes fact partitions dynamically (DPP)") {
     // The star-schema scale pattern: the fact side is partitioned by the
     // join key, the dim side carries the selective predicate; Spark must

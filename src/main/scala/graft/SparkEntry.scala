@@ -243,6 +243,18 @@ object SparkEntry {
       Some(s"""SELECT event_id, ${GradeScale.grade4Sql("(value/50.0)")} AS grade4
         |FROM events""".stripMargin)),
 
+    // ---- T16 through the SparkSessionExtensions-injected SQL function —
+    // the same native expression reached from pure SQL text (the session is
+    // built with spark.sql.extensions=graft.plans.GraftExtensions), third
+    // certification of the ladder through the third API surface.
+    ("t16_grade_band_ext",
+      (s, d) => {
+        ev(s, d).createOrReplaceTempView("events_v")
+        s.sql("SELECT event_id, grade_scale(value / 50.0) AS grade4 FROM events_v")
+      },
+      Some(s"""SELECT event_id, ${GradeScale.grade4Sql("(value/50.0)")} AS grade4
+        |FROM events""".stripMargin)),
+
     // ---- T17: substring year/semester split (app.py:181-182)
     ("t17_substr_split",
       (s, d) => ev(s, d).select(

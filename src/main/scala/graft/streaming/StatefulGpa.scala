@@ -68,4 +68,45 @@ object StatefulGpa {
     runningGpa(eligiblePartials(enrollments, excludedSemester))
 
   val outputMode: OutputMode = OutputMode.Update()
+
+  /** The same accumulator on the `transformWithState` arbitrary-state API
+    * (Spark 4's successor to mapGroupsWithState): typed named state via a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]], per-state TTL,
+    * timers, and composable multi-state — the operator the old API grows
+    * into on a shared cluster. Requires the RocksDB state store provider
+    * (changelog-checkpointed, memory-bounded — the 100 TB state backend;
+    * the HDFS-backed default keeps every key on-heap). Values are
+    * IDENTICAL to [[runningGpa]] — same partials, same fold. */
+  class GpaProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, Partial, GpaUpdate] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    @transient private var st: ValueState[GpaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[GpaState]("gpa",
+        org.apache.spark.sql.Encoders.product[GpaState], TTLConfig.NONE)
+
+    override def handleInputRows(masv: String, rows: Iterator[Partial],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[GpaUpdate] = {
+      val prev = if (st.exists()) st.get() else GpaState(0.0, 0.0, 0L)
+      val next = rows.foldLeft(prev) { (s, r) =>
+        GpaState(s.points + r.pts, s.credits + r.cr, s.n + r.n)
+      }
+      st.update(next)
+      Iterator.single(GpaUpdate(masv,
+        if (next.credits > 0) next.points / next.credits else 0.0,
+        next.credits, next.n))
+    }
+  }
+
+  /** [[runningGpa]] on transformWithState. */
+  def runningGpaV2(partials: DataFrame): Dataset[GpaUpdate] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    val spark = partials.sparkSession
+    import spark.implicits._
+    partials.select(col("masv"), col("pts"), col("cr"), lit(1L).as("n"))
+      .as[Partial]
+      .groupByKey(_.masv)
+      .transformWithState(new GpaProcessor, TimeMode.None(), OutputMode.Update())
+  }
 }

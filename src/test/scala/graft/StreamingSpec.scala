@@ -189,6 +189,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running GPA matches the mapGroupsWithState leg") {
+    import graft.streaming.StatefulGpa
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    // transformWithState requires the RocksDB provider (the scale backend)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, String, Double, Double, Int)]
+    val df = input.toDF().toDF("F_MASV", "F_TENMHVN", "F_DIEM2", "F_DVHT", "NHHK")
+    val out = StatefulGpa.runningGpaV2(
+      StatefulGpa.eligiblePartials(df, excludedSemester = 20251))
+    val q = out.toDF().writeStream.format("memory").queryName("gpa2_out")
+      .outputMode("update").start()
+    try {
+      input.addData(("S1", "Math", 9.5, 3.0, 20231), ("S1", "Lit", 6.0, 2.0, 20231))
+      q.processAllAvailable()
+      input.addData(("S1", "PE*", 9.0, 1.0, 20232), ("S1", "Chem", 3.0, 4.0, 20232),
+        ("S1", "Phys", 8.0, 5.0, 20232))
+      q.processAllAvailable()
+      val rows = spark.table("gpa2_out").collect()
+        .map(r => (r.getAs[String]("masv"), r.getAs[Double]("dtbctl"),
+          r.getAs[Double]("credits"))).toSet
+      // identical numbers to the mapGroupsWithState spec above
+      assert(rows == Set(("S1", 3.2, 5.0), ("S1", 3.35, 10.0)))
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(provider))(spark.conf.set(provider, _))
+    }
+  }
+
   test("watermarked event-time window drops data later than the horizon") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val windowed = input.toDF().toDF("t", "k", "v")

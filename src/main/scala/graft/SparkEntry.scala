@@ -882,6 +882,14 @@ object SparkEntry {
       (s, d) => TextAnalysis.qualityScore(docs(s, d), "text"),
       Some(qualitySql)),
 
+    // ---- x21: model-based quality filter stand-in — fixed-weight linear
+    // logit over the prose features, thresholded keep/drop; no sigmoid
+    // (libm exp isn't bit-portable; the sigmoid is monotone so thresholding
+    // the logit is thresholding the probability). Map-only, one pass.
+    ("x21_quality_filter",
+      (s, d) => TextAnalysis.linearQuality(docs(s, d), "text", threshold = 0.0),
+      Some(TextAnalysis.linearQualitySql(tokenRe, nonTokenRe, threshold = 0.0))),
+
     // ---- x12: per-document distinctive terms (TF-IDF ranking with
     // integer-exact keys: tf DESC, df ASC — ties by term; no float log).
     ("x12_tfidf_topterms",

@@ -123,6 +123,82 @@ object TextAnalysis {
     scored.withColumn("quality", qualityBand)
   }
 
+  /** Model-based quality filter stand-in (the classifier stage a
+    * DCLM/FineWeb-style pipeline runs after rule gates): a fixed-weight
+    * linear logit over the handcrafted prose features, thresholded into a
+    * keep/drop decision. A real deployment swaps the literal weights for a
+    * trained classifier's — the Spark plumbing (one tokenization, map-only
+    * scoring, no shuffle) is identical.
+    *
+    * Deterministic by construction: every feature is a ratio of exact
+    * integer counts, the logit is one fixed-order double polynomial, and
+    * there is deliberately NO sigmoid — libm exp() is not bit-portable
+    * across engines, and the sigmoid is monotone, so thresholding the logit
+    * IS thresholding the probability. */
+  def linearQuality(df: DataFrame, textCol: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val allStop = typedLit(stopwords.values.flatten.toSeq.distinct.sorted)
+    val stopHits = size(filter(toks, tk => array_contains(allStop, tk)))
+    val alnumSpace = length(regexp_replace(lower(t), NonTokenRegex, ""))
+    val feats = df.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (least(nTok, lit(1000)).cast("double") / 1000.0).as("f_len"),
+      when(nTok > 0, length(concat_ws("", toks)).cast("double") / nTok)
+        .otherwise(0.0).as("mean_word_len"),
+      when(length(t) > 0, (length(t) - alnumSpace).cast("double") / length(t))
+        .otherwise(0.0).as("punct_ratio"),
+      when(nTok > 0, stopHits.cast("double") / nTok).otherwise(0.0)
+        .as("stopword_ratio"),
+      when(nTok > 0, size(array_distinct(toks)).cast("double") / nTok)
+        .otherwise(0.0).as("distinct_ratio"))
+    val logit = lit(-1.0) + lit(2.0) * col("f_len") +
+      lit(2.0) * col("stopword_ratio") - lit(2.5) * col("punct_ratio") +
+      lit(2.0) * col("distinct_ratio") -
+      lit(0.1) * abs(col("mean_word_len") - lit(5.0))
+    feats.select(col("doc_id"), col("n_tokens"), logit.as("logit"),
+      (logit >= threshold).as("keep"))
+  }
+
+  /** [[linearQuality]] as DuckDB SQL (oracle): same features, same
+    * fixed-order polynomial, same threshold comparison. */
+  def linearQualitySql(tokenRe: String, nonTokenRe: String,
+                       threshold: Double): String = {
+    val allStop = stopwords.values.flatten.toSeq.distinct.sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    regexp_extract_all(lower(text), '$tokenRe') AS toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    CAST(least(len(toks), 1000) AS DOUBLE) / 1000.0 AS f_len,
+       |    CASE WHEN len(toks) > 0
+       |         THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+       |         ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN length(text) > 0
+       |         THEN CAST(length(text) - length(regexp_replace(lower(text), '$nonTokenRe', '', 'g')) AS DOUBLE) / length(text)
+       |         ELSE 0.0 END AS punct_ratio,
+       |    CASE WHEN len(toks) > 0
+       |         THEN CAST(len(list_filter(toks, t -> list_contains($allStop, t))) AS DOUBLE) / len(toks)
+       |         ELSE 0.0 END AS stopword_ratio,
+       |    CASE WHEN len(toks) > 0
+       |         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       |         ELSE 0.0 END AS distinct_ratio
+       |  FROM base)
+       |SELECT doc_id, n_tokens,
+       |  -1.0 + 2.0 * f_len + 2.0 * stopword_ratio - 2.5 * punct_ratio
+       |    + 2.0 * distinct_ratio - 0.1 * abs(mean_word_len - 5.0) AS logit,
+       |  (-1.0 + 2.0 * f_len + 2.0 * stopword_ratio - 2.5 * punct_ratio
+       |    + 2.0 * distinct_ratio - 0.1 * abs(mean_word_len - 5.0))
+       |    >= $threshold AS keep
+       |FROM f""".stripMargin
+  }
+
   /** The banded composite score over the ratio columns (shared by the
     * map-only scorer and the fused corpus cleaner). */
   private def qualityBand: Column =

@@ -215,6 +215,20 @@ class OpsSpec extends SparkSpec {
     assert(q.getAs[Double]("stopword_ratio") > 0.0) // 'the', 'it'
   }
 
+  test("linear quality filter: prose above garbage, threshold splits") {
+    val frame = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it is a good day for running in the park"),
+      (2L, "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( ))) @@@ ### !!! $$$"),
+      (3L, "a a a a a a a a a a a a a a a a a a a a")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.linearQuality(frame, "text", threshold = 0.0)
+      .select("doc_id", "logit", "keep").as[(Long, Double, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._2, "stopword-rich prose must pass")
+    assert(!got(2L)._2, "symbol soup must fail")
+    assert(got(1L)._1 > got(3L)._1, "repetition must score below prose")
+  }
+
   test("language id votes the stopword-richest language") {
     val d = Seq(
       (1L, "the cat and the dog of the house"),

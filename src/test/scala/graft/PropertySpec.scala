@@ -93,6 +93,42 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("lexical near-dup: partition-invariant, symmetric score, exact copy at 1.0") {
+    val doc = Gen.listOfN(8, Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox"))
+      .map(_.mkString(" "))
+    check("d13-invariants", 5)(Prop.forAll(Gen.listOfN(8, doc)) { texts =>
+      // append an exact copy of doc 0 so at least one pair must score 1.0
+      val rows = (texts :+ texts.head).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        Dedup.lexicalNearDup(d, "text", threshold = 0.0, maxDf = 100,
+          minShared = 1).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).sorted.toSeq
+      val a = run(df)
+      val b = run(df.repartition(7, col("text"))) // different physical layout
+      val copyPair = a.find(p => p._1 == 0L && p._2 == texts.length.toLong)
+      a == b && copyPair.exists(p => math.abs(p._3 - 1.0) < 1e-12)
+    })
+  }
+
+  test("length buckets: total, batch-size cap, and partition invariance") {
+    val doc = Gen.choose(1, 40).map(n => List.fill(n)("w").mkString(" "))
+    check("x20-invariants", 5)(Prop.forAll(Gen.listOfN(30, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Packing.lengthBuckets(d, "text", nBuckets = 4,
+          batchSize = 4, shards = 2).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+            r.getLong(4))).sorted.toSeq
+      val a = run(df)
+      val b = run(df.repartition(5, col("doc_id")))
+      val batchSizes = a.groupBy(r => (r._3, r._4, r._5)).values.map(_.length)
+      a.length == texts.length && a == b && batchSizes.forall(_ <= 4)
+    })
+  }
+
   test("keyed upsert merge is idempotent: re-delivering a batch changes nothing") {
     val rows = Gen.listOfN(20, Gen.zip(Gen.choose(1, 5), Gen.choose(1, 1000)))
     check("upsert-idempotent", 5)(Prop.forAll(rows) { xs =>

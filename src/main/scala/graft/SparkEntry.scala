@@ -1189,9 +1189,9 @@ object SparkEntry {
     // and norms make the emitted double deterministic across engines.
     ("d13_lexical_neardup",
       (s, d) => Dedup.lexicalNearDup(docs(s, d), "text",
-        threshold = 0.8, maxDf = 100, minShared = 3),
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3),
       Some(Dedup.lexicalNearDupSql(TextAnalysis.TokenRegex,
-        threshold = 0.8, maxDf = 100, minShared = 3))),
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3))),
 
     // ---- interval join: points-in-range via the bucketized equi-join
     // (ops/IntervalJoin) — intervals are 2-hour windows opened at every

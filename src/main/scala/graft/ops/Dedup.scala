@@ -626,6 +626,17 @@ object Dedup {
     * integers in any engine — no float-accumulation-order drift, and the
     * threshold decides identically everywhere.
     *
+    * The prune is TWO caps, least-of: a RELATIVE one (`maxDfFrac` of the
+    * corpus document count, floor 2) defining the scoring space — an
+    * absolute-only cap silently becomes an N×-harsher prune on an N× corpus
+    * (the 1×→100× probe showed cap=100 pruning away every shared term of
+    * true near-dup pairs at 10× the calibration corpus) — and an ABSOLUTE
+    * `maxDfCap` as the join-cost guard: self-join expansion is Σ df², so a
+    * term kept at 20% of a 10× corpus would alone contribute (0.2·N)² pairs;
+    * the absolute ceiling bounds per-term expansion at maxDfCap² regardless
+    * of corpus size (the posting-list twin of candidatePairs' maxBucket).
+    * The corpus count is one scalar aggregate broadcast into the predicate.
+    *
     * Scale: one tokenization scan; the (doc, term, tf) posting frame is
     * materialized once and reused for the df prune, the norms, and both join
     * sides; pairs shuffle once keyed (a, b); `minShared` discards
@@ -633,8 +644,9 @@ object Dedup {
     * add prefix filtering (index only each doc's lowest-df terms) to shrink
     * the candidate set further — the cap alone already bounds the blowup. */
   def lexicalNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
-                     maxDf: Int = 100, minShared: Int = 3): DataFrame = {
-    require(maxDf > 0 && minShared >= 1)
+                     maxDfFrac: Double = 0.2, minShared: Int = 3,
+                     maxDfCap: Int = 1000): DataFrame = {
+    require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
     val t = col("__t")
     val grams = graft.model.Tables
       .spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
@@ -645,8 +657,12 @@ object Dedup {
           i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))).as("term"))
     val tf0 = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val tf = if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("__n"))
     val keep = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("term")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= least(lit(maxDfCap.toLong),
+        greatest(lit(2L), ceil(col("__n") * maxDfFrac).cast("long"))))
+      .select("term")
     val posts0 = tf.join(keep, Seq("term"))
     val posts = if (posts0.isStreaming) posts0 else posts0.localCheckpoint()
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
@@ -666,18 +682,21 @@ object Dedup {
   }
 
   /** [[lexicalNearDup]] as DuckDB SQL (oracle), sharing the token regex,
-    * bigram construction, df cap, and integer-exact cosine. */
-  def lexicalNearDupSql(tokenRe: String, threshold: Double, maxDf: Int,
-                        minShared: Int): String =
+    * bigram construction, relative df cap, and integer-exact cosine. */
+  def lexicalNearDupSql(tokenRe: String, threshold: Double, maxDfFrac: Double,
+                        minShared: Int, maxDfCap: Int = 1000): String =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t
        |  FROM documents),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
        |grams AS (
        |  SELECT doc_id, unnest(list_transform(range(1, CAST(len(t) AS BIGINT)),
        |      i -> t[i] || ' ' || t[i+1])) AS term
        |  FROM toks WHERE len(t) >= 2),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
-       |keep AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= $maxDf),
+       |keep AS (SELECT term FROM tf CROSS JOIN nd GROUP BY term, nd.n
+       |         HAVING count(*) <= least($maxDfCap,
+       |           greatest(2, CAST(ceil(nd.n * $maxDfFrac) AS BIGINT)))),
        |posts AS (SELECT tf.* FROM tf JOIN keep USING (term)),
        |norms AS (SELECT doc_id, sum(tf*tf) AS sq FROM posts GROUP BY 1),
        |pairs AS (

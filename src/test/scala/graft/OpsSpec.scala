@@ -45,8 +45,8 @@ class OpsSpec extends SparkSpec {
   }
 
   test("lexical cosine near-dup: exact pair at 1.0, near pair high, df cap prunes") {
-    val got = Dedup.lexicalNearDup(docs, "text", threshold = 0.8, maxDf = 100,
-        minShared = 3)
+    val got = Dedup.lexicalNearDup(docs, "text", threshold = 0.8,
+        maxDfFrac = 1.0, minShared = 3)
       .select("a", "b", "cos").as[(Long, Long, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(math.abs(got((0L, 3L)) - 1.0) < 1e-12)        // exact dup
@@ -54,12 +54,16 @@ class OpsSpec extends SparkSpec {
     assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated absent
     // minShared keeps only the exact pair (12 shared bigrams vs 11)
     val strict = Dedup.lexicalNearDup(docs, "text", threshold = 0.8,
-        maxDf = 100, minShared = 12)
+        maxDfFrac = 1.0, minShared = 12)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(strict == Set((0L, 3L)))
-    // df cap = 1 drops every term two docs share -> no pair can form
-    assert(Dedup.lexicalNearDup(docs, "text", threshold = 0.0, maxDf = 1,
-      minShared = 1).isEmpty)
+    // tiny relative cap bottoms out at df <= 2: the three-way-shared
+    // bigrams (df=3) are pruned, so only the exact pair's private
+    // "river bank" bigram (df=2) can still connect a pair
+    val capped = Dedup.lexicalNearDup(docs, "text", threshold = 0.0,
+        maxDfFrac = 0.01, minShared = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((0L, 3L)))
   }
 
   test("simhash: identical -> hamming 0; near-dup closer than unrelated") {

@@ -102,7 +102,7 @@ class PropertySpec extends SparkSpec {
         .map { case (t, i) => (i.toLong, t) }
       val df = rows.toDF("doc_id", "text")
       def run(d: org.apache.spark.sql.DataFrame) =
-        Dedup.lexicalNearDup(d, "text", threshold = 0.0, maxDf = 100,
+        Dedup.lexicalNearDup(d, "text", threshold = 0.0, maxDfFrac = 1.0,
           minShared = 1).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).sorted.toSeq
       val a = run(df)

@@ -1446,6 +1446,15 @@ object SparkEntry {
       (s, d) => Retrieval.bm25TopK(docs(s, d), "text", bm25Terms, 20),
       Some(Retrieval.bm25Sql(TextAnalysis.TokenRegex, bm25Terms, 20))),
 
+    // ---- r8: pseudo-relevance-feedback query expansion — the seed query's
+    // top hits teach it the vocabulary it was missing (Rocchio); one corpus
+    // tokenization drives both scoring passes and the term mining.
+    ("r8_prf_topk",
+      (s, d) => Retrieval.prfTopK(docs(s, d), "text", bm25Terms, 20,
+        fbDocs = 3, fbTerms = 3),
+      Some(Retrieval.prfSql(TextAnalysis.TokenRegex, bm25Terms, 20,
+        fbDocs = 3, fbTerms = 3))),
+
     // ---- r2: exact phrase retrieval — map-only substring-count scan +
     // TakeOrdered; the exact-match complement to r1's ranked retrieval.
     ("r2_phrase_topk",

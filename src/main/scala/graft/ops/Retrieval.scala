@@ -239,6 +239,132 @@ object Retrieval {
 
   /** The identical computation as DuckDB SQL (oracle), sharing the token
     * regex and constants. */
+  /** Pseudo-relevance-feedback retrieval (Rocchio-style query expansion):
+    * run the seed query, mine the top `fbTerms` characteristic terms from
+    * the `fbDocs` best seed hits (tf-in-feedback DESC, corpus df ASC —
+    * x12's integer-exact distinctive-term ranking), and re-score with the
+    * expanded term set. The classic fix for vocabulary mismatch: the seed
+    * query's own best answers teach it the words it was missing.
+    *
+    * One corpus tokenization, total: the checkpointed (doc, dl, toks) array
+    * frame feeds the per-doc stats, the posting frame, and through it both
+    * scoring passes and the expansion mining. Term sets ride as broadcast
+    * frames (they are query-sized, not corpus-sized), so each scoring pass
+    * is posting ⨝ broadcast(terms) → integer fixed-point contributions →
+    * one doc-keyed sum → TakeOrdered. The expansion ranking window runs
+    * over the feedback docs' vocabulary only (bounded by fbDocs × doc
+    * length). Determinism: the same 1e-6 quantization as [[bm25TopK]];
+    * every ordering key is an integer or fixed-point long. */
+  def prfTopK(docs: DataFrame, textCol: String, seeds: Seq[String], k: Int,
+              fbDocs: Int = 3, fbTerms: Int = 3,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(seeds.nonEmpty && k > 0 && fbDocs > 0 && fbTerms >= 0)
+    import org.apache.spark.sql.DataFrame
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val arr = graft.model.Tables
+      .spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"),
+        explode(array(TextAnalysis.tokens(col(textCol)))).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        col("__toks"))
+      .localCheckpoint() // the single tokenization everything reads
+    val stats = arr.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val posting = arr
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read by both scoring passes + expansion mining
+
+    def score(termsDf: DataFrame, outK: Int): DataFrame = {
+      val tf = posting.join(broadcast(termsDf), Seq("term"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
+      val tfn = col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      tf.join(broadcast(dft), Seq("term")).crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(idf * tfn * 1e6).cast("long").as("c_fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_terms"), sum(col("c_fp")).as("__fp"))
+        .orderBy(col("__fp").desc, col("doc_id").asc)
+        .limit(outK)
+        .select(col("doc_id"), col("n_terms"), (col("__fp") / 1e6).as("score"))
+    }
+
+    val seedsDf = seeds.toDF("term")
+    val fb = score(seedsDf, fbDocs).select(col("doc_id"))
+    val corpusDf = posting.groupBy("term").agg(count(lit(1)).as("cdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf_fb").desc, col("cdf").asc, col("term").asc)
+    // vocabulary of <= fbDocs docs: the unpartitioned window is bounded
+    val expansion = posting.join(broadcast(fb), Seq("doc_id"))
+      .groupBy("term").agg(sum(col("tf")).as("tf_fb"))
+      .filter(!col("term").isInCollection(seeds))
+      .join(corpusDf, Seq("term"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= fbTerms)
+      .select(col("term"))
+    score(seedsDf.union(expansion), k)
+  }
+
+  /** [[prfTopK]] as DuckDB SQL (oracle): same posting frame, quantization,
+    * feedback selection, and expansion ranking. */
+  def prfSql(tokenRe: String, seeds: Seq[String], k: Int,
+             fbDocs: Int = 3, fbTerms: Int = 3,
+             k1: Double = 1.2, b: Double = 0.75): String = {
+    val seedList = seeds.map(t => s"'$t'").mkString("(", ", ", ")")
+    val seedRows = seeds.map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(CAST(len(t) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+       |  FROM toks),
+       |posting AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks),
+       |ptf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM posting
+       |  GROUP BY doc_id, dl, term),
+       |seed_tf AS (SELECT * FROM ptf WHERE term IN $seedList),
+       |seed_df AS (SELECT term, count(*) AS df_t FROM seed_tf GROUP BY term),
+       |seed_scored AS (
+       |  SELECT tf.doc_id, CAST(sum(CAST(round(
+       |      ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5)) *
+       |      (tf.tf * ${k1 + 1.0} /
+       |        (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl / s.avgdl))) * 1e6)
+       |      AS BIGINT)) AS BIGINT) AS fp
+       |  FROM seed_tf tf JOIN seed_df d USING (term) CROSS JOIN stats s
+       |  GROUP BY tf.doc_id),
+       |fb AS (SELECT doc_id FROM seed_scored ORDER BY fp DESC, doc_id LIMIT $fbDocs),
+       |cdf AS (SELECT term, count(*) AS cdf FROM ptf GROUP BY term),
+       |expansion AS (
+       |  SELECT term FROM (
+       |    SELECT e.term,
+       |      row_number() OVER (ORDER BY e.tf_fb DESC, c.cdf ASC, e.term ASC) AS rn
+       |    FROM (SELECT term, CAST(sum(tf) AS BIGINT) AS tf_fb FROM ptf
+       |          JOIN fb USING (doc_id)
+       |          WHERE term NOT IN $seedList GROUP BY term) e
+       |    JOIN cdf c USING (term)) WHERE rn <= $fbTerms),
+       |terms AS (SELECT * FROM (VALUES $seedRows) v(term)
+       |          UNION ALL SELECT term FROM expansion),
+       |ftf AS (SELECT ptf.* FROM ptf JOIN terms USING (term)),
+       |fdf AS (SELECT term, count(*) AS df_t FROM ftf GROUP BY term),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5)) *
+       |      (tf.tf * ${k1 + 1.0} /
+       |        (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl / s.avgdl))) * 1e6)
+       |      AS BIGINT) AS c_fp
+       |  FROM ftf tf JOIN fdf d USING (term) CROSS JOIN stats s)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+       |  sum(c_fp) / 1e6 AS score
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY sum(c_fp) DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   def bm25Sql(tokenRe: String, terms: Seq[String], k: Int,
               k1: Double = 1.2, b: Double = 0.75): String = {
     val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")

@@ -81,6 +81,30 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSet == Set((2L, 2), (1L, 1), (4L, 1)))
   }
 
+  test("PRF expansion: feedback vocabulary retrieves docs the seed query cannot") {
+    val df = frame(
+      1L -> "spark shuffle spark shuffle exchange partition",
+      2L -> "spark shuffle exchange stage task spark",
+      3L -> "spark shuffle partition spill stage plan",
+      4L -> "shuffle exchange partition spill stage task", // no seed term!
+      5L -> "cat dog fish bird tree river mountain lake",
+      6L -> "cat dog fish bird tree river mountain lake")
+    val seedOnly = graft.ops.Retrieval.bm25TopK(df, "text", Seq("spark"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!seedOnly.contains(4L), "seed query must miss doc 4")
+    val prf = graft.ops.Retrieval.prfTopK(df, "text", Seq("spark"), 10,
+      fbDocs = 3, fbTerms = 2)
+    val prfIds = prf.select("doc_id").as[Long].collect().toSet
+    assert(prfIds.contains(4L),
+      s"expansion (feedback vocab of docs 1-3) must retrieve doc 4: $prfIds")
+    assert(!prfIds.contains(5L) && !prfIds.contains(6L),
+      "unrelated docs must stay unretrieved")
+    // determinism across physical layouts
+    val again = graft.ops.Retrieval.prfTopK(df.repartition(7), "text",
+      Seq("spark"), 10, fbDocs = 3, fbTerms = 2)
+    assert(prf.collect().toSeq == again.collect().toSeq)
+  }
+
   test("hybrid RRF: both-leg docs fuse both ranks; single-leg docs keep the other null") {
     val df = frame(
       0L -> "dog dog dog",

@@ -600,6 +600,24 @@ object SparkEntry {
         |  FROM events)""".stripMargin)),
 
     // ---- §2.4: window function (running aggregate)
+    // ---- w_topn_group: grouped top-n — the per-entity leaderboard shape.
+    // Spark plans the rank filter as WindowGroupLimit (per-partition
+    // top-n heaps BEFORE the shuffle), so only n rows per (partition,
+    // group) reach the exchange — pinned in PlanChecksSpec.
+    ("w_topn_group",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("value").desc, col("event_id").asc)
+        ev(s, d).select(col("user_id"), col("event_id"), col("value"),
+            row_number().over(w).cast("int").as("rn"))
+          .filter(col("rn") <= 3)
+      },
+      Some("""SELECT user_id, event_id, value, rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS INT) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin)),
+
     ("w_running_sum",
       (s, d) => ev(s, d).select(
         col("user_id"), col("event_id"),
@@ -1426,6 +1444,27 @@ object SparkEntry {
         |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
         |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS mean_value
         |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---- i2: retraction-aware incremental aggregate — a changelog of
+    // inserts (+1, every event) then deletes (-1, every 97th event) merged
+    // as signed state must equal aggregating only the surviving rows.
+    // min/max deliberately absent (not retractable with bounded state).
+    ("i2_retract_agg",
+      (s, d) => {
+        val e = ev(s, d)
+        val keys = Seq("event_type")
+        val inserts = e.withColumn("op", lit(1))
+        val deletes = e.filter(col("event_id") % 97 === 0)
+          .withColumn("op", lit(-1))
+        IncrementalAgg.signedFinish(IncrementalAgg.signedMerge(keys,
+          IncrementalAgg.signedState(inserts, keys, "value", "op"),
+          IncrementalAgg.signedState(deletes, keys, "value", "op")))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS mean_value
+        |FROM events WHERE event_id % 97 <> 0
+        |GROUP BY event_type""".stripMargin)),
 
     // ---- l1: Z-order curve value (data-layout clustering key). The write
     // path (Layout.zorderWrite) is certified by LayoutSpec's file-pruning

@@ -43,4 +43,37 @@ object IncrementalAgg {
       .withColumn("sum_value", col("sum_c") / 100.0)
       .withColumn("mean_value", col("sum_c") / 100.0 / col("n"))
       .drop("sum_c")
+
+  /** Retraction-aware state over a CHANGELOG: rows carry an op column,
+    * +1 insert / -1 delete, and the (n, sum_c) state is signed — a delete
+    * subtracts exactly what its insert added (fixed-point, so exactly).
+    * This is what an upsert/CDC feed needs that [[state]] can't do: the
+    * aggregate stays correct when source rows are removed, still with
+    * |keys|-row state and merge-associative partials.
+    *
+    * min/max are deliberately ABSENT: they are not retractable with
+    * bounded state (deleting the current min needs the runner-up — that
+    * takes the full value multiset or a recompute; engines with retract
+    * MIN, e.g. Flink, keep exactly that multiset). Callers needing
+    * min/max under deletes recompute them from the surviving rows. */
+  def signedState(df: DataFrame, keys: Seq[String], valueCol: String,
+                  opCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      sum(col(opCol).cast("long")).as("n"),
+      sum(col(opCol).cast("long") * round(col(valueCol) * 100).cast("long"))
+        .as("sum_c"))
+
+  /** Merge signed states; keys whose inserts were all retracted (n = 0)
+    * drop out — identical to the group never having existed. */
+  def signedMerge(keys: Seq[String], states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _).groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      sum(col("sum_c")).as("sum_c"))
+
+  /** Finish a signed state: de-quantize, derive mean, drop emptied keys. */
+  def signedFinish(state: DataFrame): DataFrame =
+    state.filter(col("n") > 0)
+      .withColumn("sum_value", col("sum_c") / 100.0)
+      .withColumn("mean_value", col("sum_c") / 100.0 / col("n"))
+      .drop("sum_c")
 }

@@ -27,6 +27,26 @@ class LayoutIncAggSpec extends SparkSpec {
     assert(mergedB.orderBy("event_type").collect().toSeq == want)
   }
 
+  test("signed state: delete cancels its insert exactly; emptied keys vanish") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i.toLong, s"t${i % 4}", math.sin(i) * 100))
+      .toDF("event_id", "event_type", "value")
+    val keys = Seq("event_type")
+    // delete ALL of t0 and half of t1
+    val dels = rows.filter(col("event_type") === "t0" ||
+      (col("event_type") === "t1" && col("event_id") % 2 === 0))
+    val merged = IncrementalAgg.signedFinish(IncrementalAgg.signedMerge(keys,
+      IncrementalAgg.signedState(rows.withColumn("op", lit(1)), keys, "value", "op"),
+      IncrementalAgg.signedState(dels.withColumn("op", lit(-1)), keys, "value", "op")))
+    val survivors = rows.exceptAll(dels)
+    val scratch = IncrementalAgg.signedFinish(
+      IncrementalAgg.signedState(survivors.withColumn("op", lit(1)), keys, "value", "op"))
+    val got = merged.orderBy("event_type").collect().toSeq
+    assert(got == scratch.orderBy("event_type").collect().toSeq)
+    assert(!got.exists(_.getString(0) == "t0"), "fully-retracted key must vanish")
+    assert(got.exists(_.getString(0) == "t1"))
+  }
+
   test("streaming foreachBatch maintenance: state table converges to from-scratch") {
     // The production loop i1 models: per micro-batch, aggregate ONLY the
     // delta, merge with the persisted |keys|-row state table, swap. The

@@ -112,6 +112,13 @@ class PlanChecksSpec extends SparkSpec {
     assert(q.count() == 1)
   }
 
+  test("grouped top-n plans a WindowGroupLimit below the shuffle") {
+    val plan = finalPlanString(SparkEntry.queries("w_topn_group")(spark, sf))
+    // the rank<=3 filter must push a per-partition group-limit below the
+    // exchange: only 3 rows per (input partition, user) are shuffled
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("AQE splits a skewed sort-merge join partition (skew=true)") {
     // The runtime half of the skew story: ops/Skew salts by hand where the
     // key set is known; AQE's OptimizeSkewedJoin must catch the rest. Force

@@ -1211,6 +1211,12 @@ object SparkEntry {
       Some(Dedup.lexicalNearDupSql(TextAnalysis.TokenRegex,
         threshold = 0.8, maxDfFrac = 0.2, minShared = 3))),
 
+    // (Dedup.prefixNearDup — the prefix-filtered twin of d13 with provably
+    // identical output — is library-only, certified by OpsSpec equivalence:
+    // on THIS corpus's flat bigram-df distribution its candidate join costs
+    // 6-8x d13's (measured, see PLANS.md), so registering it would bench a
+    // plan the operator's own doc says not to pick here.)
+
     // ---- interval join: points-in-range via the bucketized equi-join
     // (ops/IntervalJoin) — intervals are 2-hour windows opened at every
     // 97th event; oracle is DuckDB's plain range theta-join.

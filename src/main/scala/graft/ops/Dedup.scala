@@ -681,6 +681,89 @@ object Dedup {
       .select(col("a"), col("b"), col("shared_terms"), col("dot"), col("cos"))
   }
 
+  /** Prefix-filtered form of [[lexicalNearDup]] — IDENTICAL output, cheaper
+    * candidate generation (the Bayardo/Chaudhuri prefix-filtering idea,
+    * adapted to the tf-weighted cosine):
+    *
+    * Order each document's terms hot → rare (global df DESC). Index (emit
+    * candidate-generation postings for) only the RARE TAIL — the shortest
+    * tail such that the unindexed hot head holds strictly less than
+    * t² of the document's squared norm. For a pair sharing NO indexed
+    * term, the dot product lives entirely in the two heads, so by
+    * Cauchy-Schwarz cos(a,b) ≤ √(head_a/‖a‖²) · √(head_b/‖b‖²) < t —
+    * every pair at or above the threshold MUST collide on an indexed term.
+    * Generation therefore yields a superset of the answer, and the full
+    * pruned-space verification (dot, shared count, norms — same arithmetic
+    * as [[lexicalNearDup]]) makes the final output exactly equal, which is
+    * why the d14 oracle IS the d13 oracle.
+    *
+    * Scale: the self-join runs on indexed postings only — Σ df² over rare
+    * tails instead of over every kept term; verification expands each
+    * surviving candidate by one document's term list, bounded by
+    * |candidates| × doc length.
+    *
+    * WHEN TO PICK IT (measured): this wins when the df distribution is
+    * power-law — rare tails are genuinely rare, so the candidate join
+    * collapses. On the synthetic sf corpus (31-word vocabulary, every
+    * "rare" bigram still in hundreds of documents) it LOSES 6-8× to
+    * [[lexicalNearDup]]'s plain capped join (81 s vs 10 s at sf0.1, same
+    * 256 pairs): the indexed tails stay hot, the candidate superset is
+    * enormous, and verification pays |candidates| × doc length on top.
+    * Exactness holds everywhere — only the economics flip. */
+  def prefixNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
+                    maxDfFrac: Double = 0.2, minShared: Int = 3,
+                    maxDfCap: Int = 1000): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val t = col("__t")
+    val grams = graft.model.Tables
+      .spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(t) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - 1),
+          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))).as("term"))
+    val tf0 = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("__n"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= least(lit(maxDfCap.toLong),
+        greatest(lit(2L), ceil(col("__n") * maxDfFrac).cast("long"))))
+      .select("term", "df")
+    val posts0 = tf.join(dfs, Seq("term"))
+    val posts = if (posts0.isStreaming) posts0 else posts0.localCheckpoint()
+    val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
+
+    // hot -> rare running mass per doc; a term is indexed once the running
+    // mass reaches t^2 * ||d||^2 (the head strictly below stays unindexed)
+    val hotFirst = Window.partitionBy("doc_id")
+      .orderBy(col("df").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idx = posts.join(norms, Seq("doc_id"))
+      .withColumn("__cum", sum(col("tf") * col("tf")).over(hotFirst))
+      .filter(col("__cum") >= lit(threshold * threshold) * col("sq"))
+      .select(col("term"), col("doc_id"))
+    val cand = idx.select(col("term"), col("doc_id").as("a"))
+      .join(idx.select(col("term"), col("doc_id").as("b")), Seq("term"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+
+    val pa = posts.select(col("doc_id").as("a"), col("term"), col("tf").as("ta"))
+    val pb = posts.select(col("doc_id").as("b"), col("term"), col("tf").as("tb"))
+    cand.join(pa, Seq("a")).join(pb, Seq("b", "term"))
+      .groupBy("a", "b")
+      .agg(sum(col("ta") * col("tb")).as("dot"), count(lit(1)).as("shared_terms"))
+      .filter(col("shared_terms") >= minShared)
+      .join(norms.select(col("doc_id").as("a"), col("sq").as("__sa")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("sq").as("__sb")), Seq("b"))
+      .withColumn("cos",
+        col("dot") / (sqrt(col("__sa").cast("double")) * sqrt(col("__sb").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("shared_terms"), col("dot"), col("cos"))
+  }
+
   /** [[lexicalNearDup]] as DuckDB SQL (oracle), sharing the token regex,
     * bigram construction, relative df cap, and integer-exact cosine. */
   def lexicalNearDupSql(tokenRe: String, threshold: Double, maxDfFrac: Double,

@@ -66,6 +66,30 @@ class OpsSpec extends SparkSpec {
     assert(capped == Set((0L, 3L)))
   }
 
+  test("prefix-filtered near-dup output is EXACTLY the plain capped join's") {
+    // power-law-ish corpus: common boilerplate + doc-specific rare words,
+    // plus near-dup pairs that must survive both plans identically
+    val rows = (0 until 24).map { i =>
+      val pair = i / 2 // docs 2k and 2k+1 differ in ONE trailing word
+      val boiler = "the data spark query engine shuffle"
+      val body = s"alpha$pair beta$pair gamma$pair delta$pair epsilon$pair zeta$pair"
+      (i.toLong, s"$boiler $body tail$i")
+    }
+    val df = rows.toDF("doc_id", "text")
+    for (th <- Seq(0.5, 0.8)) {
+      val a = Dedup.lexicalNearDup(df, "text", threshold = th,
+        maxDfFrac = 1.0, minShared = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).sorted.toSeq
+      val b = Dedup.prefixNearDup(df, "text", threshold = th,
+        maxDfFrac = 1.0, minShared = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).sorted.toSeq
+      assert(a == b, s"th=$th: prefix-filtered output diverged")
+      assert(a.nonEmpty, s"th=$th: corpus must produce pairs for the test to bite")
+    }
+  }
+
   test("simhash: identical -> hamming 0; near-dup closer than unrelated") {
     val sh = Dedup.simhash(docs, "text").as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

@@ -219,6 +219,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close sessions on inactivity and reopen on new data") {
+    import graft.streaming.SessionTimeout
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val out = SessionTimeout.summaries(
+      input.toDF().toDF("ts", "user_id", "value"),
+      gapMs = 5 * 60 * 1000, watermark = "0 seconds")
+    val q = out.toDF().writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 2 min apart (one session); user 2: one event
+      input.addData((ts("2024-01-01 10:00:00"), 1L, 1.0),
+                    (ts("2024-01-01 10:02:00"), 1L, 2.0),
+                    (ts("2024-01-01 10:00:00"), 2L, 5.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty) // nothing proven over yet
+      // advance the watermark past both users' gap -> both sessions close
+      input.addData((ts("2024-01-01 10:30:00"), 9L, 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out")
+        .select("user_id", "n_events", "total").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(closed == Set((1L, 2L, 3.0), (2L, 1L, 5.0)), s"got $closed")
+      // user 1 returns: a FRESH session, closed by a later watermark push
+      input.addData((ts("2024-01-01 11:00:00"), 1L, 7.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 12:00:00"), 9L, 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_out")
+        .select("user_id", "n_events", "total").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(all.contains((1L, 1L, 7.0)), s"no fresh session: $all")
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(provider))(spark.conf.set(provider, _))
+    }
+  }
+
   test("watermarked event-time window drops data later than the horizon") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val windowed = input.toDF().toDF("t", "k", "v")

@@ -100,7 +100,7 @@ object SparkEntry {
           ev(s, d).select("event_id", "ts"), Seq(col("ts"), col("event_id")))
         .select("event_id", "ingest_seq"),
       Some("""SELECT event_id,
-        |CAST(row_number() OVER (ORDER BY ts, event_id) AS INT) AS ingest_seq
+        |CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS ingest_seq
         |FROM events""".stripMargin)),
 
     // ---- T3/T4: ''->null normalization + column reorder (pro.py:76-82)

@@ -77,11 +77,14 @@ object Ingest {
     * their global rank. Batch-only (zipWithIndex is an RDD action). */
   def monotonicTimestamp(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
     require(!df.isStreaming, "monotonicTimestamp is batch-only")
-    import org.apache.spark.sql.types.IntegerType
+    import org.apache.spark.sql.types.LongType
     val sorted = df.sort(orderCols: _*)
-    val schema = sorted.schema.add("ingest_seq", IntegerType, nullable = false)
+    // LongType: zipWithIndex counts in Long, and the whole point of this
+    // operator is scale past the reference's driver ceiling — an Int seq
+    // would silently wrap negative beyond 2^31-1 rows.
+    val schema = sorted.schema.add("ingest_seq", LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt) }
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
@@ -120,8 +123,14 @@ object Ingest {
     * Batch-only by contract here (the Observation helper requires it);
     * streaming pipelines attach the same named observe() and read metrics
     * per micro-batch from StreamingQueryProgress. */
-  def withAudit(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
-    val obs = org.apache.spark.sql.Observation("graft_audit")
+  private val auditSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def withAudit(df: DataFrame, name: String = ""): (DataFrame, org.apache.spark.sql.Observation) = {
+    // Unique observation name per call: two audited frames combined into one
+    // action would otherwise collide on a duplicate-observation-name error.
+    val obsName =
+      if (name.nonEmpty) name else s"graft_audit_${auditSeq.incrementAndGet()}"
+    val obs = org.apache.spark.sql.Observation(obsName)
     val metrics = Seq(count(lit(1)).as("n_rows")) ++ df.columns.toSeq.map { c =>
       sum(when(qcol(c).isNull, 1L).otherwise(0L)).as(s"null_$c")
     }

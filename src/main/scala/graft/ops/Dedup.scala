@@ -289,7 +289,8 @@ object Dedup {
     * each other), so this terminates in a handful of rounds even at 100 TB;
     * the driver-side loop only ever sees a changed-row COUNT, never data. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
-                          bCol: String = "b"): DataFrame = {
+                          bCol: String = "b", maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1)
     // Hash-partition the edge list ONCE on the per-round join key: the loop
     // joins edges⋈labels on y every iteration, and localCheckpoint preserves
     // outputPartitioning, so each round reuses this exchange instead of
@@ -319,8 +320,22 @@ object Dedup {
           least(col("cand"), coalesce(col("cand_label"), col("cand"))).as("label"))
     }
 
+    // Convergence guard: each materialization runs two propagate rounds,
+    // each of which both takes a neighbor-min step AND pointer-jumps, so
+    // labels shortcut roughly geometrically along chains — even a pure
+    // N-node path settles in O(log N) materializations (property-tested on
+    // a 512-node chain). The cap is therefore generous headroom, not a
+    // tuning knob; hitting it means the input is pathological (or a bug
+    // broke monotonicity) and silent spinning would burn a cluster, so
+    // fail LOUDLY instead of looping.
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents: no convergence after $maxRounds rounds " +
+            "(component diameter beyond cap); raise maxRounds or inspect the graph")
+      rounds += 1
       // TWO rounds per materialization: the driver-side fixed costs (job
       // scheduling, checkpoint, count) dominate each iteration at small
       // frontier sizes, so halving the materializations nearly halves loop

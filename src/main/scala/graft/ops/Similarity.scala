@@ -196,6 +196,47 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Max-cosine cell assignment against a centroid FRAME — the shape that
+    * survives the SemDeDup design point (k ≈ 10⁵ cells for 10⁹ docs): the
+    * centroid side is broadcast and joined (plan size O(1) in k), candidates
+    * reduce per vector with a map-side-combinable `max_by` argmax, so the
+    * shuffle moves ONE pre-reduced row per (map partition, vector) — never
+    * the n×k join output. The literal-expression alternative (k dot products
+    * against `typedLit` arrays under `greatest(struct…)`) is shuffle-free and
+    * faster for SMALL k but embeds O(k·dims) literals in one expression
+    * tree; [[kmeansCentroids]] keeps it below [[literalArgmaxMaxK]] only.
+    *
+    * Ties break toward the lowest cell id (ordering struct carries -cell),
+    * identical to the `QUALIFY row_number() … ORDER BY cos DESC, cell`
+    * oracle form and to [[ivfTopK]]'s window argmax.
+    *
+    * `base`: (vec_id, emb double[], nrm); `centroids`: (cell, cemb double[]).
+    * Returns (vec_id, emb, nrm, cell). */
+  def assignCells(base: DataFrame, centroids: DataFrame): DataFrame = {
+    // centroid norm computed once per centroid at broadcast build, not per pair
+    val cent = broadcast(centroids.select(col("cell"), col("cemb"),
+      l2norm(col("cemb")).as("cnrm")))
+    base.join(cent)
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("cell"), col("emb"), col("nrm")),
+        struct((dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm"))).as("c"),
+          (-col("cell")).as("n"))).as("__p"))
+      .select(col("vec_id"), col("__p.emb").as("emb"), col("__p.nrm").as("nrm"),
+        col("__p.cell").as("cell"))
+  }
+
+  /** Above this k, per-iteration k-means assignment abandons the literal
+    * map-only argmax (plan/codegen size O(k·dims)) for [[assignCells]]'s
+    * broadcast join. */
+  val literalArgmaxMaxK = 64
+
+  private def centFrame(spark: org.apache.spark.sql.SparkSession,
+                        cents: Seq[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cell, c) => (cell, c.toSeq) }.toDF("cell", "cemb")
+  }
+
   /** Distributed Lloyd's k-means over the embedding column — the real
     * producer of IVF coarse centroids ([[ivfTopK]] accepts any centroid
     * frame; this closes the "sampled k-means" hand-wave).
@@ -233,10 +274,22 @@ object Similarity {
       -greatest(structs: _*).getField("ni")
     }
 
+    // Small k: shuffle-free literal argmax (one map pass, partial sums
+    // combine map-side). Large k: the literal tree would be O(k·dims), so
+    // assignment joins against the broadcast centroid frame instead — one
+    // extra pre-reduced shuffle per iteration, plan size O(1) in k. Both
+    // paths compute bit-identical cosines (same sequential dot/norm folds).
+    def assignIter(cs: Seq[(Int, Array[Double])]): DataFrame =
+      if (cs.size <= literalArgmaxMaxK)
+        corpus.select(cellOf(cs).as("cell"), col("emb"))
+      else
+        assignCells(corpus, centFrame(df.sparkSession, cs))
+          .select(col("cell"), col("emb"))
+
     for (_ <- 1 to iters) {
       val sums = (0 until dims).map(d =>
         sum(round(element_at(col("emb"), d + 1) * scale).cast("long")).as(s"s$d"))
-      val reduced = corpus.select(cellOf(cents).as("cell"), col("emb"))
+      val reduced = assignIter(cents)
         .groupBy("cell").agg(count(lit(1)).as("n"), sums: _*)
         .collect()
         .map(r => r.getAs[Int]("cell") ->
@@ -249,18 +302,17 @@ object Similarity {
   }
 
   /** Final cell assignment (vec_id, cell) under [[kmeansCentroids]] — the
-    * integer-only output shape the cross-engine correctness gate hashes. */
+    * integer-only output shape the cross-engine correctness gate hashes.
+    * Always the [[assignCells]] broadcast-join shape: this is the one-shot
+    * output pass, so the extra pre-reduced shuffle is cheap insurance that
+    * the plan stays O(1) in k all the way to IVF-scale centroid counts. */
   def kmeansAssign(df: DataFrame, k: Int, iters: Int, dims: Int = 64): DataFrame = {
     val cents = kmeansCentroids(df, k, iters, dims)
     val corpus = df.filter(size(col("embedding")) === dims)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         l2norm(col("embedding")).as("nrm"))
-    val structs = cents.map { case (cell, c) =>
-      val nrm = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(col("emb"), typedLit(c.toSeq)) / (col("nrm") * lit(nrm))).as("cos"),
-        lit(-cell).as("ni"))
-    }
-    corpus.select(col("vec_id"), (-greatest(structs: _*).getField("ni")).as("cell"))
+    assignCells(corpus, centFrame(df.sparkSession, cents))
+      .select(col("vec_id"), col("cell"))
   }
 
   /** [[kmeansCentroids]] as a centroid frame consumable by [[ivfTopK]]. */
@@ -346,34 +398,25 @@ object Similarity {
     * after exact/MinHash dedup; unlike d3/d5 it catches paraphrases that
     * share no n-grams.
     *
-    * Scale shape: the centroid set is tiny by construction (k·dims values —
-    * the same driver-traffic contract as [[kmeansCentroids]], which is the
-    * real producer of these centroids), so assignment is ONE codegen'd
-    * map pass: k literal-array dot products + `greatest(struct)` argmax — no
-    * join, no window shuffle. The pair comparison is an equi-join on the
-    * cell id; SemDeDup's design point is that k grows with the corpus, so
-    * per-cell pair cost stays bounded (paper uses k≈10⁵ for 10⁹ docs).
-    * Output is every vector's (cell, keep) — callers filter `keep` to
-    * materialize the survivor corpus.
+    * Scale shape: assignment is [[assignCells]]'s broadcast-join + reduced
+    * argmax — the centroid frame NEVER collects to the driver and the plan
+    * stays O(1) in k, which is what survives SemDeDup's own design point
+    * (the paper uses k≈10⁵ cells for 10⁹ docs; a literal expression tree at
+    * that k would blow up codegen and the driver). The pair comparison is an
+    * equi-join on the cell id, bounded per cell because k grows with the
+    * corpus. Output is every vector's (cell, keep) — callers filter `keep`
+    * to materialize the survivor corpus.
     */
   def semDedup(df: DataFrame, centroids: DataFrame, threshold: Double,
                dims: Int = 64): DataFrame = {
-    val cents: Seq[(Long, Array[Double])] = centroids
-      .filter(size(col("embedding")) === dims)
-      .select(col("vec_id"), asDouble(col("embedding")))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-    require(cents.nonEmpty, "empty centroid set")
-    // argmax cosine with cid-ascending tie-break: max over (cos, -cid) pairs
-    val structs = cents.map { case (cid, c) =>
-      val nrm = math.sqrt(c.map(x => x * x).sum) // sequential, oracle-identical
-      struct((dot(col("emb"), typedLit(c.toSeq)) / (col("nrm") * lit(nrm))).as("cos"),
-        lit(-cid).as("ni"))
-    }
-    val assigned0 = df.filter(size(col("embedding")) === dims)
+    val centF = centroids.filter(size(col("embedding")) === dims)
+      .select(col("vec_id").as("cell"), asDouble(col("embedding")).as("cemb"))
+    require(centF.head(1).nonEmpty, "empty centroid set")
+    val base = df.filter(size(col("embedding")) === dims)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         l2norm(col("embedding")).as("nrm"))
-      .select(col("vec_id"), col("emb"), col("nrm"),
-        (-greatest(structs: _*).getField("ni")).as("cell"))
+    val assigned0 = assignCells(base, centF)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
     // consumed by both pair-join sides and the final output
     val assigned = if (assigned0.isStreaming) assigned0 else assigned0.localCheckpoint()
     val l = assigned.select(col("cell"), col("vec_id").as("a"),
@@ -435,7 +478,9 @@ object Similarity {
              codes: Int = 4, dims: Int = 64): DataFrame = {
     require(m > 0 && dims % m == 0 && codes > 0)
     val sub = dims / m
-    val cb = corpus.filter(col("vec_id") < codes)
+    // same dims guard as the corpus/query sides (and the oracle's base CTE):
+    // a wrong-length vector with a low vec_id must not enter the codebook
+    val cb = corpus.filter(col("vec_id") < codes && size(col("embedding")) === dims)
       .select(col("vec_id").cast("int").as("code"),
         asDouble(col("embedding")).as("cb_emb"))
 

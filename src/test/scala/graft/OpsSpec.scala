@@ -152,6 +152,25 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components: 512-node chain converges within the log-bound cap") {
+    import graft.ops.Dedup
+    // Pure path graph — the worst-case diameter shape the round cap guards.
+    // Pointer jumping must settle it in O(log n) materializations: for
+    // n = 512, allow 2*ceil(log2(512)) + 2 = 20 rounds of headroom, far
+    // below the default 64 but enough to prove the superlinear collapse.
+    val n = 512
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, maxRounds = 20)
+      .as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L))
+    // and the cap itself fails loudly when genuinely too small
+    val tiny = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxRounds = 1).count()
+    }
+    assert(tiny.getMessage.contains("no convergence"))
+  }
+
   test("dot product expression: exact sum, null on length mismatch, float cast") {
     import graft.ops.Similarity.dot
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0), Array(1.0, 2.0)))

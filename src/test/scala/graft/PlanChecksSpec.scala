@@ -86,6 +86,21 @@ class PlanChecksSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"no semi-join bucket prune in:\n$plan")
   }
 
+  test("centroid argmax (e6/d8 assign stage) is a broadcast join, not a literal tree") {
+    // The assign path must survive IVF/SemDeDup-scale centroid counts
+    // (k ~ 1e5): a broadcast join keeps the plan O(1) in k, whereas the old
+    // greatest(struct(dot(emb, typedLit(c))…)) form embedded O(k·dims)
+    // literals into one expression tree (codegen/driver blowup at large k).
+    for (name <- Seq("e6_kmeans_assign", "d8_semdedup")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = finalPlanString(df)
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+        s"$name: no broadcast centroid join in:\n$plan")
+      assert(!plan.contains("greatest("),
+        s"$name: literal greatest() argmax tree still present in:\n$plan")
+    }
+  }
+
   test("spread repartitions a 1-task scan but leaves many-split inputs alone") {
     import graft.model.Tables
     val tiny = Tables(spark, sf, "documents").select("doc_id", "text")

@@ -11,13 +11,24 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   * over, while keeping arbitrary per-session state in between (running
   * count, value sum, first/last event time).
   *
-  * Mechanics: each input batch folds into the keyed ValueState and re-arms
-  * a single event-time timer at `last event time + gap` (previous timers
-  * deleted — one live timer per key). When the watermark passes the timer,
+  * Mechanics: each input batch folds into the keyed ValueState IN EVENT-TIME
+  * ORDER, closing a session inline whenever the next event lands more than
+  * `gap` after the open session's last event — so two logical sessions whose
+  * events arrive in the same micro-batch emit as two summaries, and session
+  * boundaries depend only on event time, never on where a replay happens to
+  * cut micro-batches. The surviving open session re-arms a single event-time
+  * timer at `last event time + gap` (previous timers deleted — one live
+  * timer per key); when the watermark passes it,
   * [[SessionTimeout.Summarizer.handleExpiredTimer]] fires: the summary row
   * emits and the state clears, so a later event starts a fresh session.
   * State per key is one fixed-size struct + one timer — bounded by active
-  * keys, expired exactly by the timer, RocksDB-backed at scale. */
+  * keys, expired exactly by the timer, RocksDB-backed at scale, and restored
+  * (timers included) from the checkpoint on restart.
+  *
+  * Late-data caveat: an event older than the open session's first event
+  * folds into that session (extending it backwards) rather than opening a
+  * separate earlier one — the watermark bounds how stale such events can be,
+  * and a summary-correctness purist should set the watermark ≤ gap. */
 object SessionTimeout {
 
   /** Per-user open-session accumulator. */
@@ -40,16 +51,32 @@ object SessionTimeout {
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
         tv: TimerValues): Iterator[SessionSummary] = {
-      val prev = if (st.exists()) st.get() else SessState(0L, 0.0, Long.MaxValue, 0L)
-      val next = rows.foldLeft(prev) { (s, e) =>
-        SessState(s.n + 1, s.total + e.value,
-          math.min(s.firstMs, e.ts_ms), math.max(s.lastMs, e.ts_ms))
+      // Sort by event time (value as a deterministic tiebreaker so the
+      // double sum folds in one fixed order): session boundaries — and the
+      // emitted summaries — must depend only on event time, not on how a
+      // replay cuts micro-batches.
+      val sorted = rows.toArray.sortBy(e => (e.ts_ms, e.value))
+      var open: Option[SessState] = if (st.exists()) Some(st.get()) else None
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+      for (e <- sorted) open = open match {
+        case Some(s) if e.ts_ms > s.lastMs + gapMs =>
+          // gap exceeded inside the batch: close the open session NOW (the
+          // timer-based close would have merged them) and start fresh
+          closed += SessionSummary(user, s.n, s.total, s.firstMs, s.lastMs)
+          Some(SessState(1L, e.value, e.ts_ms, e.ts_ms))
+        case Some(s) =>
+          Some(SessState(s.n + 1, s.total + e.value,
+            math.min(s.firstMs, e.ts_ms), math.max(s.lastMs, e.ts_ms)))
+        case None =>
+          Some(SessState(1L, e.value, e.ts_ms, e.ts_ms))
       }
-      st.update(next)
-      // one live timer per key: re-arm at latest activity + gap
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(next.lastMs + gapMs)
-      Iterator.empty
+      open.foreach { s =>
+        st.update(s)
+        // one live timer per key: re-arm at latest activity + gap
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.lastMs + gapMs)
+      }
+      closed.iterator
     }
 
     override def handleExpiredTimer(user: Long, tv: TimerValues,

@@ -260,6 +260,89 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("two sessions whose events share one micro-batch emit as two summaries") {
+    import graft.streaming.SessionTimeout
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val out = SessionTimeout.summaries(
+      input.toDF().toDF("ts", "user_id", "value"),
+      gapMs = 5 * 60 * 1000, watermark = "0 seconds")
+    val q = out.toDF().writeStream.format("memory").queryName("sess_split_out")
+      .outputMode("append").start()
+    try {
+      // ONE batch, user 1: 10:00+10:01 then a 19-minute silence then 10:20 —
+      // two logical sessions; out-of-order delivery inside the batch must
+      // not matter. The first closes inline (gap split), the second by timer.
+      input.addData((ts("2024-01-01 10:20:00"), 1L, 7.0),
+                    (ts("2024-01-01 10:00:00"), 1L, 1.0),
+                    (ts("2024-01-01 10:01:00"), 1L, 2.0))
+      q.processAllAvailable()
+      val inline = spark.table("sess_split_out")
+        .select("user_id", "n_events", "total", "start_ms", "end_ms")
+        .as[(Long, Long, Double, Long, Long)].collect().toSet
+      assert(inline == Set((1L, 2L, 3.0,
+        ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:01:00").getTime)),
+        s"in-batch gap split missing: $inline")
+      // watermark push closes the second session via its timer
+      input.addData((ts("2024-01-01 11:00:00"), 9L, 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_split_out")
+        .select("user_id", "n_events", "total").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(all.contains((1L, 1L, 7.0)), s"timer leg missing: $all")
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(provider))(spark.conf.set(provider, _))
+    }
+  }
+
+  test("session timers survive a checkpointed stop/restart and still fire") {
+    // The whole point of durable timer state: the reference loses its
+    // in-memory session state on restart (pro.py:18). Kill the query after
+    // the session is open but unproven, restart from the checkpoint, then
+    // advance the watermark — the recovered timer must fire and emit.
+    import graft.streaming.SessionTimeout
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("sess-restart").toString
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    // foreachBatch sink: the memory sink refuses checkpoint recovery; this
+    // buffer lives on the driver, exactly where foreachBatch runs.
+    val emitted = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Double)]()
+    def startQuery() = SessionTimeout.summaries(
+        input.toDF().toDF("ts", "user_id", "value"),
+        gapMs = 5 * 60 * 1000, watermark = "0 seconds")
+      .toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("user_id", "n_events", "total").collect()
+          .foreach(r => emitted.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = startQuery()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, 1.0),
+                    (ts("2024-01-01 10:02:00"), 1L, 2.0))
+      q1.processAllAvailable()
+      assert(emitted.isEmpty) // open, unproven
+    } finally q1.stop()
+    val q2 = startQuery()
+    try {
+      input.addData((ts("2024-01-01 10:30:00"), 9L, 0.0)) // watermark push
+      q2.processAllAvailable()
+      assert(emitted.contains((1L, 2L, 3.0)),
+        s"recovered timer did not fire after restart: $emitted")
+    } finally {
+      q2.stop()
+      saved.fold(spark.conf.unset(provider))(spark.conf.set(provider, _))
+    }
+  }
+
   test("watermarked event-time window drops data later than the horizon") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val windowed = input.toDF().toDF("t", "k", "v")

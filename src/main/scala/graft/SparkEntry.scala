@@ -801,6 +801,23 @@ object SparkEntry {
         |                           ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin)),
 
+    // ---- S2+S5 (§2.5): the streaming pipeline itself under the oracle gate —
+    // events staged as 4 files, streamed through the REAL file source one
+    // micro-batch per file, foreachBatch-merged into a date-partitioned
+    // store keyed (user, day). The settled table must equal the one-shot
+    // batch arbitration regardless of the batch cut (latest-wins is
+    // commutative/associative across batches; the partition column is a
+    // function of the key, so no stale winner survives in an untouched
+    // partition).
+    ("s2_stream_replay_upsert",
+      (s, d) => graft.streaming.Pipeline.replayUpsertDaily(s, ev(s, d)),
+      Some("""SELECT user_id, CAST(ts AS DATE) AS ingest_date, event_id,
+        |  event_type, value, ts
+        |FROM (SELECT user_id, event_id, event_type, value, ts,
+        |        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin)),
+
     // ---- s8: SCD Type-2 history — the keep-ALL-versions complement to s5's
     // latest-wins arbitration: per-user event_type change intervals with
     // [valid_from, valid_to) ranges and an is_current flag.
@@ -1211,11 +1228,30 @@ object SparkEntry {
       Some(Dedup.lexicalNearDupSql(TextAnalysis.TokenRegex,
         threshold = 0.8, maxDfFrac = 0.2, minShared = 3))),
 
-    // (Dedup.prefixNearDup — the prefix-filtered twin of d13 with provably
-    // identical output — is library-only, certified by OpsSpec equivalence:
-    // on THIS corpus's flat bigram-df distribution its candidate join costs
-    // 6-8x d13's (measured, see PLANS.md), so registering it would bench a
-    // plan the operator's own doc says not to pick here.)
+    // ---- d14: prefix-filtered (Bayardo) near-dup on TRIGRAM shingles —
+    // prefixNearDup needs a power-law df distribution to pay off, which the
+    // 31-word-vocabulary corpus only exhibits at n=3 (sf0.01: vocab 16245,
+    // median df 1; candidate join 491 rows vs 13985 for the full posting
+    // join — measured, see PLANS.md). Output is PROVABLY identical to
+    // lexicalNearDup at the same n (OpsSpec equivalence), so the oracle IS
+    // the d13 SQL with n=3. On bigrams the economics flip 6-8x the other
+    // way, which is why d13 stays the plain capped join.
+    ("d14_prefix_neardup",
+      (s, d) => Dedup.prefixNearDup(docs(s, d), "text",
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3, n = 3),
+      Some(Dedup.lexicalNearDupSql(TextAnalysis.TokenRegex,
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3, n = 3))),
+
+    // ---- d15: idf-weighted lexical near-dup — ln(N/df) weights as 2^16
+    // fixed-point integers (cross-engine ln agreement verified exhaustively
+    // for df in 1..N), reusing d13's single-tokenization posting frame; the
+    // weighting production near-dup pipelines actually run, where rare
+    // content-bearing shingles decide the threshold, not boilerplate.
+    ("d15_idf_neardup",
+      (s, d) => Dedup.lexicalNearDupIdf(docs(s, d), "text",
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3),
+      Some(Dedup.lexicalNearDupIdfSql(TextAnalysis.TokenRegex,
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3))),
 
     // ---- interval join: points-in-range via the bucketized equi-join
     // (ops/IntervalJoin) — intervals are 2-hour windows opened at every

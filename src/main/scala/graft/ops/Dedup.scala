@@ -660,32 +660,90 @@ object Dedup {
     * the candidate set further — the cap alone already bounds the blowup. */
   def lexicalNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
                      maxDfFrac: Double = 0.2, minShared: Int = 3,
-                     maxDfCap: Int = 1000): DataFrame = {
+                     maxDfCap: Int = 1000, n: Int = 2): DataFrame = {
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
-    val t = col("__t")
-    val grams = graft.model.Tables
-      .spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
-      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
-      .filter(size(t) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(t) - 1),
-          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))).as("term"))
-    val tf0 = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val tf = if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("__n"))
-    val keep = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= least(lit(maxDfCap.toLong),
-        greatest(lit(2L), ceil(col("__n") * maxDfFrac).cast("long"))))
-      .select("term")
-    val posts0 = tf.join(keep, Seq("term"))
-    val posts = if (posts0.isStreaming) posts0 else posts0.localCheckpoint()
+    val posts = cappedPostings(docs, textCol, n, maxDfFrac, maxDfCap)
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
     val pa = posts.select(col("term"), col("doc_id").as("a"), col("tf").as("ta"))
     val pb = posts.select(col("term"), col("doc_id").as("b"), col("tf").as("tb"))
     val pairs = pa.join(pb, Seq("term")).filter(col("a") < col("b"))
       .groupBy("a", "b")
       .agg(sum(col("ta") * col("tb")).as("dot"), count(lit(1)).as("shared_terms"))
+      .filter(col("shared_terms") >= minShared)
+    pairs
+      .join(norms.select(col("doc_id").as("a"), col("sq").as("__sa")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("sq").as("__sb")), Seq("b"))
+      .withColumn("cos",
+        col("dot") / (sqrt(col("__sa").cast("double")) * sqrt(col("__sb").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("shared_terms"), col("dot"), col("cos"))
+  }
+
+  /** Shared candidate machinery of the lexical near-dup family (d13/d14/d15):
+    * the (doc_id, term, tf, df) posting frame over word `n`-gram shingle
+    * terms, with the dual df cap applied, ONE tokenization scan, and the
+    * result localCheckpoint'ed — every consumer (df prune, norms, both
+    * self-join sides, idf weights) reads the materialized frame instead of
+    * re-tokenizing the corpus. `df` is the TRUE document frequency of each
+    * surviving term (the cap only drops terms, it never rewrites df). */
+  private def cappedPostings(docs: DataFrame, textCol: String, n: Int,
+                             maxDfFrac: Double, maxDfCap: Int): DataFrame = {
+    require(n >= 1)
+    val t = col("__t")
+    val grams = graft.model.Tables
+      .spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(t) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))).as("term"))
+    val tf0 = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("__n"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= least(lit(maxDfCap.toLong),
+        greatest(lit(2L), ceil(col("__n") * maxDfFrac).cast("long"))))
+      .select("term", "df")
+    val posts0 = tf.join(dfs, Seq("term"))
+    if (posts0.isStreaming) posts0 else posts0.localCheckpoint()
+  }
+
+  /** IDF-weighted form of [[lexicalNearDup]] (d15) — the production near-dup
+    * weighting: each term's tf is scaled by its inverse document frequency
+    * ln(N/df), so boilerplate terms that survive the df cap stop dominating
+    * the cosine and rare, content-bearing shingles decide which pairs clear
+    * the threshold.
+    *
+    * Determinism: weights are FIXED-POINT integers — floor(ln(N/df)·2¹⁶+0.5)
+    * — so dot products and squared norms stay exact integer sums (the same
+    * contract as the tf-only cosine) and the one final sqrt+divide is
+    * bit-identical in any engine. The 2¹⁶ quantization was verified to agree
+    * between java.lang.{Math,StrictMath}.log and DuckDB ln for every df in
+    * 1..N at N ∈ {500, 5000, 50000}; a 1-ulp libm disagreement would need to
+    * land within ~1e-11 of a rounding boundary to flip a weight.
+    *
+    * Scale: identical plan shape to [[lexicalNearDup]] — the posting frame
+    * is materialized once ([[cappedPostings]]) and the idf weight is a
+    * map-side column on it (df already rides the frame); no extra scan, no
+    * extra shuffle. */
+  def lexicalNearDupIdf(docs: DataFrame, textCol: String, threshold: Double = 0.8,
+                        maxDfFrac: Double = 0.2, minShared: Int = 3,
+                        maxDfCap: Int = 1000, n: Int = 2): DataFrame = {
+    require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
+    val posts = cappedPostings(docs, textCol, n, maxDfFrac, maxDfCap)
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("__n"))
+    val wfx = floor(log(col("__n").cast("double") / col("df")) * lit(65536.0) + lit(0.5))
+      .cast("long")
+    val v = posts.crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), (col("tf") * wfx).as("v"))
+    val vm = if (v.isStreaming) v else v.localCheckpoint()
+    val norms = vm.groupBy("doc_id").agg(sum(col("v") * col("v")).as("sq"))
+    val pa = vm.select(col("term"), col("doc_id").as("a"), col("v").as("va"))
+    val pb = vm.select(col("term"), col("doc_id").as("b"), col("v").as("vb"))
+    val pairs = pa.join(pb, Seq("term")).filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum(col("va") * col("vb")).as("dot"), count(lit(1)).as("shared_terms"))
       .filter(col("shared_terms") >= minShared)
     pairs
       .join(norms.select(col("doc_id").as("a"), col("sq").as("__sa")), Seq("a"))
@@ -719,36 +777,23 @@ object Dedup {
     *
     * WHEN TO PICK IT (measured): this wins when the df distribution is
     * power-law — rare tails are genuinely rare, so the candidate join
-    * collapses. On the synthetic sf corpus (31-word vocabulary, every
-    * "rare" bigram still in hundreds of documents) it LOSES 6-8× to
-    * [[lexicalNearDup]]'s plain capped join (81 s vs 10 s at sf0.1, same
-    * 256 pairs): the indexed tails stay hot, the candidate superset is
-    * enormous, and verification pays |candidates| × doc length on top.
-    * Exactness holds everywhere — only the economics flip. */
+    * collapses. On BIGRAMS over the synthetic sf corpus (31-word
+    * vocabulary, every "rare" bigram still in hundreds of documents) it
+    * LOSES 6-8× to [[lexicalNearDup]]'s plain capped join (81 s vs 10 s at
+    * sf0.1, same 256 pairs): the indexed tails stay hot, the candidate
+    * superset is enormous, and verification pays |candidates| × doc length
+    * on top. On TRIGRAMS (n=3) the same corpus turns power-law (sf0.01:
+    * vocab 16 245, median df 1, max df 7) and prefix filtering wins
+    * outright — 491 candidate-join rows vs 13 985 for the full posting
+    * join, identical 25 output pairs — which is how d14 registers it.
+    * Exactness holds at every n — only the economics flip. */
   def prefixNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
                     maxDfFrac: Double = 0.2, minShared: Int = 3,
-                    maxDfCap: Int = 1000): DataFrame = {
+                    maxDfCap: Int = 1000, n: Int = 2): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
     import org.apache.spark.sql.expressions.Window
-    val t = col("__t")
-    val grams = graft.model.Tables
-      .spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
-      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
-      .filter(size(t) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(t) - 1),
-          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))).as("term"))
-    val tf0 = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val tf = if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("__n"))
-    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= least(lit(maxDfCap.toLong),
-        greatest(lit(2L), ceil(col("__n") * maxDfFrac).cast("long"))))
-      .select("term", "df")
-    val posts0 = tf.join(dfs, Seq("term"))
-    val posts = if (posts0.isStreaming) posts0 else posts0.localCheckpoint()
+    val posts = cappedPostings(docs, textCol, n, maxDfFrac, maxDfCap)
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
 
     // hot -> rare running mass per doc; a term is indexed once the running
@@ -779,28 +824,63 @@ object Dedup {
       .select(col("a"), col("b"), col("shared_terms"), col("dot"), col("cos"))
   }
 
-  /** [[lexicalNearDup]] as DuckDB SQL (oracle), sharing the token regex,
-    * bigram construction, relative df cap, and integer-exact cosine. */
-  def lexicalNearDupSql(tokenRe: String, threshold: Double, maxDfFrac: Double,
-                        minShared: Int, maxDfCap: Int = 1000): String =
-    s"""WITH toks AS (
+  /** Shared oracle CTE prefix for the lexical near-dup family: tokenization,
+    * n-gram shingle construction, tf, and the dual-capped df frame —
+    * byte-equivalent semantics to [[cappedPostings]]. */
+  private def postingCtes(tokenRe: String, maxDfFrac: Double, maxDfCap: Int,
+                          n: Int): String = {
+    val joiner = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    val end = if (n == 2) "" else s" - ${n - 2}"
+    s"""toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t
        |  FROM documents),
        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
        |grams AS (
-       |  SELECT doc_id, unnest(list_transform(range(1, CAST(len(t) AS BIGINT)),
-       |      i -> t[i] || ' ' || t[i+1])) AS term
-       |  FROM toks WHERE len(t) >= 2),
+       |  SELECT doc_id, unnest(list_transform(range(1, CAST(len(t) AS BIGINT)$end),
+       |      i -> $joiner)) AS term
+       |  FROM toks WHERE len(t) >= $n),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
-       |keep AS (SELECT term FROM tf CROSS JOIN nd GROUP BY term, nd.n
+       |dfs AS (SELECT term, count(*) AS df FROM tf CROSS JOIN nd GROUP BY term, nd.n
        |         HAVING count(*) <= least($maxDfCap,
        |           greatest(2, CAST(ceil(nd.n * $maxDfFrac) AS BIGINT)))),
-       |posts AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+       |posts AS (SELECT tf.*, dfs.df FROM tf JOIN dfs USING (term))""".stripMargin
+  }
+
+  /** [[lexicalNearDup]] as DuckDB SQL (oracle), sharing the token regex,
+    * n-gram construction, dual df cap, and integer-exact cosine. Also the
+    * d14 oracle: [[prefixNearDup]] provably emits the identical output. */
+  def lexicalNearDupSql(tokenRe: String, threshold: Double, maxDfFrac: Double,
+                        minShared: Int, maxDfCap: Int = 1000, n: Int = 2): String =
+    s"""WITH ${postingCtes(tokenRe, maxDfFrac, maxDfCap, n)},
        |norms AS (SELECT doc_id, sum(tf*tf) AS sq FROM posts GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS a, b.doc_id AS b,
        |    CAST(sum(a.tf*b.tf) AS BIGINT) AS dot, count(*) AS shared_terms
        |  FROM posts a JOIN posts b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT a, b, shared_terms, dot,
+       |  dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))) AS cos
+       |FROM pairs JOIN norms na ON pairs.a = na.doc_id
+       |           JOIN norms nb ON pairs.b = nb.doc_id
+       |WHERE dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))
+       |      >= $threshold""".stripMargin
+
+  /** [[lexicalNearDupIdf]] as DuckDB SQL (oracle): identical fixed-point idf
+    * weights (floor(ln(N/df)·2¹⁶+0.5) — engine-agreement verified
+    * exhaustively for df in 1..N), integer dot/norms, one final
+    * sqrt+divide. */
+  def lexicalNearDupIdfSql(tokenRe: String, threshold: Double, maxDfFrac: Double,
+                           minShared: Int, maxDfCap: Int = 1000, n: Int = 2): String =
+    s"""WITH ${postingCtes(tokenRe, maxDfFrac, maxDfCap, n)},
+       |v AS (
+       |  SELECT doc_id, term,
+       |    tf * CAST(floor(ln(CAST(nd.n AS DOUBLE) / df) * 65536.0 + 0.5) AS BIGINT) AS v
+       |  FROM posts CROSS JOIN nd),
+       |norms AS (SELECT doc_id, sum(v*v) AS sq FROM v GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(sum(a.v*b.v) AS BIGINT) AS dot, count(*) AS shared_terms
+       |  FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
        |SELECT a, b, shared_terms, dot,
        |  dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))) AS cos

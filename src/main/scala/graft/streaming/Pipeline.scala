@@ -115,6 +115,50 @@ object Pipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** S2+S5 end-to-end BATCH-REPLAY: stage `events` as `nFiles` parquet
+    * splits, stream them through the real file source (`maxFilesPerTrigger
+    * = 1` → one micro-batch per file, AvailableNow to drain and stop), and
+    * foreachBatch-merge every batch into a date-partitioned store keyed
+    * (user_id, ingest_date) — the daily-upsert shape T9 routes into. The
+    * settled table is returned for the cross-engine correctness gate: it
+    * must equal the one-shot batch arbitration (latest (ts, event_id) per
+    * key), which holds for ANY batch cut because latest-wins is commutative
+    * and associative across batches once the partition column is a function
+    * of the key (a key's versions always land in the same partition, so
+    * dynamic partition overwrite can never strand a stale winner in an
+    * untouched partition).
+    *
+    * This is what promotes the streaming leg (S2 file source, checkpointed
+    * offsets, foreachBatch upsert) from sbt-only coverage into the DuckDB
+    * oracle gate. */
+  def replayUpsertDaily(spark: SparkSession, events: DataFrame,
+                        nFiles: Int = 4): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_s2_replay_")
+    val src = s"$root/src"; val tgt = s"$root/tgt"; val ckpt = s"$root/ckpt"
+    // Stage through Spark so the files carry micros timestamps (the raw
+    // testdata is TIMESTAMP(NANOS), which the batch Tables loader already
+    // normalizes). The range split is just a file cut — the result is
+    // provably independent of how rows land in files.
+    events.repartitionByRange(nFiles, col("event_id"))
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .withColumn("ingest_date", to_date(col("ts")))
+    val q = stream.writeStream
+      .foreachBatch(Upsert.foreachBatchMerge(tgt,
+        keyCols = Seq("user_id", "ingest_date"), tsCol = "ts",
+        tieCol = "event_id", partitionCol = "ingest_date"))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(tgt)
+      .select(col("user_id"), col("ingest_date"), col("event_id"),
+        col("event_type"), col("value"), col("ts"))
+  }
+
   /** Full consumer leg: Kafka -> enrich -> upsert (compile-time wiring; needs
     * live brokers, exercised in tests via MemoryStream + consumerTransform). */
   def runConsumer(spark: SparkSession, servers: String, topic: String,

@@ -76,18 +76,39 @@ class OpsSpec extends SparkSpec {
       (i.toLong, s"$boiler $body tail$i")
     }
     val df = rows.toDF("doc_id", "text")
-    for (th <- Seq(0.5, 0.8)) {
+    for (th <- Seq(0.5, 0.8); n <- Seq(2, 3)) {
       val a = Dedup.lexicalNearDup(df, "text", threshold = th,
-        maxDfFrac = 1.0, minShared = 1).collect()
+        maxDfFrac = 1.0, minShared = 1, n = n).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getDouble(4))).sorted.toSeq
       val b = Dedup.prefixNearDup(df, "text", threshold = th,
-        maxDfFrac = 1.0, minShared = 1).collect()
+        maxDfFrac = 1.0, minShared = 1, n = n).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getDouble(4))).sorted.toSeq
-      assert(a == b, s"th=$th: prefix-filtered output diverged")
-      assert(a.nonEmpty, s"th=$th: corpus must produce pairs for the test to bite")
+      assert(a == b, s"th=$th n=$n: prefix-filtered output diverged")
+      assert(a.nonEmpty, s"th=$th n=$n: corpus must produce pairs for the test to bite")
     }
+  }
+
+  test("idf near-dup: exact dup still 1.0; boilerplate-only pairs score lower than tf") {
+    // doc 0/3 exact dups; 0/1 one-word change; 4/5 share ONLY a boilerplate
+    // phrase every doc carries (high df -> near-zero idf weight)
+    val idf = Dedup.lexicalNearDupIdf(docs, "text", threshold = 0.0,
+        maxDfFrac = 1.0, minShared = 1)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val tf = Dedup.lexicalNearDup(docs, "text", threshold = 0.0,
+        maxDfFrac = 1.0, minShared = 1)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(idf((0L, 3L)) - 1.0) < 1e-12) // identical vectors: weights cancel
+    // the 0/1 pair differs in one RARE trailing bigram: idf upweights the
+    // difference, so the pair must score strictly below its tf cosine
+    assert(idf((0L, 1L)) < tf((0L, 1L)),
+      s"idf=${idf((0L, 1L))} tf=${tf((0L, 1L))}")
+    // still well above unrelated pairs — on a 4-doc corpus the changed
+    // bigrams are df=1 (maximal idf), so the drop from tf is extreme
+    assert(idf((0L, 1L)) > 0.3)
   }
 
   test("simhash: identical -> hamming 0; near-dup closer than unrelated") {

@@ -3,6 +3,13 @@ ThisBuild / version := "0.1.0"
 name := "bigdataanalyticsandvisualizationtrackingstudentprogressspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// Opt-in extra jars (colon-separated paths) — used by the live Kafka leg
+// (tools/kafka/run-live-spec.sh) to add the spark-sql-kafka connector on
+// hosts that have it; unset in the sandbox, where this contributes nothing.
+Compile / unmanagedJars ++= sys.env.get("SPARK_EXTRA_JARS").toSeq
+  .flatMap(_.split(':')).filter(_.nonEmpty).map(p => Attributed.blank(file(p)))
+Test / unmanagedJars ++= sys.env.get("SPARK_EXTRA_JARS").toSeq
+  .flatMap(_.split(':')).filter(_.nonEmpty).map(p => Attributed.blank(file(p)))
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -732,12 +732,15 @@ object Dedup {
                         maxDfCap: Int = 1000, n: Int = 2): DataFrame = {
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
     val posts = cappedPostings(docs, textCol, n, maxDfFrac, maxDfCap)
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("__n"))
-    val wfx = floor(log(col("__n").cast("double") / col("df")) * lit(65536.0) + lit(0.5))
+    // One scalar to the driver (the bounded-sketch contract bloomDedup and
+    // kmeans already use): embedding N as a literal lets every consumer
+    // derive the weighted values MAP-SIDE from the already-checkpointed
+    // posting frame — no second posting-sized materialization, no per-
+    // consumer re-count of the corpus.
+    val nDocs = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val wfx = floor(log(lit(nDocs.toDouble) / col("df")) * lit(65536.0) + lit(0.5))
       .cast("long")
-    val v = posts.crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("term"), (col("tf") * wfx).as("v"))
-    val vm = if (v.isStreaming) v else v.localCheckpoint()
+    val vm = posts.select(col("doc_id"), col("term"), (col("tf") * wfx).as("v"))
     val norms = vm.groupBy("doc_id").agg(sum(col("v") * col("v")).as("sq"))
     val pa = vm.select(col("term"), col("doc_id").as("a"), col("v").as("va"))
     val pb = vm.select(col("term"), col("doc_id").as("b"), col("v").as("vb"))

@@ -818,6 +818,16 @@ object SparkEntry {
         |                           ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin)),
 
+    // ---- T1 (§2.5): the watermarked STREAMING dedup under the oracle gate —
+    // dropDuplicatesWithinWatermark over a 4-file replay of the corpus; the
+    // emitted set is exactly one row per distinct content hash for any batch
+    // cut (horizon >> corpus time span, and only hash-determined columns are
+    // emitted). Oracle is the plain batch DISTINCT.
+    ("t1_stream_dedup_replay",
+      (s, d) => graft.streaming.Pipeline.replayStreamDedup(s, docs(s, d)),
+      Some("""SELECT DISTINCT md5(text) AS row_hash,
+        |CAST(length(text) AS INT) AS text_len FROM documents""".stripMargin)),
+
     // ---- s8: SCD Type-2 history — the keep-ALL-versions complement to s5's
     // latest-wins arbitration: per-user event_type change intervals with
     // [valid_from, valid_to) ranges and an is_current flag.

@@ -255,7 +255,8 @@ object Similarity {
     * quantize, de-quantize) has the identical sequential form in the
     * generated DuckDB oracle, so assignments hash-match exactly.
     */
-  def kmeansCentroids(df: DataFrame, k: Int, iters: Int, dims: Int = 64)
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int, dims: Int = 64,
+                      literalMaxK: Int = literalArgmaxMaxK)
       : Seq[(Int, Array[Double])] = {
     val scale = 1e6
     val corpus = df.filter(size(col("embedding")) === dims)
@@ -280,7 +281,7 @@ object Similarity {
     // extra pre-reduced shuffle per iteration, plan size O(1) in k. Both
     // paths compute bit-identical cosines (same sequential dot/norm folds).
     def assignIter(cs: Seq[(Int, Array[Double])]): DataFrame =
-      if (cs.size <= literalArgmaxMaxK)
+      if (cs.size <= literalMaxK)
         corpus.select(cellOf(cs).as("cell"), col("emb"))
       else
         assignCells(corpus, centFrame(df.sparkSession, cs))

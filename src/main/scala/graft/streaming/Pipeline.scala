@@ -159,6 +159,43 @@ object Pipeline {
         col("event_type"), col("value"), col("ts"))
   }
 
+  /** T1 (streaming) BATCH-REPLAY: stage the corpus as `nFiles` splits,
+    * stream them through the file source one micro-batch per file, and run
+    * the REAL watermarked streaming dedup (`dropDuplicatesWithinWatermark`
+    * on the content hash) into a parquet sink. Event time is synthesized
+    * from doc_id with a horizon far wider than the corpus span, so no
+    * duplicate can ever arrive outside the watermark — the emitted set is
+    * then EXACTLY one row per distinct content hash regardless of where
+    * batch cuts fall (only hash-determined columns are emitted; which
+    * doc_id arrived first is batch-order-dependent and deliberately not
+    * part of the output). Oracle: SELECT DISTINCT over the batch table —
+    * the second §2.5 leg promoted into the cross-engine gate. */
+  def replayStreamDedup(spark: SparkSession, docs: DataFrame,
+                        nFiles: Int = 4): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_t1_replay_")
+    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    docs.select(col("doc_id"), col("text"))
+      .repartitionByRange(nFiles, col("doc_id"))
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val deduped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .withColumn("row_hash", md5(col("text")))
+      .withWatermark("ts", "365 days")
+      .dropDuplicatesWithinWatermark("row_hash")
+      .select(col("row_hash"), length(col("text")).as("text_len"))
+    val q = deduped.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** Full consumer leg: Kafka -> enrich -> upsert (compile-time wiring; needs
     * live brokers, exercised in tests via MemoryStream + consumerTransform). */
   def runConsumer(spark: SparkSession, servers: String, topic: String,

@@ -62,6 +62,22 @@ class KMeansSpec extends SparkSpec {
     assert(cents.forall(_._2.forall(v => !v.isNaN)))
   }
 
+  test("literal and broadcast-join iteration paths produce identical centroids") {
+    // The k>literalArgmaxMaxK branch swaps the shuffle-free literal argmax
+    // for assignCells' broadcast join; both must compute bit-identical
+    // cosines and therefore identical fixed-point centroids. Force each
+    // path explicitly via the literalMaxK knob on the sf0.001 embeddings.
+    val emb = graft.model.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val viaLiteral = Similarity.kmeansCentroids(emb, k = 8, iters = 2, dims = 64,
+      literalMaxK = 64)
+    val viaJoin = Similarity.kmeansCentroids(emb, k = 8, iters = 2, dims = 64,
+      literalMaxK = 0)
+    assert(viaLiteral.size == 8 && viaJoin.size == 8)
+    viaLiteral.zip(viaJoin).foreach { case ((cl, al), (cj, aj)) =>
+      assert(cl == cj && al.toSeq == aj.toSeq, s"cell $cl diverged between paths")
+    }
+  }
+
   test("kmeans centroid frame feeds ivfTopK") {
     val emb = graft.model.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = Similarity.kmeansCentroidFrame(spark, emb, k = 8, iters = 2, dims = 64)

@@ -91,14 +91,30 @@ class PlanChecksSpec extends SparkSpec {
     // (k ~ 1e5): a broadcast join keeps the plan O(1) in k, whereas the old
     // greatest(struct(dot(emb, typedLit(c))…)) form embedded O(k·dims)
     // literals into one expression tree (codegen/driver blowup at large k).
-    for (name <- Seq("e6_kmeans_assign", "d8_semdedup")) {
-      val df = SparkEntry.queries(name)(spark, sf)
-      val plan = finalPlanString(df)
-      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-        s"$name: no broadcast centroid join in:\n$plan")
-      assert(!plan.contains("greatest("),
-        s"$name: literal greatest() argmax tree still present in:\n$plan")
-    }
+    // e6's registered query exposes the stage directly; d8/semDedup eagerly
+    // localCheckpoints the assignment (hiding its plan downstream), so pin
+    // the shared assignCells stage itself as d8 builds it.
+    val e6Plan = finalPlanString(SparkEntry.queries("e6_kmeans_assign")(spark, sf))
+    assert(e6Plan.contains("BroadcastNestedLoopJoin"),
+      s"e6: no broadcast centroid join in:\n$e6Plan")
+    assert(!e6Plan.contains("greatest("),
+      s"e6: literal greatest() argmax tree still present in:\n$e6Plan")
+
+    import graft.ops.Similarity
+    val emb = graft.model.Tables(spark, sf, "embeddings")
+    val base = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("emb"),
+      Similarity.l2norm(col("embedding")).as("nrm"))
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"),
+        Similarity.asDouble(col("embedding")).as("cemb"))
+    val assignPlan = finalPlanString(Similarity.assignCells(base, cent))
+    assert(assignPlan.contains("BroadcastNestedLoopJoin"),
+      s"assignCells: no broadcast centroid join in:\n$assignPlan")
+    assert(assignPlan.contains("max_by") || assignPlan.contains("partial_max_by"),
+      s"assignCells: argmax did not reduce via map-side-combinable max_by:\n$assignPlan")
+    assert(!assignPlan.contains("greatest("),
+      s"assignCells: literal greatest() argmax tree still present in:\n$assignPlan")
   }
 
   test("spread repartitions a 1-task scan but leaves many-split inputs alone") {

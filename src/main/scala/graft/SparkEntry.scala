@@ -828,6 +828,33 @@ object SparkEntry {
       Some("""SELECT DISTINCT md5(text) AS row_hash,
         |CAST(length(text) AS INT) AS text_len FROM documents""".stripMargin)),
 
+    // ---- §2.5 stateful aggregation under the oracle gate: the flagship GPA
+    // as keyed streaming state (mapGroupsWithState) over a 4-file replay;
+    // final state per student arbitrated by the strictly-increasing rows-seen
+    // counter. Bit-deterministic for any batch cut (quality points are
+    // quarter-steps × integer credits — every partial sum exactly
+    // representable, so the fold order cannot matter); oracle is the
+    // one-shot batch aggregate with the same ladder and eligibility.
+    ("gpa_stream_replay",
+      (s, d) => graft.streaming.Pipeline.replayStatefulGpa(s, ev(s, d),
+        EventsAdapter.ExcludedSemester),
+      Some {
+        val ladder = GradeScale.grade4Sql("diem2")
+        val eligible = "diem2 >= 4.0 AND NOT contains(tenmh, '*') " +
+          s"AND nhhk <> ${EventsAdapter.ExcludedSemester}"
+        s"""WITH enroll AS (${EventsAdapter.sql}),
+           |agg AS (
+           |  SELECT masv,
+           |    sum(CASE WHEN $eligible THEN ($ladder) * dvht ELSE 0.0 END) AS pts,
+           |    sum(CASE WHEN $eligible THEN dvht ELSE 0.0 END) AS credits,
+           |    CAST(sum(CASE WHEN $eligible THEN 1 ELSE 0 END) AS BIGINT) AS n
+           |  FROM enroll GROUP BY masv)
+           |SELECT masv,
+           |  CASE WHEN credits > 0 THEN pts / credits ELSE 0.0 END AS dtbctl,
+           |  credits, n
+           |FROM agg WHERE n > 0""".stripMargin
+      }),
+
     // ---- s8: SCD Type-2 history — the keep-ALL-versions complement to s5's
     // latest-wins arbitration: per-user event_type change intervals with
     // [valid_from, valid_to) ranges and an is_current flag.

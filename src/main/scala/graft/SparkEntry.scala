@@ -855,6 +855,35 @@ object SparkEntry {
            |FROM agg WHERE n > 0""".stripMargin
       }),
 
+    // ---- §2.5 event-time TIMERS under the oracle gate: SessionTimeout
+    // (transformWithState, one summary per watermark-proven closed session)
+    // replayed over time-ordered staged files with a sentinel watermark
+    // push, so every real session closes and the oracle is the PLAIN batch
+    // gap-island sessionization (same strict-> 30-min gap as w_sessionize,
+    // ms precision, integer-cents totals). The last §2.5 leg promoted from
+    // sbt-only coverage into the cross-engine gate.
+    ("sess_stream_replay",
+      (s, d) => graft.streaming.Pipeline.replaySessionSummaries(s, ev(s, d)),
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts_ms, cents,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, cents)),
+        |s AS (
+        |  SELECT user_id, ts_ms, cents,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, cents
+        |                      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     // ---- s8: SCD Type-2 history — the keep-ALL-versions complement to s5's
     // latest-wins arbitration: per-user event_type change intervals with
     // [valid_from, valid_to) ranges and an is_current flag.

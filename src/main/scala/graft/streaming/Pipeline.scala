@@ -233,6 +233,97 @@ object Pipeline {
     Upsert.latestByKey(spark.read.parquet(out), Seq("masv"), "n", "n")
   }
 
+  /** §2.5 event-time-TIMER leg BATCH-REPLAY: [[SessionTimeout.summaries]]
+    * (transformWithState, one summary per closed session, fired by the
+    * watermark) over a file-source replay of the events table, promoted into
+    * the DuckDB oracle gate against the batch gap-island sessionization.
+    *
+    * Unlike the other replays, session state is ORDER-SENSITIVE across
+    * micro-batches (an out-of-order batch would fold a later session's
+    * events into the open one — the documented late-data caveat), so the
+    * staging enforces event-time batch order: the range split on `ts` makes
+    * file k hold strictly earlier events than file k+1, each staged file
+    * gets a strictly increasing mtime, and the file source (oldest-first,
+    * one file per trigger) replays them in that order. Batch CUTS then
+    * cannot matter: within a batch [[SessionTimeout.Summarizer]] folds in
+    * event-time order and splits on gap inline; across batches the state
+    * carries last-event time forward — both paths close a session exactly
+    * where event-time gaps exceed `gapMs`.
+    *
+    * A sentinel row (user_id = -1) staged LAST at max(ts) + gap + 1 h pushes
+    * the final watermark past every real session's close timer, so the
+    * drain's no-data batch fires them all — every real session emits, and
+    * the oracle is the PLAIN batch sessionization (strict `>` gap, ms
+    * precision), no watermark arithmetic in SQL. The sentinel's own open
+    * session is filtered out.
+    *
+    * Determinism of the sums: `value` is pre-converted map-side to integer
+    * cents riding a double (exactly representable, associative addition), so
+    * the per-session totals are exact integers in any fold order; the output
+    * emits them as longs. Timers need the RocksDB state store provider
+    * (transformWithState's contract); set and restored around the run. */
+  def replaySessionSummaries(spark: SparkSession, events: DataFrame,
+                             gapMs: Long = 1800000L, nFiles: Int = 4): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = Files.createTempDirectory("graft_sess_replay_")
+    val staged = s"$root/staged"; val sent = s"$root/sent"
+    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val prep = events.select(col("user_id").cast("long").as("user_id"),
+      col("ts"), round(col("value") * 100).cast("long").cast("double").as("value"))
+    prep.repartitionByRange(nFiles, col("ts"))
+      .write.mode("overwrite").parquet(staged)
+    val maxTs = prep.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    spark.range(1).select(lit(-1L).as("user_id"),
+        timestamp_millis(lit(maxTs + gapMs + 3600000L)).as("ts"),
+        lit(0.0).as("value"))
+      .coalesce(1).write.mode("overwrite").parquet(sent)
+    // Lay the staged splits into the watched dir with strictly increasing
+    // mtimes (range-partition index IS ascending time order), sentinel last.
+    Files.createDirectories(Paths.get(src))
+    val base = System.currentTimeMillis()
+    def lay(dir: String, slot: Int): Int = {
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val dst = Paths.get(src, f.getName)
+        Files.copy(f.toPath, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(base + (slot + i) * 10000L))
+      }
+      slot + parts.length
+    }
+    lay(sent, lay(staged, 0))
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(staged).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val q = SessionTimeout.summaries(stream, gapMs, watermark = "0 seconds")
+        .toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      // processAllAvailable (not AvailableNow): the last summaries emit in
+      // the watermark-driven NO-DATA batch after the sentinel, which this
+      // drain is documented to wait out.
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(out)
+        .filter(col("user_id") >= 0L)
+        .select(col("user_id"), col("n_events"),
+          col("total").cast("long").as("total_cents"),
+          col("start_ms"), col("end_ms"))
+    } finally savedProvider.fold(spark.conf.unset(provider))(spark.conf.set(provider, _))
+  }
+
   /** Full consumer leg: Kafka -> enrich -> upsert (compile-time wiring; needs
     * live brokers, exercised in tests via MemoryStream + consumerTransform). */
   def runConsumer(spark: SparkSession, servers: String, topic: String,

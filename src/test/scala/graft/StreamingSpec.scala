@@ -343,6 +343,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("session batch-replay emits every session and matches the gap-island batch answer") {
+    // The oracle-gate promotion (sess_stream_replay) end-to-end on a corpus
+    // small enough to hand-check: user 1 has two sessions split by a >30-min
+    // gap; user 2 one session; the sentinel-driven drain must close ALL of
+    // them (including each user's LAST session, which only a watermark push
+    // can prove over). Values are dollars with cents; totals emit as exact
+    // integer cents.
+    val events = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 1.25),
+      (ts("2024-01-01 10:10:00"), 1L, 2.50), // session 1: 2 events, 375 cents
+      (ts("2024-01-01 11:00:00"), 1L, 7.00), // >30 min later: session 2
+      (ts("2024-01-01 10:05:00"), 2L, 5.10)  // user 2, one session
+    ).toDF("ts", "user_id", "value")
+    val out = Pipeline.replaySessionSummaries(spark, events, nFiles = 2)
+      .select("user_id", "n_events", "total_cents", "start_ms", "end_ms")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 375L, ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:10:00").getTime),
+      (1L, 1L, 700L, ts("2024-01-01 11:00:00").getTime, ts("2024-01-01 11:00:00").getTime),
+      (2L, 1L, 510L, ts("2024-01-01 10:05:00").getTime, ts("2024-01-01 10:05:00").getTime)),
+      s"got $out")
+  }
+
   test("watermarked event-time window drops data later than the horizon") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val windowed = input.toDF().toDF("t", "k", "v")

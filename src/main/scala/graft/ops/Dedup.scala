@@ -664,8 +664,9 @@ object Dedup {
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
     val posts = cappedPostings(docs, textCol, n, maxDfFrac, maxDfCap)
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
-    val pa = posts.select(col("term"), col("doc_id").as("a"), col("tf").as("ta"))
-    val pb = posts.select(col("term"), col("doc_id").as("b"), col("tf").as("tb"))
+    val spread = byTerm(posts)
+    val pa = spread.select(col("term"), col("doc_id").as("a"), col("tf").as("ta"))
+    val pb = spread.select(col("term"), col("doc_id").as("b"), col("tf").as("tb"))
     val pairs = pa.join(pb, Seq("term")).filter(col("a") < col("b"))
       .groupBy("a", "b")
       .agg(sum(col("ta") * col("tb")).as("dot"), count(lit(1)).as("shared_terms"))
@@ -679,6 +680,24 @@ object Dedup {
       .select(col("a"), col("b"), col("shared_terms"), col("dot"), col("cos"))
   }
 
+  /** The session's configured shuffle width (AQE's INITIAL partition count —
+    * what a plain exchange starts from before coalescing). */
+  private def numShufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Pins a term-keyed join input to the FULL configured shuffle width via an
+    * explicit numbered repartition, which AQE partition coalescing must
+    * leave alone. The near-dup pair joins EXPAND by Σ df² — output two
+    * orders of magnitude larger than input — and AQE's byte-based coalescing
+    * only sees the few-MB posting shuffle, so it fuses the whole expansion
+    * onto 2-3 cores (measured at sf0.1: ~21 task-seconds of join+partial-agg
+    * crammed into 2 tasks = 10 s wall on a 32-core host; spread over 32
+    * tasks it is under 1 s). Balanced width is safe here because the df cap
+    * already bounds any single term's expansion at maxDfCap² — the skew
+    * guard is upstream, in [[cappedPostings]]. */
+  private def byTerm(df: DataFrame): DataFrame =
+    df.repartition(numShufflePartitions(df), col("term"))
+
   /** Shared candidate machinery of the lexical near-dup family (d13/d14/d15):
     * the (doc_id, term, tf, df) posting frame over word `n`-gram shingle
     * terms, with the dual df cap applied, ONE tokenization scan, and the
@@ -686,7 +705,7 @@ object Dedup {
     * self-join sides, idf weights) reads the materialized frame instead of
     * re-tokenizing the corpus. `df` is the TRUE document frequency of each
     * surviving term (the cap only drops terms, it never rewrites df). */
-  private def cappedPostings(docs: DataFrame, textCol: String, n: Int,
+  private[graft] def cappedPostings(docs: DataFrame, textCol: String, n: Int,
                              maxDfFrac: Double, maxDfCap: Int): DataFrame = {
     require(n >= 1)
     val t = col("__t")
@@ -742,8 +761,9 @@ object Dedup {
       .cast("long")
     val vm = posts.select(col("doc_id"), col("term"), (col("tf") * wfx).as("v"))
     val norms = vm.groupBy("doc_id").agg(sum(col("v") * col("v")).as("sq"))
-    val pa = vm.select(col("term"), col("doc_id").as("a"), col("v").as("va"))
-    val pb = vm.select(col("term"), col("doc_id").as("b"), col("v").as("vb"))
+    val spread = byTerm(vm)
+    val pa = spread.select(col("term"), col("doc_id").as("a"), col("v").as("va"))
+    val pb = spread.select(col("term"), col("doc_id").as("b"), col("v").as("vb"))
     val pairs = pa.join(pb, Seq("term")).filter(col("a") < col("b"))
       .groupBy("a", "b")
       .agg(sum(col("va") * col("vb")).as("dot"), count(lit(1)).as("shared_terms"))
@@ -804,14 +824,17 @@ object Dedup {
     val hotFirst = Window.partitionBy("doc_id")
       .orderBy(col("df").desc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val idx = posts.join(norms, Seq("doc_id"))
+    val idx = byTerm(posts.join(norms, Seq("doc_id"))
       .withColumn("__cum", sum(col("tf") * col("tf")).over(hotFirst))
       .filter(col("__cum") >= lit(threshold * threshold) * col("sq"))
-      .select(col("term"), col("doc_id"))
+      .select(col("term"), col("doc_id")))
     val cand = idx.select(col("term"), col("doc_id").as("a"))
       .join(idx.select(col("term"), col("doc_id").as("b")), Seq("term"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+      // the verification join expands each candidate by a full document term
+      // list — pin its parallelism too (same AQE blind spot as the term join)
+      .repartition(numShufflePartitions(posts), col("a"))
 
     val pa = posts.select(col("doc_id").as("a"), col("term"), col("tf").as("ta"))
     val pb = posts.select(col("doc_id").as("b"), col("term"), col("tf").as("tb"))

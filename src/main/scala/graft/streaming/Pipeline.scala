@@ -21,6 +21,25 @@ import graft.model.Schemas
   */
 object Pipeline {
 
+  /** Replay-harness staging root, deleted on JVM exit: each batch-replay
+    * stages a corpus copy plus checkpoint/sink dirs under /tmp, and a
+    * driver that runs the oracle gate repeatedly would otherwise accrete
+    * them unboundedly. Deletion is deferred to exit (not eager) because the
+    * returned DataFrames lazily re-read the staged sink until the caller's
+    * final action. */
+  private def replayTempRoot(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
   /** S2: streaming file source over a watched directory. Spark's file source
     * discovers *new* files; the reference's modified-file re-processing is
     * recovered by the T1 content-hash dedup downstream (the actual semantic
@@ -133,7 +152,7 @@ object Pipeline {
     * oracle gate. */
   def replayUpsertDaily(spark: SparkSession, events: DataFrame,
                         nFiles: Int = 4): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_s2_replay_")
+    val root = replayTempRoot("graft_s2_replay_")
     val src = s"$root/src"; val tgt = s"$root/tgt"; val ckpt = s"$root/ckpt"
     // Stage through Spark so the files carry micros timestamps (the raw
     // testdata is TIMESTAMP(NANOS), which the batch Tables loader already
@@ -172,7 +191,7 @@ object Pipeline {
     * the second §2.5 leg promoted into the cross-engine gate. */
   def replayStreamDedup(spark: SparkSession, docs: DataFrame,
                         nFiles: Int = 4): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_t1_replay_")
+    val root = replayTempRoot("graft_t1_replay_")
     val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     docs.select(col("doc_id"), col("text"))
       .repartitionByRange(nFiles, col("doc_id"))
@@ -211,7 +230,7 @@ object Pipeline {
     * the state. The oracle is the one-shot batch aggregate. */
   def replayStatefulGpa(spark: SparkSession, events: DataFrame,
                         excludedSemester: Int, nFiles: Int = 4): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_gpa_replay_")
+    val root = replayTempRoot("graft_gpa_replay_")
     val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     graft.query.EventsAdapter.enrollmentView(events)
       .repartitionByRange(nFiles, col("F_MASV"))
@@ -266,7 +285,7 @@ object Pipeline {
                              gapMs: Long = 1800000L, nFiles: Int = 4): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
-    val root = Files.createTempDirectory("graft_sess_replay_")
+    val root = replayTempRoot("graft_sess_replay_")
     val staged = s"$root/staged"; val sent = s"$root/sent"
     val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val prep = events.select(col("user_id").cast("long").as("user_id"),

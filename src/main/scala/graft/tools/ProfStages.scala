@@ -1,0 +1,44 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Stage-level profiler for named SparkEntry queries:
+  * `runMain graft.tools.ProfStages <sfDir> q1 q2 ...` — one warm pass, then
+  * a measured pass per query printing every stage's task count, summed task
+  * time, and shuffle record volumes. This is the tool that found the AQE
+  * explosive-join blind spot (PLANS.md round 8): a stage whose taskTime is
+  * large but whose task count is 2-3 on a 32-core host means byte-based
+  * partition coalescing fused an expanding join onto too few cores. */
+object ProfStages {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("d13_lexical_neardup")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    @volatile var collect = false
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        if (collect) {
+          val i = sc.stageInfo
+          val m = i.taskMetrics
+          println(f"[stage] id=${i.stageId}%-4d tasks=${i.numTasks}%-3d " +
+            f"taskTime=${m.executorRunTime / 1e3}%7.1fs " +
+            f"shufRead=${m.shuffleReadMetrics.recordsRead}%10d rec " +
+            f"shufWrite=${m.shuffleWriteMetrics.recordsWritten}%10d rec")
+        }
+    })
+    graft.model.Tables(spark, sfDir, "documents").limit(1).count()
+    for (n <- names) {
+      graft.SparkEntry.queries(n)(spark, sfDir).count() // warm
+      println(s"== $n ==")
+      collect = true
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      collect = false
+      println(f"[q] $n rows=$rows wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -117,6 +117,19 @@ class PlanChecksSpec extends SparkSpec {
       s"assignCells: literal greatest() argmax tree still present in:\n$assignPlan")
   }
 
+  test("near-dup pair joins pin their width against AQE partition coalescing") {
+    // The posting self-join expands by Σ df² — orders of magnitude more
+    // output than input — so byte-based AQE coalescing of the small posting
+    // shuffle would fuse the whole expansion onto 2-3 cores (measured,
+    // PLANS.md round 8). The explicit numbered repartition (byTerm) must
+    // stay in the plan: REPARTITION_BY_NUM is the origin AQE cannot coalesce.
+    for (q <- Seq("d13_lexical_neardup", "d15_idf_neardup", "d14_prefix_neardup")) {
+      val plan = finalPlanString(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        s"$q: pinned-width repartition missing from:\n$plan")
+    }
+  }
+
   test("spread repartitions a 1-task scan but leaves many-split inputs alone") {
     import graft.model.Tables
     val tiny = Tables(spark, sf, "documents").select("doc_id", "text")

@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Builds the scaling-probe corpus (PLANS.md "Scaling probe"): the sf
   * documents table replicated `factor`× with a unique suffix token per
   * replica, so replicas are NEAR-dups of each other (the hard case for the
-  * near-dup family — exact dedup can't collapse them first).
+  * near-dup family — exact dedup can't collapse them first), and the
+  * embeddings table replicated with a small deterministic per-replica
+  * perturbation (replicas stay distinct vectors, so top-k rankings are not
+  * degenerate ties).
   *
   *   runMain graft.tools.ScaleCorpus <srcSfDir> <outDir> <factor>
   *
-  * Writes `<outDir>/documents.parquet` with doc_id offset per replica;
-  * point TimeQueries at <outDir> for any documents-only query. */
+  * Writes `<outDir>/documents.parquet` and `<outDir>/embeddings.parquet`
+  * with ids offset per replica; point TimeQueries at <outDir> for any
+  * documents/embeddings-only query. */
 object ScaleCorpus {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
@@ -31,6 +35,18 @@ object ScaleCorpus {
     reps.repartition(32).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
     println(s"[scale] wrote ${factor}x corpus (${factor * n} docs) to $out")
+    val emb = graft.model.Tables(spark, src, "embeddings")
+    val m = emb.count()
+    val embReps = (0 until factor).map { r =>
+      emb.select(
+        (col("vec_id") + lit(r * m)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit(r * 1e-4f)).cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    embReps.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+    println(s"[scale] wrote ${factor}x embeddings (${factor * m} vecs) to $out")
     spark.stop()
   }
 }

@@ -1319,6 +1319,22 @@ object SparkEntry {
       Some(Dedup.lexicalNearDupIdfSql(TextAnalysis.TokenRegex,
         threshold = 0.8, maxDfFrac = 0.2, minShared = 3))),
 
+    // ---- d16: canonical pick — the dedup pipeline's terminal DECISION:
+    // exactly one kept doc per d6 near-dup cluster (singletons keep
+    // themselves), chosen by (quality DESC, n_chars DESC, doc_id ASC).
+    // Composes d6's clusters with x2's quality features; the ranking
+    // doubles are literal band constants, so the cross-engine comparison
+    // is exact.
+    ("d16_canonical_pick",
+      (s, d) => {
+        val dd = docs(s, d)
+        Dedup.canonicalPick(
+          Dedup.connectedComponents(
+            Dedup.simhashNearDup(Dedup.simhash(dd, "text"), maxHamming = 3)),
+          TextAnalysis.qualityScore(dd, "text"))
+      },
+      Some(canonicalPickSql)),
+
     // ---- interval join: points-in-range via the bucketized equi-join
     // (ops/IntervalJoin) — intervals are 2-hour windows opened at every
     // 97th event; oracle is DuckDB's plain range theta-join.
@@ -2038,6 +2054,36 @@ object SparkEntry {
        |  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x)
        |SELECT x AS doc_id, least(x, min(y)) AS cluster_id
        |FROM reach GROUP BY x""".stripMargin
+
+  /** d16 oracle: the d6 recursive-CTE clusters composed with the x2 quality
+    * CTE; singletons via left join, keep = row_number 1 under the same
+    * total order the Spark side uses. */
+  private lazy val canonicalPickSql: String =
+    s"""WITH RECURSIVE $simhashCtes,
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b
+       |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
+       |und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT x, y FROM und
+       |  UNION
+       |  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+       |clus AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+       |         FROM reach GROUP BY x),
+       |q AS ($qualitySql),
+       |memb AS (
+       |  SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+       |         q.quality, q.n_chars
+       |  FROM q LEFT JOIN clus c ON q.doc_id = c.doc_id)
+       |SELECT cluster_id, doc_id AS keep_id, n_members,
+       |       quality AS keep_quality
+       |FROM (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |                       ORDER BY quality DESC, n_chars DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM memb) WHERE rn = 1""".stripMargin
 
   /** x8 oracle: identical regex chain (URL -> EMAIL -> PHONE, global). */
   private lazy val redactPiiSql: String = {

@@ -352,6 +352,37 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Canonical-document selection — the terminal stage of a production
+    * dedup pipeline: given near-dup CLUSTERS (e.g. [[connectedComponents]]
+    * output: doc_id → cluster_id, absent = singleton) and per-doc quality
+    * features, keep exactly ONE document per cluster — the best-quality
+    * member — and report how many it replaced. Dedup that merely FINDS
+    * pairs leaves the drop decision to the caller; this is that decision,
+    * made deterministic: rank by (quality DESC, n_chars DESC, doc_id ASC) —
+    * quality bands are literal constants so the double compares exactly in
+    * any engine, and doc_id breaks every remaining tie totally.
+    *
+    * Scale: one shuffle on cluster_id; the per-cluster sort is bounded by
+    * cluster size (itself bounded by the upstream pair caps), and singleton
+    * clusters — the overwhelming majority of a real corpus — are one-row
+    * partitions. `scored` needs only (doc_id, quality, n_chars), so the
+    * wide text column never shuffles. */
+  def canonicalPick(clusters: DataFrame, scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val membered = scored.select("doc_id", "quality", "n_chars")
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val byCluster = Window.partitionBy("cluster_id")
+    val best = byCluster.orderBy(col("quality").desc, col("n_chars").desc,
+      col("doc_id").asc)
+    membered
+      .withColumn("rn", row_number().over(best))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("n_members"), col("quality").as("keep_quality"))
+  }
+
   /** Cross-corpus exact dedup with a Bloom prefilter: emit the batch rows
     * whose content hash does NOT occur in the `seen` corpus, but probe a
     * mergeable Bloom sketch of `seen` BEFORE the exact anti-join — rows the

@@ -578,4 +578,23 @@ class OpsSpec extends SparkSpec {
       .filter(i => h31(s"${i}_t") < 0.5 * 2147483647.0).map(_.toLong).toSet
     assert(keptB == expB && keptB.nonEmpty && keptB.size < 50)
   }
+
+  test("canonical pick: best quality per cluster, ties to lowest id, singletons kept") {
+    // cluster 1 = {1,2,3}: doc 2 wins on quality; cluster 10 = {10,11}:
+    // equal quality, doc 11 wins on n_chars; docs 20,21 unclustered ->
+    // singleton self-clusters. Doc 3 has top n_chars but lower quality —
+    // quality dominates the order.
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val scored = Seq(
+      (1L, 0.4, 100), (2L, 0.7, 50), (3L, 0.4, 999),
+      (10L, 0.7, 80), (11L, 0.7, 90),
+      (20L, 1.0, 10), (21L, 0.0, 10)
+    ).toDF("doc_id", "quality", "n_chars")
+    val got = Dedup.canonicalPick(clusters, scored)
+      .select("cluster_id", "keep_id", "n_members", "keep_quality")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 3L, 0.7), (10L, 11L, 2L, 0.7),
+      (20L, 20L, 1L, 1.0), (21L, 21L, 1L, 0.0)), s"got $got")
+  }
 }

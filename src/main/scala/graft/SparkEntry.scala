@@ -1335,6 +1335,25 @@ object SparkEntry {
       },
       Some(canonicalPickSql)),
 
+    // ---- d17: leakage-safe train/valid/test split — x6's deterministic
+    // hash split keyed on the d6 CLUSTER id instead of the doc id, so a
+    // near-dup pair can never straddle the train/eval boundary (the
+    // contamination x10 measures is prevented structurally). Same salted
+    // md5 bucket arithmetic as x6; singletons key on their own doc_id.
+    ("d17_leakage_safe_split",
+      (s, d) => {
+        val dd = docs(s, d)
+        val clusters = Dedup.connectedComponents(
+          Dedup.simhashNearDup(Dedup.simhash(dd, "text"), maxHamming = 3))
+        val keyed = dd.select(col("doc_id"))
+          .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        graft.ops.Sampling.deterministicSplit(keyed, "cluster_id", "r2",
+            Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+          .select("doc_id", "cluster_id", "bucket", "split")
+      },
+      Some(leakageSplitSql)),
+
     // ---- interval join: points-in-range via the bucketized equi-join
     // (ops/IntervalJoin) — intervals are 2-hour windows opened at every
     // 97th event; oracle is DuckDB's plain range theta-join.
@@ -2084,6 +2103,33 @@ object SparkEntry {
        |                       ORDER BY quality DESC, n_chars DESC, doc_id) AS rn,
        |    count(*) OVER (PARTITION BY cluster_id) AS n_members
        |  FROM memb) WHERE rn = 1""".stripMargin
+
+  /** d17 oracle: the d6 clusters + x6's salted md5 bucket arithmetic keyed
+    * on the cluster id. */
+  private lazy val leakageSplitSql: String = {
+    val h = s"CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '_r2'), 1, 8) " +
+      s"AS BIGINT) % ${Dedup.P} % 100"
+    s"""WITH RECURSIVE $simhashCtes,
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b
+       |  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
+       |und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT x, y FROM und
+       |  UNION
+       |  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+       |clus AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+       |         FROM reach GROUP BY x),
+       |memb AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, cluster_id, $h AS bucket,
+       |  CASE WHEN $h < 80 THEN 'train'
+       |       WHEN $h < 90 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM memb""".stripMargin
+  }
 
   /** x8 oracle: identical regex chain (URL -> EMAIL -> PHONE, global). */
   private lazy val redactPiiSql: String = {

@@ -129,6 +129,29 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("canonical pick: partition-invariant, exactly one keeper per cluster") {
+    val member = Gen.zip(Gen.choose(0L, 5L), Gen.choose(0.0, 1.0), Gen.choose(1, 500))
+    check("d16-invariants", 5)(Prop.forAll(Gen.listOfN(25, member)) { xs =>
+      // synthesize docs 0..24, clustered by the generated cluster key;
+      // clusters with one member behave exactly like unclustered docs
+      val scored = xs.zipWithIndex
+        .map { case ((_, q, nc), i) => (i.toLong, q, nc) }
+        .toDF("doc_id", "quality", "n_chars")
+      val clusters = xs.zipWithIndex
+        .map { case ((c, _, _), i) => (i.toLong, c * 1000L) }
+        .toDF("doc_id", "cluster_id")
+      def run(c: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.DataFrame) =
+        Dedup.canonicalPick(c, s).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sorted.toSeq
+      val a = run(clusters, scored)
+      val b = run(clusters.repartition(7, col("cluster_id")),
+        scored.repartition(5, col("doc_id")))
+      val nClusters = xs.map(_._1).distinct.length
+      a == b && a.length == nClusters && a.map(_._3).sum == xs.length
+    })
+  }
+
   test("keyed upsert merge is idempotent: re-delivering a batch changes nothing") {
     val rows = Gen.listOfN(20, Gen.zip(Gen.choose(1, 5), Gen.choose(1, 1000)))
     check("upsert-idempotent", 5)(Prop.forAll(rows) { xs =>

@@ -1354,6 +1354,16 @@ object SparkEntry {
       },
       Some(leakageSplitSql)),
 
+    // ---- d18: df-cap introspection — how much of the near-dup scoring
+    // space the dual cap removes, with the zero-recall canary
+    // (docs_pruned_empty): the 100x replica probe showed d13/d15 silently
+    // emitting 0 pairs when every bigram crossed the cap; this is the
+    // report a pipeline checks before trusting that silence.
+    ("d18_cap_report",
+      (s, d) => Dedup.dfCapReport(docs(s, d), "text",
+        maxDfFrac = 0.2, maxDfCap = 1000),
+      Some(capReportSql)),
+
     // ---- interval join: points-in-range via the bucketized equi-join
     // (ops/IntervalJoin) — intervals are 2-hour windows opened at every
     // 97th event; oracle is DuckDB's plain range theta-join.
@@ -2130,6 +2140,34 @@ object SparkEntry {
        |       ELSE 'test' END AS split
        |FROM memb""".stripMargin
   }
+
+  /** d18 oracle: the shared posting CTEs, an UNcapped df frame, and the
+    * same least(absolute, relative) cap arithmetic as a scalar. */
+  private lazy val capReportSql: String =
+    s"""WITH ${Dedup.postingCtes(tokenRe, 0.2, 1000, 2)},
+       |cap AS (SELECT least(1000, greatest(2,
+       |          CAST(ceil(n * 0.2) AS BIGINT))) AS c FROM nd),
+       |dfall AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |tfd AS (SELECT tf.doc_id, tf.term, tf.tf, (dfall.df <= cap.c) AS kept
+       |        FROM tf JOIN dfall USING (term) CROSS JOIN cap),
+       |tot AS (
+       |  SELECT count(DISTINCT term) AS n_terms,
+       |    count(DISTINCT CASE WHEN kept THEN term END) AS n_terms_kept,
+       |    CAST(count(*) AS BIGINT) AS postings,
+       |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS postings_kept,
+       |    CAST(sum(tf * tf) AS BIGINT) AS mass,
+       |    CAST(sum(CASE WHEN kept THEN tf * tf ELSE 0 END) AS BIGINT) AS mass_kept
+       |  FROM tfd),
+       |can AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs_tokenized,
+       |    CAST(sum(CASE WHEN anyk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS docs_pruned_empty
+       |  FROM (SELECT doc_id, max(CASE WHEN kept THEN 1 ELSE 0 END) AS anyk
+       |        FROM tfd GROUP BY doc_id))
+       |SELECT (SELECT n FROM nd) AS n_docs, n_docs_tokenized, n_terms,
+       |  n_terms_kept, postings, postings_kept, mass, mass_kept,
+       |  docs_pruned_empty
+       |FROM tot CROSS JOIN can""".stripMargin
 
   /** x8 oracle: identical regex chain (URL -> EMAIL -> PHONE, global). */
   private lazy val redactPiiSql: String = {

@@ -736,8 +736,10 @@ object Dedup {
     * self-join sides, idf weights) reads the materialized frame instead of
     * re-tokenizing the corpus. `df` is the TRUE document frequency of each
     * surviving term (the cap only drops terms, it never rewrites df). */
-  private[graft] def cappedPostings(docs: DataFrame, textCol: String, n: Int,
-                             maxDfFrac: Double, maxDfCap: Int): DataFrame = {
+  /** The raw (doc_id, term, tf) posting frame over word n-gram shingles —
+    * ONE tokenization scan, localCheckpoint'ed (batch) so every consumer
+    * reads the materialized frame instead of re-tokenizing. */
+  private[graft] def postingTf(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     require(n >= 1)
     val t = col("__t")
     val grams = graft.model.Tables
@@ -748,7 +750,12 @@ object Dedup {
         explode(transform(sequence(lit(1), size(t) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))).as("term"))
     val tf0 = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val tf = if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
+    if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
+  }
+
+  private[graft] def cappedPostings(docs: DataFrame, textCol: String, n: Int,
+                             maxDfFrac: Double, maxDfCap: Int): DataFrame = {
+    val tf = postingTf(docs, textCol, n)
     val nDocs = docs.select(countDistinct(col("doc_id")).as("__n"))
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -757,6 +764,48 @@ object Dedup {
       .select("term", "df")
     val posts0 = tf.join(dfs, Seq("term"))
     if (posts0.isStreaming) posts0 else posts0.localCheckpoint()
+  }
+
+  /** Diagnostic twin of the df cap (d18): reports how much of the corpus the
+    * dual cap REMOVES from the near-dup scoring space — the introspection
+    * that turns the scaling-probe finding (PLANS.md: at 100× replica density
+    * the caps silently pruned every term and recall went to zero while the
+    * query "succeeded") into an operational signal. A pipeline runs this
+    * next to d13/d15 and alerts on `docs_pruned_empty`/`mass_kept` before
+    * trusting a near-dup pass.
+    *
+    * One row, all exact integers: term/posting/squared-norm-mass totals with
+    * their kept counterparts under the same least(absolute, relative) cap
+    * the scoring ops apply, plus the zero-recall canary — documents whose
+    * EVERY term was pruned (they cannot appear in any pair). One
+    * tokenization scan (shared [[postingTf]]), two small aggregates. */
+  def dfCapReport(docs: DataFrame, textCol: String, maxDfFrac: Double = 0.2,
+                  maxDfCap: Int = 1000, n: Int = 2): DataFrame = {
+    require(maxDfFrac > 0 && maxDfFrac <= 1 && maxDfCap >= 2)
+    val tf = postingTf(docs, textCol, n)
+    val nDocs = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val capVal = math.min(maxDfCap.toLong,
+      math.max(2L, math.ceil(nDocs * maxDfFrac).toLong))
+    val tfd = tf
+      .join(tf.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"))
+      .withColumn("kept", col("df") <= capVal)
+    val keptInt = when(col("kept"), 1L).otherwise(0L)
+    val totals = tfd.agg(
+      countDistinct(col("term")).as("n_terms"),
+      countDistinct(when(col("kept"), col("term"))).as("n_terms_kept"),
+      count(lit(1)).as("postings"),
+      sum(keptInt).as("postings_kept"),
+      sum(col("tf") * col("tf")).as("mass"),
+      sum(col("tf") * col("tf") * keptInt).as("mass_kept"))
+    val canary = tfd.groupBy("doc_id")
+      .agg(max(keptInt).as("any_kept"))
+      .agg(count(lit(1)).as("n_docs_tokenized"),
+        sum(lit(1L) - col("any_kept")).as("docs_pruned_empty"))
+    totals.crossJoin(broadcast(canary))
+      .select(lit(nDocs).as("n_docs"), col("n_docs_tokenized"),
+        col("n_terms"), col("n_terms_kept"), col("postings"),
+        col("postings_kept"), col("mass"), col("mass_kept"),
+        col("docs_pruned_empty"))
   }
 
   /** IDF-weighted form of [[lexicalNearDup]] (d15) — the production near-dup
@@ -884,7 +933,7 @@ object Dedup {
   /** Shared oracle CTE prefix for the lexical near-dup family: tokenization,
     * n-gram shingle construction, tf, and the dual-capped df frame —
     * byte-equivalent semantics to [[cappedPostings]]. */
-  private def postingCtes(tokenRe: String, maxDfFrac: Double, maxDfCap: Int,
+  private[graft] def postingCtes(tokenRe: String, maxDfFrac: Double, maxDfCap: Int,
                           n: Int): String = {
     val joiner = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     val end = if (n == 2) "" else s" - ${n - 2}"

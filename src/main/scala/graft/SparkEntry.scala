@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.etl.{Enrich, IncrementalAgg, Ingest, Layout, Upsert}
+import graft.etl.{Compact, Enrich, IncrementalAgg, Ingest, Layout, Upsert}
 import graft.functions.GradeScale
 import graft.model.{Dims, Tables}
 import graft.ops.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
@@ -1629,6 +1629,41 @@ object SparkEntry {
       Some(s"""SELECT event_id,
         |  ${Layout.zValueSql("(user_id & 65535)", "(event_id & 65535)")} AS z
         |FROM events""".stripMargin)),
+
+    // ---- l3: small-files compaction under the oracle gate — the
+    // operational tail of the S5/T9 streaming sinks (a file per micro-batch
+    // per partition; after a month the store is thousands of kilobyte files
+    // and every scan pays a task per file). Fragment a copy of lineitem
+    // into 48 tiny files, compact (shuffle-free coalesce sized from ACTUAL
+    // input bytes, promoted by two metadata renames — etl/Compact.scala),
+    // and prove the swapped store is the same multiset: integer-exact
+    // totals per return flag over the re-read directory must equal the
+    // oracle computed on the ORIGINAL table. CompactSpec additionally pins
+    // the file-count drop, no staging debris, and partition-pruning
+    // survival for the partitioned variant.
+    ("l3_compaction",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_l3_")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+            f.delete(): Unit
+          }
+          rm(root.toFile)
+        }))
+        val store = s"$root/store"
+        Tables(s, d, "lineitem").repartition(48).write.parquet(store)
+        val (before, after) = Compact.compact(s, store, targetBytes = 64L << 20)
+        require(after < before, s"compaction did not shrink: $before -> $after")
+        s.read.parquet(store).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("price_cents"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- r1: BM25 lexical retrieval (the mining/eval side of a pipeline:
     // rank corpus documents against a term query). Per-(doc,term)

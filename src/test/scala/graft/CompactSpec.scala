@@ -54,4 +54,18 @@ class CompactSpec extends SparkSpec {
       s"no partition pruning after compaction:\n$plan")
     assert(q.count() == 2000)
   }
+
+  test("compaction plan is shuffle-free: coalesce, no Exchange") {
+    // The whole point of sizing output from actual bytes + coalesce is that
+    // merging files costs a read and a write, never a shuffle — at 100 TB a
+    // repartition-based compactor would move the store through the network
+    // once per maintenance pass. Pin the plan, not just the doc claim.
+    val dir = java.nio.file.Files.createTempDirectory("cptx").toString + "/t"
+    (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(16).write.parquet(dir)
+    val plan = spark.read.parquet(dir).coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction read plan shuffles:\n$plan")
+    assert(plan.contains("Coalesce"), s"expected Coalesce node:\n$plan")
+  }
 }

@@ -27,6 +27,34 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
+  /** l3's staged-and-compacted lineitem store, memoized per sf dir: the
+    * fragment-then-compact side effect runs once per JVM however many times
+    * the registered query is invoked (gate + bench + profiler), and the one
+    * cleanup hook covers every staged root. */
+  private val l3Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val l3Cleanup: Thread = {
+    val t = new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      l3Stores.values.forEach(p => rm(new java.io.File(p).getParentFile))
+    })
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+  private def l3CompactedStore(s: SparkSession, d: String): String =
+    l3Stores.computeIfAbsent(d, _ => {
+      l3Cleanup // force the one-time hook registration
+      val root = java.nio.file.Files.createTempDirectory("graft_l3_")
+      val store = s"$root/store"
+      Tables(s, d, "lineitem").repartition(48).write.parquet(store)
+      val (before, after) = Compact.compact(s, store, targetBytes = 64L << 20)
+      require(after < before, s"compaction did not shrink: $before -> $after")
+      store
+    })
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("flagship_progress")(spark, "/root/testdata/sf0.001")
@@ -272,8 +300,13 @@ object SparkEntry {
         .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(count(lit(1)).as("n_cust"), sum(col("c_acctbal")).as("total_bal")),
-      Some("""SELECT r_name, n_name, count(*) AS n_cust, sum(c_acctbal) AS total_bal
+        // determinism: acctbal has 2 decimals — sum exact integer cents,
+        // de-scale after, so the total survives any partitioning order
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(round(col("c_acctbal") * 100).cast("long")) / 100.0)
+            .as("total_bal")),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+        |sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin)),
@@ -363,21 +396,31 @@ object SparkEntry {
       },
       Some(pricingSummarySql)),
 
-    // ---- A1: weighted average with zero-denominator guard (app.py:137-144)
+    // ---- A1: weighted average with zero-denominator guard (app.py:137-144).
+    // Determinism: price scaled to integer cents BEFORE the sum, so the
+    // weighted numerator is an order-independent long sum (a raw double
+    // sum(price*qty) drifts with partitioning); the two divisions afterwards
+    // are a fixed expression tree identical in both engines. sum_qty is an
+    // exact double (l_quantity is integer-valued) so it needs no scaling.
     ("a1_weighted_gpa",
       (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
         sum(col("l_quantity")).as("sum_qty"),
         when(sum(col("l_quantity")) > 0,
-          sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")))
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+              col("l_quantity").cast("long")) / 100.0 / sum(col("l_quantity")))
           .otherwise(0.0).as("wavg_price")),
       Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
         |CASE WHEN sum(l_quantity) > 0
-        |     THEN sum(l_extendedprice * l_quantity) / sum(l_quantity)
+        |     THEN sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |              * CAST(l_quantity AS BIGINT)) / 100.0 / sum(l_quantity)
         |     ELSE 0.0 END AS wavg_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- A1 via the typed Aggregator (same semantics as the expression
-    // form above; certifies the custom-UDAF surface in the gate)
+    // form above; certifies the custom-UDAF surface in the gate).
+    // Determinism: the Aggregator is fed integer-cent values (exact
+    // doubles), so its internal Σwx / Σw state holds exact integers in
+    // any merge order; the /100.0 de-scale happens after the aggregate.
     ("a1_weighted_gpa_typed",
       (s, d) => {
         val wm = udaf(new graft.functions.WeightedMean(),
@@ -385,11 +428,13 @@ object SparkEntry {
             org.apache.spark.sql.Encoders.scalaDouble,
             org.apache.spark.sql.Encoders.scalaDouble))
         Tables(s, d, "lineitem").groupBy("l_returnflag")
-          .agg(wm(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+          .agg((wm(round(col("l_extendedprice") * 100), col("l_quantity")) / 100.0)
+            .as("wavg_price"))
       },
       Some("""SELECT l_returnflag,
         |CASE WHEN sum(l_quantity) > 0
-        |     THEN sum(l_extendedprice * l_quantity) / sum(l_quantity)
+        |     THEN sum(round(l_extendedprice * 100) * l_quantity)
+        |          / sum(l_quantity) / 100.0
         |     ELSE 0.0 END AS wavg_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
@@ -435,18 +480,23 @@ object SparkEntry {
     // ---- A5: date histogram / trend
     ("a5_date_histogram",
       (s, d) => Dashboards.dateHistogram(ev(s, d), "ts", "value"),
-      Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n, sum(value) AS total,
-        |avg(value) AS mean, min(value) AS lo, max(value) AS hi
+      Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total,
+        |sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS mean,
+        |min(value) AS lo, max(value) AS hi
         |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin)),
 
     // ---- A5: event-time tumbling window (batch form of the streaming
     // windowed agg; 6h buckets are epoch-aligned in both engines)
     ("a5_window_tumble",
       (s, d) => ev(s, d).groupBy(window(col("ts"), "6 hours"))
-        .agg(count(lit(1)).as("n"), avg(col("value")).as("mean"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0 / count(lit(1)))
+            .as("mean"))
         .select(col("window.start").as("bucket_start"), col("n"), col("mean")),
       Some("""SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
-        |count(*) AS n, avg(value) AS mean
+        |count(*) AS n,
+        |sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS mean
         |FROM events GROUP BY 1""".stripMargin)),
 
     // ---- a5 sliding window: 6h windows every 3h — each event lands in
@@ -455,7 +505,9 @@ object SparkEntry {
     // starts per event with an unnest.
     ("a5_window_slide",
       (s, d) => ev(s, d).groupBy(window(col("ts"), "6 hours", "3 hours"))
-        .agg(count(lit(1)).as("n"), avg(col("value")).as("mean"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0 / count(lit(1)))
+            .as("mean"))
         .select(col("window.start").as("w_start"),
           col("window.end").as("w_end"), col("n"), col("mean")),
       Some("""WITH w AS (
@@ -463,7 +515,8 @@ object SparkEntry {
         |           - CAST(k AS INT) * INTERVAL '3 hours' AS w_start, value
         |  FROM events, unnest([0, 1]) AS t(k))
         |SELECT w_start, w_start + INTERVAL '6 hours' AS w_end,
-        |  count(*) AS n, avg(value) AS mean
+        |  count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS mean
         |FROM w GROUP BY 1""".stripMargin)),
 
     // ---- A5: per-group stats with exact distinct entities
@@ -472,7 +525,8 @@ object SparkEntry {
         ev(s, d).withColumn("day", to_date(col("ts"))),
         Seq("event_type", "day"), "value", "user_id"),
       Some("""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
-        |avg(value) AS mean, count(DISTINCT user_id) AS n_entities
+        |sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS mean,
+        |count(DISTINCT user_id) AS n_entities
         |FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin)),
 
     // ---- A5: top-k per group via Misra-Gries TypedImperativeAggregate.
@@ -1641,28 +1695,28 @@ object SparkEntry {
     // oracle computed on the ORIGINAL table. CompactSpec additionally pins
     // the file-count drop, no staging debris, and partition-pruning
     // survival for the partitioned variant.
+    //
+    // Determinism notes from the r8 red row: (1) every aggregate is an
+    // exact integer (counts; l_quantity is integer-valued so its long cast
+    // is lossless; price in cents) so no column depends on the
+    // post-compaction row order; (2) the oracle's BIGINT sums are wrapped
+    // in an outer CAST(... AS BIGINT) because DuckDB's sum(BIGINT) returns
+    // HUGEINT, which the driver's pandas bridge widens to float64 — the
+    // values matched in r8 but the int64-vs-float64 representation broke
+    // the hash (same pattern as w_range_window / i1).
     ("l3_compaction",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("graft_l3_")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-            f.delete(): Unit
-          }
-          rm(root.toFile)
-        }))
-        val store = s"$root/store"
-        Tables(s, d, "lineitem").repartition(48).write.parquet(store)
-        val (before, after) = Compact.compact(s, store, targetBytes = 64L << 20)
-        require(after < before, s"compaction did not shrink: $before -> $after")
+        val store = l3CompactedStore(s, d)
         s.read.parquet(store).groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
             sum(round(col("l_extendedprice") * 100).cast("long"))
               .as("price_cents"))
       },
-      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+      Some("""SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- r1: BM25 lexical retrieval (the mining/eval side of a pipeline:
@@ -1947,12 +2001,17 @@ object SparkEntry {
 
   /** One SQL text, two engines: the whole point is that this string is
     * BOTH the spark.sql input and the DuckDB oracle — restricted to the
-    * ANSI intersection (no engine-specific functions, no bare casts). */
+    * ANSI intersection (no engine-specific functions, no bare casts).
+    * sum_disc_price is fixed-point (integer hundredths-of-a-cent summed,
+    * de-scaled after) so the one float-valued aggregate is independent of
+    * each engine's summation order; sum/avg of l_quantity are exact
+    * already (integer-valued doubles). */
   private lazy val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
       |  count(*) AS n,
       |  sum(l_quantity) AS sum_qty,
-      |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+      |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      |    / 10000.0 AS sum_disc_price,
       |  avg(l_quantity) AS avg_qty,
       |  max(l_extendedprice) AS max_price
       |FROM lineitem

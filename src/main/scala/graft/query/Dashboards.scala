@@ -21,24 +21,40 @@ object Dashboards {
       .groupBy((floor(col(valueCol) / binWidth) * binWidth).as("bin_lo"))
       .agg(count(lit(1)).as("n"))
 
-  /** Date histogram: daily counts + basic stats of a value column. */
-  def dateHistogram(df: DataFrame, tsCol: String, valueCol: String): DataFrame =
+  /** Date histogram: daily counts + basic stats of a value column.
+    *
+    * `scale` is the decimal scale of the value column (2 = cents): sum and
+    * mean are computed as scaled-integer long sums de-scaled afterwards, so
+    * the panel numbers are independent of partitioning / summation order —
+    * a raw double sum drifts in its last bits with every repartition, which
+    * both breaks cross-engine certification and makes dashboards flicker
+    * between refreshes of identical data. */
+  def dateHistogram(df: DataFrame, tsCol: String, valueCol: String,
+                    scale: Int = 2): DataFrame = {
+    val f = math.pow(10, scale)
+    val units = sum(round(col(valueCol) * f).cast("long"))
     df.groupBy(to_date(col(tsCol)).as("day"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col(valueCol)).as("total"),
-        avg(col(valueCol)).as("mean"),
+        (units / f).as("total"),
+        (units / f / count(lit(1))).as("mean"),
         min(col(valueCol)).as("lo"),
         max(col(valueCol)).as("hi"))
+  }
 
-  /** Per-group stats: avg/count/distinct-entity, exact. */
+  /** Per-group stats: mean/count/distinct-entity, exact. Mean is a
+    * scaled-integer sum de-scaled after (see [[dateHistogram]]) so it is
+    * summation-order-independent. */
   def groupStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                 entityCol: String): DataFrame =
+                 entityCol: String, scale: Int = 2): DataFrame = {
+    val f = math.pow(10, scale)
     df.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        avg(col(valueCol)).as("mean"),
+        (sum(round(col(valueCol) * f).cast("long")) / f / count(lit(1)))
+          .as("mean"),
         countDistinct(col(entityCol)).as("n_entities"))
+  }
 
   /** Winsorization: clip a value column to its per-group [lo, hi] exact
     * percentiles — the robust-statistics guard dashboards apply before
@@ -127,10 +143,14 @@ object Dashboards {
   /** Sketch form: HLL++ distinct entities — constant memory per group,
     * mergeable across partitions; the 100 TB default. */
   def groupStatsApprox(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                       entityCol: String, rsd: Double = 0.01): DataFrame =
+                       entityCol: String, rsd: Double = 0.01,
+                       scale: Int = 2): DataFrame = {
+    val f = math.pow(10, scale)
     df.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        avg(col(valueCol)).as("mean"),
+        (sum(round(col(valueCol) * f).cast("long")) / f / count(lit(1)))
+          .as("mean"),
         approx_count_distinct(col(entityCol), rsd).as("n_entities_approx"))
+  }
 }

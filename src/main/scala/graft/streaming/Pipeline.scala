@@ -182,8 +182,8 @@ object Pipeline {
     * stream them through the file source one micro-batch per file, and run
     * the REAL watermarked streaming dedup (`dropDuplicatesWithinWatermark`
     * on the content hash) into a parquet sink. Event time is synthesized
-    * from doc_id with a horizon far wider than the corpus span, so no
-    * duplicate can ever arrive outside the watermark — the emitted set is
+    * from doc_id with the horizon DERIVED from the corpus' doc_id span, so
+    * no duplicate can ever arrive outside the watermark — the emitted set is
     * then EXACTLY one row per distinct content hash regardless of where
     * batch cuts fall (only hash-determined columns are emitted; which
     * doc_id arrived first is batch-order-dependent and deliberately not
@@ -196,13 +196,21 @@ object Pipeline {
     docs.select(col("doc_id"), col("text"))
       .repartitionByRange(nFiles, col("doc_id"))
       .write.mode("overwrite").parquet(src)
+    // The exactness premise is "no duplicate arrives outside the horizon",
+    // i.e. the synthesized event-time span must sit inside the watermark.
+    // Derive the horizon from the actual doc_id span (plus a day of slack)
+    // instead of a fixed 365 days that silently breaks past ~31.5M ids
+    // (r8 advice: ScaleCorpus-replicated corpora cross that quietly).
+    val span = spark.read.parquet(src)
+      .agg(max(col("doc_id")) - min(col("doc_id"))).head().getLong(0)
+    val horizonSec = span + 86400L
     val schema = spark.read.parquet(src).schema
     val deduped = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(src)
       .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
       .withColumn("row_hash", md5(col("text")))
-      .withWatermark("ts", "365 days")
+      .withWatermark("ts", s"$horizonSec seconds")
       .dropDuplicatesWithinWatermark("row_hash")
       .select(col("row_hash"), length(col("text")).as("text_len"))
     val q = deduped.writeStream.format("parquet")
@@ -232,9 +240,22 @@ object Pipeline {
                         excludedSemester: Int, nFiles: Int = 4): DataFrame = {
     val root = replayTempRoot("graft_gpa_replay_")
     val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    // Range-split on EVENT TIME, not on the stateful key: a split on F_MASV
+    // would land every student's rows in a single file/micro-batch and the
+    // cross-batch state fold this replay exists to certify would never run
+    // (r8 advice). Time-splitting spreads each student across ~all batches.
     graft.query.EventsAdapter.enrollmentView(events)
-      .repartitionByRange(nFiles, col("F_MASV"))
+      .repartitionByRange(nFiles, col("@timestamp"))
       .write.mode("overwrite").parquet(src)
+    // Loud guard on the premise: at least one key must straddle micro-batch
+    // files, else the replay certifies nothing about cross-batch state.
+    val straddling = spark.read.parquet(src)
+      .select(col("F_MASV"), input_file_name().as("__f"))
+      .groupBy("F_MASV").agg(countDistinct(col("__f")).as("__nf"))
+      .filter(col("__nf") > 1).count()
+    require(straddling > 0,
+      "GPA replay staging left every key inside one micro-batch; " +
+        "cross-batch state accumulation would be untested")
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)

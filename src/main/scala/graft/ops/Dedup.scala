@@ -3,6 +3,9 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Materialize
+import graft.Materialize.DatasetPin
+
 /** Deduplication operators for a training-data pipeline (north star):
   * exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
   *
@@ -93,7 +96,7 @@ object Dedup {
     // aggregation shuffle this function used to pay is gone entirely; the
     // materialization below is unchanged (the frame still feeds 5 branches).
     val sigs = rowMinhashSignatures(df, textCol, n)
-    if (df.isStreaming) sigs else sigs.localCheckpoint()
+    Materialize.pin(sigs)
   }
 
   /** Per-ROW MinHash signatures + shingle set: the streaming-safe form.
@@ -298,9 +301,9 @@ object Dedup {
     // at 100 TB is the dominant loop cost.
     val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .unionByName(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
-      .distinct().repartition(col("y")).localCheckpoint()
+      .distinct().repartition(col("y")).pinned
     var labels = edges.select(col("x").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+      .select(col("id"), col("id").as("label")).pinned
 
     // One neighbor-min propagation + pointer jump (take the candidate
     // label's own label too): labels shortcut along chains. `label0` (the
@@ -345,7 +348,7 @@ object Dedup {
       // (ReusedExchange). Convergence over the PAIR is safe: a no-change
       // first round forces a no-change second round.
       val step = propagate(propagate(labels.withColumn("label0", col("label"))))
-        .localCheckpoint()
+        .pinned
       changed = step.filter(col("label") =!= col("label0")).count()
       labels = step.select(col("id"), col("label"))
     }
@@ -416,7 +419,7 @@ object Dedup {
     // One bounded sketch to the driver (the scalar-subquery shape Spark's
     // own runtime row-group filtering uses); null when `seen` is empty.
     val bfBytes = seenK.agg(sketch.as("bf")).head().getAs[Array[Byte]]("bf")
-    val batchK = keyed(batch).localCheckpoint() // both branches read it once
+    val batchK = keyed(batch).pinned // both branches read it once
     if (bfBytes == null) return batchK // nothing seen: everything is fresh
     val maybeSeen = Bridge.column(BloomFilterMightContain(
       Literal(bfBytes, BinaryType),
@@ -473,7 +476,7 @@ object Dedup {
   def dupSpanStats(docs: DataFrame, textCol: String, n: Int = 5): DataFrame = {
     val per0 = shingleHashRows(docs, textCol, n)
       .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
-    val per = if (per0.isStreaming) per0 else per0.localCheckpoint()
+    val per = Materialize.pin(per0)
     // distinct docs per span == count(*): `per` is already (doc, h)-distinct
     val shared = per.groupBy("h").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2).select(col("h"), lit(1).as("__s"))
@@ -517,7 +520,7 @@ object Dedup {
           transform(sequence(lit(0), ((size(toks) - 1) / width).cast("int")),
             i => array_join(slice(toks, i * width + 1, lit(width)), " ")))
           .otherwise(array().cast("array<string>")).as("chunks"))
-    val arr = if (arr0.isStreaming) arr0 else arr0.localCheckpoint()
+    val arr = Materialize.pin(arr0)
     val exploded = arr.select(col("doc_id"),
       posexplode(col("chunks")).as(Seq("pos", "chunk")))
     val keepFirst = Window.partitionBy("chunk").orderBy(col("doc_id"), col("pos"))
@@ -585,7 +588,7 @@ object Dedup {
       .select(col("src"), explode(wordShingles(col(textCol), n)).as("__shingle"))
       .select(col("src"), strHash31(col("__shingle")).as("h"))
       .distinct()
-    val shM = if (sh.isStreaming) sh else sh.localCheckpoint()
+    val shM = Materialize.pin(sh)
     val totals = shM.groupBy("src").agg(count(lit(1)).as("n"))
     val shared = shM.as("l")
       .join(shM.as("r"), col("l.h") === col("r.h") && col("l.src") < col("r.src"))
@@ -635,7 +638,7 @@ object Dedup {
     val mask = (1L << width) - 1
     // Materialize the (doc_id, simhash) aggregate once: the band self-join
     // references it twice and would otherwise re-tokenize the corpus per side.
-    val sigsM = if (sigs.isStreaming) sigs else sigs.localCheckpoint()
+    val sigsM = Materialize.pin(sigs)
     val banded = sigsM.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band_id"),
@@ -750,7 +753,7 @@ object Dedup {
         explode(transform(sequence(lit(1), size(t) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))).as("term"))
     val tf0 = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
+    Materialize.pin(tf0)
   }
 
   private[graft] def cappedPostings(docs: DataFrame, textCol: String, n: Int,
@@ -763,7 +766,7 @@ object Dedup {
         greatest(lit(2L), ceil(col("__n") * maxDfFrac).cast("long"))))
       .select("term", "df")
     val posts0 = tf.join(dfs, Seq("term"))
-    if (posts0.isStreaming) posts0 else posts0.localCheckpoint()
+    Materialize.pin(posts0)
   }
 
   /** Diagnostic twin of the df cap (d18): reports how much of the corpus the

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Materialize
+
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata (north star).
   *
@@ -95,7 +97,7 @@ object Multimodal {
                    strideBytes: Int = 64, maxMedia: Int = 32): DataFrame = {
     val fr = sampleFrames(media, frameBytes, strideBytes)
       .select(col("media_id"), col("frame_md5")).distinct()
-    val frM = if (fr.isStreaming) fr else fr.localCheckpoint()
+    val frM = Materialize.pin(fr)
     val rare = frM.groupBy("frame_md5").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxMedia).select("frame_md5")
     val pruned = frM.join(rare, Seq("frame_md5"), "left_semi")

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Materialize.DatasetPin
+
 /** Sparse lexical retrieval over the documents table — the mining/eval side
   * of a training-data pipeline (find corpus documents matching a query, rank
   * quality-first before human review or contamination checks).
@@ -47,7 +49,7 @@ object Retrieval {
           (size(col("__toks")) - size(array_remove(col("__toks"), terms(i))))
             .cast("long").as(s"__tf$i")
         }: _*)
-      .localCheckpoint() // read twice below; never re-tokenize the corpus
+      .pinned // read twice below; never re-tokenize the corpus
     // Corpus stats + per-term document frequencies in ONE partial-aggregated
     // pass over the narrow frame — a 1-row broadcast.
     val statAggs =
@@ -269,13 +271,13 @@ object Retrieval {
         explode(array(TextAnalysis.tokens(col(textCol)))).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
         col("__toks"))
-      .localCheckpoint() // the single tokenization everything reads
+      .pinned // the single tokenization everything reads
     val stats = arr.agg(count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val posting = arr
       .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // read by both scoring passes + expansion mining
+      .pinned // read by both scoring passes + expansion mining
 
     def score(termsDf: DataFrame, outK: Int): DataFrame = {
       val tf = posting.join(broadcast(termsDf), Seq("term"))

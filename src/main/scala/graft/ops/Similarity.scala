@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Materialize
+
 /** Similarity search over an embedding column (`Array[Float]`), north star.
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set,
@@ -185,7 +187,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         l2norm(col("embedding")).as("nrm"), col("bucket"))
     // consumed by both sides of the self-join
-    val b = if (b0.isStreaming) b0 else b0.localCheckpoint()
+    val b = Materialize.pin(b0)
     val l = b.select(col("bucket"), col("vec_id").as("a"),
       col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val r = b.select(col("bucket"), col("vec_id").as("b"),
@@ -419,7 +421,7 @@ object Similarity {
     val assigned0 = assignCells(base, centF)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
     // consumed by both pair-join sides and the final output
-    val assigned = if (assigned0.isStreaming) assigned0 else assigned0.localCheckpoint()
+    val assigned = Materialize.pin(assigned0)
     val l = assigned.select(col("cell"), col("vec_id").as("a"),
       col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val r = assigned.select(col("cell"), col("vec_id").as("b"),

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Materialize
+
 /** Text-analysis operators for a training-data pipeline (north star,
   * BASELINE.json): tokenization, quality scoring, language ID, document
   * fingerprinting. All pure Catalyst expressions (no UDFs) so every operator
@@ -329,7 +331,7 @@ object TextAnalysis {
     // tf; without materialization Spark re-tokenizes the whole corpus for
     // each branch (column pruning specializes the subtrees, so ReusedExchange
     // never canonicalizes them equal — same fix as the d3 sketch frame)
-    val tf = if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
+    val tf = Materialize.pin(tf0)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
@@ -414,7 +416,7 @@ object TextAnalysis {
     val tok = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
       .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf0 = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val tf = if (tf0.isStreaming) tf0 else tf0.localCheckpoint()
+    val tf = Materialize.pin(tf0)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // "rare" is RELATIVE (df·denom < corpus size, integer cross-multiplied):
     // an absolute cutoff stops meaning anything as the corpus grows

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Materialize.DatasetPin
+
 import graft.ops.Dedup
 
 /** Streaming near-duplicate detection: incoming documents checked against a
@@ -52,7 +54,7 @@ object StreamDedup {
                   n: Int = 3, rowsPerBand: Int = 2, threshold: Double = 0.5)
       : (DataFrame, Long) => Unit = (batch: DataFrame, _: Long) => {
     val spark = batch.sparkSession
-    val newIdx = corpusIndex(batch, textCol, n, rowsPerBand).localCheckpoint()
+    val newIdx = corpusIndex(batch, textCol, n, rowsPerBand).pinned
     val existing =
       try Some(spark.read.parquet(indexPath))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
@@ -65,7 +67,7 @@ object StreamDedup {
           .filter(Dedup.jaccardExpr(col("sh_new"), col("sh_old")) >= threshold)
           .select("doc_id").distinct()
     }
-    val freshIdx = newIdx.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    val freshIdx = newIdx.join(dupIds, Seq("doc_id"), "left_anti").pinned
     batch.join(freshIdx.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
       .write.mode("append").parquet(freshPath)
     freshIdx.write.mode("append").parquet(indexPath)

@@ -55,6 +55,23 @@ object SparkEntry {
       store
     })
 
+  /** l4's staged VERSIONED store (same memoization + cleanup contract as
+    * l3): fragment a copy of orders, adopt it into the versioned layout,
+    * compact it TWICE — the second pass exercises the pointer re-flip and
+    * the retention vacuum, not just the happy path. */
+  private def l4VersionedStore(s: SparkSession, d: String): String =
+    l3Stores.computeIfAbsent(s"l4:$d", _ => {
+      l3Cleanup
+      val root = java.nio.file.Files.createTempDirectory("graft_l4_")
+      val store = s"$root/store"
+      Tables(s, d, "orders").repartition(48).write.parquet(store)
+      Compact.adopt(s, store)
+      val (before, after) = Compact.compactVersioned(s, store, targetBytes = 64L << 20)
+      require(after < before, s"versioned compaction did not shrink: $before -> $after")
+      Compact.compactVersioned(s, store, targetBytes = 64L << 20)
+      store
+    })
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("flagship_progress")(spark, "/root/testdata/sf0.001")
@@ -610,22 +627,33 @@ object SparkEntry {
       Some(Dashboards.anomalyDaysSql("events", "ts", window = 7, zThreshold = 2.0))),
 
     // ---- A5 sketch form: mergeable quantile summary (Greenwald-Khanna) —
-    // the 100 TB default; the exact form above is the audit path. No
-    // engine-portable oracle (sketch internals differ); gated instead by
-    // ApproxBoundSpec's rank-error check against the exact percentiles.
+    // the 100 TB default; the exact form above is the audit path. Sketch
+    // internals aren't engine-portable, so the ORACLE gates the sketch's
+    // CONTRACT instead: the GK estimate's true rank (recomputed exactly in
+    // the same query) must sit within the published n/accuracy bound of the
+    // target rank, emitted as a boolean the oracle expects to be `true`.
+    // The emitted percentiles are the exact ones, so the hash is
+    // deterministic; a sketch past its bound flips approx_ok and fails the
+    // gate. ApproxBoundSpec keeps the standalone rank-error property test.
     ("a5_percentiles_approx",
-      (s, d) => ev(s, d).groupBy("event_type").agg(
-        approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50"),
-        approx_percentile(col("value"), lit(0.9), lit(1000)).as("p90"),
-        approx_percentile(col("value"), lit(0.99), lit(1000)).as("p99")),
-      None),
+      (s, d) => Dashboards.percentilesApproxGated(
+        ev(s, d), "event_type", "value", Seq(0.5, 0.9, 0.99), accuracy = 1000),
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99,
+        |true AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin)),
 
-    // ---- A5 sketch form: HLL distinct (rows-only; sketches differ by engine)
+    // ---- A5 sketch form: HLL++ distinct, oracle-gated the same way — the
+    // estimate is checked against the exact count at 5·rsd inside the query
+    // and only the exact count + check boolean are emitted.
     ("a5_group_stats_approx",
-      (s, d) => Dashboards.groupStatsApprox(
+      (s, d) => Dashboards.groupStatsApproxGated(
         ev(s, d).withColumn("day", to_date(col("ts"))),
         Seq("event_type", "day"), "value", "user_id"),
-      None),
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS mean,
+        |count(DISTINCT user_id) AS n_entities, true AS approx_ok
+        |FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin)),
 
     // ---- sessionization: gap-based session ids per user (30-min gap) —
     // lag + conditional cumulative sum, one shuffle on the user key.
@@ -1718,6 +1746,28 @@ object SparkEntry {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |    AS price_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- l4: WINDOWLESS compaction of a versioned store — the concurrent-
+    // reader-safe form of l3 (data under root/v-NNNNNNNN/, one `_current`
+    // pointer, promotion = one atomic pointer rename; superseded versions
+    // retained one generation then vacuumed). The staged orders copy is
+    // compacted twice (pointer re-flip + vacuum exercised) and the query
+    // re-reads THROUGH the pointer; integer-exact totals must equal the
+    // oracle on the original table. CompactSpec hammers the store from a
+    // concurrent reader thread across three compactions — zero errors.
+    ("l4_versioned_compaction",
+      (s, d) => {
+        val store = l4VersionedStore(s, d)
+        Compact.readCurrent(s, store).groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_key"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
     // ---- r1: BM25 lexical retrieval (the mining/eval side of a pipeline:
     // rank corpus documents against a term query). Per-(doc,term)

@@ -1,7 +1,7 @@
 package graft.etl
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Small-files compaction for parquet stores (the operational tail of S5/T9:
@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * the promote rename fails the original directory is restored from the
   * backup before rethrowing — run compaction from a maintenance window or a
   * coordinator that fences concurrent readers on stores without atomic
-  * rename. `compactPartitioned` applies the same pass per partition
-  * subdirectory (`k=v`), preserving partition pruning, skipping directories
-  * already under `maxFiles`.
+  * rename. For stores with live concurrent readers use the VERSIONED form
+  * below (`adopt`/`compactVersioned`/`readCurrent`): promotion there is one
+  * atomic pointer rename and readers never observe an absent path.
+  * `compactPartitioned` applies the flat pass per partition subdirectory
+  * (`k=v`), preserving partition pruning, skipping directories already under
+  * `maxFiles`.
   *
   * Row order inside rewritten files is not preserved (parquet scans make no
   * ordering promise); content equality is the contract — pinned by
@@ -70,21 +73,133 @@ object Compact {
   /** Per-partition compaction of a `partitionBy` layout: each `k=v`
     * subdirectory with more than `maxFiles` data files is compacted
     * independently (pruning layout untouched). Returns the compacted
-    * partition directories with their before/after counts. */
+    * partition directories with their before/after counts.
+    *
+    * Partitions are submitted as CONCURRENT Spark jobs (bounded by
+    * `parallelism`): each per-partition rewrite is a small read+write whose
+    * wall-clock is dominated by job latency, not data volume, so a month of
+    * daily partitions compacted serially is a month × job-latency driver
+    * loop. Spark's scheduler interleaves the concurrent jobs across the same
+    * executors; the rename swaps touch disjoint directories. */
   def compactPartitioned(spark: SparkSession, root: String,
                          targetBytes: Long = 128L << 20,
-                         maxFiles: Int = 4): Seq[(String, Int, Int)] = {
+                         maxFiles: Int = 4,
+                         parallelism: Int = 8): Seq[(String, Int, Int)] = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    require(parallelism >= 1)
     val rootP = new Path(root)
     val f = fs(spark, rootP)
-    f.listStatus(rootP).toSeq
+    val dirs = f.listStatus(rootP).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .flatMap { d =>
-        val n = dataFileCount(spark, d.getPath)
-        if (n <= maxFiles) None
-        else {
-          val (b, a) = compact(spark, d.getPath.toString, targetBytes)
-          Some((d.getPath.getName, b, a))
+      .sortBy(_.getPath.getName)
+    val pool = Executors.newFixedThreadPool(math.min(parallelism, math.max(1, dirs.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = dirs.map { d =>
+        Future {
+          val n = dataFileCount(spark, d.getPath)
+          if (n <= maxFiles) None
+          else {
+            val (b, a) = compact(spark, d.getPath.toString, targetBytes)
+            Some((d.getPath.getName, b, a))
+          }
         }
       }
+      Await.result(Future.sequence(futures), Duration.Inf).flatten
+    } finally pool.shutdown()
+  }
+
+  // ------------------------------------------------------------------
+  // Versioned store: the WINDOWLESS swap. A plain directory cannot be
+  // replaced atomically on a generic Hadoop FS (two renames leave a
+  // sub-second absence window — `compact` above documents it). A versioned
+  // store removes the window structurally: data lives in `root/v-NNNNNNNN/`
+  // subdirectories and `root/_current` (one small file) names the live one.
+  // Promotion is a SINGLE atomic pointer rename, so a concurrent reader
+  // always resolves either the old or the new version, never nothing.
+  // Superseded versions are retained for `keepVersions` more compactions
+  // (in-flight readers finish against the version they resolved) and then
+  // vacuumed — the same retention contract table formats publish.
+  // ------------------------------------------------------------------
+
+  private val Pointer = "_current"
+
+  private def versionDir(n: Long) = f"v-$n%08d"
+
+  private def writePointer(spark: SparkSession, root: Path, version: String): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(root, s".$Pointer.tmp")
+    val out = f.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    // FileContext rename with OVERWRITE is the atomic flip (plain
+    // FileSystem.rename refuses an existing destination on local/HDFS)
+    val fc = FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(root, Pointer), Options.Rename.OVERWRITE)
+  }
+
+  private def readPointer(spark: SparkSession, root: Path): String = {
+    val f = fs(spark, root)
+    val in = f.open(new Path(root, Pointer))
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+    finally in.close()
+  }
+
+  /** True if `root` is already a versioned store (has a `_current` pointer). */
+  def isVersioned(spark: SparkSession, root: String): Boolean =
+    fs(spark, new Path(root)).exists(new Path(new Path(root), Pointer))
+
+  /** Convert a flat parquet directory into a versioned store in place:
+    * data files move (metadata renames) into `root/v-00000001/` and the
+    * pointer is written. Idempotent on an already-versioned root. */
+  def adopt(spark: SparkSession, root: String): String = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    if (isVersioned(spark, root)) return readPointer(spark, rootP)
+    val v1 = new Path(rootP, versionDir(1))
+    f.mkdirs(v1)
+    f.listStatus(rootP).filter(_.isFile).foreach { s =>
+      require(f.rename(s.getPath, new Path(v1, s.getPath.getName)),
+        s"could not move ${s.getPath} into $v1")
+    }
+    writePointer(spark, rootP, versionDir(1))
+    versionDir(1)
+  }
+
+  /** Path of the live version directory. */
+  def currentPath(spark: SparkSession, root: String): String =
+    new Path(new Path(root), readPointer(spark, new Path(root))).toString
+
+  /** Read the live version of a versioned store. */
+  def readCurrent(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(currentPath(spark, root))
+
+  /** Windowless compaction of a versioned store: rewrite the live version
+    * into ~`targetBytes` files under the NEXT version directory, flip the
+    * pointer atomically, vacuum versions older than `keepVersions`
+    * generations. Returns (filesBefore, filesAfter). */
+  def compactVersioned(spark: SparkSession, root: String,
+                       targetBytes: Long = 128L << 20,
+                       keepVersions: Int = 2): (Int, Int) = {
+    require(targetBytes > 0 && keepVersions >= 1)
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val cur = readPointer(spark, rootP)
+    val curN = cur.stripPrefix("v-").toLong
+    val curP = new Path(rootP, cur)
+    val before = dataFileCount(spark, curP)
+    val bytes = dirBytes(spark, curP)
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val next = versionDir(curN + 1)
+    spark.read.parquet(curP.toString).coalesce(parts)
+      .write.mode("overwrite").parquet(new Path(rootP, next).toString)
+    writePointer(spark, rootP, next) // the one atomic flip
+    // vacuum: drop versions more than keepVersions generations behind
+    f.listStatus(rootP)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .filter(_.getPath.getName.stripPrefix("v-").toLong <= curN + 1 - keepVersions)
+      .foreach(s => f.delete(s.getPath, true))
+    (before, dataFileCount(spark, new Path(rootP, next)))
   }
 }

@@ -153,4 +153,69 @@ object Dashboards {
           .as("mean"),
         approx_count_distinct(col(entityCol), rsd).as("n_entities_approx"))
   }
+
+  /** ORACLE-GATED sketch form: the HLL++ estimate runs inside the query and
+    * is emitted as a bound-check BOOLEAN next to the exact count — the
+    * cross-engine oracle computes the exact side plus `true`, so a sketch
+    * drifting past its published error bound flips the hash and fails the
+    * gate. The bound is 5·rsd relative (HLL++'s rsd is one standard
+    * deviation; 5σ never trips on a healthy sketch) with an absolute floor
+    * of 1 for tiny groups. HLL register merges are max()-based, so the
+    * estimate itself is partition-order independent — only its accuracy,
+    * never the output hash, depends on the sketch. */
+  def groupStatsApproxGated(df: DataFrame, groupCols: Seq[String],
+                            valueCol: String, entityCol: String,
+                            rsd: Double = 0.01, scale: Int = 2): DataFrame = {
+    val f = math.pow(10, scale)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col(valueCol) * f).cast("long")) / f / count(lit(1)))
+          .as("mean"),
+        countDistinct(col(entityCol)).as("n_entities"),
+        approx_count_distinct(col(entityCol), rsd).as("__approx"))
+      .withColumn("approx_ok",
+        abs(col("__approx") - col("n_entities")).cast("double") <=
+          greatest(lit(1.0), col("n_entities") * (5 * rsd)))
+      .drop("__approx")
+  }
+
+  /** ORACLE-GATED quantile sketch: Greenwald-Khanna `approx_percentile`
+    * guarantees rank error ≤ n/accuracy per group. Each approximate
+    * quantile's TRUE rank interval [#(v < q̂), #(v ≤ q̂)] is recomputed
+    * exactly in the same pass (one broadcast join of the |groups|-row
+    * sketch frame back onto the data) and checked against the target rank
+    * with that bound (+1 absolute slack for interpolation edges). Emits the
+    * EXACT percentiles plus the check boolean, so the output hash is
+    * deterministic even though GK merge order varies with partitioning —
+    * the sketch's accuracy is under the gate, its internals are not. */
+  def percentilesApproxGated(df: DataFrame, groupCol: String, valueCol: String,
+                             qs: Seq[Double], accuracy: Int = 1000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1))
+    val appxAggs = qs.zipWithIndex.map { case (q, i) =>
+      approx_percentile(col(valueCol), lit(q), lit(accuracy)).as(s"__a$i")
+    }
+    val appx = df.groupBy(groupCol).agg(appxAggs.head, appxAggs.tail: _*)
+    val joined = df.join(broadcast(appx), Seq(groupCol))
+    val aggs =
+      qs.map { q =>
+        percentile(col(valueCol), lit(q)).as(s"p${(q * 100).round}")
+      } ++
+      qs.zipWithIndex.map { case (_, i) =>
+        sum(when(col(valueCol) < col(s"__a$i"), 1L).otherwise(0L)).as(s"__lt$i")
+      } ++
+      qs.zipWithIndex.map { case (_, i) =>
+        sum(when(col(valueCol) <= col(s"__a$i"), 1L).otherwise(0L)).as(s"__le$i")
+      } :+ count(lit(1)).as("__n")
+    val eps = 1.0 / accuracy
+    val ok = qs.zipWithIndex.map { case (q, i) =>
+      val target = col("__n") * q
+      val slack = col("__n") * eps + 1.0
+      (col(s"__lt$i") - target <= slack) && (target - col(s"__le$i") <= slack)
+    }.reduce(_ && _)
+    joined.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+      .withColumn("approx_ok", ok)
+      .select(col(groupCol) +:
+        qs.map(q => col(s"p${(q * 100).round}")) :+ col("approx_ok"): _*)
+  }
 }

@@ -55,6 +55,70 @@ class CompactSpec extends SparkSpec {
     assert(q.count() == 2000)
   }
 
+  test("versioned store: reader loop never errors across repeated compactions") {
+    val root = java.nio.file.Files.createTempDirectory("cptv").toString + "/t"
+    val df = (1L to 20000L).map(i => (i, s"v$i", i * 1.5)).toDF("id", "s", "x")
+    df.repartition(32).write.parquet(root)
+
+    Compact.adopt(spark, root)
+    assert(Compact.isVersioned(spark, root))
+    assert(Compact.readCurrent(spark, root).count() == 20000)
+
+    // hammer the store from a reader thread while compacting it 3 times —
+    // the atomic pointer flip means every resolve+read succeeds
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      while (!done.get()) {
+        try {
+          val c = Compact.readCurrent(spark, root).count()
+          if (c != 20000) failures.add(new AssertionError(s"saw $c rows"))
+          reads.incrementAndGet()
+        } catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    reader.start()
+    try {
+      for (_ <- 1 to 3) {
+        val (b, a) = Compact.compactVersioned(spark, root, targetBytes = 512L << 20)
+        assert(a <= b)
+      }
+    } finally { done.set(true); reader.join(30000) }
+    assert(failures.isEmpty, s"reader failed: ${failures.peek()}")
+    assert(reads.get() > 0, "reader loop never completed a read")
+    // content unchanged, file count dropped, retention held (<= keepVersions dirs)
+    assert(Compact.readCurrent(spark, root).agg(sum($"id")).head().getLong(0)
+      == 20000L * 20001L / 2)
+    val vdirs = new java.io.File(root).listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("v-"))
+    assert(vdirs.length <= 2, s"vacuum kept ${vdirs.map(_.getName).mkString(",")}")
+    assert(fileCount(Compact.currentPath(spark, root)) == 1)
+  }
+
+  test("partitioned compaction runs partitions concurrently") {
+    def stage(): String = {
+      val root = java.nio.file.Files.createTempDirectory("cptpar").toString + "/t"
+      val df = (1L to 16000L).map(i => (i, (i % 16).toString, i * 1.0))
+        .toDF("id", "k", "x")
+      df.repartition(8).write.partitionBy("k").parquet(root)
+      root
+    }
+    def run(root: String, par: Int): Long = {
+      val t0 = System.nanoTime()
+      val res = Compact.compactPartitioned(spark, root,
+        targetBytes = 512L << 20, maxFiles = 4, parallelism = par)
+      assert(res.size == 16 && res.forall(_._3 == 1), s"$res")
+      (System.nanoTime() - t0) / 1000000
+    }
+    val serial = run(stage(), par = 1)
+    val parallel = run(stage(), par = 8)
+    // 16 tiny partitions are pure job-latency; 8-way submission must beat
+    // the serial driver loop by far more than scheduler noise
+    assert(parallel < serial, s"parallel ${parallel}ms !< serial ${serial}ms")
+    info(s"serial=${serial}ms parallel=${parallel}ms")
+  }
+
   test("compaction plan is shuffle-free: coalesce, no Exchange") {
     // The whole point of sizing output from actual bytes + coalesce is that
     // merging files costs a read and a write, never a shuffle — at 100 TB a

@@ -283,7 +283,7 @@ object SparkEntry {
       (s, d) => {
         graft.functions.GradeScale4.register(s)
         ev(s, d).select(col("event_id"),
-          expr("grade4(value / 50.0)").as("grade4"))
+          expr(t16NativeExprSql).as("grade4"))
       },
       Some(s"""SELECT event_id, ${GradeScale.grade4Sql("(value/50.0)")} AS grade4
         |FROM events""".stripMargin)),
@@ -295,7 +295,7 @@ object SparkEntry {
     ("t16_grade_band_ext",
       (s, d) => {
         ev(s, d).createOrReplaceTempView("events_v")
-        s.sql("SELECT event_id, grade_scale(value / 50.0) AS grade4 FROM events_v")
+        s.sql(t16ExtSql)
       },
       Some(s"""SELECT event_id, ${GradeScale.grade4Sql("(value/50.0)")} AS grade4
         |FROM events""".stripMargin)),
@@ -821,10 +821,7 @@ object SparkEntry {
     ("gsets_agg",
       (s, d) => {
         Tables(s, d, "lineitem").createOrReplaceTempView("__li")
-        s.sql("""SELECT l_returnflag, l_linestatus,
-                 sum(l_quantity) AS sum_qty, count(*) AS n
-                 FROM __li
-                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+        s.sql(gsetsSparkSql)
       },
       Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |count(*) AS n FROM lineitem
@@ -2055,18 +2052,53 @@ object SparkEntry {
     * sum_disc_price is fixed-point (integer hundredths-of-a-cent summed,
     * de-scaled after) so the one float-valued aggregate is independent of
     * each engine's summation order; sum/avg of l_quantity are exact
-    * already (integer-valued doubles). */
+    * already (integer-valued doubles). The de-scale divisor MUST be written
+    * in exponent notation: Spark SQL types the literal `10000.0` as
+    * DECIMAL(6,1) (making the quotient DECIMAL(28,7)) while DuckDB types it
+    * DOUBLE — same value, different hash. `1e4` is DOUBLE in both parsers. */
   private lazy val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
       |  count(*) AS n,
       |  sum(l_quantity) AS sum_qty,
       |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-      |    / 10000.0 AS sum_disc_price,
+      |    / 1e4 AS sum_disc_price,
       |  avg(l_quantity) AS avg_qty,
       |  max(l_extendedprice) AS max_price
       |FROM lineitem
       |WHERE l_quantity < 24
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** GROUPING SETS text fed to spark.sql (oracle-side twin lives inline in
+    * the registry row — differs only in the temp-view name). */
+  private lazy val gsetsSparkSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM __li
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
+
+  /** T16 texts that go through Spark's SQL parser. `value` is DOUBLE, so
+    * `value / 5e1` stays DOUBLE; the divisor is exponent notation per the
+    * Spark-parsed-literal rule (see [[sparkParsedSql]]). */
+  private lazy val t16NativeExprSql: String = "grade4(value / 5e1)"
+  private lazy val t16ExtSql: String =
+    "SELECT event_id, grade_scale(value / 5e1) AS grade4 FROM events_v"
+
+  /** Every SQL text this registry feeds through Spark's parser (`spark.sql`
+    * or `expr`), keyed by query name, for SqlLintSpec. The rule it enforces:
+    * Spark SQL types a bare fractional literal like `10000.0` as DECIMAL
+    * (so `BIGINT / 10000.0` becomes DECIMAL(28,7)) while DuckDB types it
+    * DOUBLE — identical values, different hash, the exact failure behind
+    * r9's `sql_pricing_summary` red row. Non-integer literals in these
+    * texts must be written in exponent notation (`1e4`) or wrapped in an
+    * explicit CAST. Oracle-only SQL strings are immune (DuckDB-parsed only)
+    * and are NOT listed here. Keep this map in sync with every `s.sql(`/
+    * `expr("` call site in the registry; SqlLintSpec also asserts no inline
+    * triple-quoted text is passed to `.sql(` so new texts must land here. */
+  private[graft] lazy val sparkParsedSql: Map[String, String] = Map(
+    "sql_pricing_summary" -> pricingSummarySql,
+    "gsets_agg" -> gsetsSparkSql,
+    "t16_grade_band_native" -> t16NativeExprSql,
+    "t16_grade_band_ext" -> t16ExtSql)
 
   private lazy val rareTokenSql: String =
     s"""WITH tok AS (

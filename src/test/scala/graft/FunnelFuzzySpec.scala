@@ -83,6 +83,36 @@ class FunnelFuzzySpec extends SparkSpec {
     assert(!pairs.contains((2L, 4L)))
   }
 
+  test("fuzzy pairs: exact-duplicate keys collapse to one candidate and re-expand") {
+    // Three identical keys must yield the three dist-0 pairs AND each must
+    // still pair with the dist-1 neighbor — while the variant index sees
+    // the duplicated key exactly once (the hot-exact-dup scale defense).
+    val names = Seq((1L, "dup"), (2L, "dup"), (3L, "dup"), (4L, "dupe"), (5L, "zzz"))
+      .toDF("id", "name")
+    val got = FuzzyJoin.editDistancePairs(names, "id", "name")
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0),
+      (1L, 4L, 1), (2L, 4L, 1), (3L, 4L, 1)))
+  }
+
+  test("fuzzy pairs: oversized variant bucket is cap-and-routed, not quadratic") {
+    // 30 distinct keys "Xaa" plus "aa" itself all share deletion variant
+    // "aa" — a 31-member bucket. Capped at 8, the bucket must emit ONLY its
+    // identity×deletion pairs ("aa" vs each "Xaa": 30 pairs, all exact
+    // dist 1) and shed the 435 within-bucket substitution pairs; at the
+    // default cap the same corpus must produce the full exact output.
+    val prefixes = (('A' to 'Z') ++ ('0' to '9')).take(30)
+    val df = (prefixes.map(c => s"${c}aa") :+ "aa").zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "name")
+    val capped = FuzzyJoin.editDistancePairs(df, "id", "name", maxBucket = 8)
+      .select("a_key", "b_key", "dist").as[(String, String, Int)].collect()
+    assert(capped.length == 30, s"routed pairs: ${capped.length}")
+    assert(capped.forall { case (a, b, d) => d == 1 && (a == "aa" || b == "aa") })
+    val full = FuzzyJoin.editDistancePairs(df, "id", "name")
+    assert(full.count() == 30 + 30 * 29 / 2) // insert/delete + substitution pairs
+  }
+
   test("tfidf top terms: rarer term outranks equally-frequent common term") {
     val docs = Seq(
       (1L, "zebra zebra common common"),

@@ -86,6 +86,14 @@ class PlanChecksSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"no semi-join bucket prune in:\n$plan")
   }
 
+  test("fuzzy join prunes oversized variant buckets before the candidate self-join") {
+    // FuzzyJoin's maxBucket cap-and-route is a pair of left-semi prunes of
+    // the variant index (under-cap / oversized halves); without them a hot
+    // deletion-variant bucket turns the candidate self-join quadratic.
+    val plan = finalPlanString(SparkEntry.queries("join_fuzzy")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"no semi-join variant-bucket prune in:\n$plan")
+  }
+
   test("centroid argmax (e6/d8 assign stage) is a broadcast join, not a literal tree") {
     // The assign path must survive IVF/SemDeDup-scale centroid counts
     // (k ~ 1e5): a broadcast join keeps the plan O(1) in k, whereas the old

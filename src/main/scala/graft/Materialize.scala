@@ -20,6 +20,16 @@ import org.apache.spark.sql.DataFrame
   *     or set `graft.materialize.dir` and [[pin]] installs it on first use).
   *     The 100 TB posture: blocks live on the cluster FS and survive
   *     executor loss; costs one write+read of the pinned frame.
+  *     RETENTION: Spark never deletes reliable checkpoint data on its own,
+  *     and iterative callers (connected-components pins every round)
+  *     accumulate one directory per pin for the session lifetime. Build the
+  *     session with `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  *     so the ContextCleaner deletes a checkpoint once its frame is
+  *     garbage-collected — the flag is captured when the SparkContext
+  *     starts, so it CANNOT be enabled from inside [[pin]]; [[pin]] warns
+  *     once per JVM when a reliable-mode session lacks it. Cleanup is
+  *     GC-driven (best-effort within a session); long-lived sessions should
+  *     still TTL the checkpoint directory externally.
   *   - `graft.materialize.mode = none`: pass-through (no pin). For plan
   *     debugging only — iterative callers grow unbounded lineage.
   *
@@ -34,6 +44,8 @@ object Materialize {
   val ModeKey = "graft.materialize.mode"
   val DirKey = "graft.materialize.dir"
 
+  private val retentionWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def pin(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     val spark = df.sparkSession
@@ -46,9 +58,24 @@ object Materialize {
             s"$ModeKey=reliable needs sparkContext.setCheckpointDir or $DirKey")
           sc.setCheckpointDir(dir)
         }
+        // See RETENTION above: the cleaner flag is start-time-only, so the
+        // best pin can do for a mis-built session is refuse to be silent.
+        if (!retentionWarned.getAndSet(true) &&
+            !sc.getConf.getBoolean(
+              "spark.cleaner.referenceTracking.cleanCheckpoints", false)) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"$ModeKey=reliable without " +
+              "spark.cleaner.referenceTracking.cleanCheckpoints=true (start-" +
+              "time conf): every pin leaks a checkpoint dir for the session " +
+              "lifetime — enable the cleaner flag or TTL the checkpoint dir")
+        }
         df.checkpoint(eager = true)
       case "none" => df
-      case _ => df.localCheckpoint(eager = true)
+      case "local" => df.localCheckpoint(eager = true)
+      // A typo ('relaible') on a 100 TB cluster must not silently drop the
+      // fault-tolerance posture the mode was set for.
+      case other => throw new IllegalArgumentException(
+        s"unknown $ModeKey: '$other' (expected local | reliable | none)")
     }
   }
 

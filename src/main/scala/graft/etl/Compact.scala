@@ -102,14 +102,29 @@ object Compact {
           val n = dataFileCount(spark, d.getPath)
           if (n <= maxFiles) None
           else {
-            val (b, a) = compact(spark, d.getPath.toString, targetBytes)
-            Some((d.getPath.getName, b, a))
+            val cur = inFlight.incrementAndGet()
+            inFlightHighWater.getAndUpdate(m => math.max(m, cur))
+            try {
+              val (b, a) = compact(spark, d.getPath.toString, targetBytes)
+              Some((d.getPath.getName, b, a))
+            } finally inFlight.decrementAndGet()
           }
         }
       }
       Await.result(Future.sequence(futures), Duration.Inf).flatten
+    } catch {
+      // Future.sequence fails fast; without shutdownNow the queued
+      // compactions would keep starting (and renaming directories) on
+      // non-daemon threads after this call has already thrown.
+      case t: Throwable => pool.shutdownNow(); throw t
     } finally pool.shutdown()
   }
+
+  /** Test probe: high-water mark of simultaneous per-partition `compact`
+    * calls inside [[compactPartitioned]]. Lets CompactSpec assert real
+    * concurrency structurally instead of comparing wall-clock samples. */
+  private[graft] val inFlightHighWater = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
 
   // ------------------------------------------------------------------
   // Versioned store: the WINDOWLESS swap. A plain directory cannot be
@@ -128,8 +143,25 @@ object Compact {
 
   private def versionDir(n: Long) = f"v-$n%08d"
 
+  /** The pointer must live on the RAW filesystem. On a checksummed FS
+    * (LocalFileSystem and friends) every file drags a `.crc` sidecar, which
+    * turns the "one atomic rename" into a TWO-file swap: a reader racing
+    * the flip can pair the new `_current` bytes with the old sidecar and
+    * die with a ChecksumException — exactly the absence window the
+    * versioned store exists to remove. Writing and reading the pointer
+    * through the raw FS means no sidecar ever exists, so the flip is the
+    * single rename(2) the design assumes. (HDFS/object stores are not
+    * ChecksumFileSystems; this unwrap is a no-op there.) A one-line
+    * pointer carries no data worth a checksum — the parquet files keep
+    * their own integrity checks. */
+  private def rawFs(f: org.apache.hadoop.fs.FileSystem): org.apache.hadoop.fs.FileSystem =
+    f match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
   private def writePointer(spark: SparkSession, root: Path, version: String): Unit = {
-    val f = fs(spark, root)
+    val f = rawFs(fs(spark, root))
     val tmp = new Path(root, s".$Pointer.tmp")
     val out = f.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
@@ -140,7 +172,7 @@ object Compact {
   }
 
   private def readPointer(spark: SparkSession, root: Path): String = {
-    val f = fs(spark, root)
+    val f = rawFs(fs(spark, root))
     val in = f.open(new Path(root, Pointer))
     try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
     finally in.close()

@@ -196,7 +196,14 @@ object Dashboards {
       approx_percentile(col(valueCol), lit(q), lit(accuracy)).as(s"__a$i")
     }
     val appx = df.groupBy(groupCol).agg(appxAggs.head, appxAggs.tail: _*)
-    val joined = df.join(broadcast(appx), Seq(groupCol))
+    // Null-safe re-join: a plain using-column join would silently drop a
+    // null-keyed group (null never equals null), while the exact path and
+    // any GROUP BY oracle both keep it. The appx side's key is renamed so
+    // the <=> condition can't collapse into an ambiguous self-join.
+    val joined = df.join(
+        broadcast(appx.withColumnRenamed(groupCol, "__g")),
+        col(groupCol) <=> col("__g"))
+      .drop("__g")
     val aggs =
       qs.map { q =>
         percentile(col(valueCol), lit(q)).as(s"p${(q * 100).round}")

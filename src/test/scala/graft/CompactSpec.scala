@@ -80,20 +80,32 @@ class CompactSpec extends SparkSpec {
     })
     reader.start()
     try {
+      // keepVersions = 4 keeps every generation alive during the hammer:
+      // the retention CONTRACT only covers readers that finish within
+      // keepVersions compactions, and three back-to-back compactions give
+      // a loaded-host reader less than one interval — asserting vacuum and
+      // concurrent reads in the same loop tested luck, not the contract.
       for (_ <- 1 to 3) {
-        val (b, a) = Compact.compactVersioned(spark, root, targetBytes = 512L << 20)
+        val (b, a) = Compact.compactVersioned(spark, root,
+          targetBytes = 512L << 20, keepVersions = 4)
         assert(a <= b)
       }
     } finally { done.set(true); reader.join(30000) }
     assert(failures.isEmpty, s"reader failed: ${failures.peek()}")
     assert(reads.get() > 0, "reader loop never completed a read")
-    // content unchanged, file count dropped, retention held (<= keepVersions dirs)
+    // content unchanged across the flips
     assert(Compact.readCurrent(spark, root).agg(sum($"id")).head().getLong(0)
       == 20000L * 20001L / 2)
+    // retention: one more compaction at keepVersions=2, with no reader in
+    // flight, prunes everything older than 2 generations and leaves the
+    // pointer resolving a single compacted file
+    Compact.compactVersioned(spark, root, targetBytes = 512L << 20, keepVersions = 2)
     val vdirs = new java.io.File(root).listFiles().filter(f =>
       f.isDirectory && f.getName.startsWith("v-"))
     assert(vdirs.length <= 2, s"vacuum kept ${vdirs.map(_.getName).mkString(",")}")
     assert(fileCount(Compact.currentPath(spark, root)) == 1)
+    assert(Compact.readCurrent(spark, root).agg(sum($"id")).head().getLong(0)
+      == 20000L * 20001L / 2)
   }
 
   test("partitioned compaction runs partitions concurrently") {
@@ -104,19 +116,23 @@ class CompactSpec extends SparkSpec {
       df.repartition(8).write.partitionBy("k").parquet(root)
       root
     }
-    def run(root: String, par: Int): Long = {
-      val t0 = System.nanoTime()
+    def run(root: String, par: Int): Int = {
+      Compact.inFlightHighWater.set(0)
       val res = Compact.compactPartitioned(spark, root,
         targetBytes = 512L << 20, maxFiles = 4, parallelism = par)
       assert(res.size == 16 && res.forall(_._3 == 1), s"$res")
-      (System.nanoTime() - t0) / 1000000
+      Compact.inFlightHighWater.get()
     }
-    val serial = run(stage(), par = 1)
-    val parallel = run(stage(), par = 8)
-    // 16 tiny partitions are pure job-latency; 8-way submission must beat
-    // the serial driver loop by far more than scheduler noise
-    assert(parallel < serial, s"parallel ${parallel}ms !< serial ${serial}ms")
-    info(s"serial=${serial}ms parallel=${parallel}ms")
+    // Structural concurrency check (not a wall-clock comparison, which is
+    // scheduler-noise-flaky on a loaded host): the in-flight high-water
+    // mark must show overlapping compact() calls at parallelism 8 — 16
+    // multi-hundred-ms Spark jobs on an 8-thread pool overlap unless the
+    // pool is broken — and must stay serialized at parallelism 1.
+    val serialHw = run(stage(), par = 1)
+    assert(serialHw == 1, s"parallelism=1 overlapped: high-water $serialHw")
+    val parHw = run(stage(), par = 8)
+    assert(parHw >= 2 && parHw <= 8, s"no overlap at parallelism=8: high-water $parHw")
+    info(s"in-flight high-water: serial=$serialHw parallel=$parHw")
   }
 
   test("compaction plan is shuffle-free: coalesce, no Exchange") {

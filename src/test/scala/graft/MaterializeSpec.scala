@@ -60,4 +60,14 @@ class MaterializeSpec extends SparkSpec {
     }
     assert(local == reliable && local.nonEmpty)
   }
+
+  test("an unknown materialize mode fails fast instead of silently going local") {
+    // A typo like 'relaible' on a 100 TB cluster must not silently drop the
+    // fault-tolerance posture the mode was set for.
+    val df = (1L to 10L).toDF("id")
+    withMode("relaible") {
+      val e = intercept[IllegalArgumentException](Materialize.pin(df))
+      assert(e.getMessage.contains("relaible"))
+    }
+  }
 }

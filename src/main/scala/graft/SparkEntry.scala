@@ -889,7 +889,8 @@ object SparkEntry {
     // function of the key, so no stale winner survives in an untouched
     // partition).
     ("s2_stream_replay_upsert",
-      (s, d) => graft.streaming.Pipeline.replayUpsertDaily(s, ev(s, d)),
+      (s, d) => graft.streaming.Pipeline.replayUpsertDaily(s, ev(s, d),
+        stageKey = Some(d)),
       Some("""SELECT user_id, CAST(ts AS DATE) AS ingest_date, event_id,
         |  event_type, value, ts
         |FROM (SELECT user_id, event_id, event_type, value, ts,
@@ -903,7 +904,8 @@ object SparkEntry {
     // cut (horizon >> corpus time span, and only hash-determined columns are
     // emitted). Oracle is the plain batch DISTINCT.
     ("t1_stream_dedup_replay",
-      (s, d) => graft.streaming.Pipeline.replayStreamDedup(s, docs(s, d)),
+      (s, d) => graft.streaming.Pipeline.replayStreamDedup(s, docs(s, d),
+        stageKey = Some(d)),
       Some("""SELECT DISTINCT md5(text) AS row_hash,
         |CAST(length(text) AS INT) AS text_len FROM documents""".stripMargin)),
 
@@ -916,7 +918,7 @@ object SparkEntry {
     // one-shot batch aggregate with the same ladder and eligibility.
     ("gpa_stream_replay",
       (s, d) => graft.streaming.Pipeline.replayStatefulGpa(s, ev(s, d),
-        EventsAdapter.ExcludedSemester),
+        EventsAdapter.ExcludedSemester, stageKey = Some(d)),
       Some {
         val ladder = GradeScale.grade4Sql("diem2")
         val eligible = "diem2 >= 4.0 AND NOT contains(tenmh, '*') " +
@@ -942,7 +944,8 @@ object SparkEntry {
     // ms precision, integer-cents totals). The last §2.5 leg promoted from
     // sbt-only coverage into the cross-engine gate.
     ("sess_stream_replay",
-      (s, d) => graft.streaming.Pipeline.replaySessionSummaries(s, ev(s, d)),
+      (s, d) => graft.streaming.Pipeline.replaySessionSummaries(s, ev(s, d),
+        stageKey = Some(d)),
       Some("""WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS ts_ms,
         |         CAST(round(value * 100) AS BIGINT) AS cents

@@ -40,6 +40,28 @@ object Pipeline {
     p
   }
 
+  /** Staged-INPUT memo (the l3 memoization pattern): each replay's input
+    * staging — the range-split write plus its premise scalars (watermark
+    * horizon, straddling-key check, sentinel timestamp) — is a pure
+    * function of the source table, so a JVM that invokes the same replay
+    * repeatedly (oracle gate + bench passes + determinism sweep) pays it
+    * once per `stageKey`. What each invocation still runs IN FULL is
+    * everything the replay certifies: file-source discovery, one
+    * micro-batch per staged file, checkpointed offsets, the state store,
+    * the sink write and re-read — those always get FRESH ckpt/out dirs
+    * (a reused checkpoint would no-op-resume and certify nothing).
+    * `stageKey = None` (the default) disables the memo for callers that
+    * stage ad-hoc frames. Memoized roots ride the same exit-time cleanup
+    * as ad-hoc ones. */
+  private val stagedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memoStage[T <: AnyRef](stageKey: Option[String], tag: String)
+                                    (build: => T): T = stageKey match {
+    case None => build
+    case Some(k) =>
+      stagedMemo.computeIfAbsent(s"$tag|$k", _ => build).asInstanceOf[T]
+  }
+
   /** S2: streaming file source over a watched directory. Spark's file source
     * discovers *new* files; the reference's modified-file re-processing is
     * recovered by the T1 content-hash dedup downstream (the actual semantic
@@ -151,15 +173,20 @@ object Pipeline {
     * offsets, foreachBatch upsert) from sbt-only coverage into the DuckDB
     * oracle gate. */
   def replayUpsertDaily(spark: SparkSession, events: DataFrame,
-                        nFiles: Int = 4): DataFrame = {
-    val root = replayTempRoot("graft_s2_replay_")
-    val src = s"$root/src"; val tgt = s"$root/tgt"; val ckpt = s"$root/ckpt"
-    // Stage through Spark so the files carry micros timestamps (the raw
-    // testdata is TIMESTAMP(NANOS), which the batch Tables loader already
-    // normalizes). The range split is just a file cut — the result is
-    // provably independent of how rows land in files.
-    events.repartitionByRange(nFiles, col("event_id"))
-      .write.mode("overwrite").parquet(src)
+                        nFiles: Int = 4,
+                        stageKey: Option[String] = None): DataFrame = {
+    val src = memoStage(stageKey, "s2") {
+      val root = replayTempRoot("graft_s2_replay_")
+      // Stage through Spark so the files carry micros timestamps (the raw
+      // testdata is TIMESTAMP(NANOS), which the batch Tables loader already
+      // normalizes). The range split is just a file cut — the result is
+      // provably independent of how rows land in files.
+      events.repartitionByRange(nFiles, col("event_id"))
+        .write.mode("overwrite").parquet(s"$root/src")
+      s"$root/src"
+    }
+    val run = replayTempRoot("graft_s2_run_")
+    val tgt = s"$run/tgt"; val ckpt = s"$run/ckpt"
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -190,20 +217,25 @@ object Pipeline {
     * part of the output). Oracle: SELECT DISTINCT over the batch table —
     * the second §2.5 leg promoted into the cross-engine gate. */
   def replayStreamDedup(spark: SparkSession, docs: DataFrame,
-                        nFiles: Int = 4): DataFrame = {
-    val root = replayTempRoot("graft_t1_replay_")
-    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
-    docs.select(col("doc_id"), col("text"))
-      .repartitionByRange(nFiles, col("doc_id"))
-      .write.mode("overwrite").parquet(src)
-    // The exactness premise is "no duplicate arrives outside the horizon",
-    // i.e. the synthesized event-time span must sit inside the watermark.
-    // Derive the horizon from the actual doc_id span (plus a day of slack)
-    // instead of a fixed 365 days that silently breaks past ~31.5M ids
-    // (r8 advice: ScaleCorpus-replicated corpora cross that quietly).
-    val span = spark.read.parquet(src)
-      .agg(max(col("doc_id")) - min(col("doc_id"))).head().getLong(0)
-    val horizonSec = span + 86400L
+                        nFiles: Int = 4,
+                        stageKey: Option[String] = None): DataFrame = {
+    val (src, horizonSec) = memoStage(stageKey, "t1") {
+      val root = replayTempRoot("graft_t1_replay_")
+      val s = s"$root/src"
+      docs.select(col("doc_id"), col("text"))
+        .repartitionByRange(nFiles, col("doc_id"))
+        .write.mode("overwrite").parquet(s)
+      // The exactness premise is "no duplicate arrives outside the horizon",
+      // i.e. the synthesized event-time span must sit inside the watermark.
+      // Derive the horizon from the actual doc_id span (plus a day of slack)
+      // instead of a fixed 365 days that silently breaks past ~31.5M ids
+      // (r8 advice: ScaleCorpus-replicated corpora cross that quietly).
+      val span = spark.read.parquet(s)
+        .agg(max(col("doc_id")) - min(col("doc_id"))).head().getLong(0)
+      (s, java.lang.Long.valueOf(span + 86400L))
+    }
+    val run = replayTempRoot("graft_t1_run_")
+    val out = s"$run/out"; val ckpt = s"$run/ckpt"
     val schema = spark.read.parquet(src).schema
     val deduped = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -237,25 +269,31 @@ object Pipeline {
     * associative here and the fold order Spark happens to use cannot change
     * the state. The oracle is the one-shot batch aggregate. */
   def replayStatefulGpa(spark: SparkSession, events: DataFrame,
-                        excludedSemester: Int, nFiles: Int = 4): DataFrame = {
-    val root = replayTempRoot("graft_gpa_replay_")
-    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
-    // Range-split on EVENT TIME, not on the stateful key: a split on F_MASV
-    // would land every student's rows in a single file/micro-batch and the
-    // cross-batch state fold this replay exists to certify would never run
-    // (r8 advice). Time-splitting spreads each student across ~all batches.
-    graft.query.EventsAdapter.enrollmentView(events)
-      .repartitionByRange(nFiles, col("@timestamp"))
-      .write.mode("overwrite").parquet(src)
-    // Loud guard on the premise: at least one key must straddle micro-batch
-    // files, else the replay certifies nothing about cross-batch state.
-    val straddling = spark.read.parquet(src)
-      .select(col("F_MASV"), input_file_name().as("__f"))
-      .groupBy("F_MASV").agg(countDistinct(col("__f")).as("__nf"))
-      .filter(col("__nf") > 1).count()
-    require(straddling > 0,
-      "GPA replay staging left every key inside one micro-batch; " +
-        "cross-batch state accumulation would be untested")
+                        excludedSemester: Int, nFiles: Int = 4,
+                        stageKey: Option[String] = None): DataFrame = {
+    val src = memoStage(stageKey, "gpa") {
+      val root = replayTempRoot("graft_gpa_replay_")
+      val s = s"$root/src"
+      // Range-split on EVENT TIME, not on the stateful key: a split on F_MASV
+      // would land every student's rows in a single file/micro-batch and the
+      // cross-batch state fold this replay exists to certify would never run
+      // (r8 advice). Time-splitting spreads each student across ~all batches.
+      graft.query.EventsAdapter.enrollmentView(events)
+        .repartitionByRange(nFiles, col("@timestamp"))
+        .write.mode("overwrite").parquet(s)
+      // Loud guard on the premise: at least one key must straddle micro-batch
+      // files, else the replay certifies nothing about cross-batch state.
+      val straddling = spark.read.parquet(s)
+        .select(col("F_MASV"), input_file_name().as("__f"))
+        .groupBy("F_MASV").agg(countDistinct(col("__f")).as("__nf"))
+        .filter(col("__nf") > 1).count()
+      require(straddling > 0,
+        "GPA replay staging left every key inside one micro-batch; " +
+          "cross-batch state accumulation would be untested")
+      s
+    }
+    val run = replayTempRoot("graft_gpa_run_")
+    val out = s"$run/out"; val ckpt = s"$run/ckpt"
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -303,37 +341,45 @@ object Pipeline {
     * emits them as longs. Timers need the RocksDB state store provider
     * (transformWithState's contract); set and restored around the run. */
   def replaySessionSummaries(spark: SparkSession, events: DataFrame,
-                             gapMs: Long = 1800000L, nFiles: Int = 4): DataFrame = {
+                             gapMs: Long = 1800000L, nFiles: Int = 4,
+                             stageKey: Option[String] = None): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
-    val root = replayTempRoot("graft_sess_replay_")
-    val staged = s"$root/staged"; val sent = s"$root/sent"
-    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
-    val prep = events.select(col("user_id").cast("long").as("user_id"),
-      col("ts"), round(col("value") * 100).cast("long").cast("double").as("value"))
-    prep.repartitionByRange(nFiles, col("ts"))
-      .write.mode("overwrite").parquet(staged)
-    val maxTs = prep.agg(max(unix_millis(col("ts")))).head().getLong(0)
-    spark.range(1).select(lit(-1L).as("user_id"),
-        timestamp_millis(lit(maxTs + gapMs + 3600000L)).as("ts"),
-        lit(0.0).as("value"))
-      .coalesce(1).write.mode("overwrite").parquet(sent)
-    // Lay the staged splits into the watched dir with strictly increasing
-    // mtimes (range-partition index IS ascending time order), sentinel last.
-    Files.createDirectories(Paths.get(src))
-    val base = System.currentTimeMillis()
-    def lay(dir: String, slot: Int): Int = {
-      val parts = new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        val dst = Paths.get(src, f.getName)
-        Files.copy(f.toPath, dst)
-        Files.setLastModifiedTime(dst, FileTime.fromMillis(base + (slot + i) * 10000L))
+    val (staged, src) = memoStage(stageKey, s"sess|$gapMs") {
+      val root = replayTempRoot("graft_sess_replay_")
+      val stagedD = s"$root/staged"; val sent = s"$root/sent"
+      val srcD = s"$root/src"
+      val prep = events.select(col("user_id").cast("long").as("user_id"),
+        col("ts"), round(col("value") * 100).cast("long").cast("double").as("value"))
+      prep.repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(stagedD)
+      val maxTs = prep.agg(max(unix_millis(col("ts")))).head().getLong(0)
+      spark.range(1).select(lit(-1L).as("user_id"),
+          timestamp_millis(lit(maxTs + gapMs + 3600000L)).as("ts"),
+          lit(0.0).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(sent)
+      // Lay the staged splits into the watched dir with strictly increasing
+      // mtimes (range-partition index IS ascending time order), sentinel
+      // last. The mtimes are fixed at stage time, so a memoized reuse
+      // replays the identical oldest-first order.
+      Files.createDirectories(Paths.get(srcD))
+      val base = System.currentTimeMillis()
+      def lay(dir: String, slot: Int): Int = {
+        val parts = new java.io.File(dir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dst = Paths.get(srcD, f.getName)
+          Files.copy(f.toPath, dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(base + (slot + i) * 10000L))
+        }
+        slot + parts.length
       }
-      slot + parts.length
+      lay(sent, lay(stagedD, 0))
+      (stagedD, srcD)
     }
-    lay(sent, lay(staged, 0))
+    val run = replayTempRoot("graft_sess_run_")
+    val out = s"$run/out"; val ckpt = s"$run/ckpt"
     val provider = "spark.sql.streaming.stateStore.providerClass"
     val savedProvider = spark.conf.getOption(provider)
     spark.conf.set(provider,

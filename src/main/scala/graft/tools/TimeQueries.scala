@@ -5,7 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc timer for named SparkEntry queries:
   * `runMain graft.tools.TimeQueries <sfDir> q1 q2 ...` — times each query
   * (count-forced) in registration conditions matching Bench (local[32],
-  * 32 shuffle partitions), two passes so warm-JVM numbers are visible. */
+  * 32 shuffle partitions), two passes so warm-JVM numbers are visible.
+  *
+  * The materialization seam is costable here: pass
+  * `-Dgraft.materialize.mode=reliable -Dgraft.materialize.dir=<dir>` (via
+  * GRAFT_EXTRA_JAVA_OPTS) to time the cluster-FS checkpoint posture
+  * against the default `local` — PLANS.md's reliable-mode costing probe. */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -14,6 +19,11 @@ object TimeQueries {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    for (k <- Seq(graft.Materialize.ModeKey, graft.Materialize.DirKey);
+         v <- sys.props.get(k)) {
+      spark.conf.set(k, v)
+      println(s"[time] $k=$v")
+    }
     graft.model.Tables(spark, sfDir, "documents").limit(1).count() // warm session
     for (pass <- 1 to 2; n <- names) {
       val t0 = System.nanoTime()

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity-resolution fuzzy matching: all pairs of rows whose string key is
@@ -31,8 +32,16 @@ import org.apache.spark.sql.functions._
   *     keys sit within distance 2 of each other, i.e. where the true
   *     output itself is quadratic and no exact algorithm stays linear.
   *
-  * Everything after blocking is equi-joins on key strings (shuffle on
-  * bounded-size keys), a distinct, and a verify filter.
+  * Shuffle discipline (the first cut of this guard ran ~5× slower than the
+  * unguarded join at sf0.1 by paying ~8 exchanges for the two defenses):
+  *   - the bucket census is a window count over the variant-partitioned
+  *     index, so ONE exchange both computes per-bucket sizes and leaves the
+  *     index hash-partitioned and sorted on `v` — the under-cap/oversized
+  *     split is then a pair of filters and the within-bucket self-joins
+  *     reuse that exchange with no further shuffle;
+  *   - the id rows are hash-partitioned ONCE on the key, and all three
+  *     id-level joins (the two re-expansion joins and the distance-0
+  *     self-join) reuse that single exchange.
   */
 object FuzzyJoin {
 
@@ -41,12 +50,14 @@ object FuzzyJoin {
     * oversized-bucket routing documented above. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxBucket: Int = 64): DataFrame = {
-    // spread(): a single-file parquet scan is one task, which would
-    // serialize the explode + join + levenshtein pipeline onto one core.
-    val rows = graft.model.Tables.spread(
-      df.select(col(idCol).as("id"), col(strCol).as("key")), col("id"))
+    // One key-partitioned exchange feeds the distinct-key index AND all
+    // three id-level joins below (also breaks the single-file parquet scan
+    // out of its single task, which `spread` did in the first cut).
+    val rows = df.select(col(idCol).as("id"), col(strCol).as("key"))
+      .repartition(col("key"))
 
-    // Defense 1: variant index over DISTINCT keys only.
+    // Defense 1: variant index over DISTINCT keys only (the distinct
+    // reuses the key partitioning — no extra exchange).
     val variants = rows.select("key").distinct()
       .select(col("key"), explode(array_union(
         array(col("key")),
@@ -54,14 +65,14 @@ object FuzzyJoin {
           i => concat(col("key").substr(lit(1), i - 1),
             col("key").substr(i + 1, length(col("key")))))))).as("v"))
 
-    // Defense 2: census of distinct keys per variant; left-semi prune the
-    // index into under-cap and oversized halves (the LeftSemi is the
-    // plan-pinned signature of the cap, as in Dedup.candidatePairs).
-    val census = variants.groupBy("v").agg(count(lit(1)).as("__n"))
-    val small = variants.join(
-      census.filter(col("__n") <= maxBucket).select("v"), Seq("v"), "left_semi")
-    val big = variants.join(
-      census.filter(col("__n") > maxBucket).select("v"), Seq("v"), "left_semi")
+    // Defense 2: per-variant distinct-key census as a window count — the
+    // one variant-partitioned exchange whose partitioning (and sort) the
+    // self-joins below inherit. The Window + __n filters are the
+    // plan-pinned signature of the cap (PlanChecksSpec).
+    val counted = variants.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy("v")))
+    val small = counted.filter(col("__n") <= maxBucket).drop("__n")
+    val big = counted.filter(col("__n") > maxBucket).drop("__n")
 
     // Under-cap buckets: the full within-bucket key self-join.
     val smallPairs = small.as("a")
@@ -83,7 +94,10 @@ object FuzzyJoin {
       .filter(levenshtein(col("k1"), col("k2")) <= 1)
 
     // Re-expand verified key pairs to id pairs (cross product of the two
-    // keys' id sets), keys riding along with their ids.
+    // keys' id sets), keys riding along with their ids. Both joins probe
+    // the one key-partitioned `rows` exchange; the keyPairs side is the
+    // small one (bounded by true near-dup key pairs) — AQE picks broadcast
+    // when it fits.
     val crossPairs = keyPairs
       .join(rows.select(col("id").as("id1"), col("key").as("k1")), Seq("k1"))
       .join(rows.select(col("id").as("id2"), col("key").as("k2")), Seq("k2"))
@@ -93,7 +107,8 @@ object FuzzyJoin {
         when(col("id1") < col("id2"), col("k1")).otherwise(col("k2")).as("a_key"),
         when(col("id1") < col("id2"), col("k2")).otherwise(col("k1")).as("b_key"))
     // Distance-0 pairs (same key, different ids) never enter the variant
-    // index; they come straight from a key self-join on the id rows.
+    // index; they come straight from a key self-join on the id rows —
+    // another reuse of the same exchange.
     val samePairs = rows.as("a")
       .join(rows.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))

@@ -87,11 +87,15 @@ class PlanChecksSpec extends SparkSpec {
   }
 
   test("fuzzy join prunes oversized variant buckets before the candidate self-join") {
-    // FuzzyJoin's maxBucket cap-and-route is a pair of left-semi prunes of
-    // the variant index (under-cap / oversized halves); without them a hot
+    // FuzzyJoin's maxBucket cap-and-route censuses the variant index with a
+    // window count over the variant-partitioned exchange and splits it into
+    // under-cap / oversized halves on __n; without that split a hot
     // deletion-variant bucket turns the candidate self-join quadratic.
+    // (First cut used census + left-semi prunes: 3 exchanges where the
+    // window needs 1, and ~5x slower end-to-end at sf0.1.)
     val plan = finalPlanString(SparkEntry.queries("join_fuzzy")(spark, sf))
-    assert(plan.contains("LeftSemi"), s"no semi-join variant-bucket prune in:\n$plan")
+    assert(plan.contains("Window"), s"no window bucket census in:\n$plan")
+    assert(plan.contains("__n"), s"no __n bucket-size split in:\n$plan")
   }
 
   test("centroid argmax (e6/d8 assign stage) is a broadcast join, not a literal tree") {

@@ -966,6 +966,28 @@ object SparkEntry {
         |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
         |FROM s GROUP BY user_id, sid""".stripMargin)),
 
+    // ---- §2.5 STREAM-STREAM interval join under the oracle gate: view/click
+    // and purchase events replayed as two separate file-source streams (one
+    // micro-batch per staged file each), inner-joined on user within a
+    // 30-minute event-time window via the REAL stream-stream join operator.
+    // Watermark derived from the corpus span means no state eviction before
+    // the drain, so the emitted pair set equals the batch theta-join for any
+    // batch cut or interleaving (each pair emits exactly once, when the
+    // later side arrives). Bounded-state eviction under a tight watermark
+    // is StreamingSpec's horizon test — deliberately NOT replayed here,
+    // where it would make output depend on batch timing.
+    ("ssjoin_stream_replay",
+      (s, d) => graft.streaming.Pipeline.replayIntervalJoin(s, ev(s, d),
+        stageKey = Some(d)),
+      Some("""SELECT l.event_id AS l_id, r.event_id AS r_id,
+        |  l.user_id AS user_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type IN ('view', 'click')
+        | AND r.event_type = 'purchase'
+        | AND epoch_us(r.ts) >= epoch_us(l.ts)
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000""".stripMargin)),
+
     // ---- s8: SCD Type-2 history — the keep-ALL-versions complement to s5's
     // latest-wins arbitration: per-user event_type change intervals with
     // [valid_from, valid_to) ranges and an is_current flag.

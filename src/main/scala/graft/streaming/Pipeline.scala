@@ -410,6 +410,62 @@ object Pipeline {
     } finally savedProvider.fold(spark.conf.unset(provider))(spark.conf.set(provider, _))
   }
 
+  /** §2.5 STREAM-STREAM event-time interval join BATCH-REPLAY: promotes
+    * [[intervalJoinStreams]] (previously certified only against
+    * MemoryStream in StreamingSpec) into the cross-engine oracle gate.
+    * Left stream = view/click events, right stream = purchases; each is
+    * staged as `nFiles` time-range splits and replayed through its OWN
+    * file source one micro-batch per file, so join pairs form both within
+    * a micro-batch and ACROSS the two streams' interleaved batches (the
+    * stateful path this replay exists to certify).
+    *
+    * Deterministic for any batch cut or interleaving: the watermark is
+    * derived from the corpus' full event-time span (plus a day of slack),
+    * so no join state can be evicted before the drain completes; an inner
+    * interval join in append mode then emits each qualifying pair exactly
+    * once — when the later of its two sides arrives — and the emitted SET
+    * equals the batch theta-join whatever the cut. The oracle is that
+    * plain batch join. (Bounded-state eviction under a REAL watermark is
+    * certified separately by StreamingSpec's horizon test; certifying it
+    * here would make the output depend on batch timing by design.) */
+  def replayIntervalJoin(spark: SparkSession, events: DataFrame,
+                         within: String = "30 minutes", nFiles: Int = 3,
+                         stageKey: Option[String] = None): DataFrame = {
+    val (lsrc, rsrc, horizonSec) = memoStage(stageKey, "ssjoin") {
+      val root = replayTempRoot("graft_ssj_replay_")
+      val cols = Seq(col("event_id"), col("user_id"), col("ts"))
+      events.filter(col("event_type").isin("view", "click"))
+        .select(cols: _*).repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(s"$root/l")
+      events.filter(col("event_type") === "purchase")
+        .select(cols: _*).repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(s"$root/r")
+      val span = events
+        .agg(max(unix_millis(col("ts"))) - min(unix_millis(col("ts"))))
+        .head().getLong(0)
+      (s"$root/l", s"$root/r",
+        java.lang.Long.valueOf(span / 1000L + 86400L))
+    }
+    val run = replayTempRoot("graft_ssj_run_")
+    val out = s"$run/out"; val ckpt = s"$run/ckpt"
+    def src(dir: String) = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val joined = intervalJoinStreams(src(lsrc), src(rsrc), "user_id", "ts",
+        within = within, watermark = s"$horizonSec seconds")
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"),
+        col("l.user_id").as("user_id"))
+    val q = joined.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** Full consumer leg: Kafka -> enrich -> upsert (compile-time wiring; needs
     * live brokers, exercised in tests via MemoryStream + consumerTransform). */
   def runConsumer(spark: SparkSession, servers: String, topic: String,

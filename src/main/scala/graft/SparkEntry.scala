@@ -988,6 +988,24 @@ object SparkEntry {
         | AND epoch_us(r.ts) >= epoch_us(l.ts)
         | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000""".stripMargin)),
 
+    // ---- §2.5 stream-stream LEFT-OUTER interval join under the gate: the
+    // did-NOT-convert leg. Null rows are emitted by WATERMARK-PROVEN state
+    // eviction (not data arrival) — the one streaming semantic the inner
+    // replay can't reach; sentinel files staged mtime-last push the final
+    // watermark past every real left row's eviction bound so each
+    // never-matched view/click emits its (left, null) exactly once.
+    ("ssjoin_outer_replay",
+      (s, d) => graft.streaming.Pipeline.replayIntervalJoinOuter(s, ev(s, d),
+        stageKey = Some(d)),
+      Some("""SELECT l.event_id AS l_id, r.event_id AS r_id,
+        |  l.user_id AS user_id
+        |FROM events l LEFT JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.event_type = 'purchase'
+        | AND epoch_us(r.ts) >= epoch_us(l.ts)
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+        |WHERE l.event_type IN ('view', 'click')""".stripMargin)),
+
     // ---- s8: SCD Type-2 history — the keep-ALL-versions complement to s5's
     // latest-wins arbitration: per-user event_type change intervals with
     // [valid_from, valid_to) ranges and an is_current flag.

@@ -466,6 +466,93 @@ object Pipeline {
     spark.read.parquet(out)
   }
 
+  /** §2.5 stream-stream LEFT-OUTER interval join BATCH-REPLAY: the
+    * did-NOT-convert leg — every view/click with no purchase inside the
+    * window must emit (left, null) once the watermark PROVES none can
+    * still arrive. That negative emission is the one §2.5 semantic the
+    * inner-join replay cannot certify, because it is driven by state
+    * eviction, not by data arrival.
+    *
+    * Determinism: matched pairs emit exactly once as in the inner replay
+    * (the join-state watermark delay spans the corpus, so no right row is
+    * evicted while a matching left could still arrive in any batch
+    * order). Null rows emit exactly once per never-matched left, in the
+    * watermark-driven no-data batches after two sentinel files per stream
+    * (staged mtime-LAST, the sess-replay trick; two because eviction runs
+    * a trigger behind the watermark advance — see StreamingSpec's outer
+    * test) push the final watermark past every real left row's eviction
+    * bound `l.ts + within + delay`. Emitted set = the batch LEFT
+    * theta-join, whatever the cut; sentinels filter out by user_id < 0. */
+  def replayIntervalJoinOuter(spark: SparkSession, events: DataFrame,
+                              within: String = "30 minutes",
+                              withinMs: Long = 1800000L, nFiles: Int = 3,
+                              stageKey: Option[String] = None): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val (lsrc, rsrc, delaySec) = memoStage(stageKey, "ssjoin_outer") {
+      val root = replayTempRoot("graft_ssjo_replay_")
+      val cols = Seq(col("event_id"), col("user_id"), col("ts"))
+      val span = events
+        .agg(max(unix_millis(col("ts"))) - min(unix_millis(col("ts"))))
+        .head().getLong(0)
+      val maxMs = events.agg(max(unix_millis(col("ts")))).head().getLong(0)
+      val delayMs = span + 86400000L
+      def stage(dir: String, side: DataFrame, sentinelUser: Long): String = {
+        val tmp = s"$dir.tmp"; val sentTmp = s"$dir.sent"
+        side.select(cols: _*).repartitionByRange(nFiles, col("ts"))
+          .write.mode("overwrite").parquet(tmp)
+        // Two sentinel files, each its own micro-batch: the first advances
+        // the watermark past every real left's eviction bound, the second
+        // drives the extra trigger in which eviction actually emits.
+        (0 to 1).foreach { i =>
+          spark.range(1).select(lit(-1L - i).as("event_id"),
+              lit(sentinelUser).as("user_id"),
+              timestamp_millis(lit(maxMs + withinMs + delayMs + 3600000L
+                + i * 1000L)).as("ts"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$sentTmp$i")
+        }
+        Files.createDirectories(Paths.get(dir))
+        val base = System.currentTimeMillis()
+        var slot = 0
+        for (src <- Seq(tmp, s"${sentTmp}0", s"${sentTmp}1");
+             f <- new java.io.File(src).listFiles().sortBy(_.getName)
+               if f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) {
+          val dst = Paths.get(dir, f"${slot}%03d-" + f.getName)
+          Files.copy(f.toPath, dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(base + slot * 10000L))
+          slot += 1
+        }
+        dir
+      }
+      (stage(s"$root/l",
+         events.filter(col("event_type").isin("view", "click")), -1L),
+       stage(s"$root/r",
+         events.filter(col("event_type") === "purchase"), -2L),
+       java.lang.Long.valueOf(delayMs / 1000L))
+    }
+    val run = replayTempRoot("graft_ssjo_run_")
+    val out = s"$run/out"; val ckpt = s"$run/ckpt"
+    def src(dir: String) = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val joined = intervalJoinStreams(src(lsrc), src(rsrc), "user_id", "ts",
+        within = within, watermark = s"$delaySec seconds",
+        joinType = "left_outer")
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"),
+        col("l.user_id").as("user_id"))
+    val q = joined.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    // processAllAvailable, not AvailableNow: the null rows emit in
+    // watermark-driven no-data batches after the sentinels.
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out).filter(col("user_id") >= 0L)
+  }
+
   /** Full consumer leg: Kafka -> enrich -> upsert (compile-time wiring; needs
     * live brokers, exercised in tests via MemoryStream + consumerTransform). */
   def runConsumer(spark: SparkSession, servers: String, topic: String,

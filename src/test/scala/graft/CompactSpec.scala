@@ -69,17 +69,25 @@ class CompactSpec extends SparkSpec {
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val firstRead = new java.util.concurrent.CountDownLatch(1)
     val reader = new Thread(() => {
       while (!done.get()) {
         try {
           val c = Compact.readCurrent(spark, root).count()
           if (c != 20000) failures.add(new AssertionError(s"saw $c rows"))
           reads.incrementAndGet()
-        } catch { case t: Throwable => failures.add(t) }
+          firstRead.countDown()
+        } catch { case t: Throwable => failures.add(t); firstRead.countDown() }
       }
     })
     reader.start()
     try {
+      // SYNCHRONIZE the hammer premise instead of racing it: on a loaded
+      // host (full-suite parallelism) three compactions can finish before
+      // the reader thread is ever scheduled, making "reads > 0" a timing
+      // assertion. Wait for the first completed read, THEN compact.
+      assert(firstRead.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "reader thread made no attempt within 60s")
       // keepVersions = 4 keeps every generation alive during the hammer:
       // the retention CONTRACT only covers readers that finish within
       // keepVersions compactions, and three back-to-back compactions give
@@ -91,7 +99,12 @@ class CompactSpec extends SparkSpec {
         assert(a <= b)
       }
     } finally { done.set(true); reader.join(30000) }
-    assert(failures.isEmpty, s"reader failed: ${failures.peek()}")
+    assert(failures.isEmpty, {
+      import scala.jdk.CollectionConverters._
+      "reader failed: " + failures.asScala.map { t =>
+        t.toString + "\n  " + t.getStackTrace.take(6).mkString("\n  ")
+      }.mkString("\n---\n")
+    })
     assert(reads.get() > 0, "reader loop never completed a read")
     // content unchanged across the flips
     assert(Compact.readCurrent(spark, root).agg(sum($"id")).head().getLong(0)

@@ -429,7 +429,7 @@ object Pipeline {
     * certified separately by StreamingSpec's horizon test; certifying it
     * here would make the output depend on batch timing by design.) */
   def replayIntervalJoin(spark: SparkSession, events: DataFrame,
-                         within: String = "30 minutes", nFiles: Int = 3,
+                         within: String = "30 minutes", nFiles: Int = 2,
                          stageKey: Option[String] = None): DataFrame = {
     val (lsrc, rsrc, horizonSec) = memoStage(stageKey, "ssjoin") {
       val root = replayTempRoot("graft_ssj_replay_")
@@ -485,7 +485,7 @@ object Pipeline {
     * theta-join, whatever the cut; sentinels filter out by user_id < 0. */
   def replayIntervalJoinOuter(spark: SparkSession, events: DataFrame,
                               within: String = "30 minutes",
-                              withinMs: Long = 1800000L, nFiles: Int = 3,
+                              withinMs: Long = 1800000L, nFiles: Int = 2,
                               stageKey: Option[String] = None): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime

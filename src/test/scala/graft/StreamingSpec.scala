@@ -366,6 +366,26 @@ class StreamingSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("outer interval-join batch-replay emits matches and watermark-proven nulls") {
+    // The ssjoin_outer_replay promotion on a hand-checkable corpus: user 1's
+    // view converts inside the window; user 2's purchase lands outside it;
+    // user 3 never purchases. Both null rows can only emit via state
+    // eviction after the sentinel files push the watermark — the semantic
+    // this replay certifies. Runs the ad-hoc (stageKey = None) path.
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 10L, ts("2024-01-01 10:20:00"), "purchase"), // in-window pair
+      (3L, 20L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, 20L, ts("2024-01-01 11:30:00"), "purchase"), // outside 30 min
+      (5L, 30L, ts("2024-01-01 10:00:00"), "click")     // never converts
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Pipeline.replayIntervalJoinOuter(spark, events, nFiles = 2)
+      .select($"l_id", $"r_id", $"user_id")
+      .as[(Long, Option[Long], Long)].collect().toSet
+    assert(out == Set((1L, Some(2L), 10L), (3L, None, 20L), (5L, None, 30L)),
+      s"got $out")
+  }
+
   test("watermarked event-time window drops data later than the horizon") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val windowed = input.toDF().toDF("t", "k", "v")

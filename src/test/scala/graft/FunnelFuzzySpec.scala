@@ -113,6 +113,68 @@ class FunnelFuzzySpec extends SparkSpec {
     assert(full.count() == 30 + 30 * 29 / 2) // insert/delete + substitution pairs
   }
 
+  test("fuzzy pairs: randomized brute-force equivalence, uncapped") {
+    // Post-restructure algorithm guard (the window-census rewrite must
+    // preserve semantics on ARBITRARY corpora, not just the oracled one):
+    // 300 seeded-random strings over a 2-letter alphabet, lengths 0-5 —
+    // dense collisions, many duplicates, hot variant buckets. With the cap
+    // effectively off, the blocked join must equal brute-force Levenshtein
+    // over all pairs exactly.
+    val rnd = new scala.util.Random(42)
+    val strs = (1L to 300L).map(i =>
+      (i, (0 until rnd.nextInt(6)).map(_ => "ab" (rnd.nextInt(2))).mkString))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    val got = FuzzyJoin.editDistancePairs(
+        strs.toDF("id", "key"), "id", "key", maxBucket = 1000000)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("fuzzy pairs: tiny cap is sound and keeps all different-length and dup-key pairs") {
+    // Same corpus, cap=2 (nearly every bucket oversized): output must be a
+    // SUBSET of the true pairs (verification means never a false positive),
+    // and the documented retention guarantees must hold — every distance-1
+    // pair of DIFFERENT lengths (identity×deletion in the shorter key's
+    // bucket) and every distance-0 dup-key pair survives any cap; only
+    // all-oversized-bucket substitution pairs may shed.
+    val rnd = new scala.util.Random(7)
+    val strs = (1L to 200L).map(i =>
+      (i, (0 until rnd.nextInt(6)).map(_ => "ab" (rnd.nextInt(2))).mkString))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val byId = strs.toMap
+    val truePairs = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    val got = FuzzyJoin.editDistancePairs(
+        strs.toDF("id", "key"), "id", "key", maxBucket = 2)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert((got -- truePairs).isEmpty, s"false pairs: ${(got -- truePairs).take(5)}")
+    val mustKeep = truePairs.filter { case (a, b) =>
+      byId(a).length != byId(b).length || byId(a) == byId(b) }
+    assert((mustKeep -- got).isEmpty,
+      s"shed guaranteed pairs: ${(mustKeep -- got).take(5)}")
+  }
+
   test("tfidf top terms: rarer term outranks equally-frequent common term") {
     val docs = Seq(
       (1L, "zebra zebra common common"),

@@ -60,9 +60,12 @@ object Materialize {
         }
         // See RETENTION above: the cleaner flag is start-time-only, so the
         // best pin can do for a mis-built session is refuse to be silent.
-        if (!retentionWarned.getAndSet(true) &&
-            !sc.getConf.getBoolean(
-              "spark.cleaner.referenceTracking.cleanCheckpoints", false)) {
+        // Conf check FIRST: a well-built session must not consume the
+        // once-per-JVM sentinel, or a later mis-built session in the same
+        // JVM never gets the leak warning (r10 advice).
+        if (!sc.getConf.getBoolean(
+              "spark.cleaner.referenceTracking.cleanCheckpoints", false) &&
+            !retentionWarned.getAndSet(true)) {
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"$ModeKey=reliable without " +
               "spark.cleaner.referenceTracking.cleanCheckpoints=true (start-" +

@@ -52,7 +52,10 @@ object Pipeline {
     * (a reused checkpoint would no-op-resume and certify nothing).
     * `stageKey = None` (the default) disables the memo for callers that
     * stage ad-hoc frames. Memoized roots ride the same exit-time cleanup
-    * as ad-hoc ones. */
+    * as ad-hoc ones. Every SHAPE parameter of the staging (nFiles for all
+    * replays; gapMs/withinMs where they bake into sentinel timestamps)
+    * must ride in the tag — two same-key calls with different shapes would
+    * otherwise silently reuse the first call's staging (r10 advice). */
   private val stagedMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private def memoStage[T <: AnyRef](stageKey: Option[String], tag: String)
@@ -175,7 +178,7 @@ object Pipeline {
   def replayUpsertDaily(spark: SparkSession, events: DataFrame,
                         nFiles: Int = 4,
                         stageKey: Option[String] = None): DataFrame = {
-    val src = memoStage(stageKey, "s2") {
+    val src = memoStage(stageKey, s"s2|$nFiles") {
       val root = replayTempRoot("graft_s2_replay_")
       // Stage through Spark so the files carry micros timestamps (the raw
       // testdata is TIMESTAMP(NANOS), which the batch Tables loader already
@@ -219,7 +222,7 @@ object Pipeline {
   def replayStreamDedup(spark: SparkSession, docs: DataFrame,
                         nFiles: Int = 4,
                         stageKey: Option[String] = None): DataFrame = {
-    val (src, horizonSec) = memoStage(stageKey, "t1") {
+    val (src, horizonSec) = memoStage(stageKey, s"t1|$nFiles") {
       val root = replayTempRoot("graft_t1_replay_")
       val s = s"$root/src"
       docs.select(col("doc_id"), col("text"))
@@ -271,7 +274,7 @@ object Pipeline {
   def replayStatefulGpa(spark: SparkSession, events: DataFrame,
                         excludedSemester: Int, nFiles: Int = 4,
                         stageKey: Option[String] = None): DataFrame = {
-    val src = memoStage(stageKey, "gpa") {
+    val src = memoStage(stageKey, s"gpa|$nFiles") {
       val root = replayTempRoot("graft_gpa_replay_")
       val s = s"$root/src"
       // Range-split on EVENT TIME, not on the stateful key: a split on F_MASV
@@ -345,7 +348,7 @@ object Pipeline {
                              stageKey: Option[String] = None): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
-    val (staged, src) = memoStage(stageKey, s"sess|$gapMs") {
+    val (staged, src) = memoStage(stageKey, s"sess|$gapMs|$nFiles") {
       val root = replayTempRoot("graft_sess_replay_")
       val stagedD = s"$root/staged"; val sent = s"$root/sent"
       val srcD = s"$root/src"
@@ -431,7 +434,7 @@ object Pipeline {
   def replayIntervalJoin(spark: SparkSession, events: DataFrame,
                          within: String = "30 minutes", nFiles: Int = 2,
                          stageKey: Option[String] = None): DataFrame = {
-    val (lsrc, rsrc, horizonSec) = memoStage(stageKey, "ssjoin") {
+    val (lsrc, rsrc, horizonSec) = memoStage(stageKey, s"ssjoin|$nFiles") {
       val root = replayTempRoot("graft_ssj_replay_")
       val cols = Seq(col("event_id"), col("user_id"), col("ts"))
       events.filter(col("event_type").isin("view", "click"))
@@ -482,14 +485,19 @@ object Pipeline {
     * a trigger behind the watermark advance — see StreamingSpec's outer
     * test) push the final watermark past every real left row's eviction
     * bound `l.ts + within + delay`. Emitted set = the batch LEFT
-    * theta-join, whatever the cut; sentinels filter out by user_id < 0. */
+    * theta-join, whatever the cut; sentinels filter out by user_id < 0.
+    *
+    * The join window is given ONCE as `withinMs`; the join expression's
+    * interval string is derived from it, so the sentinel horizon and the
+    * eviction bound can never disagree (r10 advice — the old two-parameter
+    * form let a caller override one and silently break the other). */
   def replayIntervalJoinOuter(spark: SparkSession, events: DataFrame,
-                              within: String = "30 minutes",
                               withinMs: Long = 1800000L, nFiles: Int = 2,
                               stageKey: Option[String] = None): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
-    val (lsrc, rsrc, delaySec) = memoStage(stageKey, "ssjoin_outer") {
+    val within = s"$withinMs milliseconds"
+    val (lsrc, rsrc, delaySec) = memoStage(stageKey, s"ssjoin_outer|$withinMs|$nFiles") {
       val root = replayTempRoot("graft_ssjo_replay_")
       val cols = Seq(col("event_id"), col("user_id"), col("ts"))
       val span = events

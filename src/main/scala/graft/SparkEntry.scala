@@ -1513,9 +1513,13 @@ object SparkEntry {
     // pair within edit distance 1, found via symmetric-delete (FastSS)
     // blocking + levenshtein verify. The oracle is the all-pairs ground
     // truth (feasible at oracle SF; the Spark plan never goes quadratic).
+    // failOnOversized: the oracle certifies the EXACT contract, so if a
+    // variant bucket ever crosses the cap at a larger SF the gate must go
+    // red loudly, not shed substitution pairs silently.
     ("join_fuzzy",
       (s, d) => graft.ops.FuzzyJoin.editDistancePairs(
-        Tables(s, d, "customer"), "c_custkey", "c_name"),
+        Tables(s, d, "customer"), "c_custkey", "c_name",
+        failOnOversized = true),
       Some("""SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
         |  a.c_name AS a_key, b.c_name AS b_key,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist

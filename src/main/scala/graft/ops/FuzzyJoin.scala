@@ -47,9 +47,21 @@ object FuzzyJoin {
 
   /** (a_id, b_id, a_key, b_key, dist) for every unordered pair with
     * levenshtein(a_key, b_key) <= 1 and a_id < b_id, subject to the
-    * oversized-bucket routing documented above. */
+    * oversized-bucket routing documented above.
+    *
+    * `failOnOversized = true` turns the cap from route-and-shed into a
+    * loud guardrail: any variant bucket over `maxBucket` raises at
+    * execution time (a lazy `raise_error` inside the bucket census — zero
+    * cost unless a bucket actually oversizes), so a caller relying on the
+    * exact all-pairs-within-distance-1 contract can never get a silently
+    * incomplete result. The oracled `join_fuzzy` stage runs in this mode:
+    * if a larger corpus ever crosses the cap, the gate goes red instead of
+    * quietly diverging from the all-pairs oracle ("no silent caps").
+    * Route mode remains the scale default; use [[oversizedBuckets]] to
+    * count what it would shed. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxBucket: Int = 64): DataFrame = {
+                        maxBucket: Int = 64,
+                        failOnOversized: Boolean = false): DataFrame = {
     // One key-partitioned exchange feeds the distinct-key index AND all
     // three id-level joins below (also breaks the single-file parquet scan
     // out of its single task, which `spread` did in the first cut).
@@ -69,8 +81,23 @@ object FuzzyJoin {
     // one variant-partitioned exchange whose partitioning (and sort) the
     // self-joins below inherit. The Window + __n filters are the
     // plan-pinned signature of the cap (PlanChecksSpec).
-    val counted = variants.withColumn("__n",
+    val census = variants.withColumn("__n",
       count(lit(1)).over(Window.partitionBy("v")))
+    // In fail mode the oversized branch is unreachable by construction:
+    // the CaseWhen below raises on the first over-cap row it evaluates
+    // (lazily — under-cap rows never touch raise_error, so the happy path
+    // costs one extra codegen'd comparison and nothing else).
+    val counted =
+      if (!failOnOversized) census
+      else census.withColumn("__n",
+        when(col("__n") > maxBucket,
+          raise_error(format_string(
+            "FuzzyJoin.editDistancePairs: variant bucket '%s' holds %s " +
+              "distinct keys (maxBucket=%s); route mode would shed " +
+              "substitution pairs confined to oversized buckets — raise " +
+              "maxBucket or accept route mode",
+            col("v"), col("__n"), lit(maxBucket))).cast("long"))
+          .otherwise(col("__n")))
     val small = counted.filter(col("__n") <= maxBucket).drop("__n")
     val big = counted.filter(col("__n") > maxBucket).drop("__n")
 
@@ -118,4 +145,21 @@ object FuzzyJoin {
     crossPairs.union(samePairs)
       .withColumn("dist", levenshtein(col("a_key"), col("b_key")).cast("int"))
   }
+
+  /** Audit for route mode: the variant buckets `editDistancePairs` would
+    * treat as oversized at this cap — `(v, n)` with n = distinct keys in
+    * the bucket. Empty ⇒ route mode is exact (nothing shed). Same distinct
+    * + variant expansion as the join, so the census agrees with it
+    * bucket-for-bucket; cost is one scan + one shuffle over distinct keys,
+    * cheap to run ahead of a large route-mode job ("no silent caps"). */
+  def oversizedBuckets(df: DataFrame, idCol: String, strCol: String,
+                       maxBucket: Int = 64): DataFrame =
+    df.select(col(strCol).as("key")).distinct()
+      .select(col("key"), explode(array_union(
+        array(col("key")),
+        array_distinct(transform(sequence(lit(1), length(col("key"))),
+          i => concat(col("key").substr(lit(1), i - 1),
+            col("key").substr(i + 1, length(col("key")))))))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
 }

@@ -175,6 +175,46 @@ class FunnelFuzzySpec extends SparkSpec {
       s"shed guaranteed pairs: ${(mustKeep -- got).take(5)}")
   }
 
+  test("fuzzy pairs: fail mode raises loudly on an oversized bucket, is a no-op otherwise") {
+    // Same hot-bucket corpus as the cap-and-route test: 31 distinct keys
+    // sharing deletion variant "aa". In fail mode the over-cap census row
+    // must raise (no silent shed) with the bucket named in the message;
+    // with the cap above the bucket size the fail-mode plan must produce
+    // exactly the route-mode (= exact) output.
+    val prefixes = (('A' to 'Z') ++ ('0' to '9')).take(30)
+    val df = (prefixes.map(c => s"${c}aa") :+ "aa").zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "name")
+    val ex = intercept[Exception] {
+      FuzzyJoin.editDistancePairs(df, "id", "name", maxBucket = 8,
+        failOnOversized = true).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("variant bucket") && m.contains("'aa'") && m.contains("31")),
+      s"unexpected failure chain: ${messages(ex).mkString(" | ")}")
+    val strict = FuzzyJoin.editDistancePairs(df, "id", "name", maxBucket = 64,
+        failOnOversized = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = FuzzyJoin.editDistancePairs(df, "id", "name", maxBucket = 64)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(strict == exact && strict.size == 30 + 30 * 29 / 2)
+  }
+
+  test("fuzzy pairs: oversizedBuckets census agrees with the join's cap decision") {
+    val prefixes = (('A' to 'Z') ++ ('0' to '9')).take(30)
+    val df = (prefixes.map(c => s"${c}aa") :+ "aa").zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "name")
+    // At cap 8 exactly the "aa" bucket (31 distinct keys: itself + 30
+    // single-deletion neighbors) is oversized; at the default cap nothing is
+    // — the audit must agree with the join bucket-for-bucket, which is what
+    // makes it a usable route-mode preflight.
+    val over = FuzzyJoin.oversizedBuckets(df, "id", "name", maxBucket = 8)
+      .as[(String, Long)].collect().toMap
+    assert(over == Map("aa" -> 31L), s"census: $over")
+    assert(FuzzyJoin.oversizedBuckets(df, "id", "name").isEmpty)
+  }
+
   test("tfidf top terms: rarer term outranks equally-frequent common term") {
     val docs = Seq(
       (1L, "zebra zebra common common"),

@@ -80,15 +80,23 @@ object Dims {
 
 /** Loader for the driver's parquet tables (TESTDATA.md).
   *
-  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-  * rejects by default; we read nanos as long and truncate to a micros
-  * timestamp — exactly what DuckDB does on the same file, so oracle
-  * comparisons agree.
+  * Timestamp storage has changed under us twice, so this loader is the single
+  * normalization point for `ts` (LoaderContractSpec pins it):
+  *   - TIMESTAMP(NANOS): Spark 4 rejects it by default; read nanos as long
+  *     and truncate to a micros timestamp — exactly what DuckDB does.
+  *   - TIMESTAMP_MICROS with isAdjustedToUTC=0: Spark 4 infers TIMESTAMP_NTZ,
+  *     which `unix_millis`/`unix_micros` reject at analysis. Disable NTZ
+  *     inference so it reads as plain TimestampType; the session timezone is
+  *     UTC everywhere (Verify/Bench/tests), so the wall-clock values are
+  *     identical to DuckDB's naive-timestamp reading and oracle hashes agree.
+  *     A cast branch below catches any NTZ column that still slips through
+  *     (e.g. a future explicitly-annotated NTZ logical type).
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Spark 4's ICU-backed lower()/upper() triggers
       // CollationAwareUTF8String.<clinit>, which builds a full ICU titlecase
       // table on first use — measured ~60 s of CPU once per JVM, blocking
@@ -99,10 +107,12 @@ object Tables {
     } catch { case _: Exception => }
     val path = s"$dir/$name.parquet"
     val df = spark.read.parquet(path)
-    val fixed = df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+    val fixed = df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => // TIMESTAMP(NANOS) via nanosAsLong shim
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case None => df
+      case Some(TimestampNTZType) => // explicit NTZ annotation (inference is off above)
+        df.withColumn("ts", df.col("ts").cast(TimestampType))
+      case _ => df
     }
     fixed
   }

@@ -35,24 +35,38 @@ object Bench {
     // slower than 1.0s and report the min; one extra run if both timings
     // stayed above 1.5s AND disagree by >2x (a stall hit one of them).
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Loud failures (VERDICT r11 #3): a throwing query must NOT have its
+    // exception's wall time reported as if it were the query's cost (r11
+    // silently "improved" ssjoin 9s->0.6s by timing an analysis error).
+    // Failed queries are excluded from the timing map and surfaced in a
+    // "failed" list on the JSON line; failures here are deterministic
+    // (analysis/plan errors), so no retry.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        None
+      }
     }
-    val pass1 = named.map { case (name, fn) => name -> once(fn) }.toMap
+    val pass1 = named.flatMap { case (name, fn) => once(name, fn).map(name -> _) }.toMap
     // Stalls are often SUSTAINED (minutes), so an immediate retry re-measures
     // the same stall. Re-run the affected queries as a second pass AFTER the
     // whole suite (temporal separation), then once more for any query whose
     // two timings still disagree by >2x.
-    val slow = named.filter { case (n, _) => pass1(n) > 1.0 }
-    val pass2 = slow.map { case (name, fn) => name -> once(fn) }.toMap
+    val slow = named.filter { case (n, _) => pass1.get(n).exists(_ > 1.0) }
+    val pass2 = slow.flatMap { case (name, fn) => once(name, fn).map(name -> _) }.toMap
     val pass3 = slow.filter { case (n, _) =>
-      val (a, b) = (pass1(n), pass2(n))
-      math.min(a, b) > 1.5 && math.max(a, b) > 2 * math.min(a, b)
-    }.map { case (name, fn) => name -> once(fn) }.toMap
-    val results = named.map { case (name, _) =>
-      name -> List(pass1.get(name), pass2.get(name), pass3.get(name)).flatten.min
+      (pass1.get(n), pass2.get(n)) match {
+        case (Some(a), Some(b)) => math.min(a, b) > 1.5 && math.max(a, b) > 2 * math.min(a, b)
+        case _ => false
+      }
+    }.flatMap { case (name, fn) => once(name, fn).map(name -> _) }.toMap
+    val results = named.flatMap { case (name, _) =>
+      val timings = List(pass1.get(name), pass2.get(name), pass3.get(name)).flatten
+      if (timings.isEmpty) None else Some(name -> timings.min)
     }
     // Compact number format (≤2 decimals, no trailing zeros): the driver
     // stores only a bounded tail of stdout, so the WHOLE line must stay
@@ -62,11 +76,18 @@ object Bench {
       val s = if (dec == 1) f"$v%.1f" else f"$v%.2f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
+    // Failed-query marker, present in every line variant. Cap the name list
+    // so a mass failure can't blow the 1900-char stdout budget.
+    val failJson = {
+      val names = failed.toSeq.take(8).map("\"" + _ + "\"")
+      val more = if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil
+      s""""failed_count":${failed.size},"failed":${(names ++ more).mkString("[", ",", "]")}"""
+    }
     def line(dec: Int, sf: String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$failJson,"queries":$qs,"sf":"$sf"}"""
     }
     // Slowest-N fallback once the full map can't fit: per-query timings are
     // only informative where time is actually spent, so keep the slowest
@@ -79,7 +100,7 @@ object Bench {
       val qs = (kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) } :+
         ("\"_other_sum\":" + fmt(rest, dec))).mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$failJson,"queries":$qs,"sf":"$sf"}"""
     }
     // Degrade ladder: 2-decimal → 1-decimal → 1-decimal with sf basename →
     // slowest-N maps. The driver keeps a 2000-char stdout tail; a line over

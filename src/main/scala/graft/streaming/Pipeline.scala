@@ -83,15 +83,27 @@ object Pipeline {
     * real per-batch volume and wants the full fan-out; this is a
     * replay-harness knob, not an operator default. Tests run at 4
     * partitions already — min() keeps them byte-identical. */
-  private def withReplayFanout[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(key)
-    if (saved.toInt <= 8) body
-    else {
-      spark.conf.set(key, "8")
-      try body finally spark.conf.set(key, saved)
+  private def withReplayFanout[T](spark: SparkSession)(body: => T): T =
+    // Serialized on a monitor: the save/set/restore below mutates a
+    // session-GLOBAL conf, so two concurrent replays on one SparkSession
+    // could interleave and a late restore would write back the temporary
+    // "8", permanently capping the session (ADVICE r11). Replays are
+    // driver-sequential today; the lock makes that assumption enforced
+    // rather than assumed.
+    replayFanoutLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val saved = spark.conf.get(key)
+      // Non-integer values (e.g. "auto" on managed platforms) can't be
+      // clamped — run at the existing fan-out rather than fail the replay.
+      scala.util.Try(saved.toInt).toOption match {
+        case Some(n) if n > 8 =>
+          spark.conf.set(key, "8")
+          try body finally spark.conf.set(key, saved)
+        case _ => body
+      }
     }
-  }
+
+  private val replayFanoutLock = new Object
 
   /** S2: streaming file source over a watched directory. Spark's file source
     * discovers *new* files; the reference's modified-file re-processing is
@@ -437,9 +449,9 @@ object Pipeline {
           .start()
         // processAllAvailable (not AvailableNow): the last summaries emit in
         // the watermark-driven NO-DATA batch after the sentinel, which this
-        // drain is documented to wait out.
-        q.processAllAvailable()
-        q.stop()
+        // drain is documented to wait out. stop() in finally so a failed
+        // drain can't leak a running query with open state stores.
+        try q.processAllAvailable() finally q.stop()
       }
       spark.read.parquet(out)
         .filter(col("user_id") >= 0L)
@@ -470,7 +482,10 @@ object Pipeline {
   def replayIntervalJoin(spark: SparkSession, events: DataFrame,
                          within: String = "30 minutes", nFiles: Int = 2,
                          stageKey: Option[String] = None): DataFrame = {
-    val (lsrc, rsrc, horizonSec) = memoStage(stageKey, s"ssjoin|$nFiles") {
+    // Memo tag carries EVERY shape parameter (`within` included, even though
+    // today's staged artifacts don't depend on it) so a future change that
+    // does bake `within` into staging can't silently reuse a stale stage.
+    val (lsrc, rsrc, horizonSec) = memoStage(stageKey, s"ssjoin|$within|$nFiles") {
       val root = replayTempRoot("graft_ssj_replay_")
       val cols = Seq(col("event_id"), col("user_id"), col("ts"))
       events.filter(col("event_type").isin("view", "click"))
@@ -594,9 +609,9 @@ object Pipeline {
         .outputMode("append")
         .start()
       // processAllAvailable, not AvailableNow: the null rows emit in
-      // watermark-driven no-data batches after the sentinels.
-      q.processAllAvailable()
-      q.stop()
+      // watermark-driven no-data batches after the sentinels. stop() in
+      // finally so a failed drain can't leak a running query.
+      try q.processAllAvailable() finally q.stop()
     }
     spark.read.parquet(out).filter(col("user_id") >= 0L)
   }

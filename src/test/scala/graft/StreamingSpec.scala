@@ -386,6 +386,30 @@ class StreamingSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("outer replay memo tag distinguishes window configs under one stageKey") {
+    // Two calls in one JVM, SAME stageKey, different withinMs: the memo tag
+    // must carry the window (r10/r11 advice), because the sentinel
+    // timestamps bake it in. With a stale 30-min stage reused for the 4-hour
+    // window, the sentinels would sit BELOW the 4-hour eviction bound and
+    // user 30's never-converted null row could never emit.
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 10L, ts("2024-01-01 10:20:00"), "purchase"),
+      (3L, 20L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, 20L, ts("2024-01-01 11:30:00"), "purchase"), // in 4h, outside 30min
+      (5L, 30L, ts("2024-01-01 10:00:00"), "click")     // never converts
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    def run(withinMs: Long) =
+      Pipeline.replayIntervalJoinOuter(spark, events, withinMs = withinMs,
+          nFiles = 2, stageKey = Some("memo2cfg"))
+        .select($"l_id", $"r_id", $"user_id")
+        .as[(Long, Option[Long], Long)].collect().toSet
+    assert(run(1800000L) ==
+      Set((1L, Some(2L), 10L), (3L, None, 20L), (5L, None, 30L)))
+    assert(run(14400000L) ==
+      Set((1L, Some(2L), 10L), (3L, Some(4L), 20L), (5L, None, 30L)))
+  }
+
   test("watermarked event-time window drops data later than the horizon") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val windowed = input.toDF().toDF("t", "k", "v")

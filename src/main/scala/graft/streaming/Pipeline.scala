@@ -90,7 +90,7 @@ object Pipeline {
     // "8", permanently capping the session (ADVICE r11). Replays are
     // driver-sequential today; the lock makes that assumption enforced
     // rather than assumed.
-    replayFanoutLock.synchronized {
+    replayConfLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val saved = spark.conf.get(key)
       // Non-integer values (e.g. "auto" on managed platforms) can't be
@@ -103,7 +103,7 @@ object Pipeline {
       }
     }
 
-  private val replayFanoutLock = new Object
+  private val replayConfLock = new Object
 
   /** S2: streaming file source over a watched directory. Spark's file source
     * discovers *new* files; the reference's modified-file re-processing is
@@ -429,6 +429,11 @@ object Pipeline {
     }
     val run = replayTempRoot("graft_sess_run_")
     val out = s"$run/out"; val ckpt = s"$run/ckpt"
+    // Same session-global save/set/restore shape as withReplayFanout, same
+    // monitor (reentrant — the nested fanout clamp below locks it again):
+    // two concurrent swaps could otherwise restore the temporary RocksDB
+    // provider as if it were the session default (ADVICE r11).
+    replayConfLock.synchronized {
     val provider = "spark.sql.streaming.stateStore.providerClass"
     val savedProvider = spark.conf.getOption(provider)
     spark.conf.set(provider,
@@ -459,6 +464,7 @@ object Pipeline {
           col("total").cast("long").as("total_cents"),
           col("start_ms"), col("end_ms"))
     } finally savedProvider.fold(spark.conf.unset(provider))(spark.conf.set(provider, _))
+    }
   }
 
   /** §2.5 STREAM-STREAM event-time interval join BATCH-REPLAY: promotes

@@ -47,7 +47,8 @@ object Bench {
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        System.err.println(s"[bench] $name FAILED: " +
+          Option(e.getMessage).getOrElse(e.getClass.getName))
         None
       }
     }
@@ -76,12 +77,18 @@ object Bench {
       val s = if (dec == 1) f"$v%.1f" else f"$v%.2f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    // Failed-query marker, present in every line variant. Cap the name list
-    // so a mass failure can't blow the 1900-char stdout budget.
+    // Failed-query marker, present in every line variant. A query counts as
+    // failed only if it has NO successful timing — a pass1 success whose
+    // pass2 retry hiccuped keeps its timing and is NOT failed (the marker
+    // means "no timing exists", so failed_count + queries-with-timings
+    // partitions the registry). Cap the name list so a mass failure can't
+    // blow the 1900-char stdout budget.
+    val timed = results.map(_._1).toSet
+    val failedFinal = failed.toSeq.filterNot(timed)
     val failJson = {
-      val names = failed.toSeq.take(8).map("\"" + _ + "\"")
-      val more = if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil
-      s""""failed_count":${failed.size},"failed":${(names ++ more).mkString("[", ",", "]")}"""
+      val names = failedFinal.take(8).map("\"" + _ + "\"")
+      val more = if (failedFinal.size > 8) Seq("\"+" + (failedFinal.size - 8) + " more\"") else Nil
+      s""""failed_count":${failedFinal.size},"failed":${(names ++ more).mkString("[", ",", "]")}"""
     }
     def line(dec: Int, sf: String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }

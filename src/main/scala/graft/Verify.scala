@@ -50,9 +50,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // A restricted run (`only` nonempty — local iteration) must not stamp
+    // the shared artifact dir certified-clean: carry over recorded errors
+    // for queries OUTSIDE this run's scope from any existing _errors.json.
+    // Keys are plain query names and values are already-escaped JSON string
+    // bodies, so pairs can be spliced back raw without unescaping.
+    val errPath = Paths.get(s"$outDir/_errors.json")
+    val carried: Seq[(String, String)] =
+      if (only.isEmpty || !Files.exists(errPath)) Nil
+      else {
+        val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*")""".r
+        pair.findAllMatchIn(Files.readString(errPath)).toSeq
+          .map(m => m.group(1) -> m.group(2))
+          .filterNot { case (k, _) => only(k) }
+      }
+    val errJson = (carried.map { case (k, v) => s"${q(k)}: $v" } ++
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }).mkString("{", ",", "}")
+    Files.writeString(errPath, errJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -110,11 +110,14 @@ object Tables {
     val fixed = df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) => // TIMESTAMP(NANOS) via nanosAsLong shim
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case Some(TimestampNTZType) => // explicit NTZ annotation (inference is off above)
-        df.withColumn("ts", df.col("ts").cast(TimestampType))
       case _ => df
     }
-    fixed
+    // Cast EVERY explicitly-NTZ-annotated column (inference is off above, but
+    // an explicit TIMESTAMP_NTZ logical type still reads as NTZ) — the naive
+    // columns are not just `ts`: orders.o_orderdate and lineitem.l_shipdate
+    // share the storage convention. Value-preserving under the UTC session tz.
+    df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+      .foldLeft(fixed)((d, c) => d.withColumn(c, d.col(c).cast(TimestampType)))
   }
 
   /** Spread a frame to the session's parallelism when its scan would produce

@@ -1113,6 +1113,14 @@ object SparkEntry {
       (s, d) => TextAnalysis.linearQuality(docs(s, d), "text", threshold = 0.0),
       Some(TextAnalysis.linearQualitySql(tokenRe, nonTokenRe, threshold = 0.0))),
 
+    // ---- x22: CCNet-style corpus-LM cross-entropy — unigram LM trained on
+    // the corpus, per-doc avg negative log-likelihood (monotone in
+    // perplexity, no exp); surprisal is 2^16 fixed-point so the score's
+    // integer accumulation is exact cross-engine (the d15 ln contract).
+    ("x22_lm_xent",
+      (s, d) => TextAnalysis.lmCrossEntropy(docs(s, d), "text"),
+      Some(TextAnalysis.lmCrossEntropySql(tokenRe))),
+
     // ---- x12: per-document distinctive terms (TF-IDF ranking with
     // integer-exact keys: tf DESC, df ASC — ties by term; no float log).
     ("x12_tfidf_topterms",

@@ -428,6 +428,66 @@ object TextAnalysis {
       .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_tokens"))
   }
 
+  /** CCNet-style LM quality score (Wenzek et al. 2020), the real form of the
+    * filter [[rareTokenStats]] stands in for: train a unigram LM on the
+    * corpus itself, score every document by its average per-token negative
+    * log-likelihood (cross-entropy; monotone in perplexity — no exp, which
+    * would reintroduce libm divergence). High avg_nll = token mix unlike the
+    * corpus = OCR noise, gibberish, boilerplate IDs.
+    *
+    * Determinism (the d15 idf contract): per-TYPE surprisal is fixed-point —
+    * floor(ln(T/c)·2¹⁶+0.5) as BIGINT, where c = corpus count of the token
+    * type and T = total token instances — so each doc's cross-entropy
+    * accumulates as an exact integer sum (`xent_fp`); the one final divide
+    * producing `avg_nll` is a single correctly-rounded double op, identical
+    * in any engine. T reaches the driver as one scalar (the bounded-sketch
+    * contract) and re-enters as a literal, so the surprisal column derives
+    * MAP-SIDE on the vocab frame.
+    *
+    * Scale: one tokenization scan into the pinned (doc_id, term, tf) posting
+    * frame (consumed by both the LM aggregate and the scoring join — the
+    * x12 re-tokenization trap); the LM is vocab-sized (Zipf-bounded far
+    * below corpus size), so the scoring join is posting ⨝ vocab on the term
+    * key — sort-merge by default, broadcast when the vocab fits (AQE
+    * converts at runtime from the aggregate's actual size). Per-doc scores
+    * are then one map-side-combined groupBy on doc_id. Docs with zero
+    * tokens have no posting rows and drop out, in both engines. */
+  def lmCrossEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val tok = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = Materialize.pin(tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val lm = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+    val total = tf.agg(sum(col("tf"))).head().getLong(0)
+    val wfx = floor(log(lit(total.toDouble) / col("c")) * lit(65536.0) + lit(0.5))
+      .cast("long")
+    tf.join(lm.select(col("term"), wfx.as("w_fx")), "term")
+      .groupBy("doc_id").agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("w_fx")).as("xent_fp"))
+      .withColumn("avg_nll",
+        col("xent_fp").cast("double") / (col("n_tokens") * lit(65536.0)))
+  }
+
+  /** [[lmCrossEntropy]] as DuckDB SQL (oracle), sharing the token regex and
+    * the 2¹⁶ fixed-point surprisal arithmetic. */
+  def lmCrossEntropySql(tokenRe: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokenRe')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |lm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM lm),
+       |w AS (SELECT term,
+       |  CAST(floor(ln(CAST(t AS DOUBLE) / c) * 65536.0 + 0.5) AS BIGINT)
+       |    AS w_fx
+       |  FROM lm, tot)
+       |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       |  CAST(sum(tf.tf * w.w_fx) AS BIGINT) AS xent_fp,
+       |  CAST(sum(tf.tf * w.w_fx) AS DOUBLE)
+       |    / (CAST(sum(tf.tf) AS BIGINT) * 65536.0) AS avg_nll
+       |FROM tf JOIN w USING (term)
+       |GROUP BY 1""".stripMargin
+
   /** Gopher-style quality rule gates (Rae et al. 2021's heuristic family):
     * per-document boolean rules plus the conjunction. All thresholds are
     * evaluated with integer cross-multiplication (`10*sum >= 3*n` instead of

@@ -368,6 +368,21 @@ class OpsSpec extends SparkSpec {
     assert(got(19L) == ((2L, 1L, 0.5)))
   }
 
+  test("LM cross-entropy: corpus-typical docs score low, OOV-heavy docs high") {
+    // Corpus: 'common' appears 39 times, 'weird' once -> T=40.
+    // Surprisal fp: common = floor(ln(40/39)*65536+0.5), weird = floor(ln(40)*65536+0.5).
+    val corpus = ((0 until 19).map(i => (i.toLong, "common common")) :+
+      ((19L, "common weird"))).toDF("doc_id", "text")
+    val got = TextAnalysis.lmCrossEntropy(corpus, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val wCommon = math.floor(math.log(40.0 / 39.0) * 65536.0 + 0.5).toLong
+    val wWeird = math.floor(math.log(40.0) * 65536.0 + 0.5).toLong
+    assert(got(0L) == ((2L, 2 * wCommon, (2 * wCommon).toDouble / (2 * 65536.0))))
+    assert(got(19L) == ((2L, wCommon + wWeird,
+      (wCommon + wWeird).toDouble / (2 * 65536.0))))
+    assert(got(19L)._3 > got(0L)._3) // the OOV-heavy doc is the filter target
+  }
+
   test("PQ ANN: same-codebook-cell vectors score ADC distance 0 and rank first") {
     // ids 0-3 are the codebook; 4,5 copy c0; 6 copies c1; 7 is its own thing
     def v(seed: Int): Seq[Float] = (0 until 8).map(j => (seed * 8 + j).toFloat * (seed + 1))

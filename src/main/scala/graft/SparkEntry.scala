@@ -1121,6 +1121,15 @@ object SparkEntry {
       (s, d) => TextAnalysis.lmCrossEntropy(docs(s, d), "text"),
       Some(TextAnalysis.lmCrossEntropySql(tokenRe))),
 
+    // ---- x23: DSIR importance-resampling weights — hashed-bigram
+    // log-likelihood ratio of the lang='en' target slice vs the raw corpus
+    // (Xie et al. 2023); the data-mixture reweighting score, 2^16
+    // fixed-point for exact cross-engine accumulation.
+    ("x23_dsir_weights",
+      (s, d) => graft.ops.Sampling.dsirWeights(docs(s, d), "text",
+        col("lang") === "en"),
+      Some(graft.ops.Sampling.dsirWeightsSql(tokenRe, "en"))),
+
     // ---- x12: per-document distinctive terms (TF-IDF ranking with
     // integer-exact keys: tf DESC, df ASC — ties by term; no float log).
     ("x12_tfidf_topterms",

@@ -111,4 +111,90 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** DSIR-style importance-resampling weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score each
+    * document by how much more likely its hashed word-n-gram features are
+    * under a TARGET slice's distribution than under the RAW corpus — the
+    * log-likelihood ratio whose softmax drives importance resampling when a
+    * pipeline wants web-scale data re-weighted toward a high-quality or
+    * in-domain subset. `targetPred` marks the target slice (e.g.
+    * `col("lang") === "en"`); features are n-gram instances hashed into
+    * `buckets` cells (hashing caps the model at `buckets` parameters no
+    * matter the corpus — DSIR's core trick), add-one smoothed on both sides.
+    *
+    * Determinism (the d15/x22 ln contract): per-bucket log-ratio is 2¹⁶
+    * fixed-point — floor(ln((ct+1)·K₁ / ((cr+1)·K₂))·2¹⁶+0.5) BIGINT with
+    * K₁ = Tr+buckets, K₂ = Tt+buckets — numerator/denominator built by
+    * exact integer multiplies, ONE double divide, one ln; per-doc scores
+    * accumulate as exact integer sums. Tr/Tt reach the driver as one 2-cell
+    * scalar row (bounded-sketch contract) and re-enter as literals.
+    *
+    * Scale: one tokenization scan into the pinned (doc_id, is_target,
+    * bucket) instance frame; ONE aggregate produces both sides' counts
+    * (buckets rows — broadcast by construction); the scoring join is the
+    * instance frame against that broadcast, then a map-side-combined
+    * groupBy(doc_id). No corpus-sized shuffle except the doc_id rollup.
+    * Documents shorter than `n` tokens emit one truncated shingle (the
+    * established [[Dedup.wordShingles]] max(1,·) fallback), so every doc
+    * scores — in both engines. */
+  def dsirWeights(df: DataFrame, textCol: String, targetPred: Column,
+                  buckets: Int = 4096, n: Int = 2): DataFrame = {
+    require(buckets >= 2 && n >= 1)
+    val feats0 = graft.model.Tables
+      .spread(df.select(col("doc_id"), targetPred.as("is_target"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"), col("is_target"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("__g"))
+      .select(col("doc_id"), col("is_target"),
+        (Dedup.strHash31(col("__g")) % buckets).as("b"))
+    val feats = graft.Materialize.pin(feats0)
+    val counts = feats.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum(col("cr")), sum(col("ct"))).head()
+    val k1 = totals.getLong(0) + buckets // Tr + B
+    val k2 = totals.getLong(1) + buckets // Tt + B
+    val wFx = floor(log(
+        ((col("ct") + 1L) * lit(k1)).cast("double") /
+        ((col("cr") + 1L) * lit(k2)).cast("double")) * lit(65536.0) + lit(0.5))
+      .cast("long")
+    feats.join(broadcast(counts.select(col("b"), wFx.as("w_fx"))), "b")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_feats"),
+        sum(col("w_fx")).as("logw_fp"))
+      .withColumn("avg_logw",
+        col("logw_fp").cast("double") / (col("n_feats") * lit(65536.0)))
+  }
+
+  /** [[dsirWeights]] as DuckDB SQL (oracle) for `targetPred` = (lang =
+    * 'target'), sharing the token regex, md5 bucket hash, and fixed-point
+    * log-ratio arithmetic. */
+  def dsirWeightsSql(tokenRe: String, target: String,
+                     buckets: Int = 4096, n: Int = 2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang = '$target' AS is_target,
+       |    regexp_extract_all(lower(text), '$tokenRe') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, is_target,
+       |    CAST('0x' || substr(md5(array_to_string(t[u.i : u.i + $n - 1], ' ')), 1, 8)
+       |      AS BIGINT) % ${Dedup.P} % $buckets AS b
+       |  FROM toks,
+       |    unnest(generate_series(1,
+       |      greatest(1, CAST(len(t) AS BIGINT) - ${n - 1}))) AS u(i)),
+       |counts AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+       |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM grams GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+       |  CAST(sum(ct) AS BIGINT) AS tt FROM counts),
+       |w AS (SELECT b,
+       |  CAST(floor(ln(CAST((ct + 1) * (tr + $buckets) AS DOUBLE)
+       |      / CAST((cr + 1) * (tt + $buckets) AS DOUBLE)) * 65536.0 + 0.5)
+       |    AS BIGINT) AS w_fx
+       |  FROM counts, tot)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |  CAST(sum(w.w_fx) AS BIGINT) AS logw_fp,
+       |  CAST(sum(w.w_fx) AS DOUBLE) / (count(*) * 65536.0) AS avg_logw
+       |FROM grams g JOIN w USING (b)
+       |GROUP BY 1""".stripMargin
 }

@@ -383,6 +383,27 @@ class OpsSpec extends SparkSpec {
     assert(got(19L)._3 > got(0L)._3) // the OOV-heavy doc is the filter target
   }
 
+  test("DSIR weights: target-typical docs score above raw-typical docs") {
+    // Target slice (lang=t) speaks bigram "alpha beta"; the raw remainder
+    // speaks "gamma delta". A target-like doc must get a higher log-ratio
+    // than a raw-like doc; a doc under 2 tokens has no features and drops.
+    val corpus = Seq(
+      (0L, "t", "alpha beta alpha beta alpha beta"),
+      (1L, "t", "alpha beta alpha beta"),
+      (2L, "r", "gamma delta gamma delta gamma delta"),
+      (3L, "r", "gamma delta gamma delta"),
+      (4L, "r", "alpha beta alpha beta"), // raw doc with target-like content
+      (5L, "r", "single")                 // 1 token -> one fallback shingle
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ops.Sampling.dsirWeights(corpus, "text",
+        col("lang") === "t", buckets = 64, n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got(5L)._1 == 1L) // wordShingles max(1,.) fallback: 1 feature
+    assert(got(0L)._2 > got(2L)._2) // target-speak outscores raw-speak
+    assert(got(4L)._2 == got(1L)._2) // score depends on content, not label
+    assert(got(0L)._1 == 5L && got(2L)._1 == 5L) // 6 tokens -> 5 bigram instances
+  }
+
   test("PQ ANN: same-codebook-cell vectors score ADC distance 0 and rank first") {
     // ids 0-3 are the codebook; 4,5 copy c0; 6 copies c1; 7 is its own thing
     def v(seed: Int): Seq[Float] = (0 until 8).map(j => (seed * 8 + j).toFloat * (seed + 1))

@@ -265,4 +265,24 @@ class PlanChecksSpec extends SparkSpec {
       assert(u5.nonEmpty && u5.forall(_.getLong(3) == expect))
     } finally spark.sql("DROP TABLE IF EXISTS graft_events_bucketed")
   }
+
+  test("DSIR scoring join broadcasts the bucket-count model") {
+    // x23's model side is at most `buckets` rows by construction; the
+    // scoring join over the corpus-sized instance frame must be a
+    // BroadcastHashJoin — a sort-merge here would shuffle every token
+    // instance at 100 TB for a 4096-row right side.
+    val plan = finalPlanString(SparkEntry.queries("x23_dsir_weights")(spark, sf))
+    assert(countOf(plan, "BroadcastHashJoin") >= 1, s"model side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in scoring plan:\n$plan")
+  }
+
+  test("LM cross-entropy tokenizes once: the pinned posting frame feeds both consumers") {
+    // x22's LM aggregate and scoring join both consume the (doc,term,tf)
+    // frame; the Materialize.pin must keep the plan to ONE tokenization
+    // scan (Generate) — the x12 re-tokenization trap.
+    val plan = finalPlanString(SparkEntry.queries("x22_lm_xent")(spark, sf))
+    assert(countOf(plan, "Generate explode") <= 1,
+      s"corpus re-tokenized (pin bypassed):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

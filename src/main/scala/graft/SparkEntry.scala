@@ -1130,6 +1130,14 @@ object SparkEntry {
         col("lang") === "en"),
       Some(graft.ops.Sampling.dsirWeightsSql(tokenRe, "en"))),
 
+    // ---- x24: per-source PSI drift — population-stability index of each
+    // source's hashed-token histogram vs the rest of the corpus; the
+    // mixture monitor that flags a distributionally anomalous source.
+    // Complements d12 (content overlap) with SHAPE divergence.
+    ("x24_source_drift",
+      (s, d) => TextAnalysis.sourceDrift(docs(s, d), "text"),
+      Some(TextAnalysis.sourceDriftSql(tokenRe))),
+
     // ---- x12: per-document distinctive terms (TF-IDF ranking with
     // integer-exact keys: tf DESC, df ASC — ties by term; no float log).
     ("x12_tfidf_topterms",

@@ -378,6 +378,87 @@ object TextAnalysis {
         .as("dup_fraction"))
   }
 
+  /** Per-source distribution drift: population-stability index (PSI) of each
+    * source's hashed-token histogram against the REST of the corpus — the
+    * mixture monitor that flags a distributionally anomalous source (a
+    * broken crawler, an OCR batch gone bad, a language mislabel) before it
+    * trains. PSI_s = Σ_b (p_b − q_b)·ln(p_b/q_b) ≥ 0 with p = this source's
+    * smoothed bucket frequency, q = everyone else's; 0 = identical mixes.
+    * Complements [[Dedup.sourceOverlap]]: that measures shared CONTENT
+    * (set Jaccard), this measures shared SHAPE (token distribution) — two
+    * sources can share zero documents yet have near-zero drift.
+    *
+    * Determinism: double sums are order-sensitive, so each bucket's PSI term
+    * is quantized to 2³⁰ fixed-point BIGINT and summed exactly (the
+    * d15/x22/x23 contract); p, q, and ln(p/q) are each a single
+    * correctly-rounded double op from exact integers, identical cross-engine.
+    *
+    * Scale: one tokenization scan into the (source, bucket) count frame —
+    * at most |sources|·buckets rows after ONE corpus-keyed shuffle; all
+    * drift arithmetic runs on that tiny frame (the full source×bucket grid,
+    * including this-source-zero buckets, via a broadcast join). Driver sees
+    * one total-count scalar. */
+  def sourceDrift(df: DataFrame, textCol: String, sourceCol: String = "source",
+                  buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2)
+    val tok = graft.model.Tables
+      .spread(df.select(col(sourceCol), col(textCol)), col(sourceCol))
+      .select(col(sourceCol).as("src"), explode(tokens(col(textCol))).as("__t"))
+      .select(col("src"), (Dedup.strHash31(col("__t")) % buckets).as("b"))
+    val csb = Materialize.pin(
+      tok.groupBy("src", "b").agg(count(lit(1)).as("c_sb")))
+    val cb = csb.groupBy("b").agg(sum(col("c_sb")).as("c_b"))
+    val ts = csb.groupBy("src").agg(sum(col("c_sb")).as("t_s"))
+    val total = csb.agg(sum(col("c_sb"))).head().getLong(0)
+    val grid = ts.crossJoin(broadcast(cb))
+      .join(csb, Seq("src", "b"), "left")
+      .withColumn("c_sb", coalesce(col("c_sb"), lit(0L)))
+    val p = (col("c_sb") + 1L).cast("double") / (col("t_s") + buckets).cast("double")
+    val q = (col("c_b") - col("c_sb") + 1L).cast("double") /
+      (lit(total) - col("t_s") + buckets).cast("double")
+    val termFp = floor((p - q) * log(p / q) * lit(1073741824.0) + lit(0.5)).cast("long")
+    grid.select(col("src"), col("t_s"), termFp.as("__fp"))
+      .groupBy("src").agg(
+        min(col("t_s")).as("n_tokens"),
+        sum(col("__fp")).as("psi_fp"))
+      .withColumn("psi", col("psi_fp").cast("double") / lit(1073741824.0))
+      .select(col("src").as(sourceCol), col("n_tokens"), col("psi_fp"), col("psi"))
+  }
+
+  /** [[sourceDrift]] as DuckDB SQL (oracle), sharing the token regex, md5
+    * bucket hash, and 2³⁰ fixed-point PSI-term arithmetic. */
+  def sourceDriftSql(tokenRe: String, buckets: Int = 1024): String =
+    s"""WITH tok AS (
+       |  SELECT source AS src,
+       |    unnest(regexp_extract_all(lower(text), '$tokenRe')) AS term
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT src, CAST('0x' || substr(md5(term), 1, 8) AS BIGINT)
+       |    % ${Dedup.P} % $buckets AS b FROM tok),
+       |csb AS (SELECT src, b, CAST(count(*) AS BIGINT) AS c_sb
+       |  FROM hashed GROUP BY 1, 2),
+       |cb AS (SELECT b, CAST(sum(c_sb) AS BIGINT) AS c_b FROM csb GROUP BY 1),
+       |ts AS (SELECT src, CAST(sum(c_sb) AS BIGINT) AS t_s FROM csb GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_sb) AS BIGINT) AS t FROM csb),
+       |grid AS (
+       |  SELECT ts.src, ts.t_s, cb.b, cb.c_b, COALESCE(csb.c_sb, 0) AS c_sb,
+       |    tot.t
+       |  FROM ts CROSS JOIN cb CROSS JOIN tot
+       |  LEFT JOIN csb ON csb.src = ts.src AND csb.b = cb.b),
+       |terms AS (
+       |  SELECT src, t_s,
+       |    CAST(floor(
+       |      (CAST(c_sb + 1 AS DOUBLE) / CAST(t_s + $buckets AS DOUBLE)
+       |        - CAST(c_b - c_sb + 1 AS DOUBLE) / CAST(t - t_s + $buckets AS DOUBLE))
+       |      * ln((CAST(c_sb + 1 AS DOUBLE) / CAST(t_s + $buckets AS DOUBLE))
+       |        / (CAST(c_b - c_sb + 1 AS DOUBLE) / CAST(t - t_s + $buckets AS DOUBLE)))
+       |      * 1073741824.0 + 0.5) AS BIGINT) AS fp
+       |  FROM grid)
+       |SELECT src AS source, CAST(min(t_s) AS BIGINT) AS n_tokens,
+       |  CAST(sum(fp) AS BIGINT) AS psi_fp,
+       |  CAST(sum(fp) AS DOUBLE) / 1073741824.0 AS psi
+       |FROM terms GROUP BY 1""".stripMargin
+
   /** Corpus-level n-gram frequency table, top-k by total occurrences — the
     * classic LM-data diagnostic (boilerplate discovery, contamination
     * probes, tokenizer-vocabulary sanity checks).

@@ -404,6 +404,26 @@ class OpsSpec extends SparkSpec {
     assert(got(0L)._1 == 5L && got(2L)._1 == 5L) // 6 tokens -> 5 bigram instances
   }
 
+  test("source drift: an off-distribution source scores the highest PSI") {
+    // a and b speak the same two tokens; c speaks a disjoint vocabulary —
+    // c must have strictly the largest drift vs the rest, and PSI >= 0 holds
+    // for all (smoothed, so equality never lands exactly on 0).
+    val corpus = Seq(
+      (0L, "a", "red blue red blue red blue"),
+      (1L, "a", "red blue red blue"),
+      (2L, "b", "blue red blue red blue red"),
+      (3L, "b", "red red blue blue"),
+      (4L, "c", "xylo zulu xylo zulu xylo zulu")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceDrift(corpus, "text", buckets = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toList
+    val byScore = got.map(t => t._1 -> t._3).toMap
+    assert(got.forall(_._3 >= 0.0), s"negative PSI: $got")
+    assert(byScore("c") > byScore("a") && byScore("c") > byScore("b"),
+      s"off-distribution source not flagged: $got")
+    assert(got.find(_._1 == "c").get._2 == 6L) // n_tokens rides the row
+  }
+
   test("PQ ANN: same-codebook-cell vectors score ADC distance 0 and rank first") {
     // ids 0-3 are the codebook; 4,5 copy c0; 6 copies c1; 7 is its own thing
     def v(seed: Int): Seq[Float] = (0 until 8).map(j => (seed * 8 + j).toFloat * (seed + 1))

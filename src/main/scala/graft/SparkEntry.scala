@@ -1138,6 +1138,14 @@ object SparkEntry {
       (s, d) => TextAnalysis.sourceDrift(docs(s, d), "text"),
       Some(TextAnalysis.sourceDriftSql(tokenRe))),
 
+    // ---- x25: sliding-window chunker — width-32/stride-24 token windows
+    // (25% overlap), the RAG-indexing / long-doc context shaping step.
+    // Integer+string arithmetic only; map-only + Generate, no shuffle.
+    ("x25_chunk_windows",
+      (s, d) => graft.ops.Packing.chunkWindows(docs(s, d), "text",
+        width = 32, stride = 24),
+      Some(graft.ops.Packing.chunkWindowsSql(tokenRe, width = 32, stride = 24))),
+
     // ---- x12: per-document distinctive terms (TF-IDF ranking with
     // integer-exact keys: tf DESC, df ASC — ties by term; no float log).
     ("x12_tfidf_topterms",

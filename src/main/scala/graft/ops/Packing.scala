@@ -75,4 +75,62 @@ object Packing {
         floor((row_number().over(w) - lit(1)).cast("double") / batchSize)
           .cast("long"))
   }
+
+  /** Sliding-window chunker: cut each document into token windows of `width`
+    * advancing by `stride` (overlap = width − stride) — the context-window
+    * shaping step of RAG indexing and long-doc pretraining (every token
+    * appears in ≥1 chunk; boundary context is preserved by the overlap).
+    * Chunk starts are 0, stride, 2·stride, …; the LAST chunk is the first
+    * start whose window reaches the end (no trailing chunk fully contained
+    * in its predecessor); a doc shorter than `width` (even empty) emits
+    * exactly one chunk. Emits (doc_id, chunk_id, start_tok, n_tokens,
+    * chunk) with chunk text re-joined on single spaces.
+    *
+    * All arithmetic is integer and all content is substring re-assembly —
+    * no floats anywhere, so the oracle match is exact by construction.
+    * Scale: map-only + one Generate (the start-offset explode); no shuffle,
+    * no state — the 100 TB plan is embarrassingly parallel. */
+  def chunkWindows(df: DataFrame, textCol: String, width: Int = 128,
+                   stride: Int = 96): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      "need 0 < stride <= width")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val len = size(toks).cast("long")
+    // n = 1 + ceil((len - width) / stride) for len > width, else 1 —
+    // integer form: (len - width + stride - 1) div stride + 1. floor of the
+    // double quotient is exact here (operands are tiny vs 2^53).
+    val n = when(len <= width, lit(1L))
+      .otherwise(floor((len - width + stride - 1) / stride).cast("long") + 1L)
+    df.select(col("doc_id"), toks.as("__t"), len.as("__len"), n.as("__n"))
+      .select(col("doc_id"), col("__t"), col("__len"),
+        explode(sequence(lit(0L), (col("__n") - 1L) * stride, lit(stride.toLong)))
+          .as("start_tok"))
+      .select(
+        col("doc_id"),
+        (col("start_tok") / stride).cast("int").as("chunk_id"),
+        col("start_tok"),
+        greatest(lit(0L), least(lit(width.toLong), col("__len") - col("start_tok")))
+          .as("n_tokens"),
+        array_join(slice(col("__t"), (col("start_tok") + 1L).cast("int"), lit(width)), " ")
+          .as("chunk"))
+  }
+
+  /** [[chunkWindows]] as DuckDB SQL (oracle), sharing the token regex and
+    * integer window arithmetic. */
+  def chunkWindowsSql(tokenRe: String, width: Int, stride: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t
+       |  FROM documents),
+       |sized AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS l,
+       |    CASE WHEN len(t) <= $width THEN 1
+       |         ELSE (CAST(len(t) AS BIGINT) - $width + $stride - 1) // $stride + 1
+       |    END AS n FROM toks)
+       |SELECT doc_id,
+       |  CAST(u.s // $stride AS INT) AS chunk_id,
+       |  CAST(u.s AS BIGINT) AS start_tok,
+       |  greatest(0, least($width, l - u.s)) AS n_tokens,
+       |  array_to_string(t[CAST(u.s + 1 AS INT) : CAST(u.s + $width AS INT)], ' ')
+       |    AS chunk
+       |FROM sized, unnest(generate_series(0, (n - 1) * $stride, $stride)) AS u(s)""".stripMargin
 }

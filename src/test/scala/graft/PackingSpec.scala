@@ -60,4 +60,24 @@ class PackingSpec extends SparkSpec {
       .select("doc_id", "bucket").collect().toSet
     assert(c != aB, "salt must reshuffle bucket assignment")
   }
+
+  test("chunk windows: every token covered, overlap exact, short docs emit one chunk") {
+    // 10 tokens, width 4, stride 3 -> starts 0,3,6 (6+4 >= 10 stops there):
+    // chunks "t0..t3", "t3..t6", "t6..t9" — the last is width-4 because
+    // 10-6=4; token t3/t6 appear twice (the overlap contract).
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b"), // shorter than width -> exactly one chunk, n_tokens 2
+      (3L, "")     // empty -> one chunk, n_tokens 0, empty text
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Packing.chunkWindows(docs, "text", width = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == 1L).toList == List(
+      (1L, 0, 0L, 4L, "w0 w1 w2 w3"),
+      (1L, 1, 3L, 4L, "w3 w4 w5 w6"),
+      (1L, 2, 6L, 4L, "w6 w7 w8 w9")))
+    assert(got.filter(_._1 == 2L).toList == List((2L, 0, 0L, 2L, "a b")))
+    assert(got.filter(_._1 == 3L).toList == List((3L, 0, 0L, 0L, "")))
+  }
 }

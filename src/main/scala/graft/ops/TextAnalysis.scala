@@ -322,16 +322,22 @@ object TextAnalysis {
     * clustering on one side), then a per-doc top-k window that Spark
     * rewrites to WindowGroupLimit — partial top-k before the final shuffle.
     */
+  /** The pinned per-document term-frequency frame (doc_id, term, tf) that
+    * tfidfTopTerms / rareTokenStats / lmCrossEntropy all start from: one
+    * tokenization scan, materialized because every consumer reads it at
+    * least twice (a corpus-level aggregate AND a join back) — without the
+    * pin Spark re-tokenizes the whole corpus per branch (column pruning
+    * specializes the subtrees, so ReusedExchange never canonicalizes them
+    * equal — same fix as the d3 sketch frame). */
+  private def pinnedTermFreq(df: DataFrame, textCol: String): DataFrame =
+    Materialize.pin(
+      graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+
   def tfidfTopTerms(df: DataFrame, textCol: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
-      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
-    val tf0 = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // both the join's left side and the document-frequency aggregate consume
-    // tf; without materialization Spark re-tokenizes the whole corpus for
-    // each branch (column pruning specializes the subtrees, so ReusedExchange
-    // never canonicalizes them equal — same fix as the d3 sketch frame)
-    val tf = Materialize.pin(tf0)
+    val tf = pinnedTermFreq(df, textCol)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
@@ -494,10 +500,7 @@ object TextAnalysis {
        |ORDER BY occurrences DESC, ngram LIMIT $k""".stripMargin
 
   def rareTokenStats(df: DataFrame, textCol: String, pctDenom: Int = 10): DataFrame = {
-    val tok = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
-      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
-    val tf0 = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val tf = Materialize.pin(tf0)
+    val tf = pinnedTermFreq(df, textCol)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // "rare" is RELATIVE (df·denom < corpus size, integer cross-multiplied):
     // an absolute cutoff stops meaning anything as the corpus grows
@@ -534,11 +537,10 @@ object TextAnalysis {
     * are then one map-side-combined groupBy on doc_id. Docs with zero
     * tokens have no posting rows and drop out, in both engines. */
   def lmCrossEntropy(df: DataFrame, textCol: String): DataFrame = {
-    val tok = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
-      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
-    val tf = Materialize.pin(tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val tf = pinnedTermFreq(df, textCol)
     val lm = tf.groupBy("term").agg(sum(col("tf")).as("c"))
-    val total = tf.agg(sum(col("tf"))).head().getLong(0)
+    // T summed off the vocab-sized lm frame, not the posting-sized tf
+    val total = lm.agg(sum(col("c"))).head().getLong(0)
     val wfx = floor(log(lit(total.toDouble) / col("c")) * lit(65536.0) + lit(0.5))
       .cast("long")
     tf.join(lm.select(col("term"), wfx.as("w_fx")), "term")

@@ -78,7 +78,9 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- registry
 
-  private lazy val registry: Seq[(String, Q, Option[String])] = Seq(
+  // private[graft] so SqlLintSpec can assert the registry's SHAPE invariants
+  // (unique names, every query oracled) that the derived Maps silently mask.
+  private[graft] lazy val registry: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- S1/T12: tabular scan, blank-row filter, projection (pro.py:34-44)
     ("s1_scan_clean",

@@ -28,6 +28,19 @@ class SqlLintSpec extends AnyFunSuite {
         s"DuckDB DOUBLE — use 1eN or CAST): ${offenders.mkString("; ")}")
   }
 
+  test("registry names are unique and every registered query is oracled") {
+    // Both public maps derive from `registry` via .toMap, which would
+    // silently COLLAPSE a duplicate name (losing a query from the gate with
+    // no error anywhere); and a `None` oracle would silently demote a query
+    // to the weaker rows-only check. Keep both failure modes loud.
+    val names = SparkEntry.registry.map(_._1)
+    val dupes = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dupes.isEmpty, s"duplicate registry names (toMap collapses them): ${dupes.mkString(", ")}")
+    val unoracled = SparkEntry.registry.collect { case (n, _, None) => n }
+    assert(unoracled.isEmpty,
+      s"registered queries without DuckDB oracle SQL: ${unoracled.mkString(", ")}")
+  }
+
   test("the sparkParsedSql registry cannot be bypassed with inline SQL text") {
     // Inline texts escape the lint above, so force extraction into vals:
     // (a) no triple-quoted string may be passed straight to .sql(;

@@ -90,11 +90,20 @@ object Bench {
       val more = if (failedFinal.size > 8) Seq("\"+" + (failedFinal.size - 8) + " more\"") else Nil
       s""""failed_count":${failedFinal.size},"failed":${(names ++ more).mkString("[", ",", "]")}"""
     }
+    // Headline guard (ADVICE r12): when any query failed, the sum over
+    // SURVIVING queries is not comparable round-over-round — a consumer
+    // diffing "value" totals would read a failure as a speedup. Null the
+    // headline and park the shrunken sum under "partial_total" so the
+    // comparison breaks loudly instead of lying quietly.
+    def totalJson: String = {
+      val total = fmt(results.map(_._2).sum, 2)
+      if (failedFinal.isEmpty) s""""value":$total"""
+      else s""""value":null,"partial_total":$total"""
+    }
     def line(dec: Int, sf: String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      val total = results.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$failJson,"queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total",$totalJson,"unit":"sec",$failJson,"queries":$qs,"sf":"$sf"}"""
     }
     // Slowest-N fallback once the full map can't fit: per-query timings are
     // only informative where time is actually spent, so keep the slowest
@@ -106,8 +115,7 @@ object Bench {
       val rest = sorted.drop(top).map(_._2).sum
       val qs = (kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) } :+
         ("\"_other_sum\":" + fmt(rest, dec))).mkString("{", ",", "}")
-      val total = results.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$failJson,"queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total",$totalJson,"unit":"sec",$failJson,"queries":$qs,"sf":"$sf"}"""
     }
     // Degrade ladder: 2-decimal → 1-decimal → 1-decimal with sf basename →
     // slowest-N maps. The driver keeps a 2000-char stdout tail; a line over

@@ -1689,49 +1689,80 @@ object SparkEntry {
         |SELECT a.vec_id, a.cell, d.vec_id IS NULL AS keep
         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin)),
 
-    // ---- m: multimodal plumbing (north star; codecs stubbed, dataflow real)
+    // ---- m: multimodal plumbing (north star). The image leg is REAL:
+    // payloads are genuine PNGs, metadata reflects the true encoded dims,
+    // and the payload_magic column proves the bytes carry the PNG signature
+    // (the oracle pins the literal 8-byte magic; a fake payload would
+    // hash-mismatch here). content_md5 stays oracled for the opaque
+    // audio/video payloads (UTF-8 text bytes the oracle can re-hash); a PNG
+    // byte stream is not SQL-reproducible (zlib), so image fidelity is
+    // certified by m3's real decode instead.
     ("m1_media_meta",
       (s, d) => Multimodal.syntheticMedia(docs(s, d))
         .select(col("media_id"), col("media_type"), col("width"), col("height"),
-          col("duration_ms"), md5(col("content")).as("content_md5")),
+          col("duration_ms"),
+          when(col("media_type") =!= "image", md5(col("content"))).as("content_md5"),
+          when(col("media_type") === "image",
+            lower(hex(substring(col("content"), 1, 8)))).as("payload_magic")),
       Some("""SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |     ELSE 'video' END AS media_type,
-        |CAST(length(text) % 640 + 64 AS INT) AS width,
-        |CAST(length(text) % 480 + 48 AS INT) AS height,
+        |CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 13 + 4 AS INT)
+        |     ELSE CAST(length(text) % 640 + 64 AS INT) END AS width,
+        |CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 11 + 4 AS INT)
+        |     ELSE CAST(length(text) % 480 + 48 AS INT) END AS height,
         |CAST(length(text) * 100 AS BIGINT) AS duration_ms,
-        |md5(text) AS content_md5 FROM documents""".stripMargin)),
+        |CASE WHEN doc_id % 3 = 0 THEN NULL ELSE md5(text) END AS content_md5,
+        |CASE WHEN doc_id % 3 = 0 THEN '89504e470d0a1a0a' ELSE NULL END AS payload_magic
+        |FROM documents""".stripMargin)),
 
-    // mapPartitions decode path: the stub codec's dims are md5-derived ints,
-    // so the typed Dataset leg (codec init per partition) is fully oracled.
+    // mapPartitions decode path. Image rows: REAL javax.imageio decode — the
+    // oracle predicts dims from the GENERATOR's formula (len%13+4, len%11+4)
+    // while Spark re-reads them from the decoded PNG header, so a hash match
+    // certifies an actual encode→decode round-trip, not a shared fake.
+    // Audio/video rows: the stub's md5-derived dims over the text payload,
+    // fully oracled as before.
     ("m3_decode_meta",
       (s, d) => Multimodal.extractFeatures(s, Multimodal.syntheticMedia(docs(s, d)))
         .toDF().select("media_id", "media_type", "dec_width", "dec_height"),
       Some("""SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |     ELSE 'video' END AS media_type,
-        |CAST(((CAST('0x' || substr(md5(text), 1, 2) AS INT) & 127) * 16) + 64 AS INT) AS dec_width,
-        |CAST(((CAST('0x' || substr(md5(text), 3, 2) AS INT) & 127) * 8) + 48 AS INT) AS dec_height
+        |CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 13 + 4 AS INT)
+        |     ELSE CAST(((CAST('0x' || substr(md5(text), 1, 2) AS INT) & 127) * 16) + 64 AS INT)
+        |END AS dec_width,
+        |CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 11 + 4 AS INT)
+        |     ELSE CAST(((CAST('0x' || substr(md5(text), 3, 2) AS INT) & 127) * 8) + 48 AS INT)
+        |END AS dec_height
         |FROM documents""".stripMargin)),
 
+    // Frame sampling is a temporal-media operation: image rows (now real
+    // compressed PNGs) are excluded — slicing a still image's zlib stream is
+    // not frame access, and the oracle can only re-derive slices of the
+    // opaque text payloads anyway.
     ("m2_frame_sample",
-      (s, d) => Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, d)))
+      (s, d) => Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, d))
+          .filter(col("media_type") =!= "image"))
         .select("media_id", "frame_no", "frame_md5"),
       Some("""SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
         |md5(substr(text, CAST(1 + i*64 AS INT), 16)) AS frame_md5
         |FROM documents,
-        |unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)""".stripMargin)),
+        |unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)
+        |WHERE CAST(doc_id % 3 AS INT) <> 0""".stripMargin)),
 
     // ---- m4: cross-media shared-segment detection — media pairs containing
     // identical sampled frames (re-uploads, shared intros); frame hashes are
     // capped like every LSH bucket so the pair join never goes quadratic.
+    // Temporal media only, matching m2.
     ("m4_shared_frames",
-      (s, d) => Multimodal.sharedFrames(Multimodal.syntheticMedia(docs(s, d))),
+      (s, d) => Multimodal.sharedFrames(Multimodal.syntheticMedia(docs(s, d))
+        .filter(col("media_type") =!= "image")),
       Some("""WITH fr AS (
         |  SELECT DISTINCT doc_id AS media_id,
         |    md5(substr(text, CAST(1 + i*64 AS INT), 16)) AS frame_md5
         |  FROM documents,
-        |  unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)),
+        |  unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)
+        |  WHERE CAST(doc_id % 3 AS INT) <> 0),
         |rare AS (SELECT frame_md5 FROM fr GROUP BY 1 HAVING count(*) <= 32),
         |pr AS (SELECT * FROM fr WHERE frame_md5 IN (SELECT frame_md5 FROM rare))
         |SELECT l.media_id AS media_a, r.media_id AS media_b,

@@ -59,10 +59,18 @@ object Verify {
     val carried: Seq[(String, String)] =
       if (only.isEmpty || !Files.exists(errPath)) Nil
       else {
+        val raw = Files.readString(errPath)
         val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*")""".r
-        pair.findAllMatchIn(Files.readString(errPath)).toSeq
+        val pairs = pair.findAllMatchIn(raw).toSeq
           .map(m => m.group(1) -> m.group(2))
-          .filterNot { case (k, _) => only(k) }
+        // Parse guard (ADVICE r12): a non-empty file from which the pair
+        // regex extracts NOTHING is corrupt or foreign-format — silently
+        // carrying zero records would stamp the artifact dir cleaner than
+        // it is. Refuse to rewrite and fail the restricted run loudly.
+        if (pairs.isEmpty && raw.exists(c => c != '{' && c != '}' && !c.isWhitespace))
+          sys.error(s"$errPath is non-empty but no key/value pairs parsed; " +
+            "refusing to overwrite it from a restricted run — delete or fix it first")
+        pairs.filterNot { case (k, _) => only(k) }
       }
     val errJson = (carried.map { case (k, v) => s"${q(k)}: $v" } ++
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }).mkString("{", ",", "}")

@@ -10,10 +10,16 @@ import graft.Materialize
   * typed metadata (north star).
   *
   * The Spark-side plumbing is real — schema, partition-friendly batch
-  * iteration, deterministic feature extraction over bytes. The actual media
-  * CODECS ARE STUBBED (this container has no image/audio libraries): decode
-  * is a clearly-marked deterministic fake so the dataflow, schema, and
-  * batching are testable. On a real cluster, swap `StubCodec` for a JNI/
+  * iteration, deterministic feature extraction over bytes. The IMAGE leg is
+  * a REAL codec: payloads are genuine PNG byte streams (encoded by
+  * [[ImageCodec.encodePng]] from deterministic pixel patterns) and
+  * [[extractFeatures]] decodes them with `javax.imageio.ImageIO` — actual
+  * header parse + zlib inflate + pixel access, certified by the driver gate
+  * because the oracle predicts the dims from the GENERATOR's formula while
+  * Spark re-derives them from the decoded image (a header round-trip, not a
+  * shared fake). Audio/video decode stays a clearly-marked deterministic
+  * stub — the JDK ships no audio/video codec and this container has no
+  * native media libraries. On a real cluster, swap `StubCodec` for a JNI/
   * library decoder inside the same `mapPartitions` shape (one codec init per
   * partition, streamed batches — never per-row init, never driver-side).
   */
@@ -31,25 +37,83 @@ object Multimodal {
     StructField("source", StringType, nullable = true)
   ))
 
-  /** Build a media table from any (id, text) frame — payload = UTF-8 bytes,
-    * metadata derived deterministically. Stand-in generator for tests. */
-  def syntheticMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(typedLit(Seq("image", "audio", "video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("content"),
-      (length(col("text")) % 640 + 64).cast("int").as("width"),
-      (length(col("text")) % 480 + 48).cast("int").as("height"),
-      (length(col("text")) * 100).cast("long").as("duration_ms"),
-      col("source"))
+  /** REAL image codec over `javax.imageio` (JDK-only, zero external deps).
+    * Encode side exists so the synthetic corpus carries genuine PNG payloads;
+    * decode side is the production path. All math is integer until the final
+    * per-feature divide, so features are bit-deterministic. */
+  object ImageCodec {
+    // In-memory streams only: ImageIO's default scratch-file cache would do
+    // executor-local disk IO per image.
+    javax.imageio.ImageIO.setUseCache(false)
 
-  /** STUB CODEC — deterministic fake standing in for a real decoder.
-    * Every value is a pure function of the payload bytes (md5-derived), so
-    * tests are stable and the plumbing (batch shape, schema, null handling)
-    * is exercised end-to-end. */
+    /** Deterministic RGB test pattern: pixel (x,y) of a `seed`-ed image is a
+      * fixed linear-congruential mix, so the SAME (w,h,seed) always encodes
+      * the same image — and any decoder returning different pixels is wrong. */
+    def patternRgb(x: Int, y: Int, seed: Long): Int = {
+      val s = (seed & 0xFFFFFFL).toInt
+      val r = (x * 31 + y * 7 + s) & 0xFF
+      val g = (x * 13 + y * 29 + s * 3) & 0xFF
+      val b = (x * 17 + y * 11 + s * 5) & 0xFF
+      (r << 16) | (g << 8) | b
+    }
+
+    /** Encode the (w,h,seed) pattern as an actual PNG byte stream. */
+    def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, patternRgb(x, y, seed)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-supported payload (PNG/GIF/BMP/JPEG). Null when
+      * the bytes are not a recognized image — callers surface that as a
+      * decode failure, never a crash. */
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+
+    /** Real pixel-statistic features from a decoded image: per-channel means,
+      * luminance mean/min/max, aspect ratio — integer sums, one divide each,
+      * cycled/truncated to `dims`. */
+    def pixelStats(img: java.awt.image.BufferedImage, dims: Int): Array[Float] = {
+      val w = img.getWidth; val h = img.getHeight; val n = w.toLong * h
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var lmin = 255; var lmax = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+          sr += r; sg += g; sb += b
+          // integer ITU-R 601 luma approximation (deterministic)
+          val l = (r * 299 + g * 587 + b * 114) / 1000
+          if (l < lmin) lmin = l
+          if (l > lmax) lmax = l
+          x += 1
+        }
+        y += 1
+      }
+      val base = Array[Float](
+        sr.toFloat / n / 255f, sg.toFloat / n / 255f, sb.toFloat / n / 255f,
+        (sr * 299L + sg * 587L + sb * 114L).toFloat / 1000f / n / 255f,
+        lmin / 255f, lmax / 255f, w.toFloat / h, w * h)
+      Array.tabulate(dims)(i => base(i % base.length))
+    }
+  }
+
+  /** STUB CODEC — deterministic fake for the media types the JDK cannot
+    * decode (audio/video). Every value is a pure function of the payload
+    * bytes (md5-derived), so tests are stable and the plumbing (batch shape,
+    * schema, null handling) is exercised end-to-end. */
   object StubCodec {
-    /** ??? real impl: image decode (e.g. TwelveMonkeys/ImageIO via JNI). */
+    /** ??? real impl: audio/video container demux (ffmpeg-class, via JNI). */
     def decodeDims(payload: Array[Byte]): (Int, Int) = {
       val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
       (((h(0) & 0x7F) << 4) + 64, ((h(1) & 0x7F) << 3) + 48)
@@ -61,24 +125,78 @@ object Multimodal {
     }
   }
 
+  /** Image dims used by the synthetic generator: tiny (4–16 × 4–14) so a
+    * 100 TB-scale corpus of test media stays cheap, derived from text length
+    * so the DuckDB oracle can predict what ImageIO must decode. */
+  def imgW(len: Int): Int = len % 13 + 4
+  def imgH(len: Int): Int = len % 11 + 4
+
+  /** Build a media table from any (id, text) frame. IMAGE rows carry a real
+    * PNG payload (pattern seeded by media_id, dims from text length — see
+    * [[imgW]]/[[imgH]]); audio/video rows carry the UTF-8 text bytes as an
+    * opaque stand-in payload. Metadata columns reflect the payload: image
+    * width/height are the true encoded dims. Typed-map generation (not pure
+    * columns) because PNG encoding is genuinely imperative — same codec
+    * boundary as [[extractFeatures]]. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text"),
+        col("source"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, mtype, text, src) =>
+          val len = if (text == null) 0 else text.length
+          val (content, w, h) =
+            if (mtype == "image")
+              (ImageCodec.encodePng(imgW(len), imgH(len), id), imgW(len), imgH(len))
+            else
+              (if (text == null) null else text.getBytes("UTF-8"),
+                len % 640 + 64, len % 480 + 48)
+          (id, mtype, content, w, h, len.toLong * 100, src)
+        }
+      }
+      .toDF("media_id", "media_type", "content", "width", "height",
+        "duration_ms", "source")
+  }
+
   case class MediaFeatures(media_id: Long, media_type: String,
                            dec_width: Int, dec_height: Int,
                            features: Array[Float])
 
   /** Decode + feature-extract: `mapPartitions` so a real codec is initialized
     * once per partition and rows stream through in place (the Scala analogue
-    * of `mapInPandas` batch processing). */
+    * of `mapInPandas` batch processing). Image rows go through the REAL
+    * ImageIO decode (header parse + inflate + pixel stats); audio/video
+    * through the stub. An image payload that fails to decode surfaces as
+    * (-1, -1) dims rather than an executor crash. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       featureDims: Int = 8): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "media_type", "content")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // real codec: init native decoder HERE, once per partition
+        // real codec boundary: per-partition init happens here (ImageIO
+        // reader registry lookup is cached JVM-wide; a native decoder would
+        // allocate its context at this point)
         rows.map { case (id, mtype, payload) =>
           val bytes = if (payload == null) Array.empty[Byte] else payload
-          val (w, h) = StubCodec.decodeDims(bytes)
-          MediaFeatures(id, mtype, w, h, StubCodec.features(bytes, featureDims))
+          if (mtype == "image") {
+            ImageCodec.decode(bytes) match {
+              case Some(img) =>
+                MediaFeatures(id, mtype, img.getWidth, img.getHeight,
+                  ImageCodec.pixelStats(img, featureDims))
+              case None =>
+                MediaFeatures(id, mtype, -1, -1, Array.fill(featureDims)(0f))
+            }
+          } else {
+            val (w, h) = StubCodec.decodeDims(bytes)
+            MediaFeatures(id, mtype, w, h, StubCodec.features(bytes, featureDims))
+          }
         }
       }
   }
@@ -110,7 +228,9 @@ object Multimodal {
 
   /** Frame sampling: every `strideBytes`-th fixed-width slice of the payload
     * (stand-in for video frame extraction). Pure expressions — the payload is
-    * sliced lazily, exploded rows carry only the sampled frame. */
+    * sliced lazily, exploded rows carry only the sampled frame. Temporal-media
+    * semantics: callers sampling a mixed corpus filter to audio/video first
+    * (slicing a compressed still image's byte stream is not frame access). */
   def sampleFrames(media: DataFrame, frameBytes: Int = 16, strideBytes: Int = 64): DataFrame = {
     val n = greatest(lit(1), floor(length(col("content")) / strideBytes).cast("int"))
     media.select(col("media_id"),

@@ -125,10 +125,14 @@ object Sampling {
     *
     * Determinism (the d15/x22 ln contract): per-bucket log-ratio is 2¹⁶
     * fixed-point — floor(ln((ct+1)·K₁ / ((cr+1)·K₂))·2¹⁶+0.5) BIGINT with
-    * K₁ = Tr+buckets, K₂ = Tt+buckets — numerator/denominator built by
-    * exact integer multiplies, ONE double divide, one ln; per-doc scores
-    * accumulate as exact integer sums. Tr/Tt reach the driver as one 2-cell
-    * scalar row (bounded-sketch contract) and re-enter as literals.
+    * K₁ = Tr+buckets, K₂ = Tt+buckets. Each factor converts to double
+    * FIRST (one correctly-rounded conversion each — a BIGINT product
+    * (ct+1)·K₁ would wrap past 2⁶³ on ~10¹⁰-token corpora, silently in
+    * Spark non-ANSI, loudly in DuckDB), then two double multiplies, ONE
+    * divide, one ln — the same IEEE-754 op sequence in both engines, so
+    * still bit-deterministic cross-engine; per-doc scores accumulate as
+    * exact integer sums. Tr/Tt reach the driver as one 2-cell scalar row
+    * (bounded-sketch contract) and re-enter as literals.
     *
     * Scale: one tokenization scan into the pinned (doc_id, is_target,
     * bucket) instance frame; ONE aggregate produces both sides' counts
@@ -155,8 +159,8 @@ object Sampling {
     val k1 = totals.getLong(0) + buckets // Tr + B
     val k2 = totals.getLong(1) + buckets // Tt + B
     val wFx = floor(log(
-        ((col("ct") + 1L) * lit(k1)).cast("double") /
-        ((col("cr") + 1L) * lit(k2)).cast("double")) * lit(65536.0) + lit(0.5))
+        ((col("ct") + 1L).cast("double") * lit(k1.toDouble)) /
+        ((col("cr") + 1L).cast("double") * lit(k2.toDouble))) * lit(65536.0) + lit(0.5))
       .cast("long")
     feats.join(broadcast(counts.select(col("b"), wFx.as("w_fx"))), "b")
       .groupBy("doc_id").agg(
@@ -188,8 +192,8 @@ object Sampling {
        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
        |  CAST(sum(ct) AS BIGINT) AS tt FROM counts),
        |w AS (SELECT b,
-       |  CAST(floor(ln(CAST((ct + 1) * (tr + $buckets) AS DOUBLE)
-       |      / CAST((cr + 1) * (tt + $buckets) AS DOUBLE)) * 65536.0 + 0.5)
+       |  CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(tr + $buckets AS DOUBLE))
+       |      / (CAST(cr + 1 AS DOUBLE) * CAST(tt + $buckets AS DOUBLE))) * 65536.0 + 0.5)
        |    AS BIGINT) AS w_fx
        |  FROM counts, tot)
        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_feats,

@@ -18,22 +18,28 @@ class DeterminismSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   /** Canonical content hash: columns sorted by name, rows sorted by their
-    * full string image, doubles rendered as raw IEEE bits. */
+    * full string image, doubles rendered as raw IEEE bits. Cells are framed
+    * netstring-style -- null is the bare tag `n`, a value is `<len>:<cell>`
+    * -- so a document string CONTAINING any would-be sentinel byte can never
+    * alias a null or a field boundary (each value frame is self-delimiting
+    * by its length prefix; bare `n` cannot collide because no length starts
+    * with a letter). Self-delimiting frames need no separator. */
+  private def frame(cell: String): String = s"${cell.length}:$cell"
   private def canonicalHash(df: DataFrame): String = {
     val cols = df.columns.sorted
     val proj = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
     val rows = proj.collect().map { r =>
       (0 until r.length).map { i =>
         r.get(i) match {
-          case null => "\u0000"
-          case d: Double => java.lang.Double.doubleToRawLongBits(d).toHexString
-          case f: Float => java.lang.Float.floatToRawIntBits(f).toHexString
-          case s: Seq[_] => s.mkString("[", ",", "]")
-          case m: Map[_, _] => m.toSeq.map(_.toString).sorted.mkString("{", ",", "}")
-          case b: Array[Byte] => b.map("%02x".format(_)).mkString
-          case x => x.toString
+          case null => "n"
+          case d: Double => frame(java.lang.Double.doubleToRawLongBits(d).toHexString)
+          case f: Float => frame(java.lang.Float.floatToRawIntBits(f).toHexString)
+          case s: Seq[_] => frame(s.mkString("[", ",", "]"))
+          case m: Map[_, _] => frame(m.toSeq.map(_.toString).sorted.mkString("{", ",", "}"))
+          case b: Array[Byte] => frame(b.map("%02x".format(_)).mkString)
+          case x => frame(x.toString)
         }
-      }.mkString("\u0001")
+      }.mkString
     }.sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.foreach(r => md.update(r.getBytes("UTF-8")))

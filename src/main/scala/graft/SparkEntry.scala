@@ -900,6 +900,24 @@ object SparkEntry {
         |                           ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin)),
 
+    // ---- §2.5 checkpoint RECOVERY under the oracle gate (r12 verdict #6):
+    // same pipeline, but the first query crashes INSIDE foreachBatch after
+    // batch 2's sink write and before its offset commit — the worst-case
+    // failure point. A second query reopens the checkpoint, replays the
+    // unacknowledged batch (at-least-once), and the idempotent latest-wins
+    // merge absorbs the duplicate — so the settled table must STILL equal
+    // the one-shot batch arbitration: exactly-once recovery semantics
+    // certified end-to-end, same oracle as the steady-state replay.
+    ("s2_restart_replay",
+      (s, d) => graft.streaming.Pipeline.replayUpsertRestart(s, ev(s, d),
+        stageKey = Some(d)),
+      Some("""SELECT user_id, CAST(ts AS DATE) AS ingest_date, event_id,
+        |  event_type, value, ts
+        |FROM (SELECT user_id, event_id, event_type, value, ts,
+        |        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin)),
+
     // ---- T1 (§2.5): the watermarked STREAMING dedup under the oracle gate —
     // dropDuplicatesWithinWatermark over a 4-file replay of the corpus; the
     // emitted set is exactly one row per distinct content hash for any batch

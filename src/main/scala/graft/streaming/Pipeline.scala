@@ -250,6 +250,82 @@ object Pipeline {
         col("event_type"), col("value"), col("ts"))
   }
 
+  /** [[replayUpsertDaily]] with a CRASH INJECTED MID-CORPUS: the first query
+    * run merges `killAfterBatches` micro-batches and then throws INSIDE
+    * foreachBatch — after the sink write, BEFORE the offset commit, the
+    * worst-case failure point (the sink holds a batch the checkpoint does
+    * not acknowledge). A second query then reopens the SAME checkpoint and
+    * drains the remaining files. Recovery replays the unacknowledged batch —
+    * at-least-once delivery — and the idempotent keyed latest-wins merge
+    * collapses the duplicate, so the settled table must still hash-match the
+    * one-shot batch arbitration: exactly-once END-TO-END, certified by the
+    * cross-engine gate rather than asserted. (This strengthens the
+    * reference's manual-commit contract, `con.py:18,79-88`, where a crash
+    * between ES write and Kafka commit re-delivers and idempotent doc ids
+    * absorb the replay.)
+    *
+    * The staged input rides the same memo as [[replayUpsertDaily]] (staging
+    * is shape-identical); the checkpoint, sink, and both query lifecycles
+    * are always fresh — a reused checkpoint would no-op-resume and certify
+    * nothing. */
+  def replayUpsertRestart(spark: SparkSession, events: DataFrame,
+                          nFiles: Int = 4, killAfterBatches: Int = 2,
+                          stageKey: Option[String] = None): DataFrame = {
+    require(killAfterBatches >= 1 && killAfterBatches < nFiles,
+      s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
+        s"got $killAfterBatches / $nFiles")
+    val src = memoStage(stageKey, s"s2|$nFiles") {
+      val root = replayTempRoot("graft_s2_replay_")
+      events.repartitionByRange(nFiles, col("event_id"))
+        .write.mode("overwrite").parquet(s"$root/src")
+      s"$root/src"
+    }
+    val run = replayTempRoot("graft_s2r_run_")
+    val tgt = s"$run/tgt"; val ckpt = s"$run/ckpt"
+    val schema = spark.read.parquet(src).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .withColumn("ingest_date", to_date(col("ts")))
+    val merge = Upsert.foreachBatchMerge(tgt,
+      keyCols = Seq("user_id", "ingest_date"), tsCol = "ts",
+      tieCol = "event_id", partitionCol = "ingest_date")
+    val CrashMark = "graft-simulated-crash-post-sink-pre-commit"
+    withReplayFanout(spark) {
+      val merged = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q1 = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          merge(batch, id)
+          if (merged.incrementAndGet() == killAfterBatches)
+            throw new RuntimeException(CrashMark)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // The injected crash surfaces as a StreamingQueryException whose cause
+      // chain carries the marker; anything ELSE is a real failure and must
+      // propagate, not be eaten as "expected".
+      try { q1.awaitTermination(); sys.error("crash was injected but query drained cleanly") }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).toSeq
+          if (!msgs.exists(_.contains(CrashMark))) throw e
+      }
+      // Recovery: same checkpoint, plain merge. The crashed batch was
+      // written to the sink but never committed, so it re-runs here first.
+      val q2 = stream.writeStream
+        .foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    spark.read.parquet(tgt)
+      .select(col("user_id"), col("ingest_date"), col("event_id"),
+        col("event_type"), col("value"), col("ts"))
+  }
+
   /** T1 (streaming) BATCH-REPLAY: stage the corpus as `nFiles` splits,
     * stream them through the file source one micro-batch per file, and run
     * the REAL watermarked streaming dedup (`dropDuplicatesWithinWatermark`

@@ -62,7 +62,7 @@ class DeterminismSpec extends SparkSpec {
   // new partition-order coverage (their aggregation state is per-key
   // sequential, not partition-merged). Everything else runs twice.
   private val skip = Set(
-    "s2_stream_replay_upsert", "t1_stream_dedup_replay",
+    "s2_stream_replay_upsert", "s2_restart_replay", "t1_stream_dedup_replay",
     "gpa_stream_replay", "sess_stream_replay")
 
   /** Recursively true if the type contains a DecimalType anywhere. */

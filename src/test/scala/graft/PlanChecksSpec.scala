@@ -276,6 +276,50 @@ class PlanChecksSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in scoring plan:\n$plan")
   }
 
+  test("no registered query carries an unbounded global window (pinned allowlist)") {
+    // A Window with an EMPTY partition spec funnels the whole input through
+    // ONE task — fine over a frame already bounded to k rows, a scale-killer
+    // over anything corpus-sized. This pins attribution for every WindowExec
+    // warning in the test log (r12 verdict #4): any registered query whose
+    // optimized plan contains a global window must either have a Limit
+    // visibly below it, or appear in the allowlist with a written reason the
+    // input is bounded by construction. A NEW query with a global window
+    // fails here until it is justified.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+    // Bounded by construction (the bound is the frame's aggregated
+    // cardinality, so no Limit node is visible). NOTE the r-family rerank
+    // windows do NOT appear here: they partition by query id, so they pass
+    // the partition-spec check directly.
+    val allow = Map(
+      // Dashboards.anomalyDays: the rolling mean/std window runs over the
+      // per-DAY aggregate (one row per calendar day — 365/yr, ~37k rows
+      // even at a century of data), never over raw events.
+      "a9_anomaly_days" -> "global window over the per-day aggregate (≤ days rows)"
+    )
+    // Streaming replays return a settled parquet re-read (window-free by
+    // construction) and building them runs whole stream fixtures — skip.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.endsWith("_replay"))
+      .flatMap { case (name, q) =>
+        val lp = q(spark, sf).queryExecution.optimizedPlan
+        def bounded(p: LogicalPlan): Boolean = p.collectFirst {
+          case _: GlobalLimit => (); case _: LocalLimit => ()
+        }.isDefined
+        val bad = lp.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+      }.toSet
+    val unjustified = offenders -- allow.keySet
+    val stale = allow.keySet -- offenders
+    assert(unjustified.isEmpty,
+      s"global (unpartitioned) window over an unbounded frame in: " +
+        s"${unjustified.mkString(", ")} — partition it, bound it, or justify it here")
+    assert(stale.isEmpty,
+      s"allowlist entries no longer carrying a global window (prune them): " +
+        s"${stale.mkString(", ")}")
+  }
+
   test("LM cross-entropy tokenizes once: the pinned posting frame feeds both consumers") {
     // x22's LM aggregate and scoring join both consume the (doc,term,tf)
     // frame; the Materialize.pin must keep the plan to ONE tokenization

@@ -366,6 +366,30 @@ class StreamingSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("crash-restart replay recovers from the checkpoint to the exact latest-wins table") {
+    // The s2_restart_replay promotion on a hand-checkable corpus: the crash
+    // is injected after batch 2's sink write and before its offset commit,
+    // so recovery MUST re-deliver that batch (at-least-once) and the keyed
+    // merge must absorb the duplicate. Files split by event_id range over 4
+    // files (~2 events each); user 1 has three same-day versions spread
+    // across the cut so stale winners exist on both sides of the crash.
+    val events = Seq(
+      (1L, 10L, "a", 1.0, ts("2024-01-01 10:00:00")),
+      (2L, 10L, "b", 2.0, ts("2024-01-01 11:00:00")),
+      (3L, 20L, "a", 3.0, ts("2024-01-01 10:00:00")),
+      (4L, 10L, "c", 4.0, ts("2024-01-01 12:00:00")), // user 10's day winner
+      (5L, 20L, "b", 5.0, ts("2024-01-02 09:00:00")), // user 20, next day
+      (6L, 30L, "a", 6.0, ts("2024-01-01 10:30:00")),
+      (7L, 20L, "c", 7.0, ts("2024-01-01 09:00:00"))  // older than event 3
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = Pipeline.replayUpsertRestart(spark, events, nFiles = 4,
+        killAfterBatches = 2)
+      .select($"user_id", $"event_id")
+      .as[(Long, Long)].collect().toSet
+    // latest (ts, event_id) per (user_id, day):
+    assert(out == Set((10L, 4L), (20L, 3L), (20L, 5L), (30L, 6L)), s"got $out")
+  }
+
   test("outer interval-join batch-replay emits matches and watermark-proven nulls") {
     // The ssjoin_outer_replay promotion on a hand-checkable corpus: user 1's
     // view converts inside the window; user 2's purchase lands outside it;

@@ -26,11 +26,16 @@ object ScaleCorpus {
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.model.Tables(spark, src, "documents")
     val n = docs.count()
+    // Preserve EVERY column (lang, n_chars, …) so the probe corpus can run
+    // any registered query; n_chars is re-derived because the replica
+    // suffix changes the text length.
     val reps = (0 until factor).map { r =>
-      docs.select(
-        (col("doc_id") + lit(r * n)).as("doc_id"),
-        concat(col("text"), lit(s" rep$r")).as("text"),
-        col("source"))
+      val rep = docs
+        .withColumn("doc_id", col("doc_id") + lit(r * n))
+        .withColumn("text", concat(col("text"), lit(s" rep$r")))
+      if (rep.columns.contains("n_chars"))
+        rep.withColumn("n_chars", length(col("text")).cast("long"))
+      else rep
     }.reduce(_ unionByName _)
     reps.repartition(32).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
@@ -47,6 +52,37 @@ object ScaleCorpus {
     embReps.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
     println(s"[scale] wrote ${factor}x embeddings (${factor * m} vecs) to $out")
+
+    // Row tables for the streaming-replay / layout probes (round 13): each
+    // replica offsets the ENTITY KEY (user/order), so a 10× corpus means 10×
+    // keys at the same per-key density — the realistic cluster growth axis
+    // (more users), and the one that keeps stateful-join output linear
+    // rather than quadratic-in-density. Timestamps are kept verbatim: same
+    // time span, 10× event rate, so watermark horizons and session gaps
+    // stress state size, not event-time logic.
+    def replicate(table: String, keyCols: Seq[String]): Unit = {
+      val t = graft.model.Tables(spark, src, table)
+      val offsets = keyCols.map { k =>
+        k -> (t.agg(max(col(k))).head().getLong(0) + 1L)
+      }
+      val reps = (0 until factor).map { r =>
+        offsets.foldLeft(t) { case (df, (k, span)) =>
+          df.withColumn(k, col(k) + lit(r * span))
+        }
+      }.reduce(_ unionByName _)
+      reps.repartition(32).write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scale] wrote ${factor}x $table to $out")
+    }
+    replicate("events", Seq("event_id", "user_id"))
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    // Pass the small dims through unchanged so every registered query can
+    // run against the probe dir.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+      graft.model.Tables(spark, src, t).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scale] copied $t to $out")
+    }
     spark.stop()
   }
 }

@@ -1707,21 +1707,24 @@ object SparkEntry {
         |SELECT a.vec_id, a.cell, d.vec_id IS NULL AS keep
         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin)),
 
-    // ---- m: multimodal plumbing (north star). The image leg is REAL:
-    // payloads are genuine PNGs, metadata reflects the true encoded dims,
-    // and the payload_magic column proves the bytes carry the PNG signature
-    // (the oracle pins the literal 8-byte magic; a fake payload would
-    // hash-mismatch here). content_md5 stays oracled for the opaque
-    // audio/video payloads (UTF-8 text bytes the oracle can re-hash); a PNG
-    // byte stream is not SQL-reproducible (zlib), so image fidelity is
-    // certified by m3's real decode instead.
+    // ---- m: multimodal plumbing (north star). Image AND audio legs are
+    // REAL: image payloads are genuine PNGs, audio payloads genuine PCM
+    // WAVs; the payload_magic column pins the container signature bytes
+    // (PNG 8-byte magic / RIFF…WAVE) against literals the oracle expects —
+    // a fake payload hash-mismatches here. content_md5 stays oracled for
+    // the opaque video payloads (UTF-8 text bytes the oracle can re-hash);
+    // PNG/WAV streams are not SQL-reproducible, so their fidelity is
+    // certified by m3's real decodes instead.
     ("m1_media_meta",
       (s, d) => Multimodal.syntheticMedia(docs(s, d))
         .select(col("media_id"), col("media_type"), col("width"), col("height"),
           col("duration_ms"),
-          when(col("media_type") =!= "image", md5(col("content"))).as("content_md5"),
+          when(col("media_type") === "video", md5(col("content"))).as("content_md5"),
           when(col("media_type") === "image",
-            lower(hex(substring(col("content"), 1, 8)))).as("payload_magic")),
+            lower(hex(substring(col("content"), 1, 8))))
+          .when(col("media_type") === "audio",
+            lower(hex(concat(substring(col("content"), 1, 4),
+              substring(col("content"), 9, 4))))).as("payload_magic")),
       Some("""SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |     ELSE 'video' END AS media_type,
@@ -1730,63 +1733,86 @@ object SparkEntry {
         |CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 11 + 4 AS INT)
         |     ELSE CAST(length(text) % 480 + 48 AS INT) END AS height,
         |CAST(length(text) * 100 AS BIGINT) AS duration_ms,
-        |CASE WHEN doc_id % 3 = 0 THEN NULL ELSE md5(text) END AS content_md5,
-        |CASE WHEN doc_id % 3 = 0 THEN '89504e470d0a1a0a' ELSE NULL END AS payload_magic
+        |CASE WHEN doc_id % 3 = 2 THEN md5(text) ELSE NULL END AS content_md5,
+        |CASE WHEN doc_id % 3 = 0 THEN '89504e470d0a1a0a'
+        |     WHEN doc_id % 3 = 1 THEN '5249464657415645'
+        |     ELSE NULL END AS payload_magic
         |FROM documents""".stripMargin)),
 
-    // mapPartitions decode path. Image rows: REAL javax.imageio decode — the
-    // oracle predicts dims from the GENERATOR's formula (len%13+4, len%11+4)
-    // while Spark re-reads them from the decoded PNG header, so a hash match
-    // certifies an actual encode→decode round-trip, not a shared fake.
-    // Audio/video rows: the stub's md5-derived dims over the text payload,
-    // fully oracled as before.
+    // mapPartitions decode path. Image rows: REAL javax.imageio decode.
+    // Audio rows: REAL javax.sound WAV container parse — dec_ms is
+    // frames/rate read from the parsed header, which the oracle predicts
+    // from the generator shape (len×8 samples @ 8 kHz → len ms). In both
+    // cases the oracle computes the GENERATOR formula while Spark re-reads
+    // the value from the decoded container, so a hash match certifies an
+    // encode→decode round-trip. Video rows: the documented stub.
     ("m3_decode_meta",
       (s, d) => Multimodal.extractFeatures(s, Multimodal.syntheticMedia(docs(s, d)))
-        .toDF().select("media_id", "media_type", "dec_width", "dec_height"),
+        .toDF().select("media_id", "media_type", "dec_width", "dec_height", "dec_ms"),
       Some("""SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |     ELSE 'video' END AS media_type,
         |CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 13 + 4 AS INT)
+        |     WHEN doc_id % 3 = 1 THEN -1
         |     ELSE CAST(((CAST('0x' || substr(md5(text), 1, 2) AS INT) & 127) * 16) + 64 AS INT)
         |END AS dec_width,
         |CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 11 + 4 AS INT)
+        |     WHEN doc_id % 3 = 1 THEN -1
         |     ELSE CAST(((CAST('0x' || substr(md5(text), 3, 2) AS INT) & 127) * 8) + 48 AS INT)
-        |END AS dec_height
+        |END AS dec_height,
+        |CASE WHEN doc_id % 3 = 1 THEN CAST(length(text) AS BIGINT)
+        |     ELSE CAST(-1 AS BIGINT) END AS dec_ms
         |FROM documents""".stripMargin)),
 
-    // Frame sampling is a temporal-media operation: image rows (now real
-    // compressed PNGs) are excluded — slicing a still image's zlib stream is
-    // not frame access, and the oracle can only re-derive slices of the
-    // opaque text payloads anyway.
+    // Frame sampling is a VIDEO operation here: image/audio rows now carry
+    // real compressed/structured containers whose byte slices the oracle
+    // cannot re-derive (and slicing them is not frame access); video rows
+    // keep the opaque text payload the oracle can slice.
     ("m2_frame_sample",
       (s, d) => Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, d))
-          .filter(col("media_type") =!= "image"))
+          .filter(col("media_type") === "video"))
         .select("media_id", "frame_no", "frame_md5"),
       Some("""SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
         |md5(substr(text, CAST(1 + i*64 AS INT), 16)) AS frame_md5
         |FROM documents,
         |unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)
-        |WHERE CAST(doc_id % 3 AS INT) <> 0""".stripMargin)),
+        |WHERE CAST(doc_id % 3 AS INT) = 2""".stripMargin)),
 
     // ---- m4: cross-media shared-segment detection — media pairs containing
     // identical sampled frames (re-uploads, shared intros); frame hashes are
     // capped like every LSH bucket so the pair join never goes quadratic.
-    // Temporal media only, matching m2.
+    // Video only, matching m2.
     ("m4_shared_frames",
       (s, d) => Multimodal.sharedFrames(Multimodal.syntheticMedia(docs(s, d))
-        .filter(col("media_type") =!= "image")),
+        .filter(col("media_type") === "video")),
       Some("""WITH fr AS (
         |  SELECT DISTINCT doc_id AS media_id,
         |    md5(substr(text, CAST(1 + i*64 AS INT), 16)) AS frame_md5
         |  FROM documents,
         |  unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)
-        |  WHERE CAST(doc_id % 3 AS INT) <> 0),
+        |  WHERE CAST(doc_id % 3 AS INT) = 2),
         |rare AS (SELECT frame_md5 FROM fr GROUP BY 1 HAVING count(*) <= 32),
         |pr AS (SELECT * FROM fr WHERE frame_md5 IN (SELECT frame_md5 FROM rare))
         |SELECT l.media_id AS media_a, r.media_id AS media_b,
         |  CAST(count(*) AS BIGINT) AS shared_frames
         |FROM pr l JOIN pr r ON l.frame_md5 = r.frame_md5 AND l.media_id < r.media_id
         |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- m5: real image RESIZE — decode → aspect-preserving downscale to
+    // fit 8px → re-encode PNG → re-decode; the emitted thumb dims are read
+    // back from the RE-DECODED thumbnail while the oracle computes the
+    // integer floor math from the generator dims, so a hash match certifies
+    // the full decode→resize→encode→decode round trip.
+    ("m5_thumbnail",
+      (s, d) => Multimodal.thumbnails(s, Multimodal.syntheticMedia(docs(s, d))),
+      Some("""SELECT doc_id AS media_id,
+        |  CAST(w AS INT) AS orig_w, CAST(h AS INT) AS orig_h,
+        |  CAST(CASE WHEN m <= 8 THEN w ELSE greatest(1, w * 8 // m) END AS INT) AS thumb_w,
+        |  CAST(CASE WHEN m <= 8 THEN h ELSE greatest(1, h * 8 // m) END AS INT) AS thumb_h
+        |FROM (SELECT doc_id,
+        |        length(text) % 13 + 4 AS w, length(text) % 11 + 4 AS h,
+        |        greatest(length(text) % 13 + 4, length(text) % 11 + 4) AS m
+        |      FROM documents WHERE doc_id % 3 = 0)""".stripMargin)),
 
     // ---- i1: incremental (delta-maintained) aggregate. The query splits
     // events into a base batch and a delta batch, aggregates each to partial

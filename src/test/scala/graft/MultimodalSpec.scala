@@ -47,11 +47,12 @@ class MultimodalSpec extends SparkSpec {
         s"pixel ($x,$y) drifted through the PNG round-trip")
   }
 
-  test("extractFeatures: image rows use the REAL decoder, audio rows the stub") {
-    // doc_id 0 -> image, doc_id 1 -> audio (the %3 type assignment)
+  test("extractFeatures: image and audio rows use REAL decoders, video the stub") {
+    // doc_id 0 -> image, 1 -> audio, 2 -> video (the %3 type assignment)
     val docs = Seq(
       (0L, "x" * 60, "en", "s0", 60L),
-      (1L, "y" * 60, "en", "s0", 60L)
+      (1L, "y" * 60, "en", "s0", 60L),
+      (2L, "z" * 60, "en", "s0", 60L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val media = Multimodal.syntheticMedia(docs)
     val feats = Multimodal.extractFeatures(spark, media).collect()
@@ -59,12 +60,55 @@ class MultimodalSpec extends SparkSpec {
     // image: decoded dims must equal the generator's formula (60%13+4, 60%11+4)
     assert(feats(0L).dec_width == Multimodal.imgW(60))
     assert(feats(0L).dec_height == Multimodal.imgH(60))
+    assert(feats(0L).dec_ms == -1L)
     // and the features are pixel stats, not the stub's md5 fakes: the area
     // feature (index 7) is w*h
     assert(feats(0L).features(7) == (Multimodal.imgW(60) * Multimodal.imgH(60)).toFloat)
-    // audio: stub path unchanged (md5-derived dims over the text payload)
-    val (sw, sh) = Multimodal.StubCodec.decodeDims(("y" * 60).getBytes("UTF-8"))
-    assert(feats(1L).dec_width == sw && feats(1L).dec_height == sh)
+    // audio: REAL WAV container parse — duration = frames/rate = len ms,
+    // and the sample-count feature (index 5) is the generator's n
+    assert(feats(1L).dec_width == -1 && feats(1L).dec_height == -1)
+    assert(feats(1L).dec_ms == 60L)
+    assert(feats(1L).features(5) == Multimodal.audioSamples(60).toFloat)
+    // video: stub path unchanged (md5-derived dims over the text payload)
+    val (sw, sh) = Multimodal.StubCodec.decodeDims(("z" * 60).getBytes("UTF-8"))
+    assert(feats(2L).dec_width == sw && feats(2L).dec_height == sh)
+    assert(feats(2L).dec_ms == -1L)
+  }
+
+  test("hand-built WAV: AudioSystem parses the exact header and PCM that were encoded") {
+    import Multimodal.AudioCodec
+    // 4 samples at 8 kHz: hand-checkable frames/rate and waveform stats
+    val wav = AudioCodec.encodeWav(4, 8000, seed = 7L)
+    // canonical RIFF layout: 44-byte header + 2 bytes per sample
+    assert(wav.length == 44 + 8)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val clip = AudioCodec.decode(wav).get
+    assert(clip.rateHz == 8000 && clip.channels == 1 && clip.frames == 4L)
+    // PCM read back byte-identically: stats computed over the exact samples
+    val samples = (0 until 4).map(i => AudioCodec.sampleAt(i, 7L))
+    val meanAbs = samples.map(s => math.abs(s.toLong)).sum.toFloat / 4 / 32768f
+    val stats = AudioCodec.pcmStats(clip, 8)
+    assert(stats(0) == meanAbs)
+    assert(stats(1) == samples.map(s => math.abs(s.toLong)).max / 32768f)
+    // garbage bytes are not audio
+    assert(AudioCodec.decode("not a wav".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("thumbnails: real resize round-trip emits the re-decoded dims") {
+    import Multimodal.ImageCodec
+    // 16x4 image: max dim 16 > 8 -> scale to (8, max(1, 4*8/16)=2)
+    val wide = ImageCodec.encodePng(16, 4, 1L)
+    // 6x5 image: already fits -> kept as-is
+    val small = ImageCodec.encodePng(6, 5, 2L)
+    val media = Seq(
+      (1L, "image", wide), (2L, "image", small),
+      (3L, "video", "xx".getBytes("UTF-8")) // dropped: resize is an image op
+    ).toDF("media_id", "media_type", "content")
+    val got = Multimodal.thumbnails(spark, media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(got == Map(1L -> ((16, 4, 8, 2)), 2L -> ((6, 5, 6, 5))))
   }
 
   test("syntheticMedia image payloads are genuine PNGs with true metadata dims") {

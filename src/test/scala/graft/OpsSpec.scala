@@ -315,14 +315,18 @@ class OpsSpec extends SparkSpec {
     assert(f(0L) != f(2L))
   }
 
-  test("multimodal: stub decode + features are deterministic; frames sliced") {
+  test("multimodal: decode + features are deterministic; video frames sliced") {
+    // doc 1 -> audio (real WAV), doc 2 -> video (opaque text payload, stub)
     val media = Multimodal.syntheticMedia(
-      Seq((1L, "x" * 200, "en", "src0", 200L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      Seq((1L, "x" * 200, "en", "src0", 200L), (2L, "y" * 200, "en", "src0", 200L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
     val feats = Multimodal.extractFeatures(spark, media).collect()
-    assert(feats.length == 1 && feats.head.features.length == 8)
+    assert(feats.length == 2 && feats.forall(_.features.length == 8))
     val again = Multimodal.extractFeatures(spark, media).collect()
-    assert(feats.head.features.toSeq == again.head.features.toSeq)
-    val frames = Multimodal.sampleFrames(media).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.features.toSeq == b.features.toSeq })
+    val frames = Multimodal
+      .sampleFrames(media.filter($"media_type" === "video")).collect()
     assert(frames.length == 3) // 200 bytes / 64 stride -> 3 frames
   }
 

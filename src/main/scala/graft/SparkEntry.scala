@@ -1769,8 +1769,13 @@ object SparkEntry {
     // cannot re-derive (and slicing them is not frame access); video rows
     // keep the opaque text payload the oracle can slice.
     ("m2_frame_sample",
-      (s, d) => Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, d))
-          .filter(col("media_type") === "video"))
+      // doc_id pre-filter: media_type is a pure function of doc_id, and a
+      // predicate cannot push through the generator's typed-map barrier —
+      // without it every image/audio row pays its PNG/WAV encode only to be
+      // dropped (2/3 of the codec work wasted).
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.syntheticMedia(docs(s, d).filter(col("doc_id") % 3 === 2))
+            .filter(col("media_type") === "video"))
         .select("media_id", "frame_no", "frame_md5"),
       Some("""SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
         |md5(substr(text, CAST(1 + i*64 AS INT), 16)) AS frame_md5
@@ -1783,8 +1788,10 @@ object SparkEntry {
     // capped like every LSH bucket so the pair join never goes quadratic.
     // Video only, matching m2.
     ("m4_shared_frames",
-      (s, d) => Multimodal.sharedFrames(Multimodal.syntheticMedia(docs(s, d))
-        .filter(col("media_type") === "video")),
+      // same doc_id pre-filter rationale as m2
+      (s, d) => Multimodal.sharedFrames(
+        Multimodal.syntheticMedia(docs(s, d).filter(col("doc_id") % 3 === 2))
+          .filter(col("media_type") === "video")),
       Some("""WITH fr AS (
         |  SELECT DISTINCT doc_id AS media_id,
         |    md5(substr(text, CAST(1 + i*64 AS INT), 16)) AS frame_md5
@@ -1804,7 +1811,10 @@ object SparkEntry {
     // integer floor math from the generator dims, so a hash match certifies
     // the full decode→resize→encode→decode round trip.
     ("m5_thumbnail",
-      (s, d) => Multimodal.thumbnails(s, Multimodal.syntheticMedia(docs(s, d))),
+      // doc_id pre-filter: skip the audio rows' WAV encode (same barrier
+      // rationale as m2)
+      (s, d) => Multimodal.thumbnails(s,
+        Multimodal.syntheticMedia(docs(s, d).filter(col("doc_id") % 3 === 0))),
       Some("""SELECT doc_id AS media_id,
         |  CAST(w AS INT) AS orig_w, CAST(h AS INT) AS orig_h,
         |  CAST(CASE WHEN m <= 8 THEN w ELSE greatest(1, w * 8 // m) END AS INT) AS thumb_w,

@@ -19,6 +19,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A restricted run (`only` nonempty — local iteration) must not stamp
+    // the shared artifact dir certified-clean: carry over recorded errors
+    // for queries OUTSIDE this run's scope from any existing _errors.json.
+    // Keys are plain query names and values are already-escaped JSON string
+    // bodies, so pairs can be spliced back raw without unescaping. Parsed
+    // BEFORE the query loop so a corrupt file aborts the run up front, not
+    // after minutes of Spark work.
+    val errPath = Paths.get(s"$outDir/_errors.json")
+    val carried: Seq[(String, String)] =
+      if (only.isEmpty || !Files.exists(errPath)) Nil
+      else {
+        val raw = Files.readString(errPath)
+        val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*")""".r
+        val pairs = pair.findAllMatchIn(raw).toSeq
+          .map(m => m.group(1) -> m.group(2))
+        // Parse guard (ADVICE r12): a non-empty file from which the pair
+        // regex extracts NOTHING is corrupt or foreign-format — silently
+        // carrying zero records would stamp the artifact dir cleaner than
+        // it is. Refuse to rewrite and fail the restricted run loudly.
+        if (pairs.isEmpty && raw.exists(c => c != '{' && c != '}' && !c.isWhitespace))
+          sys.error(s"$errPath is non-empty but no key/value pairs parsed; " +
+            "refusing to overwrite it from a restricted run — delete or fix it first")
+        pairs.filterNot { case (k, _) => only(k) }
+      }
     // Loud failures (VERDICT r11 #3): a throwing query must appear as an err
     // row in the artifact, not silently vanish from it. Collect per-query
     // messages and always write _errors.json — an empty {} certifies the
@@ -50,28 +74,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // A restricted run (`only` nonempty — local iteration) must not stamp
-    // the shared artifact dir certified-clean: carry over recorded errors
-    // for queries OUTSIDE this run's scope from any existing _errors.json.
-    // Keys are plain query names and values are already-escaped JSON string
-    // bodies, so pairs can be spliced back raw without unescaping.
-    val errPath = Paths.get(s"$outDir/_errors.json")
-    val carried: Seq[(String, String)] =
-      if (only.isEmpty || !Files.exists(errPath)) Nil
-      else {
-        val raw = Files.readString(errPath)
-        val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*")""".r
-        val pairs = pair.findAllMatchIn(raw).toSeq
-          .map(m => m.group(1) -> m.group(2))
-        // Parse guard (ADVICE r12): a non-empty file from which the pair
-        // regex extracts NOTHING is corrupt or foreign-format — silently
-        // carrying zero records would stamp the artifact dir cleaner than
-        // it is. Refuse to rewrite and fail the restricted run loudly.
-        if (pairs.isEmpty && raw.exists(c => c != '{' && c != '}' && !c.isWhitespace))
-          sys.error(s"$errPath is non-empty but no key/value pairs parsed; " +
-            "refusing to overwrite it from a restricted run — delete or fix it first")
-        pairs.filterNot { case (k, _) => only(k) }
-      }
     val errJson = (carried.map { case (k, v) => s"${q(k)}: $v" } ++
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }).mkString("{", ",", "}")
     Files.writeString(errPath, errJson)

@@ -220,16 +220,25 @@ object Multimodal {
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // `len` is computed ENGINE-SIDE with Spark's length() — code points,
+    // matching DuckDB's length(text) in every m-family oracle. Scala's
+    // String.length (UTF-16 units) would diverge on any supplementary-plane
+    // character the driver's next corpus regeneration might carry, shifting
+    // every derived dim and hash-failing the gate (the documented
+    // testdata-regeneration hazard). Null text is treated as length 0 (no
+    // nulls exist in the generator contract; if one ever appears the
+    // SQL-side NULL propagation turns the m-queries red LOUDLY, pointing
+    // here).
     docs.select(
         col("doc_id").as("media_id"),
         element_at(typedLit(Seq("image", "audio", "video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
         col("text"),
+        coalesce(length(col("text")), lit(0)).as("len"),
         col("source"))
-      .as[(Long, String, String, String)]
+      .as[(Long, String, String, Int, String)]
       .mapPartitions { rows =>
-        rows.map { case (id, mtype, text, src) =>
-          val len = if (text == null) 0 else text.length
+        rows.map { case (id, mtype, text, len, src) =>
           val (content, w, h) = mtype match {
             case "image" =>
               (ImageCodec.encodePng(imgW(len), imgH(len), id), imgW(len), imgH(len))
@@ -326,9 +335,11 @@ object Multimodal {
             try g.drawImage(img, 0, 0, tw, th, null) finally g.dispose()
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(thumb, "png", bos)
-            val rebuilt = ImageCodec.decode(bos.toByteArray).get
-            (id, w, h, rebuilt.getWidth, rebuilt.getHeight)
-          }
+            // degrade-not-crash contract: a thumbnail that fails to
+            // round-trip drops the row instead of killing the task
+            ImageCodec.decode(bos.toByteArray)
+              .map(rb => (id, w, h, rb.getWidth, rb.getHeight))
+          }.flatten
         }
       }
       .toDF("media_id", "orig_w", "orig_h", "thumb_w", "thumb_h")

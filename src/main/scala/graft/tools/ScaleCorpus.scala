@@ -54,31 +54,51 @@ object ScaleCorpus {
     println(s"[scale] wrote ${factor}x embeddings (${factor * m} vecs) to $out")
 
     // Row tables for the streaming-replay / layout probes (round 13): each
-    // replica offsets the ENTITY KEY (user/order), so a 10× corpus means 10×
-    // keys at the same per-key density — the realistic cluster growth axis
-    // (more users), and the one that keeps stateful-join output linear
-    // rather than quadratic-in-density. Timestamps are kept verbatim: same
-    // time span, 10× event rate, so watermark horizons and session gaps
+    // replica offsets the ENTITY KEY (user/order/customer), so a 10× corpus
+    // means 10× keys at the same per-key density — the realistic cluster
+    // growth axis (more users), and the one that keeps stateful-join output
+    // linear rather than quadratic-in-density. Timestamps are kept verbatim:
+    // same time span, 10× event rate, so watermark horizons and session gaps
     // stress state size, not event-time logic.
-    def replicate(table: String, keyCols: Seq[String]): Unit = {
+    //
+    // Keys that JOIN across tables (orderkey between orders/lineitem,
+    // custkey between orders/customer) use ONE SHARED span per key family,
+    // so replica r of orders references exactly replica r of customer and
+    // replica r's lineitems — referential integrity and join selectivity
+    // are preserved at every factor (independent per-table maxes would
+    // leave 9/10 of orders dangling against an unscaled dim).
+    def maxKey(table: String, k: String): Long = {
       val t = graft.model.Tables(spark, src, table)
-      val offsets = keyCols.map { k =>
-        k -> (t.agg(max(col(k))).head().getLong(0) + 1L)
-      }
+      val row = t.agg(max(col(k))).head()
+      require(!row.isNullAt(0), s"$table is empty or $k all-null — cannot derive a replica span")
+      row.getLong(0)
+    }
+    val orderSpan = math.max(maxKey("orders", "o_orderkey"),
+      maxKey("lineitem", "l_orderkey")) + 1L
+    val custSpan = math.max(maxKey("orders", "o_custkey"),
+      maxKey("customer", "c_custkey")) + 1L
+    def replicate(table: String, keySpans: Seq[(String, Long)]): Unit = {
+      val t = graft.model.Tables(spark, src, table)
       val reps = (0 until factor).map { r =>
-        offsets.foldLeft(t) { case (df, (k, span)) =>
+        keySpans.foldLeft(t) { case (df, (k, span)) =>
           df.withColumn(k, col(k) + lit(r * span))
         }
       }.reduce(_ unionByName _)
       reps.repartition(32).write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[scale] wrote ${factor}x $table to $out")
     }
-    replicate("events", Seq("event_id", "user_id"))
-    replicate("lineitem", Seq("l_orderkey"))
-    replicate("orders", Seq("o_orderkey", "o_custkey"))
-    // Pass the small dims through unchanged so every registered query can
-    // run against the probe dir.
-    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+    // events joins nothing by key here: one single-scan agg for both spans
+    val evRow = graft.model.Tables(spark, src, "events")
+      .agg(max(col("event_id")), max(col("user_id"))).head()
+    require(!evRow.isNullAt(0) && !evRow.isNullAt(1), "events empty — cannot scale")
+    replicate("events", Seq("event_id" -> (evRow.getLong(0) + 1L),
+      "user_id" -> (evRow.getLong(1) + 1L)))
+    replicate("lineitem", Seq("l_orderkey" -> orderSpan))
+    replicate("orders", Seq("o_orderkey" -> orderSpan, "o_custkey" -> custSpan))
+    replicate("customer", Seq("c_custkey" -> custSpan))
+    // Pass the remaining small dims through unchanged so every registered
+    // query can run against the probe dir.
+    for (t <- Seq("region", "nation", "supplier", "part")) {
       graft.model.Tables(spark, src, t).coalesce(1)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scale] copied $t to $out")

@@ -298,13 +298,21 @@ class PlanChecksSpec extends SparkSpec {
     )
     // Streaming replays return a settled parquet re-read (window-free by
     // construction) and building them runs whole stream fixtures — skip.
+    // contains, not endsWith: s2_stream_replay_upsert's marker is infix.
+    // A frame is bounded when EVERY leaf-to-window path passes a Limit:
+    // Limit nodes are bounded; an inner node is bounded only if all its
+    // children are (a join of bounded inputs stays bounded; a mere Limit
+    // somewhere inside ONE join input does not bound the other side —
+    // collectFirst would have accepted exactly that false negative).
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case _ if p.children.isEmpty => false
+      case _ => p.children.forall(bounded)
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.endsWith("_replay"))
+      .filterNot(_._1.contains("_replay"))
       .flatMap { case (name, q) =>
         val lp = q(spark, sf).queryExecution.optimizedPlan
-        def bounded(p: LogicalPlan): Boolean = p.collectFirst {
-          case _: GlobalLimit => (); case _: LocalLimit => ()
-        }.isDefined
         val bad = lp.collect {
           case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w
         }

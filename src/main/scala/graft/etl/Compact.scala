@@ -165,10 +165,27 @@ object Compact {
     val tmp = new Path(root, s".$Pointer.tmp")
     val out = f.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
-    // FileContext rename with OVERWRITE is the atomic flip (plain
-    // FileSystem.rename refuses an existing destination on local/HDFS)
-    val fc = FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(root, Pointer), Options.Rename.OVERWRITE)
+    val dst = new Path(root, Pointer)
+    f.getUri.getScheme match {
+      case "file" =>
+        // On the LOCAL fs, Hadoop's FileContext rename(OVERWRITE) is
+        // delete-dest-then-rename — a two-step absence window a concurrent
+        // reader can hit (measured: under load the gap between the delete
+        // and the rename stretches to whole seconds and readers die with
+        // FileNotFoundException on the pointer — the r13 reader-hammer
+        // flake). java.nio ATOMIC_MOVE is rename(2): the dest is REPLACED
+        // atomically and no observer ever sees it absent.
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      case _ =>
+        // HDFS (and NN-backed stores): FileContext rename(OVERWRITE) is a
+        // single atomic namespace operation — the flip the design assumes.
+        val fc = FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+    }
   }
 
   private def readPointer(spark: SparkSession, root: Path): String = {

@@ -1707,45 +1707,45 @@ object SparkEntry {
         |SELECT a.vec_id, a.cell, d.vec_id IS NULL AS keep
         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin)),
 
-    // ---- m: multimodal plumbing (north star). Image AND audio legs are
-    // REAL: image payloads are genuine PNGs, audio payloads genuine PCM
-    // WAVs; the payload_magic column pins the container signature bytes
-    // (PNG 8-byte magic / RIFF…WAVE) against literals the oracle expects —
-    // a fake payload hash-mismatches here. content_md5 stays oracled for
-    // the opaque video payloads (UTF-8 text bytes the oracle can re-hash);
-    // PNG/WAV streams are not SQL-reproducible, so their fidelity is
-    // certified by m3's real decodes instead.
+    // ---- m: multimodal plumbing (north star). ALL THREE legs are REAL:
+    // image payloads are genuine PNGs, audio payloads genuine PCM WAVs,
+    // video payloads genuine uncompressed AVIs; the payload_magic column
+    // pins each container's signature bytes (PNG 8-byte magic / RIFF…WAVE /
+    // RIFF…AVI ) against literals the oracle expects — a fake payload
+    // hash-mismatches here. The streams themselves are not SQL-reproducible;
+    // their fidelity is certified by m3's real decodes instead.
     ("m1_media_meta",
       (s, d) => Multimodal.syntheticMedia(docs(s, d))
         .select(col("media_id"), col("media_type"), col("width"), col("height"),
           col("duration_ms"),
-          when(col("media_type") === "video", md5(col("content"))).as("content_md5"),
           when(col("media_type") === "image",
             lower(hex(substring(col("content"), 1, 8))))
-          .when(col("media_type") === "audio",
+          .otherwise( // RIFF containers: fourcc at 1–4, form type at 9–12
             lower(hex(concat(substring(col("content"), 1, 4),
               substring(col("content"), 9, 4))))).as("payload_magic")),
       Some("""SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |     ELSE 'video' END AS media_type,
         |CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 13 + 4 AS INT)
-        |     ELSE CAST(length(text) % 640 + 64 AS INT) END AS width,
+        |     WHEN doc_id % 3 = 1 THEN CAST(length(text) % 640 + 64 AS INT)
+        |     ELSE CAST(length(text) % 12 + 4 AS INT) END AS width,
         |CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 11 + 4 AS INT)
-        |     ELSE CAST(length(text) % 480 + 48 AS INT) END AS height,
-        |CAST(length(text) * 100 AS BIGINT) AS duration_ms,
-        |CASE WHEN doc_id % 3 = 2 THEN md5(text) ELSE NULL END AS content_md5,
+        |     WHEN doc_id % 3 = 1 THEN CAST(length(text) % 480 + 48 AS INT)
+        |     ELSE CAST(length(text) % 10 + 4 AS INT) END AS height,
+        |CASE WHEN doc_id % 3 = 2 THEN CAST((length(text) % 7 + 2) * 100 AS BIGINT)
+        |     ELSE CAST(length(text) * 100 AS BIGINT) END AS duration_ms,
         |CASE WHEN doc_id % 3 = 0 THEN '89504e470d0a1a0a'
         |     WHEN doc_id % 3 = 1 THEN '5249464657415645'
-        |     ELSE NULL END AS payload_magic
+        |     ELSE '5249464641564920' END AS payload_magic
         |FROM documents""".stripMargin)),
 
-    // mapPartitions decode path. Image rows: REAL javax.imageio decode.
-    // Audio rows: REAL javax.sound WAV container parse — dec_ms is
-    // frames/rate read from the parsed header, which the oracle predicts
-    // from the generator shape (len×8 samples @ 8 kHz → len ms). In both
-    // cases the oracle computes the GENERATOR formula while Spark re-reads
-    // the value from the decoded container, so a hash match certifies an
-    // encode→decode round-trip. Video rows: the documented stub.
+    // mapPartitions decode path — ALL REAL. Image rows: javax.imageio
+    // decode. Audio rows: javax.sound WAV container parse (dec_ms =
+    // frames/rate from the parsed header). Video rows: hand-written AVI
+    // demux (dims from the parsed avih, dec_ms = frames×usPerFrame from the
+    // walked movi chunks). In every case the oracle computes the GENERATOR
+    // formula while Spark re-reads the value from the decoded container, so
+    // a hash match certifies an encode→decode round-trip.
     ("m3_decode_meta",
       (s, d) => Multimodal.extractFeatures(s, Multimodal.syntheticMedia(docs(s, d)))
         .toDF().select("media_id", "media_type", "dec_width", "dec_height", "dec_ms"),
@@ -1754,55 +1754,71 @@ object SparkEntry {
         |     ELSE 'video' END AS media_type,
         |CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 13 + 4 AS INT)
         |     WHEN doc_id % 3 = 1 THEN -1
-        |     ELSE CAST(((CAST('0x' || substr(md5(text), 1, 2) AS INT) & 127) * 16) + 64 AS INT)
-        |END AS dec_width,
+        |     ELSE CAST(length(text) % 12 + 4 AS INT) END AS dec_width,
         |CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 11 + 4 AS INT)
         |     WHEN doc_id % 3 = 1 THEN -1
-        |     ELSE CAST(((CAST('0x' || substr(md5(text), 3, 2) AS INT) & 127) * 8) + 48 AS INT)
-        |END AS dec_height,
+        |     ELSE CAST(length(text) % 10 + 4 AS INT) END AS dec_height,
         |CASE WHEN doc_id % 3 = 1 THEN CAST(length(text) AS BIGINT)
+        |     WHEN doc_id % 3 = 2 THEN CAST((length(text) % 7 + 2) * 100 AS BIGINT)
         |     ELSE CAST(-1 AS BIGINT) END AS dec_ms
         |FROM documents""".stripMargin)),
 
-    // Frame sampling is a VIDEO operation here: image/audio rows now carry
-    // real compressed/structured containers whose byte slices the oracle
-    // cannot re-derive (and slicing them is not frame access); video rows
-    // keep the opaque text payload the oracle can slice.
+    // REAL video frame extraction: demux each AVI, one row per frame, with
+    // the decoded corner pixels. The oracle recomputes frame count and both
+    // corner pixels from the generator's pattern arithmetic (seed s =
+    // (id%25)*8 + k, channels are integer mixes mod 256) while Spark reads
+    // them back out of the demuxed DIB — so a hash match certifies chunk
+    // walking, stride/padding math, AND the bottom-up row flip (pixel (0,0)
+    // lives in the LAST row of the stored frame).
     ("m2_frame_sample",
       // doc_id pre-filter: media_type is a pure function of doc_id, and a
       // predicate cannot push through the generator's typed-map barrier —
       // without it every image/audio row pays its PNG/WAV encode only to be
       // dropped (2/3 of the codec work wasted).
-      (s, d) => Multimodal.sampleFrames(
-          Multimodal.syntheticMedia(docs(s, d).filter(col("doc_id") % 3 === 2))
-            .filter(col("media_type") === "video"))
-        .select("media_id", "frame_no", "frame_md5"),
-      Some("""SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
-        |md5(substr(text, CAST(1 + i*64 AS INT), 16)) AS frame_md5
-        |FROM documents,
-        |unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)
-        |WHERE CAST(doc_id % 3 AS INT) = 2""".stripMargin)),
+      (s, d) => Multimodal.videoFrames(s,
+        Multimodal.syntheticMedia(docs(s, d).filter(col("doc_id") % 3 === 2))),
+      Some("""WITH v AS (SELECT doc_id, CAST(length(text) % 12 + 4 AS INT) AS w,
+        |  CAST(length(text) % 10 + 4 AS INT) AS h,
+        |  CAST(length(text) % 7 + 2 AS INT) AS nf
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+        |f AS (SELECT doc_id, w, h, CAST(k AS INT) AS k, (doc_id % 25) * 8 + k AS s
+        |  FROM v, unnest(generate_series(0, nf - 1)) AS t(k))
+        |SELECT doc_id AS media_id, k AS frame_no,
+        |  CAST(s % 256 AS INT) AS px00_r,
+        |  CAST((s * 3) % 256 AS INT) AS px00_g,
+        |  CAST((s * 5) % 256 AS INT) AS px00_b,
+        |  CAST(((w-1)*31 + (h-1)*7 + s) % 256 AS INT) AS pxwh_r,
+        |  CAST(((w-1)*13 + (h-1)*29 + s*3) % 256 AS INT) AS pxwh_g,
+        |  CAST(((w-1)*17 + (h-1)*11 + s*5) % 256 AS INT) AS pxwh_b
+        |FROM f""".stripMargin)),
 
-    // ---- m4: cross-media shared-segment detection — media pairs containing
-    // identical sampled frames (re-uploads, shared intros); frame hashes are
-    // capped like every LSH bucket so the pair join never goes quadratic.
-    // Video only, matching m2.
+    // ---- m4: cross-media shared-frame detection over REAL demuxed frames —
+    // media pairs containing pixel-identical frames at equal dims
+    // (re-uploads, shared intros). The generator makes sharing genuine:
+    // videos in the same id%25 cohort with equal dims share their common
+    // frame prefix (same seed sequence ⇒ same pixels). Spark finds the pairs
+    // by hashing actual decoded frame bytes; the oracle predicts them from
+    // the cohort/dims/frame-count formulas — a hash match certifies content
+    // equality THROUGH the container. Frame hashes are capped like every
+    // LSH bucket so the pair join never goes quadratic.
     ("m4_shared_frames",
       // same doc_id pre-filter rationale as m2
-      (s, d) => Multimodal.sharedFrames(
-        Multimodal.syntheticMedia(docs(s, d).filter(col("doc_id") % 3 === 2))
-          .filter(col("media_type") === "video")),
-      Some("""WITH fr AS (
-        |  SELECT DISTINCT doc_id AS media_id,
-        |    md5(substr(text, CAST(1 + i*64 AS INT), 16)) AS frame_md5
-        |  FROM documents,
-        |  unnest(generate_series(0, CAST(greatest(1, length(text) // 64) AS INT) - 1)) AS t(i)
-        |  WHERE CAST(doc_id % 3 AS INT) = 2),
-        |rare AS (SELECT frame_md5 FROM fr GROUP BY 1 HAVING count(*) <= 32),
-        |pr AS (SELECT * FROM fr WHERE frame_md5 IN (SELECT frame_md5 FROM rare))
+      (s, d) => Multimodal.sharedVideoFrames(s,
+        Multimodal.syntheticMedia(docs(s, d).filter(col("doc_id") % 3 === 2))),
+      Some("""WITH v AS (SELECT doc_id AS media_id, CAST(doc_id % 25 AS INT) AS g,
+        |  CAST(length(text) % 12 + 4 AS INT) AS w,
+        |  CAST(length(text) % 10 + 4 AS INT) AS h,
+        |  CAST(length(text) % 7 + 2 AS INT) AS nf
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+        |fr AS (SELECT media_id, g, w, h, CAST(k AS INT) AS k
+        |  FROM v, unnest(generate_series(0, nf - 1)) AS t(k)),
+        |rare AS (SELECT g, w, h, k FROM fr GROUP BY 1,2,3,4 HAVING count(*) <= 32),
+        |pr AS (SELECT fr.media_id, fr.g, fr.w, fr.h, fr.k
+        |  FROM fr JOIN rare USING (g, w, h, k))
         |SELECT l.media_id AS media_a, r.media_id AS media_b,
         |  CAST(count(*) AS BIGINT) AS shared_frames
-        |FROM pr l JOIN pr r ON l.frame_md5 = r.frame_md5 AND l.media_id < r.media_id
+        |FROM pr l JOIN pr r ON l.g = r.g AND l.w = r.w AND l.h = r.h
+        |  AND l.k = r.k AND l.media_id < r.media_id
         |GROUP BY 1, 2""".stripMargin)),
 
     // ---- m5: real image RESIZE — decode → aspect-preserving downscale to

@@ -47,7 +47,7 @@ class MultimodalSpec extends SparkSpec {
         s"pixel ($x,$y) drifted through the PNG round-trip")
   }
 
-  test("extractFeatures: image and audio rows use REAL decoders, video the stub") {
+  test("extractFeatures: image, audio AND video rows all use REAL decoders") {
     // doc_id 0 -> image, 1 -> audio, 2 -> video (the %3 type assignment)
     val docs = Seq(
       (0L, "x" * 60, "en", "s0", 60L),
@@ -61,18 +61,70 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0L).dec_width == Multimodal.imgW(60))
     assert(feats(0L).dec_height == Multimodal.imgH(60))
     assert(feats(0L).dec_ms == -1L)
-    // and the features are pixel stats, not the stub's md5 fakes: the area
-    // feature (index 7) is w*h
+    // and the features are pixel stats: the area feature (index 7) is w*h
     assert(feats(0L).features(7) == (Multimodal.imgW(60) * Multimodal.imgH(60)).toFloat)
     // audio: REAL WAV container parse — duration = frames/rate = len ms,
     // and the sample-count feature (index 5) is the generator's n
     assert(feats(1L).dec_width == -1 && feats(1L).dec_height == -1)
     assert(feats(1L).dec_ms == 60L)
     assert(feats(1L).features(5) == Multimodal.audioSamples(60).toFloat)
-    // video: stub path unchanged (md5-derived dims over the text payload)
-    val (sw, sh) = Multimodal.StubCodec.decodeDims(("z" * 60).getBytes("UTF-8"))
-    assert(feats(2L).dec_width == sw && feats(2L).dec_height == sh)
-    assert(feats(2L).dec_ms == -1L)
+    // video: REAL AVI demux — dims from the parsed avih header, duration
+    // from the walked frame chunks (60%7+2 = 6 frames at 10 fps = 600 ms),
+    // frame-count feature (index 7) from the movi walk
+    assert(feats(2L).dec_width == Multimodal.vidW(60))
+    assert(feats(2L).dec_height == Multimodal.vidH(60))
+    assert(feats(2L).dec_ms == Multimodal.vidFrames(60).toLong * 100)
+    assert(feats(2L).features(7) == Multimodal.vidFrames(60).toFloat)
+  }
+
+  test("hand-built AVI: demux returns the exact headers and pixels that were muxed") {
+    import Multimodal.VideoCodec
+    // 5×3, 2 frames: stride = (5*3+3)&~3 = 16 (one pad byte per row)
+    val avi = VideoCodec.encodeAvi(5, 3, 2, 100000, seedBase = 9L)
+    // real RIFF layout: fourcc at 0–3, form type at 8–11
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val v = VideoCodec.decode(avi).get
+    assert(v.width == 5 && v.height == 3 && v.usPerFrame == 100000)
+    assert(v.frames.length == 2 && v.durationMs == 200L)
+    assert(v.frames.forall(_.length == 16 * 3)) // padded stride held
+    // every pixel of every frame reads back through the bottom-up flip:
+    // frame k is the pattern seeded 9+k
+    for (k <- 0 until 2; y <- 0 until 3; x <- 0 until 5)
+      assert(v.rgbAt(k, x, y) == ImageCodec.patternRgb(x, y, 9L + k),
+        s"pixel ($x,$y) of frame $k drifted through the AVI round-trip")
+    // garbage and truncation degrade, never crash
+    assert(VideoCodec.decode("not an avi".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.decode(avi.take(40)).isEmpty)
+    // a WAV is RIFF but not AVI — the form-type check must reject it
+    assert(VideoCodec.decode(Multimodal.AudioCodec.encodeWav(4, 8000, 1L)).isEmpty)
+  }
+
+  test("videoFrames emits decoded corner pixels; sharing follows cohort+dims") {
+    import Multimodal.VideoCodec
+    // ids 2 and 77 are video rows (%3 = 2) in the same id%25 cohort; same
+    // text length -> same dims and frame count -> every frame shared.
+    // id 152 (also cohort 2, also video) with different length -> different
+    // dims, no sharing despite the cohort.
+    val docs = Seq(
+      (2L, "a" * 30, "en", "s0", 30L),
+      (77L, "b" * 30, "en", "s0", 30L),
+      (152L, "c" * 31, "en", "s0", 31L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.syntheticMedia(docs)
+    val fr = Multimodal.videoFrames(spark, media).collect()
+    val nf = Multimodal.vidFrames(30)
+    assert(fr.count(_.getLong(0) == 2L) == nf)
+    // corner pixels match the pattern arithmetic the oracle uses
+    val f0 = fr.find(r => r.getLong(0) == 2L && r.getInt(1) == 0).get
+    val s = Multimodal.vidSeedBase(2L).toInt
+    assert(f0.getInt(2) == s % 256 && f0.getInt(3) == (s * 3) % 256 &&
+      f0.getInt(4) == (s * 5) % 256)
+    val (w, h) = (Multimodal.vidW(30), Multimodal.vidH(30))
+    assert(f0.getInt(5) == ((w - 1) * 31 + (h - 1) * 7 + s) % 256)
+    val shared = Multimodal.sharedVideoFrames(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(shared == Map((2L, 77L) -> nf.toLong))
   }
 
   test("hand-built WAV: AudioSystem parses the exact header and PCM that were encoded") {

@@ -315,8 +315,8 @@ class OpsSpec extends SparkSpec {
     assert(f(0L) != f(2L))
   }
 
-  test("multimodal: decode + features are deterministic; video frames sliced") {
-    // doc 1 -> audio (real WAV), doc 2 -> video (opaque text payload, stub)
+  test("multimodal: decode + features are deterministic; video frames demuxed") {
+    // doc 1 -> audio (real WAV), doc 2 -> video (real uncompressed AVI)
     val media = Multimodal.syntheticMedia(
       Seq((1L, "x" * 200, "en", "src0", 200L), (2L, "y" * 200, "en", "src0", 200L))
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
@@ -325,9 +325,8 @@ class OpsSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
       .forall { case (a, b) => a.features.toSeq == b.features.toSeq })
-    val frames = Multimodal
-      .sampleFrames(media.filter($"media_type" === "video")).collect()
-    assert(frames.length == 3) // 200 bytes / 64 stride -> 3 frames
+    val frames = Multimodal.videoFrames(spark, media).collect()
+    assert(frames.length == Multimodal.vidFrames(200)) // real demuxed count
   }
 
   test("shared frames: media with identical segments pair up, common frames capped") {

@@ -1539,6 +1539,18 @@ object SparkEntry {
         maxDfFrac = 0.2, maxDfCap = 1000),
       Some(capReportSql)),
 
+    // ---- d19: composed exact→near dedup — the production answer to the
+    // sf1 probe's recall finding (PLANS.md round-13): exact hash dedup
+    // absorbs replica density FIRST, the d13 posting join scores only the
+    // one-row-per-content representative set (df cap back to content-level
+    // densities), and per-side group multiplicities reconstruct the pair
+    // count over the original corpus (pair_weight = |ga|·|gb|).
+    ("d19_composed_neardup",
+      (s, d) => Dedup.composedNearDup(docs(s, d), "text",
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3),
+      Some(Dedup.composedNearDupSql(TextAnalysis.TokenRegex,
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3))),
+
     // ---- interval join: points-in-range via the bucketized equi-join
     // (ops/IntervalJoin) — intervals are 2-hour windows opened at every
     // 97th event; oracle is DuckDB's plain range theta-join.

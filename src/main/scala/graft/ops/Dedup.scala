@@ -933,17 +933,78 @@ object Dedup {
       .select(col("a"), col("b"), col("shared_terms"), col("dot"), col("cos"))
   }
 
+  /** Composed exact→near dedup — the production pipeline shape the sf1
+    * scale probe prescribed (PLANS.md round-13 probe, finding 1): at high
+    * replica density every shingle's df is inflated by the duplicate count,
+    * the dual df cap prunes the whole scoring space, and d13/d15 trade
+    * recall for boundedness. The fix is structural, not a bigger cap:
+    * collapse EXACT duplicates first (hash groupBy — replica density is
+    * absorbed where duplication is exact), run the near-dup posting join
+    * over the one-row-per-distinct-content representative set (df densities
+    * are back to content-level, so the cap only prunes genuine boilerplate),
+    * and carry each side's exact-group multiplicity so the pair count over
+    * the ORIGINAL corpus is reconstructable (`pair_weight` = |group a| ×
+    * |group b| underlying near-dup pairs).
+    *
+    * Scale shape: one hash groupBy (the exact pass) + the d13 machinery on
+    * a corpus that is never larger and at replica density k is ~k× smaller.
+    * Both stages are shuffle-on-key; nothing quadratic is introduced. */
+  def composedNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
+                      maxDfFrac: Double = 0.2, minShared: Int = 3,
+                      maxDfCap: Int = 1000, n: Int = 2): DataFrame = {
+    val groups = exactDedupGroups(docs, textCol)
+    val reps = docs.join(
+      groups.select(col("rep_doc_id").as("doc_id"), col("n_dups")), Seq("doc_id"))
+    val pairs = lexicalNearDup(reps, textCol, threshold, maxDfFrac, minShared,
+      maxDfCap, n)
+    pairs
+      .join(reps.select(col("doc_id").as("a"), col("n_dups").as("na_dups")), Seq("a"))
+      .join(reps.select(col("doc_id").as("b"), col("n_dups").as("nb_dups")), Seq("b"))
+      .withColumn("pair_weight", col("na_dups") * col("nb_dups"))
+      .select(col("a"), col("b"), col("shared_terms"), col("dot"), col("cos"),
+        col("na_dups"), col("nb_dups"), col("pair_weight"))
+  }
+
+  /** [[composedNearDup]] as DuckDB SQL (oracle): the same min-doc_id
+    * representative per md5(text) group, the d13 posting CTEs sourced from
+    * the representative relation, multiplicities joined back at the end. */
+  def composedNearDupSql(tokenRe: String, threshold: Double, maxDfFrac: Double,
+                         minShared: Int, maxDfCap: Int = 1000, n: Int = 2): String =
+    s"""WITH groups AS (
+       |  SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+       |  FROM documents GROUP BY md5(text)),
+       |reps AS (
+       |  SELECT d.doc_id, d.text, g.n_dups
+       |  FROM documents d JOIN groups g USING (doc_id)),
+       |${postingCtes(tokenRe, maxDfFrac, maxDfCap, n, from = "reps")},
+       |norms AS (SELECT doc_id, sum(tf*tf) AS sq FROM posts GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(sum(a.tf*b.tf) AS BIGINT) AS dot, count(*) AS shared_terms
+       |  FROM posts a JOIN posts b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT a, b, shared_terms, dot,
+       |  dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))) AS cos,
+       |  ga.n_dups AS na_dups, gb.n_dups AS nb_dups,
+       |  ga.n_dups * gb.n_dups AS pair_weight
+       |FROM pairs JOIN norms na ON pairs.a = na.doc_id
+       |           JOIN norms nb ON pairs.b = nb.doc_id
+       |           JOIN reps ga ON pairs.a = ga.doc_id
+       |           JOIN reps gb ON pairs.b = gb.doc_id
+       |WHERE dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))
+       |      >= $threshold""".stripMargin
+
   /** Shared oracle CTE prefix for the lexical near-dup family: tokenization,
     * n-gram shingle construction, tf, and the dual-capped df frame —
     * byte-equivalent semantics to [[cappedPostings]]. */
   private[graft] def postingCtes(tokenRe: String, maxDfFrac: Double, maxDfCap: Int,
-                          n: Int): String = {
+                          n: Int, from: String = "documents"): String = {
     val joiner = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     val end = if (n == 2) "" else s" - ${n - 2}"
     s"""toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t
-       |  FROM documents),
-       |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       |  FROM $from),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n FROM $from),
        |grams AS (
        |  SELECT doc_id, unnest(list_transform(range(1, CAST(len(t) AS BIGINT)$end),
        |      i -> $joiner)) AS term

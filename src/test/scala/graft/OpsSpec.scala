@@ -66,6 +66,42 @@ class OpsSpec extends SparkSpec {
     assert(capped == Set((0L, 3L)))
   }
 
+  test("composed exact→near dedup: full recall where the df cap prunes d13") {
+    // Replica-inflated corpus — the sf1 probe's pathology in miniature:
+    // 3 base docs (0/1 a one-word near-dup pair, 2 unrelated), each
+    // replicated 30× with distinct ids but identical text.
+    val base = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      1L -> "the quick brown fox jumps over the lazy dog near the river bend",
+      2L -> "completely different content about spark query engines and shuffles")
+    val inflated = (for ((id, t) <- base; k <- 0 until 30)
+      yield (id + 3L * k, t)).toDF("doc_id", "text")
+    // N=90, every bigram's df >= 30 > ceil(90*0.2)=18: plain d13 prunes ALL
+    val plain = Dedup.lexicalNearDup(inflated, "text", threshold = 0.8,
+      maxDfFrac = 0.2, minShared = 3)
+    assert(plain.count() == 0, "premise: the cap must empty plain d13 here")
+    // composed: exact pass collapses to 3 reps (N=3, cap bottoms at 2);
+    // the near pair re-appears with full multiplicity accounting
+    val got = Dedup.composedNearDup(inflated, "text", threshold = 0.8,
+        maxDfFrac = 0.2, minShared = 3)
+      .select("a", "b", "cos", "na_dups", "nb_dups", "pair_weight")
+      .as[(Long, Long, Double, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (a, b, cos, na, nb, w) = got.head
+    assert((a, b) == (0L, 1L) && na == 30L && nb == 30L && w == 900L)
+    // the rep-pair cosine is the UNINFLATED d13 cosine — replicas absorbed
+    val ref = Dedup.lexicalNearDup(base.toDF("doc_id", "text"), "text",
+        threshold = 0.8, maxDfFrac = 1.0, minShared = 3)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(cos - ref((0L, 1L))) < 1e-12)
+    // and on a corpus with no exact dups, composed == plain + weight-1 cols
+    val flat = Dedup.composedNearDup(base.toDF("doc_id", "text"), "text",
+        threshold = 0.8, maxDfFrac = 1.0, minShared = 3)
+      .select("a", "b", "pair_weight").as[(Long, Long, Long)].collect().toSet
+    assert(flat == Set((0L, 1L, 1L)))
+  }
+
   test("prefix-filtered near-dup output is EXACTLY the plain capped join's") {
     // power-law-ish corpus: common boilerplate + doc-specific rare words,
     // plus near-dup pairs that must survive both plans identically

@@ -956,6 +956,35 @@ object SparkEntry {
            |FROM agg WHERE n > 0""".stripMargin
       }),
 
+    // ---- §2.5 STATE-STORE recovery under the oracle gate — the keyed-state
+    // twin of s2_restart_replay: the stateful GPA query crashes after batch
+    // 2's state commit + sink append and before its offset commit, then a
+    // second query reopens the checkpoint. Replaying the unacknowledged
+    // batch must load the PRE-batch state version (a resume from the
+    // post-batch version would double-fold every touched student and fail
+    // the hash gate); the duplicate sink append is absorbed by the
+    // rows-seen arbitration. Oracle: the same one-shot batch aggregate as
+    // the steady-state replay.
+    ("gpa_restart_replay",
+      (s, d) => graft.streaming.Pipeline.replayStatefulGpaRestart(s, ev(s, d),
+        EventsAdapter.ExcludedSemester, stageKey = Some(d)),
+      Some {
+        val ladder = GradeScale.grade4Sql("diem2")
+        val eligible = "diem2 >= 4.0 AND NOT contains(tenmh, '*') " +
+          s"AND nhhk <> ${EventsAdapter.ExcludedSemester}"
+        s"""WITH enroll AS (${EventsAdapter.sql}),
+           |agg AS (
+           |  SELECT masv,
+           |    sum(CASE WHEN $eligible THEN ($ladder) * dvht ELSE 0.0 END) AS pts,
+           |    sum(CASE WHEN $eligible THEN dvht ELSE 0.0 END) AS credits,
+           |    CAST(sum(CASE WHEN $eligible THEN 1 ELSE 0 END) AS BIGINT) AS n
+           |  FROM enroll GROUP BY masv)
+           |SELECT masv,
+           |  CASE WHEN credits > 0 THEN pts / credits ELSE 0.0 END AS dtbctl,
+           |  credits, n
+           |FROM agg WHERE n > 0""".stripMargin
+      }),
+
     // ---- §2.5 event-time TIMERS under the oracle gate: SessionTimeout
     // (transformWithState, one summary per watermark-proven closed session)
     // replayed over time-ordered staged files with a sentinel watermark

@@ -436,6 +436,87 @@ object Pipeline {
     Upsert.latestByKey(spark.read.parquet(out), Seq("masv"), "n", "n")
   }
 
+  /** [[replayStatefulGpa]] with a CRASH INJECTED MID-CORPUS — the STATE-STORE
+    * twin of [[replayUpsertRestart]]. That leg certifies file-source offset
+    * recovery plus an idempotent sink; this one certifies recovery of
+    * ARBITRARY KEYED STATE (`mapGroupsWithState` accumulators): the first
+    * query folds `killAfterBatches` micro-batches into per-student state and
+    * then throws inside foreachBatch AFTER the batch's sink append and state
+    * commit, BEFORE its offset commit. The reopened query replays the
+    * unacknowledged batch, and Spark's versioned state store must hand its
+    * tasks the PRE-batch state version — if recovery instead resumed from
+    * the already-committed post-batch version, the replayed fold would
+    * double-count (points/credits/n inflated for every student the batch
+    * touched) and the cross-engine hash gate would fail. The duplicated
+    * sink append from the replayed batch is absorbed by the rows-seen
+    * arbitration (identical rows; latest-by-n picks one), so the settled
+    * output must STILL equal the one-shot batch aggregate — exactly-once
+    * STATE semantics certified end-to-end, same oracle as the steady-state
+    * replay. Staging rides the gpa memo (shape-identical); checkpoint,
+    * sink, and both query lifecycles are always fresh. */
+  def replayStatefulGpaRestart(spark: SparkSession, events: DataFrame,
+                               excludedSemester: Int, nFiles: Int = 4,
+                               killAfterBatches: Int = 2,
+                               stageKey: Option[String] = None): DataFrame = {
+    require(killAfterBatches >= 1 && killAfterBatches < nFiles,
+      s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
+        s"got $killAfterBatches / $nFiles")
+    val src = memoStage(stageKey, s"gpa|$nFiles") {
+      val root = replayTempRoot("graft_gpa_replay_")
+      val s = s"$root/src"
+      graft.query.EventsAdapter.enrollmentView(events)
+        .repartitionByRange(nFiles, col("@timestamp"))
+        .write.mode("overwrite").parquet(s)
+      val straddling = spark.read.parquet(s)
+        .select(col("F_MASV"), input_file_name().as("__f"))
+        .groupBy("F_MASV").agg(countDistinct(col("__f")).as("__nf"))
+        .filter(col("__nf") > 1).count()
+      require(straddling > 0,
+        "GPA replay staging left every key inside one micro-batch; " +
+          "cross-batch state accumulation would be untested")
+      s
+    }
+    val run = replayTempRoot("graft_gpar_run_")
+    val out = s"$run/out"; val ckpt = s"$run/ckpt"
+    val schema = spark.read.parquet(src).schema
+    def updates = StatefulGpa.stream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+      excludedSemester).toDF()
+    val append = (batch: DataFrame, _: Long) =>
+      batch.write.mode("append").parquet(out)
+    val CrashMark = "graft-simulated-crash-post-state-pre-commit"
+    withReplayFanout(spark) {
+      val folded = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q1 = updates.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          append(batch, id)
+          if (folded.incrementAndGet() == killAfterBatches)
+            throw new RuntimeException(CrashMark)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q1.awaitTermination(); sys.error("crash was injected but query drained cleanly") }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).toSeq
+          if (!msgs.exists(_.contains(CrashMark))) throw e
+      }
+      val q2 = updates.writeStream
+        .foreachBatch(append)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    Upsert.latestByKey(spark.read.parquet(out), Seq("masv"), "n", "n")
+  }
+
   /** §2.5 event-time-TIMER leg BATCH-REPLAY: [[SessionTimeout.summaries]]
     * (transformWithState, one summary per closed session, fired by the
     * watermark) over a file-source replay of the events table, promoted into

@@ -390,6 +390,25 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((10L, 4L), (20L, 3L), (20L, 5L), (30L, 6L)), s"got $out")
   }
 
+  test("stateful-GPA crash-restart replay settles identically to steady state") {
+    // The gpa_restart_replay promotion: crash after batch 2's state commit
+    // + sink append, before its offset commit. Recovery must hand the
+    // replayed batch the PRE-batch state version — a resume from the
+    // post-batch version would double-fold every student that batch touched
+    // and the settled (dtbctl, credits, n) triples would diverge from the
+    // steady-state replay's. Runs on the real sf0.001 events table so the
+    // staging straddle guard (keys spread across micro-batches) bites.
+    val events = graft.model.Tables(spark, "/root/testdata/sf0.001", "events")
+    val excl = graft.query.EventsAdapter.ExcludedSemester
+    def settle(df: org.apache.spark.sql.DataFrame) =
+      df.select($"masv", $"dtbctl", $"credits", $"n")
+        .as[(String, Double, Double, Long)].collect().toSet
+    val steady = settle(Pipeline.replayStatefulGpa(spark, events, excl))
+    val restarted = settle(Pipeline.replayStatefulGpaRestart(spark, events, excl))
+    assert(steady.nonEmpty && restarted == steady,
+      s"restart diverged: ${restarted.diff(steady)} vs ${steady.diff(restarted)}")
+  }
+
   test("outer interval-join batch-replay emits matches and watermark-proven nulls") {
     // The ssjoin_outer_replay promotion on a hand-checkable corpus: user 1's
     // view converts inside the window; user 2's purchase lands outside it;

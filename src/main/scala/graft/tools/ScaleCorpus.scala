@@ -11,15 +11,21 @@ import org.apache.spark.sql.functions._
   * perturbation (replicas stay distinct vectors, so top-k rankings are not
   * degenerate ties).
   *
-  *   runMain graft.tools.ScaleCorpus <srcSfDir> <outDir> <factor>
+  *   runMain graft.tools.ScaleCorpus <srcSfDir> <outDir> <factor> [exact]
   *
   * Writes `<outDir>/documents.parquet` and `<outDir>/embeddings.parquet`
   * with ids offset per replica; point TimeQueries at <outDir> for any
-  * documents/embeddings-only query. */
+  * documents/embeddings-only query.
+  *
+  * A 4th arg `exact` switches the documents replicas to EXACT duplicates
+  * (no per-replica suffix) — the mirror/repost duplication regime, the
+  * case d19's exact-prepass composition exists for. Only documents is
+  * written in this mode (the d13-vs-d19 probe needs nothing else). */
 object ScaleCorpus {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
+    val exactMode = args.length > 3 && args(3) == "exact"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -30,16 +36,18 @@ object ScaleCorpus {
     // any registered query; n_chars is re-derived because the replica
     // suffix changes the text length.
     val reps = (0 until factor).map { r =>
-      val rep = docs
-        .withColumn("doc_id", col("doc_id") + lit(r * n))
-        .withColumn("text", concat(col("text"), lit(s" rep$r")))
+      val rep0 = docs.withColumn("doc_id", col("doc_id") + lit(r * n))
+      val rep = if (exactMode) rep0
+        else rep0.withColumn("text", concat(col("text"), lit(s" rep$r")))
       if (rep.columns.contains("n_chars"))
         rep.withColumn("n_chars", length(col("text")).cast("long"))
       else rep
     }.reduce(_ unionByName _)
     reps.repartition(32).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
-    println(s"[scale] wrote ${factor}x corpus (${factor * n} docs) to $out")
+    println(s"[scale] wrote ${factor}x corpus (${factor * n} docs, " +
+      s"${if (exactMode) "exact" else "near-dup"} replicas) to $out")
+    if (exactMode) { spark.stop(); return }
     val emb = graft.model.Tables(spark, src, "embeddings")
     val m = emb.count()
     val embReps = (0 until factor).map { r =>

@@ -135,7 +135,8 @@ class PlanChecksSpec extends SparkSpec {
     // shuffle would fuse the whole expansion onto 2-3 cores (measured,
     // PLANS.md round 8). The explicit numbered repartition (byTerm) must
     // stay in the plan: REPARTITION_BY_NUM is the origin AQE cannot coalesce.
-    for (q <- Seq("d13_lexical_neardup", "d15_idf_neardup", "d14_prefix_neardup")) {
+    for (q <- Seq("d13_lexical_neardup", "d15_idf_neardup", "d14_prefix_neardup",
+                  "d19_composed_neardup")) {
       val plan = finalPlanString(SparkEntry.queries(q)(spark, sf))
       assert(plan.contains("REPARTITION_BY_NUM"),
         s"$q: pinned-width repartition missing from:\n$plan")

@@ -992,6 +992,38 @@ object SparkEntry {
     // gap-island sessionization (same strict-> 30-min gap as w_sessionize,
     // ms precision, integer-cents totals). The last §2.5 leg promoted from
     // sbt-only coverage into the cross-engine gate.
+    // ---- §2.5 TIMER-state recovery under the oracle gate — the third state
+    // shape (after s2's offsets+sink and gpa's keyed accumulators):
+    // transformWithState session accumulators PLUS their registered
+    // event-time close timers, in the RocksDB provider. Crash after batch
+    // 2's RocksDB commit + sink append, before offset commit; the reopened
+    // query must restore state AND timers or watermark-fired session closes
+    // go missing and the hash gate fails. Re-appended summaries absorbed by
+    // (user_id, start_ms) dedup. Oracle: the steady replay's batch
+    // sessionization.
+    ("sess_restart_replay",
+      (s, d) => graft.streaming.Pipeline.replaySessionSummariesRestart(s,
+        ev(s, d), stageKey = Some(d)),
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts_ms, cents,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, cents)),
+        |s AS (
+        |  SELECT user_id, ts_ms, cents,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, cents
+        |                      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     ("sess_stream_replay",
       (s, d) => graft.streaming.Pipeline.replaySessionSummaries(s, ev(s, d),
         stageKey = Some(d)),

@@ -548,7 +548,37 @@ object Pipeline {
     * (transformWithState's contract); set and restored around the run. */
   def replaySessionSummaries(spark: SparkSession, events: DataFrame,
                              gapMs: Long = 1800000L, nFiles: Int = 4,
-                             stageKey: Option[String] = None): DataFrame = {
+                             stageKey: Option[String] = None): DataFrame =
+    sessionReplayCore(spark, events, gapMs, nFiles, stageKey, killAfterBatches = 0)
+
+  /** [[replaySessionSummaries]] with a CRASH INJECTED MID-CORPUS — the third
+    * and hardest state shape in the recovery family (after s2's offsets+sink
+    * and gpa's keyed accumulators): transformWithState session state PLUS
+    * its registered event-time TIMERS, in the RocksDB provider. The first
+    * query crashes inside foreachBatch after `killAfterBatches` batches
+    * (post sink-append and RocksDB commit, pre offset commit); the reopened
+    * query must restore both the open-session accumulators AND their close
+    * timers from the checkpointed RocksDB version — lost timers would leave
+    * sessions unclosed when the sentinel's watermark no-data batch fires,
+    * and the missing rows fail the cross-engine gate. The replayed batch's
+    * re-appended summaries are absorbed by (user_id, start_ms) dedup — a
+    * user's sessions are disjoint intervals, so start_ms uniquely keys a
+    * session and re-emissions are byte-identical. Same oracle as the
+    * steady-state replay. */
+  def replaySessionSummariesRestart(spark: SparkSession, events: DataFrame,
+                                    gapMs: Long = 1800000L, nFiles: Int = 4,
+                                    killAfterBatches: Int = 2,
+                                    stageKey: Option[String] = None): DataFrame = {
+    require(killAfterBatches >= 1 && killAfterBatches < nFiles,
+      s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
+        s"got $killAfterBatches / $nFiles")
+    sessionReplayCore(spark, events, gapMs, nFiles, stageKey, killAfterBatches)
+  }
+
+  private def sessionReplayCore(spark: SparkSession, events: DataFrame,
+                                gapMs: Long, nFiles: Int,
+                                stageKey: Option[String],
+                                killAfterBatches: Int): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
     val (staged, src) = memoStage(stageKey, s"sess|$gapMs|$nFiles") {
@@ -600,26 +630,60 @@ object Pipeline {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-      withReplayFanout(spark) {
-        val q = SessionTimeout.summaries(stream, gapMs, watermark = "0 seconds")
+      val append = (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      def writer(fn: (org.apache.spark.sql.DataFrame, Long) => Unit) =
+        SessionTimeout.summaries(stream, gapMs, watermark = "0 seconds")
           .toDF().writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out)
-          }
+          .foreachBatch(fn)
           .option("checkpointLocation", ckpt)
           .outputMode("append")
-          .start()
-        // processAllAvailable (not AvailableNow): the last summaries emit in
-        // the watermark-driven NO-DATA batch after the sentinel, which this
-        // drain is documented to wait out. stop() in finally so a failed
-        // drain can't leak a running query with open state stores.
+      withReplayFanout(spark) {
+        if (killAfterBatches > 0) {
+          // Crash leg: append, then throw after the k-th batch — post
+          // RocksDB commit + sink append, pre offset commit.
+          val CrashMark = "graft-simulated-crash-post-timer-pre-commit"
+          val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+          val q1 = writer { (batch, id) =>
+            append(batch, id)
+            if (seen.incrementAndGet() == killAfterBatches)
+              throw new RuntimeException(CrashMark)
+          }.start()
+          // The failure surfaces from processAllAvailable (or the stop) as a
+          // StreamingQueryException carrying the marker in its cause chain;
+          // anything else is a real failure and must propagate.
+          try {
+            try q1.processAllAvailable() finally q1.stop()
+            sys.error("crash was injected but query drained cleanly")
+          } catch {
+            case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+              val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+                .takeWhile(_ != null)
+                .map(t => Option(t.getMessage).getOrElse("")).toSeq
+              if (!msgs.exists(_.contains(CrashMark))) throw e
+          }
+        }
+        // Steady drain (the only query when killAfterBatches == 0; the
+        // recovery query otherwise). processAllAvailable (not AvailableNow):
+        // the last summaries emit in the watermark-driven NO-DATA batch
+        // after the sentinel, which this drain is documented to wait out.
+        // stop() in finally so a failed drain can't leak a running query
+        // with open state stores.
+        val q = writer(append).start()
         try q.processAllAvailable() finally q.stop()
       }
-      spark.read.parquet(out)
+      val raw = spark.read.parquet(out)
         .filter(col("user_id") >= 0L)
         .select(col("user_id"), col("n_events"),
           col("total").cast("long").as("total_cents"),
           col("start_ms"), col("end_ms"))
+      // At-least-once absorb (crash leg only): the replayed batch re-appends
+      // byte-identical summaries; (user_id, start_ms) uniquely keys a
+      // session (a user's sessions are disjoint intervals), so keep one row
+      // per key. The steady leg emits each session exactly once and takes
+      // no dedup — a duplicate there would be a real bug the gate must see.
+      if (killAfterBatches > 0) raw.dropDuplicates("user_id", "start_ms")
+      else raw
     } finally savedProvider.fold(spark.conf.unset(provider))(spark.conf.set(provider, _))
     }
   }

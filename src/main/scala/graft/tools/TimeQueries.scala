@@ -15,8 +15,13 @@ object TimeQueries {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("d6_dup_clusters")
+    // Width override for scale probes: at 10× data the sf0.1-sized 32-wide
+    // shuffle makes each task's slice 10× larger (the d14 sf1 OOM at 8g) —
+    // widening the shuffle is the standard cluster answer, so the probe
+    // tool must be able to express it.
+    val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", width)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (k <- Seq(graft.Materialize.ModeKey, graft.Materialize.DirKey);

@@ -409,6 +409,24 @@ class StreamingSpec extends SparkSpec {
       s"restart diverged: ${restarted.diff(steady)} vs ${steady.diff(restarted)}")
   }
 
+  test("session-timer crash-restart replay settles identically to steady state") {
+    // The sess_restart_replay promotion: crash after batch 2's RocksDB
+    // commit + sink append, before offset commit. Recovery must restore
+    // BOTH the open-session accumulators and their registered event-time
+    // close timers — lost timers would leave sessions unclosed when the
+    // sentinel's watermark no-data batch fires, producing missing rows
+    // rather than wrong ones. Real sf0.001 events so sessions straddle the
+    // time-ordered micro-batch cuts.
+    val events = graft.model.Tables(spark, "/root/testdata/sf0.001", "events")
+    def settle(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"n_events", $"total_cents", $"start_ms", $"end_ms")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val steady = settle(Pipeline.replaySessionSummaries(spark, events))
+    val restarted = settle(Pipeline.replaySessionSummariesRestart(spark, events))
+    assert(steady.nonEmpty && restarted == steady,
+      s"restart diverged: ${restarted.diff(steady)} vs ${steady.diff(restarted)}")
+  }
+
   test("outer interval-join batch-replay emits matches and watermark-proven nulls") {
     // The ssjoin_outer_replay promotion on a hand-checkable corpus: user 1's
     // view converts inside the window; user 2's purchase lands outside it;

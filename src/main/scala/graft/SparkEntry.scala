@@ -1069,6 +1069,25 @@ object SparkEntry {
         | AND epoch_us(r.ts) >= epoch_us(l.ts)
         | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000""".stripMargin)),
 
+    // ---- §2.5 JOIN-BUFFER recovery under the gate — the fourth and last
+    // state class (after s2 offsets, gpa keyed accumulators, sess timers):
+    // the stream-stream interval join's symmetric unmatched-row buffers,
+    // crash-recovered mid-corpus. Lost buffers drop straddling pairs; a
+    // post-batch resume double-inserts the replayed rows; either fails the
+    // hash gate. Re-emitted pairs absorbed by (l_id, r_id) dedup. Oracle:
+    // the steady replay's batch theta-join.
+    ("ssjoin_restart_replay",
+      (s, d) => graft.streaming.Pipeline.replayIntervalJoinRestart(s, ev(s, d),
+        stageKey = Some(d)),
+      Some("""SELECT l.event_id AS l_id, r.event_id AS r_id,
+        |  l.user_id AS user_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type IN ('view', 'click')
+        | AND r.event_type = 'purchase'
+        | AND epoch_us(r.ts) >= epoch_us(l.ts)
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000""".stripMargin)),
+
     // ---- §2.5 stream-stream LEFT-OUTER interval join under the gate: the
     // did-NOT-convert leg. Null rows are emitted by WATERMARK-PROVEN state
     // eviction (not data arrival) — the one streaming semantic the inner

@@ -749,6 +749,87 @@ object Pipeline {
     spark.read.parquet(out)
   }
 
+  /** [[replayIntervalJoin]] with a CRASH INJECTED MID-CORPUS — the fourth
+    * and last state class in the recovery family: SYMMETRIC JOIN BUFFERS.
+    * A stream-stream join checkpoints both sides' unmatched rows (four
+    * state stores per partition); the first query crashes inside
+    * foreachBatch after `killAfterBatches` batches (post sink append and
+    * state commit, pre offset commit), and the reopened query replays the
+    * unacknowledged batch against the restored PRE-batch buffers. Lost
+    * buffers would drop every pair whose two sides straddle the crash
+    * point (the join's whole reason for state); a post-batch resume would
+    * re-insert the replayed batch's rows into buffers that already hold
+    * them. Either corruption changes the emitted pair set and fails the
+    * hash gate. The replayed batch's re-emitted pairs are absorbed by
+    * (l_id, r_id) dedup — a qualifying pair emits exactly once in steady
+    * state, so pair identity is a key. Same oracle as the steady replay. */
+  def replayIntervalJoinRestart(spark: SparkSession, events: DataFrame,
+                                within: String = "30 minutes", nFiles: Int = 2,
+                                killAfterBatches: Int = 2,
+                                stageKey: Option[String] = None): DataFrame = {
+    // Two interleaved sources yield 2*nFiles file batches; the crash must
+    // leave at least one for recovery.
+    require(killAfterBatches >= 1 && killAfterBatches < 2 * nFiles,
+      s"crash must land mid-corpus: need 1 <= killAfterBatches < 2*nFiles, " +
+        s"got $killAfterBatches / 2*$nFiles")
+    val (lsrc, rsrc, horizonSec) = memoStage(stageKey, s"ssjoin|$within|$nFiles") {
+      val root = replayTempRoot("graft_ssj_replay_")
+      val cols = Seq(col("event_id"), col("user_id"), col("ts"))
+      events.filter(col("event_type").isin("view", "click"))
+        .select(cols: _*).repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(s"$root/l")
+      events.filter(col("event_type") === "purchase")
+        .select(cols: _*).repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(s"$root/r")
+      val span = events
+        .agg(max(unix_millis(col("ts"))) - min(unix_millis(col("ts"))))
+        .head().getLong(0)
+      (s"$root/l", s"$root/r",
+        java.lang.Long.valueOf(span / 1000L + 86400L))
+    }
+    val run = replayTempRoot("graft_ssjr_run_")
+    val out = s"$run/out"; val ckpt = s"$run/ckpt"
+    def src(dir: String) = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    def joined = intervalJoinStreams(src(lsrc), src(rsrc), "user_id", "ts",
+        within = within, watermark = s"$horizonSec seconds")
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"),
+        col("l.user_id").as("user_id"))
+    val append = (batch: DataFrame, _: Long) =>
+      batch.write.mode("append").parquet(out)
+    val CrashMark = "graft-simulated-crash-post-buffer-pre-commit"
+    withReplayFanout(spark) {
+      val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q1 = joined.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          append(batch, id)
+          if (seen.incrementAndGet() == killAfterBatches)
+            throw new RuntimeException(CrashMark)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q1.awaitTermination(); sys.error("crash was injected but query drained cleanly") }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).toSeq
+          if (!msgs.exists(_.contains(CrashMark))) throw e
+      }
+      val q2 = joined.writeStream
+        .foreachBatch(append)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    spark.read.parquet(out).dropDuplicates("l_id", "r_id")
+  }
+
   /** §2.5 stream-stream LEFT-OUTER interval join BATCH-REPLAY: the
     * did-NOT-convert leg — every view/click with no purchase inside the
     * window must emit (left, null) once the watermark PROVES none can

@@ -427,6 +427,23 @@ class StreamingSpec extends SparkSpec {
       s"restart diverged: ${restarted.diff(steady)} vs ${steady.diff(restarted)}")
   }
 
+  test("join-buffer crash-restart replay settles identically to steady state") {
+    // The ssjoin_restart_replay promotion: crash after batch 2's buffer
+    // commit + sink append, before offset commit. Recovery must restore
+    // both sides' unmatched-row buffers at the PRE-batch version — lost
+    // buffers drop pairs whose sides straddle the crash; a post-batch
+    // resume double-inserts the replayed rows. Real sf0.001 events so
+    // pairs form across the interleaved per-side micro-batches.
+    val events = graft.model.Tables(spark, "/root/testdata/sf0.001", "events")
+    def settle(df: org.apache.spark.sql.DataFrame) =
+      df.select($"l_id", $"r_id", $"user_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val steady = settle(Pipeline.replayIntervalJoin(spark, events))
+    val restarted = settle(Pipeline.replayIntervalJoinRestart(spark, events))
+    assert(steady.nonEmpty && restarted == steady,
+      s"restart diverged: ${restarted.diff(steady)} vs ${steady.diff(restarted)}")
+  }
+
   test("outer interval-join batch-replay emits matches and watermark-proven nulls") {
     // The ssjoin_outer_replay promotion on a hand-checkable corpus: user 1's
     // view converts inside the window; user 2's purchase lands outside it;

@@ -1106,6 +1106,33 @@ object SparkEntry {
         | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
         |WHERE l.event_type IN ('view', 'click')""".stripMargin)),
 
+    // ---- §2.5 EVICTION-from-recovered-state under the gate: the outer
+    // join's null rows must fire from buffers restored across a mid-corpus
+    // crash — lost buffers both drop straddling pairs AND lose pending
+    // never-matched lefts (their nulls never emit). Completes the restart
+    // family: every §2.5 replay now has a crash-recovery twin.
+    ("ssjoin_outer_restart_replay",
+      (s, d) => graft.streaming.Pipeline.replayIntervalJoinOuterRestart(s,
+        ev(s, d), stageKey = Some(d)),
+      Some("""SELECT l.event_id AS l_id, r.event_id AS r_id,
+        |  l.user_id AS user_id
+        |FROM events l LEFT JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.event_type = 'purchase'
+        | AND epoch_us(r.ts) >= epoch_us(l.ts)
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+        |WHERE l.event_type IN ('view', 'click')""".stripMargin)),
+
+    // ---- §2.5 watermarked-dedup state recovery under the gate: the
+    // seen-hash state across a mid-corpus crash. A post-batch resume would
+    // classify the replayed batch's first occurrences as already-seen and
+    // DROP them — missing rows, caught by the hash gate.
+    ("t1_restart_replay",
+      (s, d) => graft.streaming.Pipeline.replayStreamDedupRestart(s,
+        docs(s, d), stageKey = Some(d)),
+      Some("""SELECT DISTINCT md5(text) AS row_hash,
+        |CAST(length(text) AS INT) AS text_len FROM documents""".stripMargin)),
+
     // ---- s8: SCD Type-2 history — the keep-ALL-versions complement to s5's
     // latest-wins arbitration: per-user event_type change intervals with
     // [valid_from, valid_to) ranges and an is_current flag.

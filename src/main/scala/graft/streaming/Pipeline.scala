@@ -378,6 +378,75 @@ object Pipeline {
     spark.read.parquet(out)
   }
 
+  /** [[replayStreamDedup]] with a CRASH INJECTED MID-CORPUS: the
+    * watermarked-dedup state leg of the recovery family. The seen-hash
+    * state committed through batch k survives the crash; the reopened
+    * query must hand the replayed batch the PRE-batch version — a
+    * post-batch resume would classify the replayed batch's first
+    * occurrences as already-seen and DROP them (missing rows, not wrong
+    * ones), which the hash gate catches. Re-emitted firsts are
+    * byte-identical (only hash-determined columns are emitted) and
+    * absorbed by row_hash dedup. Same oracle as the steady replay. */
+  def replayStreamDedupRestart(spark: SparkSession, docs: DataFrame,
+                               nFiles: Int = 4, killAfterBatches: Int = 2,
+                               stageKey: Option[String] = None): DataFrame = {
+    require(killAfterBatches >= 1 && killAfterBatches < nFiles,
+      s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
+        s"got $killAfterBatches / $nFiles")
+    val (src, horizonSec) = memoStage(stageKey, s"t1|$nFiles") {
+      val root = replayTempRoot("graft_t1_replay_")
+      val s = s"$root/src"
+      docs.select(col("doc_id"), col("text"))
+        .repartitionByRange(nFiles, col("doc_id"))
+        .write.mode("overwrite").parquet(s)
+      val span = spark.read.parquet(s)
+        .agg(max(col("doc_id")) - min(col("doc_id"))).head().getLong(0)
+      (s, java.lang.Long.valueOf(span + 86400L))
+    }
+    val run = replayTempRoot("graft_t1r_run_")
+    val out = s"$run/out"; val ckpt = s"$run/ckpt"
+    val schema = spark.read.parquet(src).schema
+    def deduped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .withColumn("row_hash", md5(col("text")))
+      .withWatermark("ts", s"$horizonSec seconds")
+      .dropDuplicatesWithinWatermark("row_hash")
+      .select(col("row_hash"), length(col("text")).as("text_len"))
+    val append = (batch: DataFrame, _: Long) =>
+      batch.write.mode("append").parquet(out)
+    val CrashMark = "graft-simulated-crash-post-dedup-pre-commit"
+    withReplayFanout(spark) {
+      val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q1 = deduped.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          append(batch, id)
+          if (seen.incrementAndGet() == killAfterBatches)
+            throw new RuntimeException(CrashMark)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q1.awaitTermination(); sys.error("crash was injected but query drained cleanly") }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).toSeq
+          if (!msgs.exists(_.contains(CrashMark))) throw e
+      }
+      val q2 = deduped.writeStream
+        .foreachBatch(append)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    spark.read.parquet(out).dropDuplicates("row_hash")
+  }
+
   /** §2.5 stateful-aggregation BATCH-REPLAY: the flagship per-student GPA
     * maintained as keyed streaming state ([[StatefulGpa]], mapGroupsWithState)
     * over a file-source replay of the enrollment-mapped events, one
@@ -854,7 +923,36 @@ object Pipeline {
     * form let a caller override one and silently break the other). */
   def replayIntervalJoinOuter(spark: SparkSession, events: DataFrame,
                               withinMs: Long = 1800000L, nFiles: Int = 2,
-                              stageKey: Option[String] = None): DataFrame = {
+                              stageKey: Option[String] = None): DataFrame =
+    outerJoinReplayCore(spark, events, withinMs, nFiles, stageKey,
+      killAfterBatches = 0)
+
+  /** [[replayIntervalJoinOuter]] with a CRASH INJECTED MID-CORPUS: the
+    * eviction-driven leg of the join-buffer recovery story. The crash lands
+    * during the file batches (the corpus-spanning watermark delay means no
+    * eviction can fire before the sentinels), so the reopened query carries
+    * recovered buffers through the REST of the corpus and then the
+    * watermark no-data batches must still emit exactly one null row per
+    * never-matched left — eviction fired from recovered state, the one
+    * semantic the inner restart leg can't reach. Lost buffers would both
+    * drop straddling pairs AND lose pending never-matched lefts (their
+    * nulls never emit); re-emitted matched pairs are absorbed by
+    * (l_id, r_id) dedup. Same oracle as the steady outer replay. */
+  def replayIntervalJoinOuterRestart(spark: SparkSession, events: DataFrame,
+                                     withinMs: Long = 1800000L, nFiles: Int = 2,
+                                     killAfterBatches: Int = 2,
+                                     stageKey: Option[String] = None): DataFrame = {
+    require(killAfterBatches >= 1 && killAfterBatches < 2 * nFiles,
+      s"crash must land mid-corpus: need 1 <= killAfterBatches < 2*nFiles, " +
+        s"got $killAfterBatches / 2*$nFiles")
+    outerJoinReplayCore(spark, events, withinMs, nFiles, stageKey,
+      killAfterBatches)
+  }
+
+  private def outerJoinReplayCore(spark: SparkSession, events: DataFrame,
+                                  withinMs: Long, nFiles: Int,
+                                  stageKey: Option[String],
+                                  killAfterBatches: Int): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
     val within = s"$withinMs milliseconds"
@@ -905,14 +1003,39 @@ object Pipeline {
       .schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-    val joined = intervalJoinStreams(src(lsrc), src(rsrc), "user_id", "ts",
+    def joined = intervalJoinStreams(src(lsrc), src(rsrc), "user_id", "ts",
         within = within, watermark = s"$delaySec seconds",
         joinType = "left_outer")
       .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"),
         col("l.user_id").as("user_id"))
+    val append = (batch: DataFrame, _: Long) =>
+      batch.write.mode("append").parquet(out)
     withReplayFanout(spark) {
-      val q = joined.writeStream.format("parquet")
-        .option("path", out)
+      if (killAfterBatches > 0) {
+        val CrashMark = "graft-simulated-crash-pre-eviction"
+        val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+        val q1 = joined.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            append(batch, id)
+            if (seen.incrementAndGet() == killAfterBatches)
+              throw new RuntimeException(CrashMark)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+        try {
+          try q1.processAllAvailable() finally q1.stop()
+          sys.error("crash was injected but query drained cleanly")
+        } catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null)
+              .map(t => Option(t.getMessage).getOrElse("")).toSeq
+            if (!msgs.exists(_.contains(CrashMark))) throw e
+        }
+      }
+      val q = joined.writeStream
+        .foreachBatch(append)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
         .start()
@@ -921,7 +1044,11 @@ object Pipeline {
       // finally so a failed drain can't leak a running query.
       try q.processAllAvailable() finally q.stop()
     }
-    spark.read.parquet(out).filter(col("user_id") >= 0L)
+    val raw = spark.read.parquet(out).filter(col("user_id") >= 0L)
+    // Crash leg only: absorb the replayed batch's re-emitted matched pairs.
+    // (l_id, r_id) keys the output — a matched pair emits once, and a null
+    // row's l_id appears only when NO match exists for it.
+    if (killAfterBatches > 0) raw.dropDuplicates("l_id", "r_id") else raw
   }
 
   /** Full consumer leg: Kafka -> enrich -> upsert (compile-time wiring; needs

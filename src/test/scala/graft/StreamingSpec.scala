@@ -444,6 +444,29 @@ class StreamingSpec extends SparkSpec {
       s"restart diverged: ${restarted.diff(steady)} vs ${steady.diff(restarted)}")
   }
 
+  test("dedup-state and outer-eviction crash-restarts settle identically to steady") {
+    // The t1_restart_replay / ssjoin_outer_restart_replay promotions,
+    // closing the family: every §2.5 replay has a crash-recovery twin.
+    // Dedup: a post-batch resume would DROP the replayed batch's first
+    // occurrences as already-seen. Outer join: nulls must fire from
+    // buffers recovered across the crash — lost pending lefts never emit.
+    val docs = graft.model.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val t1Steady = Pipeline.replayStreamDedup(spark, docs)
+      .as[(String, Int)].collect().toSet
+    val t1Restart = Pipeline.replayStreamDedupRestart(spark, docs)
+      .as[(String, Int)].collect().toSet
+    assert(t1Steady.nonEmpty && t1Restart == t1Steady,
+      s"t1 restart diverged: ${t1Restart.diff(t1Steady)} vs ${t1Steady.diff(t1Restart)}")
+    val events = graft.model.Tables(spark, "/root/testdata/sf0.001", "events")
+    def settle(df: org.apache.spark.sql.DataFrame) =
+      df.select($"l_id", $"r_id", $"user_id")
+        .as[(Long, Option[Long], Long)].collect().toSet
+    val oSteady = settle(Pipeline.replayIntervalJoinOuter(spark, events))
+    val oRestart = settle(Pipeline.replayIntervalJoinOuterRestart(spark, events))
+    assert(oSteady.exists(_._2.isEmpty) && oRestart == oSteady,
+      s"outer restart diverged: ${oRestart.diff(oSteady)} vs ${oSteady.diff(oRestart)}")
+  }
+
   test("outer interval-join batch-replay emits matches and watermark-proven nulls") {
     // The ssjoin_outer_replay promotion on a hand-checkable corpus: user 1's
     // view converts inside the window; user 2's purchase lands outside it;

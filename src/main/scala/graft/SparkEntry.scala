@@ -893,12 +893,7 @@ object SparkEntry {
     ("s2_stream_replay_upsert",
       (s, d) => graft.streaming.Pipeline.replayUpsertDaily(s, ev(s, d),
         stageKey = Some(d)),
-      Some("""SELECT user_id, CAST(ts AS DATE) AS ingest_date, event_id,
-        |  event_type, value, ts
-        |FROM (SELECT user_id, event_id, event_type, value, ts,
-        |        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-        |                           ORDER BY ts DESC, event_id DESC) AS rn
-        |      FROM events) WHERE rn = 1""".stripMargin)),
+      Some(upsertDailyOracle)),
 
     // ---- §2.5 checkpoint RECOVERY under the oracle gate (r12 verdict #6):
     // same pipeline, but the first query crashes INSIDE foreachBatch after
@@ -911,12 +906,7 @@ object SparkEntry {
     ("s2_restart_replay",
       (s, d) => graft.streaming.Pipeline.replayUpsertRestart(s, ev(s, d),
         stageKey = Some(d)),
-      Some("""SELECT user_id, CAST(ts AS DATE) AS ingest_date, event_id,
-        |  event_type, value, ts
-        |FROM (SELECT user_id, event_id, event_type, value, ts,
-        |        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-        |                           ORDER BY ts DESC, event_id DESC) AS rn
-        |      FROM events) WHERE rn = 1""".stripMargin)),
+      Some(upsertDailyOracle)),
 
     // ---- T1 (§2.5): the watermarked STREAMING dedup under the oracle gate —
     // dropDuplicatesWithinWatermark over a 4-file replay of the corpus; the
@@ -926,8 +916,7 @@ object SparkEntry {
     ("t1_stream_dedup_replay",
       (s, d) => graft.streaming.Pipeline.replayStreamDedup(s, docs(s, d),
         stageKey = Some(d)),
-      Some("""SELECT DISTINCT md5(text) AS row_hash,
-        |CAST(length(text) AS INT) AS text_len FROM documents""".stripMargin)),
+      Some(streamDedupOracle)),
 
     // ---- §2.5 stateful aggregation under the oracle gate: the flagship GPA
     // as keyed streaming state (mapGroupsWithState) over a 4-file replay;
@@ -939,22 +928,7 @@ object SparkEntry {
     ("gpa_stream_replay",
       (s, d) => graft.streaming.Pipeline.replayStatefulGpa(s, ev(s, d),
         EventsAdapter.ExcludedSemester, stageKey = Some(d)),
-      Some {
-        val ladder = GradeScale.grade4Sql("diem2")
-        val eligible = "diem2 >= 4.0 AND NOT contains(tenmh, '*') " +
-          s"AND nhhk <> ${EventsAdapter.ExcludedSemester}"
-        s"""WITH enroll AS (${EventsAdapter.sql}),
-           |agg AS (
-           |  SELECT masv,
-           |    sum(CASE WHEN $eligible THEN ($ladder) * dvht ELSE 0.0 END) AS pts,
-           |    sum(CASE WHEN $eligible THEN dvht ELSE 0.0 END) AS credits,
-           |    CAST(sum(CASE WHEN $eligible THEN 1 ELSE 0 END) AS BIGINT) AS n
-           |  FROM enroll GROUP BY masv)
-           |SELECT masv,
-           |  CASE WHEN credits > 0 THEN pts / credits ELSE 0.0 END AS dtbctl,
-           |  credits, n
-           |FROM agg WHERE n > 0""".stripMargin
-      }),
+      Some(gpaReplayOracle)),
 
     // ---- §2.5 STATE-STORE recovery under the oracle gate — the keyed-state
     // twin of s2_restart_replay: the stateful GPA query crashes after batch
@@ -968,22 +942,7 @@ object SparkEntry {
     ("gpa_restart_replay",
       (s, d) => graft.streaming.Pipeline.replayStatefulGpaRestart(s, ev(s, d),
         EventsAdapter.ExcludedSemester, stageKey = Some(d)),
-      Some {
-        val ladder = GradeScale.grade4Sql("diem2")
-        val eligible = "diem2 >= 4.0 AND NOT contains(tenmh, '*') " +
-          s"AND nhhk <> ${EventsAdapter.ExcludedSemester}"
-        s"""WITH enroll AS (${EventsAdapter.sql}),
-           |agg AS (
-           |  SELECT masv,
-           |    sum(CASE WHEN $eligible THEN ($ladder) * dvht ELSE 0.0 END) AS pts,
-           |    sum(CASE WHEN $eligible THEN dvht ELSE 0.0 END) AS credits,
-           |    CAST(sum(CASE WHEN $eligible THEN 1 ELSE 0 END) AS BIGINT) AS n
-           |  FROM enroll GROUP BY masv)
-           |SELECT masv,
-           |  CASE WHEN credits > 0 THEN pts / credits ELSE 0.0 END AS dtbctl,
-           |  credits, n
-           |FROM agg WHERE n > 0""".stripMargin
-      }),
+      Some(gpaReplayOracle)),
 
     // ---- §2.5 event-time TIMERS under the oracle gate: SessionTimeout
     // (transformWithState, one summary per watermark-proven closed session)
@@ -1004,48 +963,12 @@ object SparkEntry {
     ("sess_restart_replay",
       (s, d) => graft.streaming.Pipeline.replaySessionSummariesRestart(s,
         ev(s, d), stageKey = Some(d)),
-      Some("""WITH e AS (
-        |  SELECT user_id, epoch_ms(ts) AS ts_ms,
-        |         CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, ts_ms, cents,
-        |    CASE WHEN lag(ts_ms) OVER w IS NULL
-        |           OR ts_ms - lag(ts_ms) OVER w > 1800000
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, cents)),
-        |s AS (
-        |  SELECT user_id, ts_ms, cents,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, cents
-        |                      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m)
-        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(cents) AS BIGINT) AS total_cents,
-        |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
-        |FROM s GROUP BY user_id, sid""".stripMargin)),
+      Some(sessReplayOracle)),
 
     ("sess_stream_replay",
       (s, d) => graft.streaming.Pipeline.replaySessionSummaries(s, ev(s, d),
         stageKey = Some(d)),
-      Some("""WITH e AS (
-        |  SELECT user_id, epoch_ms(ts) AS ts_ms,
-        |         CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, ts_ms, cents,
-        |    CASE WHEN lag(ts_ms) OVER w IS NULL
-        |           OR ts_ms - lag(ts_ms) OVER w > 1800000
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, cents)),
-        |s AS (
-        |  SELECT user_id, ts_ms, cents,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, cents
-        |                      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m)
-        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(cents) AS BIGINT) AS total_cents,
-        |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
-        |FROM s GROUP BY user_id, sid""".stripMargin)),
+      Some(sessReplayOracle)),
 
     // ---- §2.5 STREAM-STREAM interval join under the oracle gate: view/click
     // and purchase events replayed as two separate file-source streams (one
@@ -1060,14 +983,7 @@ object SparkEntry {
     ("ssjoin_stream_replay",
       (s, d) => graft.streaming.Pipeline.replayIntervalJoin(s, ev(s, d),
         stageKey = Some(d)),
-      Some("""SELECT l.event_id AS l_id, r.event_id AS r_id,
-        |  l.user_id AS user_id
-        |FROM events l JOIN events r
-        |  ON l.user_id = r.user_id
-        | AND l.event_type IN ('view', 'click')
-        | AND r.event_type = 'purchase'
-        | AND epoch_us(r.ts) >= epoch_us(l.ts)
-        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000""".stripMargin)),
+      Some(ssjoinReplayOracle)),
 
     // ---- §2.5 JOIN-BUFFER recovery under the gate — the fourth and last
     // state class (after s2 offsets, gpa keyed accumulators, sess timers):
@@ -1079,14 +995,7 @@ object SparkEntry {
     ("ssjoin_restart_replay",
       (s, d) => graft.streaming.Pipeline.replayIntervalJoinRestart(s, ev(s, d),
         stageKey = Some(d)),
-      Some("""SELECT l.event_id AS l_id, r.event_id AS r_id,
-        |  l.user_id AS user_id
-        |FROM events l JOIN events r
-        |  ON l.user_id = r.user_id
-        | AND l.event_type IN ('view', 'click')
-        | AND r.event_type = 'purchase'
-        | AND epoch_us(r.ts) >= epoch_us(l.ts)
-        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000""".stripMargin)),
+      Some(ssjoinReplayOracle)),
 
     // ---- §2.5 stream-stream LEFT-OUTER interval join under the gate: the
     // did-NOT-convert leg. Null rows are emitted by WATERMARK-PROVEN state
@@ -1097,14 +1006,7 @@ object SparkEntry {
     ("ssjoin_outer_replay",
       (s, d) => graft.streaming.Pipeline.replayIntervalJoinOuter(s, ev(s, d),
         stageKey = Some(d)),
-      Some("""SELECT l.event_id AS l_id, r.event_id AS r_id,
-        |  l.user_id AS user_id
-        |FROM events l LEFT JOIN events r
-        |  ON l.user_id = r.user_id
-        | AND r.event_type = 'purchase'
-        | AND epoch_us(r.ts) >= epoch_us(l.ts)
-        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
-        |WHERE l.event_type IN ('view', 'click')""".stripMargin)),
+      Some(ssjoinOuterReplayOracle)),
 
     // ---- §2.5 EVICTION-from-recovered-state under the gate: the outer
     // join's null rows must fire from buffers restored across a mid-corpus
@@ -1114,14 +1016,7 @@ object SparkEntry {
     ("ssjoin_outer_restart_replay",
       (s, d) => graft.streaming.Pipeline.replayIntervalJoinOuterRestart(s,
         ev(s, d), stageKey = Some(d)),
-      Some("""SELECT l.event_id AS l_id, r.event_id AS r_id,
-        |  l.user_id AS user_id
-        |FROM events l LEFT JOIN events r
-        |  ON l.user_id = r.user_id
-        | AND r.event_type = 'purchase'
-        | AND epoch_us(r.ts) >= epoch_us(l.ts)
-        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
-        |WHERE l.event_type IN ('view', 'click')""".stripMargin)),
+      Some(ssjoinOuterReplayOracle)),
 
     // ---- §2.5 watermarked-dedup state recovery under the gate: the
     // seen-hash state across a mid-corpus crash. A post-batch resume would
@@ -1130,8 +1025,7 @@ object SparkEntry {
     ("t1_restart_replay",
       (s, d) => graft.streaming.Pipeline.replayStreamDedupRestart(s,
         docs(s, d), stageKey = Some(d)),
-      Some("""SELECT DISTINCT md5(text) AS row_hash,
-        |CAST(length(text) AS INT) AS text_len FROM documents""".stripMargin)),
+      Some(streamDedupOracle)),
 
     // ---- s8: SCD Type-2 history — the keep-ALL-versions complement to s5's
     // latest-wins arbitration: per-user event_type change intervals with
@@ -2139,6 +2033,80 @@ object SparkEntry {
   private val nonTokenRe = TextAnalysis.NonTokenRegex
 
   /** 8-permutation MinHash signature SQL, sharing constants with Dedup. */
+  // ---- Shared steady/restart oracles: each restart leg's contract is
+  // "same oracle as the steady replay" — one definition per pair ENFORCES
+  // it (a one-sided edit can no longer silently gate the twins against
+  // different SQL).
+  private lazy val upsertDailyOracle: String =
+    """SELECT user_id, CAST(ts AS DATE) AS ingest_date, event_id,
+      |  event_type, value, ts
+      |FROM (SELECT user_id, event_id, event_type, value, ts,
+      |        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                           ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) WHERE rn = 1""".stripMargin
+
+  private lazy val streamDedupOracle: String =
+    """SELECT DISTINCT md5(text) AS row_hash,
+      |CAST(length(text) AS INT) AS text_len FROM documents""".stripMargin
+
+  private lazy val gpaReplayOracle: String = {
+    val ladder = GradeScale.grade4Sql("diem2")
+    val eligible = "diem2 >= 4.0 AND NOT contains(tenmh, '*') " +
+      s"AND nhhk <> ${EventsAdapter.ExcludedSemester}"
+    s"""WITH enroll AS (${EventsAdapter.sql}),
+       |agg AS (
+       |  SELECT masv,
+       |    sum(CASE WHEN $eligible THEN ($ladder) * dvht ELSE 0.0 END) AS pts,
+       |    sum(CASE WHEN $eligible THEN dvht ELSE 0.0 END) AS credits,
+       |    CAST(sum(CASE WHEN $eligible THEN 1 ELSE 0 END) AS BIGINT) AS n
+       |  FROM enroll GROUP BY masv)
+       |SELECT masv,
+       |  CASE WHEN credits > 0 THEN pts / credits ELSE 0.0 END AS dtbctl,
+       |  credits, n
+       |FROM agg WHERE n > 0""".stripMargin
+  }
+
+  private lazy val sessReplayOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts_ms, cents,
+      |    CASE WHEN lag(ts_ms) OVER w IS NULL
+      |           OR ts_ms - lag(ts_ms) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, cents)),
+      |s AS (
+      |  SELECT user_id, ts_ms, cents,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, cents
+      |                      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  private lazy val ssjoinReplayOracle: String =
+    """SELECT l.event_id AS l_id, r.event_id AS r_id,
+      |  l.user_id AS user_id
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      | AND l.event_type IN ('view', 'click')
+      | AND r.event_type = 'purchase'
+      | AND epoch_us(r.ts) >= epoch_us(l.ts)
+      | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000""".stripMargin
+
+  private lazy val ssjoinOuterReplayOracle: String =
+    """SELECT l.event_id AS l_id, r.event_id AS r_id,
+      |  l.user_id AS user_id
+      |FROM events l LEFT JOIN events r
+      |  ON l.user_id = r.user_id
+      | AND r.event_type = 'purchase'
+      | AND epoch_us(r.ts) >= epoch_us(l.ts)
+      | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+      |WHERE l.event_type IN ('view', 'click')""".stripMargin
+
   private lazy val minhashSql: String = {
     val mhCols = Dedup.minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hashes, x -> (${a} * x + ${b}) % ${Dedup.P})) AS mh$i"

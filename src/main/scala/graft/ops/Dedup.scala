@@ -952,14 +952,20 @@ object Dedup {
   def composedNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
                       maxDfFrac: Double = 0.2, minShared: Int = 3,
                       maxDfCap: Int = 1000, n: Int = 2): DataFrame = {
-    val groups = exactDedupGroups(docs, textCol)
+    // Pinned: the group frame feeds the representative join AND both
+    // multiplicity joins — one md5 groupBy, not three (file convention).
+    val groups = Materialize.pin(exactDedupGroups(docs, textCol))
     val reps = docs.join(
       groups.select(col("rep_doc_id").as("doc_id"), col("n_dups")), Seq("doc_id"))
     val pairs = lexicalNearDup(reps, textCol, threshold, maxDfFrac, minShared,
       maxDfCap, n)
+    // Multiplicities join back from `groups` (rep_doc_id -> n_dups), NOT
+    // from `reps`: reps embeds a full docs re-scan + md5 groupBy per use,
+    // and the emitted pairs only need the group sizes.
+    val mult = groups.select(col("rep_doc_id"), col("n_dups"))
     pairs
-      .join(reps.select(col("doc_id").as("a"), col("n_dups").as("na_dups")), Seq("a"))
-      .join(reps.select(col("doc_id").as("b"), col("n_dups").as("nb_dups")), Seq("b"))
+      .join(mult.select(col("rep_doc_id").as("a"), col("n_dups").as("na_dups")), Seq("a"))
+      .join(mult.select(col("rep_doc_id").as("b"), col("n_dups").as("nb_dups")), Seq("b"))
       .withColumn("pair_weight", col("na_dups") * col("nb_dups"))
       .select(col("a"), col("b"), col("shared_terms"), col("dot"), col("cos"),
         col("na_dups"), col("nb_dups"), col("pair_weight"))

@@ -65,6 +65,20 @@ object Pipeline {
       stagedMemo.computeIfAbsent(s"$tag|$k", _ => build).asInstanceOf[T]
   }
 
+  /** Shared crash-detection for the restart legs: run the drain, demand the
+    * injected failure, and re-throw anything that is NOT the injected crash.
+    * The failure surfaces as a StreamingQueryException carrying the marker
+    * in its cause chain; a clean drain means the injection never fired and
+    * the leg certified nothing — fail loudly. */
+  private def expectInjectedCrash(mark: String)(drain: => Unit): Unit =
+    try { drain; sys.error("crash was injected but query drained cleanly") }
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse("")).toSeq
+        if (!msgs.exists(_.contains(mark))) throw e
+    }
+
   /** Stateful fan-out cap for the replay harness. Every stateful streaming
     * operator holds `spark.sql.shuffle.partitions` state-store instances
     * (a stream-stream join holds FOUR per partition), and every micro-batch
@@ -302,16 +316,7 @@ object Pipeline {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      // The injected crash surfaces as a StreamingQueryException whose cause
-      // chain carries the marker; anything ELSE is a real failure and must
-      // propagate, not be eaten as "expected".
-      try { q1.awaitTermination(); sys.error("crash was injected but query drained cleanly") }
-      catch {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-          val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-            .map(t => Option(t.getMessage).getOrElse("")).toSeq
-          if (!msgs.exists(_.contains(CrashMark))) throw e
-      }
+      expectInjectedCrash(CrashMark)(q1.awaitTermination())
       // Recovery: same checkpoint, plain merge. The crashed batch was
       // written to the sink but never committed, so it re-runs here first.
       val q2 = stream.writeStream
@@ -337,10 +342,12 @@ object Pipeline {
     * doc_id arrived first is batch-order-dependent and deliberately not
     * part of the output). Oracle: SELECT DISTINCT over the batch table —
     * the second §2.5 leg promoted into the cross-engine gate. */
-  def replayStreamDedup(spark: SparkSession, docs: DataFrame,
-                        nFiles: Int = 4,
-                        stageKey: Option[String] = None): DataFrame = {
-    val (src, horizonSec) = memoStage(stageKey, s"t1|$nFiles") {
+  /** Shared t1 staging — ONE builder for the steady and restart legs, so
+    * the same-key memo can never be fed by two divergent copies (the
+    * silent-drift hazard memoStage's doc warns about). */
+  private def stagedDedupSrc(spark: SparkSession, docs: DataFrame, nFiles: Int,
+                             stageKey: Option[String]): (String, java.lang.Long) =
+    memoStage(stageKey, s"t1|$nFiles") {
       val root = replayTempRoot("graft_t1_replay_")
       val s = s"$root/src"
       docs.select(col("doc_id"), col("text"))
@@ -355,6 +362,11 @@ object Pipeline {
         .agg(max(col("doc_id")) - min(col("doc_id"))).head().getLong(0)
       (s, java.lang.Long.valueOf(span + 86400L))
     }
+
+  def replayStreamDedup(spark: SparkSession, docs: DataFrame,
+                        nFiles: Int = 4,
+                        stageKey: Option[String] = None): DataFrame = {
+    val (src, horizonSec) = stagedDedupSrc(spark, docs, nFiles, stageKey)
     val run = replayTempRoot("graft_t1_run_")
     val out = s"$run/out"; val ckpt = s"$run/ckpt"
     val schema = spark.read.parquet(src).schema
@@ -393,16 +405,7 @@ object Pipeline {
     require(killAfterBatches >= 1 && killAfterBatches < nFiles,
       s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
         s"got $killAfterBatches / $nFiles")
-    val (src, horizonSec) = memoStage(stageKey, s"t1|$nFiles") {
-      val root = replayTempRoot("graft_t1_replay_")
-      val s = s"$root/src"
-      docs.select(col("doc_id"), col("text"))
-        .repartitionByRange(nFiles, col("doc_id"))
-        .write.mode("overwrite").parquet(s)
-      val span = spark.read.parquet(s)
-        .agg(max(col("doc_id")) - min(col("doc_id"))).head().getLong(0)
-      (s, java.lang.Long.valueOf(span + 86400L))
-    }
+    val (src, horizonSec) = stagedDedupSrc(spark, docs, nFiles, stageKey)
     val run = replayTempRoot("graft_t1r_run_")
     val out = s"$run/out"; val ckpt = s"$run/ckpt"
     val schema = spark.read.parquet(src).schema
@@ -429,13 +432,7 @@ object Pipeline {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      try { q1.awaitTermination(); sys.error("crash was injected but query drained cleanly") }
-      catch {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-          val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-            .map(t => Option(t.getMessage).getOrElse("")).toSeq
-          if (!msgs.exists(_.contains(CrashMark))) throw e
-      }
+      expectInjectedCrash(CrashMark)(q1.awaitTermination())
       val q2 = deduped.writeStream
         .foreachBatch(append)
         .option("checkpointLocation", ckpt)
@@ -460,10 +457,11 @@ object Pipeline {
     * integers — every partial sum is exactly representable, so addition is
     * associative here and the fold order Spark happens to use cannot change
     * the state. The oracle is the one-shot batch aggregate. */
-  def replayStatefulGpa(spark: SparkSession, events: DataFrame,
-                        excludedSemester: Int, nFiles: Int = 4,
-                        stageKey: Option[String] = None): DataFrame = {
-    val src = memoStage(stageKey, s"gpa|$nFiles") {
+  /** Shared gpa staging — ONE builder for the steady and restart legs (same
+    * rationale as [[stagedDedupSrc]]). */
+  private def stagedGpaSrc(spark: SparkSession, events: DataFrame, nFiles: Int,
+                           stageKey: Option[String]): String =
+    memoStage(stageKey, s"gpa|$nFiles") {
       val root = replayTempRoot("graft_gpa_replay_")
       val s = s"$root/src"
       // Range-split on EVENT TIME, not on the stateful key: a split on F_MASV
@@ -484,6 +482,11 @@ object Pipeline {
           "cross-batch state accumulation would be untested")
       s
     }
+
+  def replayStatefulGpa(spark: SparkSession, events: DataFrame,
+                        excludedSemester: Int, nFiles: Int = 4,
+                        stageKey: Option[String] = None): DataFrame = {
+    val src = stagedGpaSrc(spark, events, nFiles, stageKey)
     val run = replayTempRoot("graft_gpa_run_")
     val out = s"$run/out"; val ckpt = s"$run/ckpt"
     val schema = spark.read.parquet(src).schema
@@ -530,21 +533,7 @@ object Pipeline {
     require(killAfterBatches >= 1 && killAfterBatches < nFiles,
       s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
         s"got $killAfterBatches / $nFiles")
-    val src = memoStage(stageKey, s"gpa|$nFiles") {
-      val root = replayTempRoot("graft_gpa_replay_")
-      val s = s"$root/src"
-      graft.query.EventsAdapter.enrollmentView(events)
-        .repartitionByRange(nFiles, col("@timestamp"))
-        .write.mode("overwrite").parquet(s)
-      val straddling = spark.read.parquet(s)
-        .select(col("F_MASV"), input_file_name().as("__f"))
-        .groupBy("F_MASV").agg(countDistinct(col("__f")).as("__nf"))
-        .filter(col("__nf") > 1).count()
-      require(straddling > 0,
-        "GPA replay staging left every key inside one micro-batch; " +
-          "cross-batch state accumulation would be untested")
-      s
-    }
+    val src = stagedGpaSrc(spark, events, nFiles, stageKey)
     val run = replayTempRoot("graft_gpar_run_")
     val out = s"$run/out"; val ckpt = s"$run/ckpt"
     val schema = spark.read.parquet(src).schema
@@ -568,13 +557,7 @@ object Pipeline {
         .outputMode("update")
         .trigger(Trigger.AvailableNow())
         .start()
-      try { q1.awaitTermination(); sys.error("crash was injected but query drained cleanly") }
-      catch {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-          val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-            .map(t => Option(t.getMessage).getOrElse("")).toSeq
-          if (!msgs.exists(_.contains(CrashMark))) throw e
-      }
+      expectInjectedCrash(CrashMark)(q1.awaitTermination())
       val q2 = updates.writeStream
         .foreachBatch(append)
         .option("checkpointLocation", ckpt)
@@ -718,18 +701,8 @@ object Pipeline {
             if (seen.incrementAndGet() == killAfterBatches)
               throw new RuntimeException(CrashMark)
           }.start()
-          // The failure surfaces from processAllAvailable (or the stop) as a
-          // StreamingQueryException carrying the marker in its cause chain;
-          // anything else is a real failure and must propagate.
-          try {
+          expectInjectedCrash(CrashMark) {
             try q1.processAllAvailable() finally q1.stop()
-            sys.error("crash was injected but query drained cleanly")
-          } catch {
-            case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-              val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-                .takeWhile(_ != null)
-                .map(t => Option(t.getMessage).getOrElse("")).toSeq
-              if (!msgs.exists(_.contains(CrashMark))) throw e
           }
         }
         // Steady drain (the only query when killAfterBatches == 0; the
@@ -775,13 +748,16 @@ object Pipeline {
     * plain batch join. (Bounded-state eviction under a REAL watermark is
     * certified separately by StreamingSpec's horizon test; certifying it
     * here would make the output depend on batch timing by design.) */
-  def replayIntervalJoin(spark: SparkSession, events: DataFrame,
-                         within: String = "30 minutes", nFiles: Int = 2,
-                         stageKey: Option[String] = None): DataFrame = {
-    // Memo tag carries EVERY shape parameter (`within` included, even though
-    // today's staged artifacts don't depend on it) so a future change that
-    // does bake `within` into staging can't silently reuse a stale stage.
-    val (lsrc, rsrc, horizonSec) = memoStage(stageKey, s"ssjoin|$within|$nFiles") {
+  /** Shared ssjoin staging — ONE builder for the steady and restart legs
+    * (same rationale as [[stagedDedupSrc]]). Memo tag carries EVERY shape
+    * parameter (`within` included, even though today's staged artifacts
+    * don't depend on it) so a future change that does bake `within` into
+    * staging can't silently reuse a stale stage. */
+  private def stagedSsjoinSrcs(spark: SparkSession, events: DataFrame,
+                               within: String, nFiles: Int,
+                               stageKey: Option[String])
+      : (String, String, java.lang.Long) =
+    memoStage(stageKey, s"ssjoin|$within|$nFiles") {
       val root = replayTempRoot("graft_ssj_replay_")
       val cols = Seq(col("event_id"), col("user_id"), col("ts"))
       events.filter(col("event_type").isin("view", "click"))
@@ -796,6 +772,12 @@ object Pipeline {
       (s"$root/l", s"$root/r",
         java.lang.Long.valueOf(span / 1000L + 86400L))
     }
+
+  def replayIntervalJoin(spark: SparkSession, events: DataFrame,
+                         within: String = "30 minutes", nFiles: Int = 2,
+                         stageKey: Option[String] = None): DataFrame = {
+    val (lsrc, rsrc, horizonSec) = stagedSsjoinSrcs(spark, events, within,
+      nFiles, stageKey)
     val run = replayTempRoot("graft_ssj_run_")
     val out = s"$run/out"; val ckpt = s"$run/ckpt"
     def src(dir: String) = spark.readStream
@@ -834,28 +816,19 @@ object Pipeline {
     * state, so pair identity is a key. Same oracle as the steady replay. */
   def replayIntervalJoinRestart(spark: SparkSession, events: DataFrame,
                                 within: String = "30 minutes", nFiles: Int = 2,
-                                killAfterBatches: Int = 2,
+                                killAfterBatches: Int = 1,
                                 stageKey: Option[String] = None): DataFrame = {
-    // Two interleaved sources yield 2*nFiles file batches; the crash must
-    // leave at least one for recovery.
-    require(killAfterBatches >= 1 && killAfterBatches < 2 * nFiles,
-      s"crash must land mid-corpus: need 1 <= killAfterBatches < 2*nFiles, " +
-        s"got $killAfterBatches / 2*$nFiles")
-    val (lsrc, rsrc, horizonSec) = memoStage(stageKey, s"ssjoin|$within|$nFiles") {
-      val root = replayTempRoot("graft_ssj_replay_")
-      val cols = Seq(col("event_id"), col("user_id"), col("ts"))
-      events.filter(col("event_type").isin("view", "click"))
-        .select(cols: _*).repartitionByRange(nFiles, col("ts"))
-        .write.mode("overwrite").parquet(s"$root/l")
-      events.filter(col("event_type") === "purchase")
-        .select(cols: _*).repartitionByRange(nFiles, col("ts"))
-        .write.mode("overwrite").parquet(s"$root/r")
-      val span = events
-        .agg(max(unix_millis(col("ts"))) - min(unix_millis(col("ts"))))
-        .head().getLong(0)
-      (s"$root/l", s"$root/r",
-        java.lang.Long.valueOf(span / 1000L + 86400L))
-    }
+    // Batch arithmetic: maxFilesPerTrigger is PER SOURCE, so the two
+    // sources drain in lockstep — nFiles file batches total, each holding
+    // one file from EACH side (NOT 2*nFiles; the original bound here let a
+    // crash land on the trailing no-data batch and certify nothing). The
+    // crash must leave at least one real file batch for the reopened query
+    // to process against the recovered buffers.
+    require(killAfterBatches >= 1 && killAfterBatches < nFiles,
+      s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
+        s"got $killAfterBatches / $nFiles")
+    val (lsrc, rsrc, horizonSec) = stagedSsjoinSrcs(spark, events, within,
+      nFiles, stageKey)
     val run = replayTempRoot("graft_ssjr_run_")
     val out = s"$run/out"; val ckpt = s"$run/ckpt"
     def src(dir: String) = spark.readStream
@@ -881,13 +854,7 @@ object Pipeline {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      try { q1.awaitTermination(); sys.error("crash was injected but query drained cleanly") }
-      catch {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-          val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-            .map(t => Option(t.getMessage).getOrElse("")).toSeq
-          if (!msgs.exists(_.contains(CrashMark))) throw e
-      }
+      expectInjectedCrash(CrashMark)(q1.awaitTermination())
       val q2 = joined.writeStream
         .foreachBatch(append)
         .option("checkpointLocation", ckpt)
@@ -940,11 +907,15 @@ object Pipeline {
     * (l_id, r_id) dedup. Same oracle as the steady outer replay. */
   def replayIntervalJoinOuterRestart(spark: SparkSession, events: DataFrame,
                                      withinMs: Long = 1800000L, nFiles: Int = 2,
-                                     killAfterBatches: Int = 2,
+                                     killAfterBatches: Int = 1,
                                      stageKey: Option[String] = None): DataFrame = {
-    require(killAfterBatches >= 1 && killAfterBatches < 2 * nFiles,
-      s"crash must land mid-corpus: need 1 <= killAfterBatches < 2*nFiles, " +
-        s"got $killAfterBatches / 2*$nFiles")
+    // Same per-source lockstep arithmetic as the inner restart: the two
+    // sources yield nFiles REAL file batches (each per-trigger file pair),
+    // then the sentinel batches. Bounding by nFiles keeps the crash on a
+    // real data batch with real data still ahead of the recovery query.
+    require(killAfterBatches >= 1 && killAfterBatches < nFiles,
+      s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
+        s"got $killAfterBatches / $nFiles")
     outerJoinReplayCore(spark, events, withinMs, nFiles, stageKey,
       killAfterBatches)
   }
@@ -1023,15 +994,8 @@ object Pipeline {
           .option("checkpointLocation", ckpt)
           .outputMode("append")
           .start()
-        try {
+        expectInjectedCrash(CrashMark) {
           try q1.processAllAvailable() finally q1.stop()
-          sys.error("crash was injected but query drained cleanly")
-        } catch {
-          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-            val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-              .takeWhile(_ != null)
-              .map(t => Option(t.getMessage).getOrElse("")).toSeq
-            if (!msgs.exists(_.contains(CrashMark))) throw e
         }
       }
       val q = joined.writeStream

@@ -25,6 +25,11 @@ object ScaleCorpus {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
+    // Strict: a typo'd mode flag must abort, not silently stage the wrong
+    // replica regime (the probe conclusions depend entirely on which one
+    // was built).
+    require(args.length <= 3 || args(3) == "exact",
+      s"unknown mode '${args(3)}': the only accepted 4th arg is 'exact'")
     val exactMode = args.length > 3 && args(3) == "exact"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -444,6 +444,31 @@ class StreamingSpec extends SparkSpec {
       s"restart diverged: ${restarted.diff(steady)} vs ${steady.diff(restarted)}")
   }
 
+  test("crash-position sweep: recovery is exact at EVERY valid kill point") {
+    // The per-leg restart tests certify one kill point (the default); this
+    // sweep makes the claim total for the three structurally distinct
+    // state classes — idempotent sink (s2), keyed accumulators (gpa),
+    // timers+RocksDB (sess) — at every remaining valid killAfterBatches.
+    // A recovery bug that only bites when the crash lands on the first or
+    // last-but-one batch (empty state / nearly-drained source) would slip
+    // past a single-point test.
+    val events = graft.model.Tables(spark, "/root/testdata/sf0.001", "events")
+    val excl = graft.query.EventsAdapter.ExcludedSemester
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val s2Steady = rows(Pipeline.replayUpsertDaily(spark, events))
+    val gpaSteady = rows(Pipeline.replayStatefulGpa(spark, events, excl))
+    val sessSteady = rows(Pipeline.replaySessionSummaries(spark, events))
+    for (k <- Seq(1, 3)) { // k=2 is each leg's default, covered elsewhere
+      assert(rows(Pipeline.replayUpsertRestart(spark, events,
+        killAfterBatches = k)) == s2Steady, s"s2 diverged at k=$k")
+      assert(rows(Pipeline.replayStatefulGpaRestart(spark, events, excl,
+        killAfterBatches = k)) == gpaSteady, s"gpa diverged at k=$k")
+      assert(rows(Pipeline.replaySessionSummariesRestart(spark, events,
+        killAfterBatches = k)) == sessSteady, s"sess diverged at k=$k")
+    }
+  }
+
   test("dedup-state and outer-eviction crash-restarts settle identically to steady") {
     // The t1_restart_replay / ssjoin_outer_restart_replay promotions,
     // closing the family: every §2.5 replay has a crash-recovery twin.

@@ -112,6 +112,39 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("composed dedup: weight accounting reconciles with plain d13 on any corpus") {
+    // The d19 contract as a law: for a corpus with arbitrary exact-duplicate
+    // structure (random replica counts per base doc), at an uncapped df the
+    // plain d13 pair count over ALL docs must equal d19's
+    // Σ pair_weight (cross-content underlying pairs) + Σ C(n_dups, 2)
+    // (intra-group exact pairs, collapsed into multiplicity) — the exact
+    // identity the sf0.1/sf1x probes verified once, here over random
+    // corpora. Threshold 0 with minShared 1 makes every sharing pair count,
+    // so the identity is total, not threshold-dependent.
+    val doc = Gen.listOfN(6, Gen.oneOf("ant", "bee", "cat", "dog"))
+      .map(_.mkString(" "))
+    val corpus = for {
+      bases <- Gen.listOfN(5, doc)
+      reps <- Gen.listOfN(5, Gen.choose(1, 3))
+    } yield bases.zip(reps)
+    check("d19-accounting", 5)(Prop.forAll(corpus) { spec =>
+      val rows = spec.zipWithIndex.flatMap { case ((t, n), b) =>
+        (0 until n).map(r => ((b * 10 + r).toLong, t))
+      }
+      val df = rows.toDF("doc_id", "text")
+      val plain = Dedup.lexicalNearDup(df, "text", threshold = 0.0,
+        maxDfFrac = 1.0, minShared = 1).count()
+      val composed = Dedup.composedNearDup(df, "text", threshold = 0.0,
+        maxDfFrac = 1.0, minShared = 1).collect()
+      val crossPairs = composed.map(_.getAs[Long]("pair_weight")).sum
+      // intra-group pairs from the ACTUAL distinct-content groups (two base
+      // docs can generate identical text, merging their replicas)
+      val intraPairs = rows.groupBy(_._2).values
+        .map(g => g.size.toLong * (g.size - 1) / 2).sum
+      plain == crossPairs + intraPairs
+    })
+  }
+
   test("length buckets: total, batch-size cap, and partition invariance") {
     val doc = Gen.choose(1, 40).map(n => List.fill(n)("w").mkString(" "))
     check("x20-invariants", 5)(Prop.forAll(Gen.listOfN(30, doc)) { texts =>

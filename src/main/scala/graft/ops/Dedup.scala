@@ -983,22 +983,13 @@ object Dedup {
        |  SELECT d.doc_id, d.text, g.n_dups
        |  FROM documents d JOIN groups g USING (doc_id)),
        |${postingCtes(tokenRe, maxDfFrac, maxDfCap, n, from = "reps")},
-       |norms AS (SELECT doc_id, sum(tf*tf) AS sq FROM posts GROUP BY 1),
-       |pairs AS (
-       |  SELECT a.doc_id AS a, b.doc_id AS b,
-       |    CAST(sum(a.tf*b.tf) AS BIGINT) AS dot, count(*) AS shared_terms
-       |  FROM posts a JOIN posts b ON a.term = b.term AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
-       |SELECT a, b, shared_terms, dot,
-       |  dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))) AS cos,
-       |  ga.n_dups AS na_dups, gb.n_dups AS nb_dups,
-       |  ga.n_dups * gb.n_dups AS pair_weight
-       |FROM pairs JOIN norms na ON pairs.a = na.doc_id
-       |           JOIN norms nb ON pairs.b = nb.doc_id
-       |           JOIN reps ga ON pairs.a = ga.doc_id
-       |           JOIN reps gb ON pairs.b = gb.doc_id
-       |WHERE dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))
-       |      >= $threshold""".stripMargin
+       |${tfCosineTailSql(threshold, minShared,
+           extraSelect = """,
+             |  ga.n_dups AS na_dups, gb.n_dups AS nb_dups,
+             |  ga.n_dups * gb.n_dups AS pair_weight""".stripMargin,
+           extraJoins = """
+             |           JOIN reps ga ON pairs.a = ga.doc_id
+             |           JOIN reps gb ON pairs.b = gb.doc_id""".stripMargin)}""".stripMargin
 
   /** Shared oracle CTE prefix for the lexical near-dup family: tokenization,
     * n-gram shingle construction, tf, and the dual-capped df frame —
@@ -1022,24 +1013,34 @@ object Dedup {
        |posts AS (SELECT tf.*, dfs.df FROM tf JOIN dfs USING (term))""".stripMargin
   }
 
-  /** [[lexicalNearDup]] as DuckDB SQL (oracle), sharing the token regex,
-    * n-gram construction, dual df cap, and integer-exact cosine. Also the
-    * d14 oracle: [[prefixNearDup]] provably emits the identical output. */
-  def lexicalNearDupSql(tokenRe: String, threshold: Double, maxDfFrac: Double,
-                        minShared: Int, maxDfCap: Int = 1000, n: Int = 2): String =
-    s"""WITH ${postingCtes(tokenRe, maxDfFrac, maxDfCap, n)},
-       |norms AS (SELECT doc_id, sum(tf*tf) AS sq FROM posts GROUP BY 1),
+  /** Shared tf-cosine tail of the d13/d19 oracles (norms + posting
+    * self-join + integer-exact cosine threshold), factored so the two
+    * oracles cannot drift apart semantically — the d19 composition
+    * contract REQUIRES its scoring tail to be d13's. `extraSelect` /
+    * `extraJoins` splice d19's multiplicity columns in. */
+  private def tfCosineTailSql(threshold: Double, minShared: Int,
+                              extraSelect: String = "",
+                              extraJoins: String = ""): String =
+    s"""norms AS (SELECT doc_id, sum(tf*tf) AS sq FROM posts GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS a, b.doc_id AS b,
        |    CAST(sum(a.tf*b.tf) AS BIGINT) AS dot, count(*) AS shared_terms
        |  FROM posts a JOIN posts b ON a.term = b.term AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
        |SELECT a, b, shared_terms, dot,
-       |  dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))) AS cos
+       |  dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))) AS cos$extraSelect
        |FROM pairs JOIN norms na ON pairs.a = na.doc_id
-       |           JOIN norms nb ON pairs.b = nb.doc_id
+       |           JOIN norms nb ON pairs.b = nb.doc_id$extraJoins
        |WHERE dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))
        |      >= $threshold""".stripMargin
+
+  /** [[lexicalNearDup]] as DuckDB SQL (oracle), sharing the token regex,
+    * n-gram construction, dual df cap, and integer-exact cosine. Also the
+    * d14 oracle: [[prefixNearDup]] provably emits the identical output. */
+  def lexicalNearDupSql(tokenRe: String, threshold: Double, maxDfFrac: Double,
+                        minShared: Int, maxDfCap: Int = 1000, n: Int = 2): String =
+    s"""WITH ${postingCtes(tokenRe, maxDfFrac, maxDfCap, n)},
+       |${tfCosineTailSql(threshold, minShared)}""".stripMargin
 
   /** [[lexicalNearDupIdf]] as DuckDB SQL (oracle): identical fixed-point idf
     * weights (floor(ln(N/df)·2¹⁶+0.5) — engine-agreement verified

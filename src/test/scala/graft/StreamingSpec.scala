@@ -428,7 +428,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("join-buffer crash-restart replay settles identically to steady state") {
-    // The ssjoin_restart_replay promotion: crash after batch 2's buffer
+    // The ssjoin_restart_replay promotion: mid-corpus crash after a file
+    // batch's buffer
     // commit + sink append, before offset commit. Recovery must restore
     // both sides' unmatched-row buffers at the PRE-batch version — lost
     // buffers drop pairs whose sides straddle the crash; a post-batch

@@ -1070,6 +1070,23 @@ object SparkEntry {
       },
       Some("SELECT event_id, event_type AS rt_type, user_id AS rt_user FROM events")),
 
+    // ---- S1 (jsonl leg): the documents corpus written as newline-delimited
+    // JSON and read back through the real json file source with S1's
+    // normalize semantics — the standard LLM-corpus interchange format,
+    // escaping round trip certified against the source parquet table. Oracle
+    // mirrors the ''→null and blank-row rules (no-ops on this generator,
+    // load-bearing if it ever emits empties).
+    ("s9_jsonl_roundtrip",
+      (s, d) => graft.sources.Tabular.jsonlRoundtrip(s, docs(s, d)),
+      Some("""SELECT doc_id, nullif(text, '') AS text,
+        |  nullif(lang, '') AS lang, nullif(source, '') AS source, n_chars
+        |FROM documents
+        |WHERE nullif(CAST(doc_id AS VARCHAR), '') IS NOT NULL
+        |   OR nullif(text, '') IS NOT NULL
+        |   OR nullif(lang, '') IS NOT NULL
+        |   OR nullif(source, '') IS NOT NULL
+        |   OR nullif(CAST(n_chars AS VARCHAR), '') IS NOT NULL""".stripMargin)),
+
     // ---- A5/flagship: GPA trend — per-semester and cumulative weighted GPA
     // (the 'trends' dashboard of README.md:25-27 on the flagship domain).
     ("flagship_gpa_trend",

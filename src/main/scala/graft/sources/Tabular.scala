@@ -39,6 +39,21 @@ object Tabular {
     normalize(reader.load(path))
   }
 
+  /** JSONL file round trip: write the frame as newline-delimited JSON and
+    * read it back through the REAL json file source with the declared
+    * schema and the S1 normalize semantics. JSONL is the standard corpus
+    * interchange format of LLM data pipelines (and the file twin of the
+    * reference's Kafka JSON lines, `con.py:30-40`); this certifies the
+    * escaping round trip — embedded quotes/newlines/unicode in document
+    * text must survive write→read byte-exactly. Scale: the write is one
+    * map-only pass, the read is a planned file scan with pruning, same as
+    * any lake format. */
+  def jsonlRoundtrip(spark: SparkSession, df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    df.write.mode("overwrite").json(dir)
+    scan(spark, dir, format = "json", schema = Some(df.schema))
+  }
+
   /** Blank-row filter + ''->null for string columns (pro.py:42,76). */
   private def normalize(df: DataFrame): DataFrame = {
     val stringCols = df.schema.fields

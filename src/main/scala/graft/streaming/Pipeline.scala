@@ -27,16 +27,25 @@ object Pipeline {
     * them unboundedly. Deletion is deferred to exit (not eager) because the
     * returned DataFrames lazily re-read the staged sink until the caller's
     * final action. */
-  private def replayTempRoot(prefix: String): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  // One static hook draining a queue of registered roots: a driver looping
+  // the oracle gate + bench passes creates hundreds of temp roots, and a
+  // hook Thread PER ROOT would accrete without bound in the JVM's shutdown
+  // registry (review finding). Same exit-time semantics, O(1) hooks.
+  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(rm)
         f.delete(): Unit
       }
-      rm(p.toFile)
+      var p = tempRoots.poll()
+      while (p != null) { rm(p.toFile); p = tempRoots.poll() }
     }))
+  }
+  private def replayTempRoot(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempRoots.add(p)
     p
   }
 
@@ -78,6 +87,48 @@ object Pipeline {
           .map(t => Option(t.getMessage).getOrElse("")).toSeq
         if (!msgs.exists(_.contains(mark))) throw e
     }
+
+  /** Actual staged micro-batch count: `repartitionByRange(nFiles, …)` emits
+    * only NON-EMPTY partitions (it clamps to the distinct sampled boundary
+    * values), so a small or skewed corpus can stage fewer files than
+    * requested — and a restart leg's `killAfterBatches < nFiles` premise
+    * would silently hold against a number of batches that never existed.
+    * The restart legs re-check against THIS count (review finding). */
+  private def stagedPartCount(dir: String): Int = {
+    val fs = new java.io.File(dir).listFiles()
+    if (fs == null) 0
+    else fs.count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+  }
+
+  private def requireRealBatchAfterCrash(killAfterBatches: Int, realBatches: Int,
+                                         what: String): Unit =
+    require(killAfterBatches < realBatches,
+      s"$what staged only $realBatches real micro-batches " +
+        s"(repartitionByRange clamps empty partitions); killAfterBatches=" +
+        s"$killAfterBatches would leave no fresh data for the recovery query")
+
+  /** Copy the part files of `srcDirs` (in sequence; name-sorted within each)
+    * into `destDir` with strictly increasing mtimes AND an order-pinning
+    * filename prefix — the file source (oldest-first, one file per trigger)
+    * then replays them in exactly this order, with the name prefix breaking
+    * ties even on coarse-mtime filesystems. Event-time ordering of staged
+    * files is correctness-critical for the session/outer replays; ONE
+    * implementation serves both (review finding: two hand-rolled copies). */
+  private def layOrdered(srcDirs: Seq[String], destDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    Files.createDirectories(Paths.get(destDir))
+    val base = System.currentTimeMillis()
+    var slot = 0
+    for (src <- srcDirs;
+         f <- new java.io.File(src).listFiles().sortBy(_.getName)
+           if f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) {
+      val dst = Paths.get(destDir, f"$slot%03d-" + f.getName)
+      Files.copy(f.toPath, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(base + slot * 10000L))
+      slot += 1
+    }
+  }
 
   /** Stateful fan-out cap for the replay harness. Every stateful streaming
     * operator holds `spark.sql.shuffle.partitions` state-store instances
@@ -190,8 +241,14 @@ object Pipeline {
       .load()
     raw.select(
         from_json(col("value").cast("string"), Schemas.enrollment).as("rec"),
-        col("timestamp"))
-      .select(col("rec.*"), unix_millis(col("timestamp")).as("kafka_ts_ms"))
+        col("timestamp"), col("offset"))
+      .select(col("rec.*"), unix_millis(col("timestamp")).as("kafka_ts_ms"),
+        // Arrival order, surfaced for the sink's tie-break: the broker
+        // timestamp is millisecond-granular, so two versions of one doc in
+        // the same ms need a distinguishing order — the log offset is it
+        // (unique per partition; the reference's sequential es.index gets
+        // the same last-write-wins from consumption order, con.py:60-63).
+        col("offset").as("kafka_offset"))
   }
 
   /** Consumer transform chain on a (possibly streaming) frame: T5 timestamp
@@ -204,14 +261,31 @@ object Pipeline {
   }
 
   /** S5: end-to-end sink — enriched stream upserted into the partitioned
-    * store, exactly-once via checkpoint + idempotent keyed merge. */
-  def upsertSink(enriched: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    * store, exactly-once via checkpoint + idempotent keyed merge.
+    *
+    * Key semantics mirror the reference EXACTLY (`con.py:58-63`): ES gets a
+    * DAILY index (`phantich1-{today}`) with the composite doc id unique
+    * WITHIN it — replace within a day, retain across days. So the merge key
+    * here is (doc_id, ingest_date), which also makes the partition column a
+    * function of the key: mergeBatch's dynamic partition overwrite can
+    * never strand a stale same-key winner in an untouched partition, and a
+    * multi-day batch can never collapse two days' legitimate rows into one
+    * (both review findings on the old doc_id-only keying). Ties inside one
+    * broker-timestamp millisecond break on the Kafka log offset —
+    * deterministic arrival order, the same last-write-wins the reference's
+    * sequential indexing loop gets from consumption order.
+    *
+    * The trigger is the caller's: the production consumer leg runs
+    * continuous micro-batches (the reference's infinite consumer loop);
+    * drain-once callers pass `Trigger.AvailableNow()`. */
+  def upsertSink(enriched: DataFrame, path: String, checkpoint: String,
+                 trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
     enriched.writeStream
       .foreachBatch(Upsert.foreachBatchMerge(
-        path, keyCols = Seq("doc_id"), tsCol = "@timestamp",
-        tieCol = "doc_id", partitionCol = "ingest_date"))
+        path, keyCols = Seq("doc_id", "ingest_date"), tsCol = "@timestamp",
+        tieCol = "kafka_offset", partitionCol = "ingest_date"))
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
 
   /** S2+S5 end-to-end BATCH-REPLAY: stage `events` as `nFiles` parquet
     * splits, stream them through the real file source (`maxFilesPerTrigger
@@ -229,19 +303,25 @@ object Pipeline {
     * This is what promotes the streaming leg (S2 file source, checkpointed
     * offsets, foreachBatch upsert) from sbt-only coverage into the DuckDB
     * oracle gate. */
-  def replayUpsertDaily(spark: SparkSession, events: DataFrame,
-                        nFiles: Int = 4,
-                        stageKey: Option[String] = None): DataFrame = {
-    val src = memoStage(stageKey, s"s2|$nFiles") {
+  /** Shared s2 staging — ONE builder for the steady and restart legs (same
+    * rationale as [[stagedDedupSrc]]; this was the one pair the round-13
+    * extraction missed). Staged through Spark so the files carry micros
+    * timestamps (the raw testdata is TIMESTAMP(NANOS), which the batch
+    * Tables loader already normalizes). The range split is just a file
+    * cut — the result is provably independent of how rows land in files. */
+  private def stagedUpsertSrc(spark: SparkSession, events: DataFrame,
+                              nFiles: Int, stageKey: Option[String]): String =
+    memoStage(stageKey, s"s2|$nFiles") {
       val root = replayTempRoot("graft_s2_replay_")
-      // Stage through Spark so the files carry micros timestamps (the raw
-      // testdata is TIMESTAMP(NANOS), which the batch Tables loader already
-      // normalizes). The range split is just a file cut — the result is
-      // provably independent of how rows land in files.
       events.repartitionByRange(nFiles, col("event_id"))
         .write.mode("overwrite").parquet(s"$root/src")
       s"$root/src"
     }
+
+  def replayUpsertDaily(spark: SparkSession, events: DataFrame,
+                        nFiles: Int = 4,
+                        stageKey: Option[String] = None): DataFrame = {
+    val src = stagedUpsertSrc(spark, events, nFiles, stageKey)
     val run = replayTempRoot("graft_s2_run_")
     val tgt = s"$run/tgt"; val ckpt = s"$run/ckpt"
     val schema = spark.read.parquet(src).schema
@@ -288,12 +368,8 @@ object Pipeline {
     require(killAfterBatches >= 1 && killAfterBatches < nFiles,
       s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
         s"got $killAfterBatches / $nFiles")
-    val src = memoStage(stageKey, s"s2|$nFiles") {
-      val root = replayTempRoot("graft_s2_replay_")
-      events.repartitionByRange(nFiles, col("event_id"))
-        .write.mode("overwrite").parquet(s"$root/src")
-      s"$root/src"
-    }
+    val src = stagedUpsertSrc(spark, events, nFiles, stageKey)
+    requireRealBatchAfterCrash(killAfterBatches, stagedPartCount(src), "s2 restart")
     val run = replayTempRoot("graft_s2r_run_")
     val tgt = s"$run/tgt"; val ckpt = s"$run/ckpt"
     val schema = spark.read.parquet(src).schema
@@ -406,6 +482,7 @@ object Pipeline {
       s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
         s"got $killAfterBatches / $nFiles")
     val (src, horizonSec) = stagedDedupSrc(spark, docs, nFiles, stageKey)
+    requireRealBatchAfterCrash(killAfterBatches, stagedPartCount(src), "t1 restart")
     val run = replayTempRoot("graft_t1r_run_")
     val out = s"$run/out"; val ckpt = s"$run/ckpt"
     val schema = spark.read.parquet(src).schema
@@ -534,6 +611,7 @@ object Pipeline {
       s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
         s"got $killAfterBatches / $nFiles")
     val src = stagedGpaSrc(spark, events, nFiles, stageKey)
+    requireRealBatchAfterCrash(killAfterBatches, stagedPartCount(src), "gpa restart")
     val run = replayTempRoot("graft_gpar_run_")
     val out = s"$run/out"; val ckpt = s"$run/ckpt"
     val schema = spark.read.parquet(src).schema
@@ -641,31 +719,25 @@ object Pipeline {
         col("ts"), round(col("value") * 100).cast("long").cast("double").as("value"))
       prep.repartitionByRange(nFiles, col("ts"))
         .write.mode("overwrite").parquet(stagedD)
-      val maxTs = prep.agg(max(unix_millis(col("ts")))).head().getLong(0)
+      // Premise scalar from the JUST-WRITTEN staging, not the upstream plan
+      // (a .head() on `prep` would re-execute the whole source load —
+      // review finding).
+      val maxTs = spark.read.parquet(stagedD)
+        .agg(max(unix_millis(col("ts")))).head().getLong(0)
       spark.range(1).select(lit(-1L).as("user_id"),
           timestamp_millis(lit(maxTs + gapMs + 3600000L)).as("ts"),
           lit(0.0).as("value"))
         .coalesce(1).write.mode("overwrite").parquet(sent)
-      // Lay the staged splits into the watched dir with strictly increasing
-      // mtimes (range-partition index IS ascending time order), sentinel
-      // last. The mtimes are fixed at stage time, so a memoized reuse
-      // replays the identical oldest-first order.
-      Files.createDirectories(Paths.get(srcD))
-      val base = System.currentTimeMillis()
-      def lay(dir: String, slot: Int): Int = {
-        val parts = new java.io.File(dir).listFiles()
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .sortBy(_.getName)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          val dst = Paths.get(srcD, f.getName)
-          Files.copy(f.toPath, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(base + (slot + i) * 10000L))
-        }
-        slot + parts.length
-      }
-      lay(sent, lay(stagedD, 0))
+      // Lay the staged splits into the watched dir in replay order
+      // (range-partition index IS ascending time order), sentinel last.
+      // The mtimes are fixed at stage time, so a memoized reuse replays
+      // the identical oldest-first order.
+      layOrdered(Seq(stagedD, sent), srcD)
       (stagedD, srcD)
     }
+    if (killAfterBatches > 0)
+      requireRealBatchAfterCrash(killAfterBatches, stagedPartCount(staged),
+        "sess restart")
     val run = replayTempRoot("graft_sess_run_")
     val out = s"$run/out"; val ckpt = s"$run/ckpt"
     // Same session-global save/set/restore shape as withReplayFanout, same
@@ -829,6 +901,8 @@ object Pipeline {
         s"got $killAfterBatches / $nFiles")
     val (lsrc, rsrc, horizonSec) = stagedSsjoinSrcs(spark, events, within,
       nFiles, stageKey)
+    requireRealBatchAfterCrash(killAfterBatches,
+      math.min(stagedPartCount(lsrc), stagedPartCount(rsrc)), "ssjoin restart")
     val run = replayTempRoot("graft_ssjr_run_")
     val out = s"$run/out"; val ckpt = s"$run/ckpt"
     def src(dir: String) = spark.readStream
@@ -930,10 +1004,12 @@ object Pipeline {
     val (lsrc, rsrc, delaySec) = memoStage(stageKey, s"ssjoin_outer|$withinMs|$nFiles") {
       val root = replayTempRoot("graft_ssjo_replay_")
       val cols = Seq(col("event_id"), col("user_id"), col("ts"))
-      val span = events
-        .agg(max(unix_millis(col("ts"))) - min(unix_millis(col("ts"))))
-        .head().getLong(0)
-      val maxMs = events.agg(max(unix_millis(col("ts")))).head().getLong(0)
+      // Span and max in ONE aggregation pass (two separate .head()s each
+      // re-executed the full events plan — review finding).
+      val bounds = events.agg(
+        (max(unix_millis(col("ts"))) - min(unix_millis(col("ts")))).as("span"),
+        max(unix_millis(col("ts"))).as("mx")).head()
+      val span = bounds.getLong(0); val maxMs = bounds.getLong(1)
       val delayMs = span + 86400000L
       def stage(dir: String, side: DataFrame, sentinelUser: Long): String = {
         val tmp = s"$dir.tmp"; val sentTmp = s"$dir.sent"
@@ -949,17 +1025,7 @@ object Pipeline {
                 + i * 1000L)).as("ts"))
             .coalesce(1).write.mode("overwrite").parquet(s"$sentTmp$i")
         }
-        Files.createDirectories(Paths.get(dir))
-        val base = System.currentTimeMillis()
-        var slot = 0
-        for (src <- Seq(tmp, s"${sentTmp}0", s"${sentTmp}1");
-             f <- new java.io.File(src).listFiles().sortBy(_.getName)
-               if f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) {
-          val dst = Paths.get(dir, f"${slot}%03d-" + f.getName)
-          Files.copy(f.toPath, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(base + slot * 10000L))
-          slot += 1
-        }
+        layOrdered(Seq(tmp, s"${sentTmp}0", s"${sentTmp}1"), dir)
         dir
       }
       (stage(s"$root/l",
@@ -968,6 +1034,10 @@ object Pipeline {
          events.filter(col("event_type") === "purchase"), -2L),
        java.lang.Long.valueOf(delayMs / 1000L))
     }
+    if (killAfterBatches > 0)
+      requireRealBatchAfterCrash(killAfterBatches,
+        math.min(stagedPartCount(s"$lsrc.tmp"), stagedPartCount(s"$rsrc.tmp")),
+        "outer-join restart")
     val run = replayTempRoot("graft_ssjo_run_")
     val out = s"$run/out"; val ckpt = s"$run/ckpt"
     def src(dir: String) = spark.readStream

@@ -2133,7 +2133,8 @@ object SparkEntry {
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(1, len(t) - 2)),
-       |    i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks),
+       |    i -> array_to_string(t[i:i+2], ' '))) AS shingles
+       |  FROM toks WHERE len(t) >= 1),
        |hs AS (
        |  SELECT doc_id, list_transform(shingles,
        |    s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % ${Dedup.P}) AS hashes FROM sh)
@@ -2155,7 +2156,8 @@ object SparkEntry {
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(1, len(t) - 2)),
-       |    i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks),
+       |    i -> array_to_string(t[i:i+2], ' '))) AS shingles
+       |  FROM toks WHERE len(t) >= 1),
        |hs AS (
        |  SELECT doc_id, shingles, list_transform(shingles,
        |    s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % ${Dedup.P}) AS hashes FROM sh),

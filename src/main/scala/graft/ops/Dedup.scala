@@ -75,10 +75,17 @@ object Dedup {
     * downstream branch (LSH banding's self-joins) instead of recomputed. */
   def minhashSignatures(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     // min() is duplicate-insensitive, so no distinct pass is needed here.
+    // Zero-TOKEN docs are excluded (not just null text): WordShingles'
+    // zero-token fallback is the single empty shingle, so punctuation-only
+    // docs would all share one signature and cross-join as jaccard-1.0
+    // fake near-dups (review finding). A doc with no lexical tokens has
+    // nothing to lexically near-dup; exact dedup (t1) still covers it.
     val aggs = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"mh$i")
     }
-    shingleHashRows(df, textCol, n).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    shingleHashRows(df.filter(size(TextAnalysis.tokens(col(textCol))) >= 1),
+        textCol, n)
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** One-pass form: MinHash signature columns AND the distinct shingle-hash
@@ -113,10 +120,13 @@ object Dedup {
     * run against this form as `d7_minhash_rowsig`. */
   def rowMinhashSignatures(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    // Null-text docs are DROPPED, matching the aggregate form (whose explode
-    // of a null shingle array emits no rows) — otherwise they'd all share
-    // the md5('') band key downstream and cross-join as fake near-dups.
-    val base0 = df.select(col("doc_id"), col(textCol)).filter(col(textCol).isNotNull)
+    // Null-text AND zero-token docs are DROPPED, matching the aggregate
+    // form — otherwise they'd all share the md5('') band key downstream
+    // (WordShingles' zero-token fallback is the single empty shingle) and
+    // cross-join as fake jaccard-1.0 near-dups (review finding).
+    val base0 = df.select(col("doc_id"), col(textCol))
+      .filter(col(textCol).isNotNull &&
+        size(TextAnalysis.tokens(col(textCol))) >= 1)
     val base =
       if (df.isStreaming) base0
       else graft.model.Tables.spread(base0, col("doc_id"))
@@ -151,6 +161,12 @@ object Dedup {
     * streaming probe, so the two sides can never drift apart. */
   def bandStructs(rowsPerBand: Int): Seq[Column] = {
     val k = minhashSeeds.size
+    // Loud, not lossy: k % rowsPerBand != 0 would silently DROP the trailing
+    // signature columns from every band — detection probability would fall
+    // below the documented k/r S-curve with no error (review finding).
+    require(k % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide the signature width $k " +
+        "(trailing minhash columns would be silently unused)")
     (0 until k / rowsPerBand).map { bnd =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}").cast("string"))
       struct(lit(bnd).as("band_id"), md5(concat_ws("_", slice: _*)).as("band_key"))
@@ -177,12 +193,21 @@ object Dedup {
     * shared vocabulary) carries no near-dup signal but turns the self-join
     * quadratic — the standard LSH skew guard. At 100 TB this cap is what
     * keeps the pair space linear in corpus size. */
-  def candidatePairs(bands: DataFrame, maxBucket: Int = 64): DataFrame = {
+  /** The LSH skew guard as ONE definition: drop rows of buckets holding more
+    * than `maxBucket` members (a band key shared by a large corpus fraction
+    * carries no near-dup signal but turns any join on it quadratic). Shared
+    * by [[candidatePairs]] and [[crossDedup]]'s index build (review finding:
+    * the two sites had drifted into inline copies). */
+  def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
     val ok = bands.groupBy("band_id", "band_key")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
       .select("band_id", "band_key")
-    val pruned = bands.join(ok, Seq("band_id", "band_key"), "left_semi")
+    bands.join(ok, Seq("band_id", "band_key"), "left_semi")
+  }
+
+  def candidatePairs(bands: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val pruned = capBuckets(bands, maxBucket)
     val l = pruned.as("l")
     val r = pruned.as("r")
     l.join(r,
@@ -198,9 +223,14 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact dedup: one surviving row per distinct content. */
+  /** Exact dedup: one surviving row per distinct content — the MIN-doc_id
+    * representative, same arbitration as [[exactDedupGroups]]. (The old
+    * dropDuplicates form kept whichever row a partition scanned first:
+    * nondeterministic survivors across runs, and it leaked the internal
+    * content_hash column — review finding.) */
   def exactDedup(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("content_hash", md5(col(textCol))).dropDuplicates("content_hash")
+    df.join(exactDedupGroups(df, textCol)
+        .select(col("rep_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
 
   /** n-gram Jaccard similarity for given (a, b) doc-id pairs: |A∩B| / |A∪B|
     * over distinct word n-gram sets. Pairs come from LSH candidates (or any
@@ -212,14 +242,12 @@ object Dedup {
     * hash family as MinHash, so the oracle reproduces it. */
   def jaccardPairs(docs: DataFrame, pairs: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     // Distinct shingle-hash set per doc, built from the skinny row form; the
-    // groupBy exchange is reused by both sides of the pair join.
+    // groupBy exchange is reused by both sides of the pair join. The join
+    // tail is [[jaccardFromSets]] — one definition (review finding).
     val sh = shingleHashRows(docs, textCol, n)
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("h"))).as("sh"))
-    pairs
-      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
-      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
-      .select(col("a"), col("b"), jaccardExpr(col("sh_a"), col("sh_b")).as("jaccard"))
+    jaccardFromSets(pairs, sh)
   }
 
   /** MinHash-LSH near-duplicate pipeline: signatures -> bands -> candidate
@@ -248,13 +276,7 @@ object Dedup {
     // Same LSH skew guard as candidatePairs: a band key shared by a large
     // fraction of the incumbent corpus carries no near-dup signal but makes
     // the probe join quadratic on that key — drop over-full index buckets.
-    val cBands = lshBands(cSigs, rowsPerBand)
-    val okBuckets = cBands.groupBy("band_id", "band_key")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
-      .select("band_id", "band_key")
-    val index = cBands
-      .join(okBuckets, Seq("band_id", "band_key"), "left_semi")
+    val index = capBuckets(lshBands(cSigs, rowsPerBand), maxBucket)
       .join(cSigs.select(col("doc_id").as("corpus_doc_id"), col("sh").as("sh_corpus")),
         col("doc_id") === col("corpus_doc_id")).drop("doc_id")
     val nSigs = rowMinhashSignatures(newDocs, textCol, n)
@@ -445,9 +467,17 @@ object Dedup {
     * cross a shuffle. */
   def contaminationScore(docs: DataFrame, benchmarkFilter: Column, textCol: String,
                          n: Int = 3): DataFrame = {
+    // The benchmark predicate is evaluated against DOCS (where source /
+    // lang / metadata columns exist), not against the skinny shingle rows —
+    // the old form threw AnalysisException for any filter beyond doc_id
+    // arithmetic, despite the docstring promising "a benchmark corpus"
+    // (review finding). One light column-pruned scan of docs; the shingle
+    // scan still happens once, split by a semi/anti join on doc_id.
+    val benchIds = docs.filter(benchmarkFilter).select(col("doc_id"))
     val sh = shingleHashRows(docs, textCol, n).dropDuplicates("doc_id", "h")
-    val bench = sh.filter(benchmarkFilter).select(col("h")).distinct()
-    val target = sh.filter(!benchmarkFilter)
+    val bench = sh.join(benchIds, Seq("doc_id"), "left_semi")
+      .select(col("h")).distinct()
+    val target = sh.join(benchIds, Seq("doc_id"), "left_anti")
     target.join(bench.withColumn("__hit", lit(1)), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -583,8 +613,13 @@ object Dedup {
     * rollup is |sources|² rows. Linear in corpus shingles end to end. */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
                     n: Int = 5): DataFrame = {
+    // Spread keyed by doc_id, NOT by source: a source-keyed repartition
+    // leaves only |sources| non-empty partitions, capping the expensive
+    // tokenization scan at a handful of cores (review finding). The
+    // downstream distinct() reshuffles on (src, h) anyway.
     val sh = graft.model.Tables
-      .spread(docs.select(col(srcCol).as("src"), col(textCol)), col("src"))
+      .spread(docs.select(col("doc_id"), col(srcCol).as("src"), col(textCol)),
+        col("doc_id"))
       .select(col("src"), explode(wordShingles(col(textCol), n)).as("__shingle"))
       .select(col("src"), strHash31(col("__shingle")).as("h"))
       .distinct()
@@ -634,15 +669,29 @@ object Dedup {
     * 100 TB pick `bits`/`maxHamming` so width >= ~16 bits. */
   def simhashNearDup(sigs: DataFrame, maxHamming: Int = 3, bits: Int = 32): DataFrame = {
     val nBands = maxHamming + 1
-    val width = (bits + nBands - 1) / nBands
-    val mask = (1L << width) - 1
+    require(nBands <= bits,
+      s"maxHamming=$maxHamming needs ${nBands} bands over only $bits bits")
+    // EVEN bit distribution: band b covers [b·bits/B, (b+1)·bits/B) — widths
+    // differ by at most 1 and every band holds real signature bits. The old
+    // uniform ceil() width gave trailing bands few or ZERO real bits (e.g.
+    // bits=32, maxHamming=8: band 8 would read bits 32-35 = constant 0, so
+    // EVERY doc shares its bucket and the self-join goes all-pairs — the
+    // exact blowup the banding exists to avoid; review finding). The
+    // pigeonhole exactness argument only needs the bands to partition the
+    // bit range, which this split preserves. For maxHamming=3/bits=32 the
+    // boundaries are 0/8/16/24 — identical to the old layout, so the d5/d6
+    // oracles are unchanged.
+    val bounds = (0 to nBands).map(b => b * bits / nBands)
     // Materialize the (doc_id, simhash) aggregate once: the band self-join
     // references it twice and would otherwise re-tokenize the corpus per side.
     val sigsM = Materialize.pin(sigs)
     val banded = sigsM.select(col("doc_id"), col("simhash"),
-      explode(array((0 until nBands).map(b =>
+      explode(array((0 until nBands).map { b =>
+        val start = bounds(b)
+        val mask = (1L << (bounds(b + 1) - start)) - 1
         struct(lit(b).as("band_id"),
-          shiftright(col("simhash"), b * width).bitwiseAND(mask).as("nib"))): _*)).as("band"))
+          shiftright(col("simhash"), start).bitwiseAND(mask).as("nib"))
+      }: _*)).as("band"))
       .select(col("doc_id"), col("simhash"),
         col("band.band_id").as("band_id"), col("band.nib").as("nib"))
     val l = banded.as("l")
@@ -705,6 +754,16 @@ object Dedup {
       .groupBy("a", "b")
       .agg(sum(col("ta") * col("tb")).as("dot"), count(lit(1)).as("shared_terms"))
       .filter(col("shared_terms") >= minShared)
+    cosineTail(pairs, norms, threshold)
+  }
+
+  /** Shared norms-join + integer-cosine + threshold tail of the tf-weighted
+    * near-dup family — the Scala twin of [[tfCosineTailSql]], one definition
+    * for d13 and d14 (review finding: three inline copies invited drift;
+    * the idf variant keeps its own decimal-typed tail). `pairs` carries
+    * (a, b, dot, shared_terms); `norms` carries (doc_id, sq). */
+  private def cosineTail(pairs: DataFrame, norms: DataFrame,
+                         threshold: Double): DataFrame =
     pairs
       .join(norms.select(col("doc_id").as("a"), col("sq").as("__sa")), Seq("a"))
       .join(norms.select(col("doc_id").as("b"), col("sq").as("__sb")), Seq("b"))
@@ -712,7 +771,6 @@ object Dedup {
         col("dot") / (sqrt(col("__sa").cast("double")) * sqrt(col("__sb").cast("double"))))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("shared_terms"), col("dot"), col("cos"))
-  }
 
   /** The session's configured shuffle width (AQE's INITIAL partition count —
     * what a plain exchange starts from before coalescing). */
@@ -843,21 +901,35 @@ object Dedup {
     val wfx = floor(log(lit(nDocs.toDouble) / col("df")) * lit(65536.0) + lit(0.5))
       .cast("long")
     val vm = posts.select(col("doc_id"), col("term"), (col("tf") * wfx).as("v"))
-    val norms = vm.groupBy("doc_id").agg(sum(col("v") * col("v")).as("sq"))
+    // Products and sums in 128-bit exact arithmetic (Spark decimal(38,0),
+    // oracle HUGEINT): v ≈ tf·ln(N/df)·2¹⁶ reaches ~10⁹ at corpus scale
+    // (N=10⁹, boilerplate tf in the thousands), so v² brushes 2⁶³ and a
+    // LONG sum would wrap silently in Spark while DuckDB overflows loudly —
+    // corrupted cosines, divergent engines (review finding). Decimal sums
+    // are still exact integers, so order-independence (the determinism
+    // contract) is preserved; `dot` is EMITTED as double (one correctly-
+    // rounded conversion per engine) because a wrapped display long would
+    // be wrong exactly when the fix matters.
+    val vdec = col("v").cast("decimal(19,0)")
+    val norms = vm.groupBy("doc_id")
+      .agg(sum(vdec * col("v")).as("sq"))
     val spread = byTerm(vm)
     val pa = spread.select(col("term"), col("doc_id").as("a"), col("v").as("va"))
     val pb = spread.select(col("term"), col("doc_id").as("b"), col("v").as("vb"))
     val pairs = pa.join(pb, Seq("term")).filter(col("a") < col("b"))
       .groupBy("a", "b")
-      .agg(sum(col("va") * col("vb")).as("dot"), count(lit(1)).as("shared_terms"))
+      .agg(sum(col("va").cast("decimal(19,0)") * col("vb")).as("dot"),
+        count(lit(1)).as("shared_terms"))
       .filter(col("shared_terms") >= minShared)
     pairs
       .join(norms.select(col("doc_id").as("a"), col("sq").as("__sa")), Seq("a"))
       .join(norms.select(col("doc_id").as("b"), col("sq").as("__sb")), Seq("b"))
       .withColumn("cos",
-        col("dot") / (sqrt(col("__sa").cast("double")) * sqrt(col("__sb").cast("double"))))
+        col("dot").cast("double") /
+          (sqrt(col("__sa").cast("double")) * sqrt(col("__sb").cast("double"))))
       .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"), col("shared_terms"), col("dot"), col("cos"))
+      .select(col("a"), col("b"), col("shared_terms"),
+        col("dot").cast("double").as("dot"), col("cos"))
   }
 
   /** Prefix-filtered form of [[lexicalNearDup]] — IDENTICAL output, cheaper
@@ -921,16 +993,11 @@ object Dedup {
 
     val pa = posts.select(col("doc_id").as("a"), col("term"), col("tf").as("ta"))
     val pb = posts.select(col("doc_id").as("b"), col("term"), col("tf").as("tb"))
-    cand.join(pa, Seq("a")).join(pb, Seq("b", "term"))
+    val pairs = cand.join(pa, Seq("a")).join(pb, Seq("b", "term"))
       .groupBy("a", "b")
       .agg(sum(col("ta") * col("tb")).as("dot"), count(lit(1)).as("shared_terms"))
       .filter(col("shared_terms") >= minShared)
-      .join(norms.select(col("doc_id").as("a"), col("sq").as("__sa")), Seq("a"))
-      .join(norms.select(col("doc_id").as("b"), col("sq").as("__sb")), Seq("b"))
-      .withColumn("cos",
-        col("dot") / (sqrt(col("__sa").cast("double")) * sqrt(col("__sb").cast("double"))))
-      .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"), col("shared_terms"), col("dot"), col("cos"))
+    cosineTail(pairs, norms, threshold)
   }
 
   /** Composed exact→near dedup — the production pipeline shape the sf1
@@ -1053,16 +1120,16 @@ object Dedup {
        |  SELECT doc_id, term,
        |    tf * CAST(floor(ln(CAST(nd.n AS DOUBLE) / df) * 65536.0 + 0.5) AS BIGINT) AS v
        |  FROM posts CROSS JOIN nd),
-       |norms AS (SELECT doc_id, sum(v*v) AS sq FROM v GROUP BY 1),
+       |norms AS (SELECT doc_id, sum(CAST(v AS HUGEINT) * v) AS sq FROM v GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS a, b.doc_id AS b,
-       |    CAST(sum(a.v*b.v) AS BIGINT) AS dot, count(*) AS shared_terms
+       |    sum(CAST(a.v AS HUGEINT) * b.v) AS dot, count(*) AS shared_terms
        |  FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
-       |SELECT a, b, shared_terms, dot,
-       |  dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))) AS cos
+       |SELECT a, b, shared_terms, CAST(dot AS DOUBLE) AS dot,
+       |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))) AS cos
        |FROM pairs JOIN norms na ON pairs.a = na.doc_id
        |           JOIN norms nb ON pairs.b = nb.doc_id
-       |WHERE dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))
+       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))
        |      >= $threshold""".stripMargin
 }

@@ -66,6 +66,63 @@ class OpsSpec extends SparkSpec {
     assert(capped == Set((0L, 3L)))
   }
 
+  test("token-less docs are excluded from minhash sketches, not fake-paired") {
+    // Punctuation-only docs tokenize to nothing; WordShingles' zero-token
+    // fallback is the single empty shingle, so before the exclusion ALL of
+    // them shared one signature and near-dup'd each other at jaccard 1.0 —
+    // a dedup pass would have deleted distinct documents (review finding).
+    val mixed = Seq(
+      (1L, "!!!"), (2L, "??? ..."), (3L, ",,,"),
+      (4L, "real words here again and again"),
+      (5L, "real words here again and again")).toDF("doc_id", "text")
+    for (sigs <- Seq(Dedup.minhashSignatures(mixed, "text", 3),
+                     Dedup.rowMinhashSignatures(mixed, "text", 3))) {
+      val ids = sigs.select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(4L, 5L), s"token-less docs leaked into sketch: $ids")
+    }
+    val nd = Dedup.nearDupPairs(mixed, "text", 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(nd == Set((4L, 5L)), s"got $nd")
+  }
+
+  test("simhash bands distribute bits evenly; maxHamming=8 stays non-degenerate") {
+    // The old ceil() width gave band 8 of a 32-bit/9-band split ZERO real
+    // bits — every doc in one bucket, all-pairs join (review finding). Now
+    // widths differ by <=1; a corpus of docs with distinct signatures must
+    // produce far fewer candidates than all-pairs while a genuine 1-bit
+    // near-pair is still found (pigeonhole exactness).
+    val docs = (0 until 40).map(i => (i.toLong, s"unique$i content$i words$i here$i"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs, "text")
+    val pairs = Dedup.simhashNearDup(sigs, maxHamming = 8)
+      .as[(Long, Long, Long)].collect()
+    // exactness oracle: plain all-pairs hamming filter over the same sigs
+    val sigMap = sigs.as[(Long, Long)].collect().toMap
+    val want = (for {
+      a <- sigMap.keys; b <- sigMap.keys if a < b
+      if java.lang.Long.bitCount(sigMap(a) ^ sigMap(b)) <= 8
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == want,
+      "banded result diverged from the all-pairs hamming filter")
+  }
+
+  test("exactDedup keeps the min-doc_id survivor with the original schema") {
+    val out = Dedup.exactDedup(docs, "text")
+    assert(out.columns.toSeq == docs.columns.toSeq) // no leaked content_hash
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 2L), s"got $ids") // 3 dropped: dup of 0, min wins
+  }
+
+  test("contamination accepts predicates over non-doc_id columns") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta", "bench"),
+      (2L, "alpha beta gamma delta epsilon", "web"),
+      (3L, "zeta eta theta iota kappa", "web")).toDF("doc_id", "text", "source")
+    val got = Dedup.contaminationScore(d, col("source") === "bench", "text")
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(got(2L) > 0.5 && got(3L) == 0.0, s"got $got")
+  }
+
   test("composed exact→near dedup: full recall where the df cap prunes d13") {
     // Replica-inflated corpus — the sf1 probe's pathology in miniature:
     // 3 base docs (0/1 a one-word near-dup pair, 2 unrelated), each

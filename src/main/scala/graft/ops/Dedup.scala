@@ -743,11 +743,13 @@ object Dedup {
     * the candidate set further — the cap alone already bounds the blowup. */
   def lexicalNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
                      maxDfFrac: Double = 0.2, minShared: Int = 3,
-                     maxDfCap: Int = 1000, n: Int = 2): DataFrame = {
+                     maxDfCap: Int = 1000, n: Int = 2,
+                     maxPrunedEmptyFrac: Double = 1.0): DataFrame = {
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
-    val posts = cappedPostings(docs, textCol, n, maxDfFrac, maxDfCap)
+    val (tf, posts) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
+    assertRecallGuard(tf, posts, maxPrunedEmptyFrac, "lexicalNearDup")
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
-    val spread = byTerm(posts)
+    val spread = byTerm(posts, pairJoinWidth(posts))
     val pa = spread.select(col("term"), col("doc_id").as("a"), col("tf").as("ta"))
     val pb = spread.select(col("term"), col("doc_id").as("b"), col("tf").as("tb"))
     val pairs = pa.join(pb, Seq("term")).filter(col("a") < col("b"))
@@ -777,18 +779,47 @@ object Dedup {
   private def numShufflePartitions(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
-  /** Pins a term-keyed join input to the FULL configured shuffle width via an
-    * explicit numbered repartition, which AQE partition coalescing must
-    * leave alone. The near-dup pair joins EXPAND by Σ df² — output two
-    * orders of magnitude larger than input — and AQE's byte-based coalescing
-    * only sees the few-MB posting shuffle, so it fuses the whole expansion
-    * onto 2-3 cores (measured at sf0.1: ~21 task-seconds of join+partial-agg
-    * crammed into 2 tasks = 10 s wall on a 32-core host; spread over 32
-    * tasks it is under 1 s). Balanced width is safe here because the df cap
-    * already bounds any single term's expansion at maxDfCap² — the skew
-    * guard is upstream, in [[cappedPostings]]. */
-  private def byTerm(df: DataFrame): DataFrame =
-    df.repartition(numShufflePartitions(df), col("term"))
+  /** Pins a term-keyed join input to an explicit numbered-repartition
+    * `width`, which AQE partition coalescing must leave alone. The near-dup
+    * pair joins EXPAND by Σ df² — output two orders of magnitude larger
+    * than input — and AQE's byte-based coalescing only sees the few-MB
+    * posting shuffle, so it fuses the whole expansion onto 2-3 cores
+    * (measured at sf0.1: ~21 task-seconds of join+partial-agg crammed into
+    * 2 tasks = 10 s wall on a 32-core host; spread over 32 tasks it is
+    * under 1 s). Balanced width is safe here because the df cap already
+    * bounds any single term's expansion at maxDfCap² — the skew guard is
+    * upstream, in [[cappedPostings]]. */
+  private def byTerm(df: DataFrame, width: Int): DataFrame =
+    df.repartition(width, col("term"))
+
+  /** Records-per-task budget for the pair-join width: calibrated on the sf1
+    * probes (BASELINE.md round 13) — 1.64B candidate records completed in
+    * the default 8g heap at 256-wide (~6.4M records/task), while the fixed
+    * 32-wide pin OOM'd; sf0.1's 34.2M records at 32-wide (~1.1M/task) is
+    * comfortably under. 4M/task keeps small corpora at the configured
+    * width and scales large ones automatically. */
+  private val PairRecordsPerTask = 4L * 1000 * 1000
+
+  /** Pair-join parallelism derived from the CANDIDATE VOLUME, not the
+    * posting bytes (r13 verdict #2): the posting self-join expands each
+    * term into df² candidate rows, so the right task count scales with
+    * Σ_term df² — computable for free from the pinned posting frame, since
+    * each kept term contributes exactly df rows each carrying its df
+    * (Σ_rows df = Σ_term df²). Clamped below by the configured shuffle
+    * width (small corpora keep their session width; AQE still cannot
+    * coalesce a numbered repartition) and above at 32768 (a runaway-volume
+    * backstop: past that, waves of tasks amortize fine). This removed the
+    * manual SPARK_GRAFT_SHUFFLE=256 override the sf1 runs needed. */
+  private[graft] def pairJoinWidth(posts: DataFrame): Int = {
+    val row = posts.agg(sum(col("df"))).head()
+    if (row.isNullAt(0)) numShufflePartitions(posts)
+    else widthForVolume(numShufflePartitions(posts), row.getLong(0))
+  }
+
+  /** The clamp itself: configured width ≤ ceil(vol / budget) ≤ 32768. */
+  private def widthForVolume(conf: Int, vol: Long): Int =
+    math.max(conf.toLong, math.min(32768L,
+      (vol + PairRecordsPerTask - 1) / PairRecordsPerTask)).toInt
 
   /** Shared candidate machinery of the lexical near-dup family (d13/d14/d15):
     * the (doc_id, term, tf, df) posting frame over word `n`-gram shingle
@@ -815,7 +846,15 @@ object Dedup {
   }
 
   private[graft] def cappedPostings(docs: DataFrame, textCol: String, n: Int,
-                             maxDfFrac: Double, maxDfCap: Int): DataFrame = {
+                             maxDfFrac: Double, maxDfCap: Int): DataFrame =
+    cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)._2
+
+  /** [[cappedPostings]] that ALSO returns the pinned pre-cap tf frame, so
+    * the recall guard can compare tokenized vs surviving documents without
+    * a second tokenization scan. */
+  private[graft] def cappedPostingsWithTf(docs: DataFrame, textCol: String,
+                             n: Int, maxDfFrac: Double,
+                             maxDfCap: Int): (DataFrame, DataFrame) = {
     val tf = postingTf(docs, textCol, n)
     val nDocs = docs.select(countDistinct(col("doc_id")).as("__n"))
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -824,7 +863,37 @@ object Dedup {
         greatest(lit(2L), ceil(col("__n") * maxDfFrac).cast("long"))))
       .select("term", "df")
     val posts0 = tf.join(dfs, Seq("term"))
-    Materialize.pin(posts0)
+    (tf, Materialize.pin(posts0))
+  }
+
+  /** The d18 zero-recall canary as an OPT-IN loud guard on the scoring ops
+    * themselves (r13 verdict #5, the fuzzy-join `failOnOversized` pattern):
+    * the ×100 replica probe showed the dual df cap can silently prune EVERY
+    * term of a document — the query "succeeds" at full cost with zero
+    * recall (18.3 s → 0 pairs). `maxPrunedEmptyFrac < 1.0` arms the guard:
+    * if more than that fraction of tokenized documents lost their entire
+    * term set to the cap, fail loudly with the numbers and the remedies
+    * (d19's exact prepass, or a cap raise), instead of returning an empty
+    * frame a pipeline would mistake for "no duplicates". Cost when armed:
+    * two countDistinct aggregates on frames that are already pinned — no
+    * re-tokenization, no new scan of the corpus. */
+  private def assertRecallGuard(tf: DataFrame, posts: DataFrame,
+                                maxPrunedEmptyFrac: Double, op: String): Unit = {
+    require(maxPrunedEmptyFrac >= 0 && maxPrunedEmptyFrac <= 1,
+      s"maxPrunedEmptyFrac must be in [0,1], got $maxPrunedEmptyFrac")
+    if (maxPrunedEmptyFrac >= 1.0) return // disarmed (default)
+    val tokenized = tf.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val kept = posts.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val pruned = tokenized - kept
+    if (tokenized > 0 && pruned.toDouble / tokenized > maxPrunedEmptyFrac)
+      throw new IllegalStateException(
+        s"$op: df-cap recall guard fired — $pruned of $tokenized tokenized " +
+          f"documents (${pruned.toDouble / tokenized}%.3f > " +
+          f"$maxPrunedEmptyFrac%.3f) had EVERY term pruned by the dual df " +
+          "cap and cannot appear in any pair (zero-recall regime; see " +
+          "dfCapReport/d18). Remedies: collapse exact duplicates first " +
+          "(composedNearDup/d19), raise maxDfCap/maxDfFrac, or rerun with " +
+          "maxPrunedEmptyFrac=1.0 to accept the traded recall explicitly.")
   }
 
   /** Diagnostic twin of the df cap (d18): reports how much of the corpus the
@@ -889,9 +958,21 @@ object Dedup {
     * extra shuffle. */
   def lexicalNearDupIdf(docs: DataFrame, textCol: String, threshold: Double = 0.8,
                         maxDfFrac: Double = 0.2, minShared: Int = 3,
-                        maxDfCap: Int = 1000, n: Int = 2): DataFrame = {
+                        maxDfCap: Int = 1000, n: Int = 2,
+                        maxPrunedEmptyFrac: Double = 1.0): DataFrame =
+    lexicalNearDupIdfImpl(docs, textCol, threshold, maxDfFrac, minShared,
+      maxDfCap, n, forceLongRegime = None, maxPrunedEmptyFrac)
+
+  /** [[lexicalNearDupIdf]] with the accumulator regime overridable for
+    * tests (None = auto-derive from the provable overflow bound). */
+  private[graft] def lexicalNearDupIdfImpl(docs: DataFrame, textCol: String,
+                        threshold: Double, maxDfFrac: Double, minShared: Int,
+                        maxDfCap: Int, n: Int,
+                        forceLongRegime: Option[Boolean],
+                        maxPrunedEmptyFrac: Double = 1.0): DataFrame = {
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
-    val posts = cappedPostings(docs, textCol, n, maxDfFrac, maxDfCap)
+    val (tf, posts) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
+    assertRecallGuard(tf, posts, maxPrunedEmptyFrac, "lexicalNearDupIdf")
     // One scalar to the driver (the bounded-sketch contract bloomDedup and
     // kmeans already use): embedding N as a literal lets every consumer
     // derive the weighted values MAP-SIDE from the already-checkpointed
@@ -900,26 +981,55 @@ object Dedup {
     val nDocs = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
     val wfx = floor(log(lit(nDocs.toDouble) / col("df")) * lit(65536.0) + lit(0.5))
       .cast("long")
-    val vm = posts.select(col("doc_id"), col("term"), (col("tf") * wfx).as("v"))
-    // Products and sums in 128-bit exact arithmetic (Spark decimal(38,0),
-    // oracle HUGEINT): v ≈ tf·ln(N/df)·2¹⁶ reaches ~10⁹ at corpus scale
-    // (N=10⁹, boilerplate tf in the thousands), so v² brushes 2⁶³ and a
-    // LONG sum would wrap silently in Spark while DuckDB overflows loudly —
-    // corrupted cosines, divergent engines (review finding). Decimal sums
-    // are still exact integers, so order-independence (the determinism
-    // contract) is preserved; `dot` is EMITTED as double (one correctly-
-    // rounded conversion per engine) because a wrapped display long would
-    // be wrong exactly when the fix matters.
-    val vdec = col("v").cast("decimal(19,0)")
-    val norms = vm.groupBy("doc_id")
-      .agg(sum(vdec * col("v")).as("sq"))
-    val spread = byTerm(vm)
+    // The weighted value stays a MAP-SIDE derivation on the pinned posting
+    // frame in every consumer below (no second posting-sized
+    // materialization, no per-consumer re-count of the corpus).
+    val vExpr = col("tf") * wfx
+    val vm = posts.select(col("doc_id"), col("term"), vExpr.as("v"))
+    // REGIME-SWITCHED exact arithmetic (review finding → r13 decimal fix →
+    // r13 verdict #1): v ≈ tf·ln(N/df)·2¹⁶ can reach ~10⁹ at corpus scale
+    // (N=10⁹, boilerplate tf in the thousands), where v² brushes 2⁶³ — a
+    // LONG sum would wrap silently in Spark while DuckDB overflows loudly:
+    // corrupted cosines, divergent engines. But the decimal(38,0) sums that
+    // fix this cost 2.5× unconditionally, even at scales where overflow is
+    // PROVABLY impossible. So compute the bound up front from the pinned
+    // posting frame (one tiny per-doc aggregate — posting-row input, doc-row
+    // output, map-side combined): every accumulated sum — a doc's Σv² and a
+    // pair's Σva·vb over shared terms — is ≤ max(v)² · max(termsPerDoc).
+    // LONG sums when that bound < 2⁶² (margin below 2⁶³), decimal
+    // otherwise. Both are exact integers, so order-independence (the
+    // determinism contract) holds in either regime and the oracle (HUGEINT,
+    // exact always) is shared; `dot` is EMITTED as double (one correctly-
+    // rounded conversion per engine) either way. v itself cannot overflow:
+    // tf is bounded by document token count and wfx ≤ ln(N)·2¹⁶ (~1.4e6 at
+    // N=10⁹), so tf·wfx < 2⁶³ needs a single document of ~10¹² tokens.
+    // One job yields BOTH driver scalars: the overflow-bound stats (per-doc
+    // groupBy, map-side combined) and the pair-join candidate volume
+    // (Σ_rows df = Σ_term df², the pairJoinWidth input — folded here so the
+    // idf path pays one stats job, not two).
+    val stats = posts.groupBy("doc_id")
+      .agg(count(lit(1)).as("__nt"), max(vExpr).as("__mv"),
+        sum(col("df")).as("__sd"))
+      .agg(max(col("__nt")), max(col("__mv")), sum(col("__sd"))).head()
+    val useLong = forceLongRegime.getOrElse {
+      if (stats.isNullAt(0)) true // empty posting space: nothing to sum
+      else {
+        val bound = BigInt(stats.getLong(1)).pow(2) * BigInt(stats.getLong(0))
+        bound < (BigInt(1) << 62)
+      }
+    }
+    val width =
+      if (stats.isNullAt(2)) numShufflePartitions(posts)
+      else widthForVolume(numShufflePartitions(posts), stats.getLong(2))
+    def sq(x: Column, y: Column): Column =
+      if (useLong) sum(x * y) else sum(x.cast("decimal(19,0)") * y)
+    val norms = vm.groupBy("doc_id").agg(sq(col("v"), col("v")).as("sq"))
+    val spread = byTerm(vm, width)
     val pa = spread.select(col("term"), col("doc_id").as("a"), col("v").as("va"))
     val pb = spread.select(col("term"), col("doc_id").as("b"), col("v").as("vb"))
     val pairs = pa.join(pb, Seq("term")).filter(col("a") < col("b"))
       .groupBy("a", "b")
-      .agg(sum(col("va").cast("decimal(19,0)") * col("vb")).as("dot"),
-        count(lit(1)).as("shared_terms"))
+      .agg(sq(col("va"), col("vb")).as("dot"), count(lit(1)).as("shared_terms"))
       .filter(col("shared_terms") >= minShared)
     pairs
       .join(norms.select(col("doc_id").as("a"), col("sq").as("__sa")), Seq("a"))
@@ -931,6 +1041,7 @@ object Dedup {
       .select(col("a"), col("b"), col("shared_terms"),
         col("dot").cast("double").as("dot"), col("cos"))
   }
+
 
   /** Prefix-filtered form of [[lexicalNearDup]] — IDENTICAL output, cheaper
     * candidate generation (the Bayardo/Chaudhuri prefix-filtering idea,
@@ -967,12 +1078,19 @@ object Dedup {
     * Exactness holds at every n — only the economics flip. */
   def prefixNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
                     maxDfFrac: Double = 0.2, minShared: Int = 3,
-                    maxDfCap: Int = 1000, n: Int = 2): DataFrame = {
+                    maxDfCap: Int = 1000, n: Int = 2,
+                    maxPrunedEmptyFrac: Double = 1.0): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
     import org.apache.spark.sql.expressions.Window
-    val posts = cappedPostings(docs, textCol, n, maxDfFrac, maxDfCap)
+    val (tf, posts) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
+    assertRecallGuard(tf, posts, maxPrunedEmptyFrac, "prefixNearDup")
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
+    // Candidate-volume width from the FULL posting frame — an upper bound
+    // on the indexed-tail volume (prefix filtering only removes join rows),
+    // so the derived width is never too narrow; extra width on a filtered
+    // volume costs near-empty tasks, not memory.
+    val width = pairJoinWidth(posts)
 
     // hot -> rare running mass per doc; a term is indexed once the running
     // mass reaches t^2 * ||d||^2 (the head strictly below stays unindexed)
@@ -982,14 +1100,14 @@ object Dedup {
     val idx = byTerm(posts.join(norms, Seq("doc_id"))
       .withColumn("__cum", sum(col("tf") * col("tf")).over(hotFirst))
       .filter(col("__cum") >= lit(threshold * threshold) * col("sq"))
-      .select(col("term"), col("doc_id")))
+      .select(col("term"), col("doc_id")), width)
     val cand = idx.select(col("term"), col("doc_id").as("a"))
       .join(idx.select(col("term"), col("doc_id").as("b")), Seq("term"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
       // the verification join expands each candidate by a full document term
       // list — pin its parallelism too (same AQE blind spot as the term join)
-      .repartition(numShufflePartitions(posts), col("a"))
+      .repartition(width, col("a"))
 
     val pa = posts.select(col("doc_id").as("a"), col("term"), col("tf").as("ta"))
     val pb = posts.select(col("doc_id").as("b"), col("term"), col("tf").as("tb"))
@@ -1018,14 +1136,18 @@ object Dedup {
     * Both stages are shuffle-on-key; nothing quadratic is introduced. */
   def composedNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
                       maxDfFrac: Double = 0.2, minShared: Int = 3,
-                      maxDfCap: Int = 1000, n: Int = 2): DataFrame = {
+                      maxDfCap: Int = 1000, n: Int = 2,
+                      maxPrunedEmptyFrac: Double = 1.0): DataFrame = {
     // Pinned: the group frame feeds the representative join AND both
     // multiplicity joins — one md5 groupBy, not three (file convention).
     val groups = Materialize.pin(exactDedupGroups(docs, textCol))
     val reps = docs.join(
       groups.select(col("rep_doc_id").as("doc_id"), col("n_dups")), Seq("doc_id"))
+    // The guard is checked over the REPRESENTATIVE corpus — where the exact
+    // prepass has already absorbed replica-driven df inflation, a firing
+    // guard means genuinely boilerplate-saturated content, not duplication.
     val pairs = lexicalNearDup(reps, textCol, threshold, maxDfFrac, minShared,
-      maxDfCap, n)
+      maxDfCap, n, maxPrunedEmptyFrac)
     // Multiplicities join back from `groups` (rep_doc_id -> n_dups), NOT
     // from `reps`: reps embeds a full docs re-scan + md5 groupBy per use,
     // and the emitted pairs only need the group sizes.

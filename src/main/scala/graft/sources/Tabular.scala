@@ -49,7 +49,10 @@ object Tabular {
     * map-only pass, the read is a planned file scan with pruning, same as
     * any lake format. */
   def jsonlRoundtrip(spark: SparkSession, df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    // Registered for exit-time deletion (review finding: a driver looping
+    // the gate/bench rewrites the corpus as JSON per pass; un-registered
+    // dirs accreted unboundedly under /tmp).
+    val dir = graft.util.TempRoots.create("graft_jsonl_").toString
     df.write.mode("overwrite").json(dir)
     scan(spark, dir, format = "json", schema = Some(df.schema))
   }

@@ -27,27 +27,11 @@ object Pipeline {
     * them unboundedly. Deletion is deferred to exit (not eager) because the
     * returned DataFrames lazily re-read the staged sink until the caller's
     * final action. */
-  // One static hook draining a queue of registered roots: a driver looping
-  // the oracle gate + bench passes creates hundreds of temp roots, and a
-  // hook Thread PER ROOT would accrete without bound in the JVM's shutdown
-  // registry (review finding). Same exit-time semantics, O(1) hooks.
-  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      var p = tempRoots.poll()
-      while (p != null) { rm(p.toFile); p = tempRoots.poll() }
-    }))
-  }
-  private def replayTempRoot(prefix: String): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    tempRoots.add(p)
-    p
-  }
+  // One static hook draining a queue of registered roots (review finding:
+  // a hook Thread PER ROOT would accrete without bound) — shared with the
+  // jsonl round-trip staging in graft.util.TempRoots.
+  private def replayTempRoot(prefix: String): java.nio.file.Path =
+    graft.util.TempRoots.create(prefix)
 
   /** Staged-INPUT memo (the l3 memoization pattern): each replay's input
     * staging — the range-split write plus its premise scalars (watermark
@@ -246,8 +230,12 @@ object Pipeline {
         // Arrival order, surfaced for the sink's tie-break: the broker
         // timestamp is millisecond-granular, so two versions of one doc in
         // the same ms need a distinguishing order — the log offset is it
-        // (unique per partition; the reference's sequential es.index gets
-        // the same last-write-wins from consumption order, con.py:60-63).
+        // WITHIN one partition. With key-partitioned topics (key = doc_id,
+        // the production layout) all versions of a doc share a partition,
+        // so the single offset column reproduces the reference's sequential
+        // es.index last-write-wins (con.py:60-63). If same-key events were
+        // spread across partitions, same-ms ties would compare offsets from
+        // unrelated logs: deterministic, but arbitrary w.r.t. arrival order.
         col("offset").as("kafka_offset"))
   }
 
@@ -685,8 +673,14 @@ object Pipeline {
     * and hardest state shape in the recovery family (after s2's offsets+sink
     * and gpa's keyed accumulators): transformWithState session state PLUS
     * its registered event-time TIMERS, in the RocksDB provider. The first
-    * query crashes inside foreachBatch after `killAfterBatches` batches
-    * (post sink-append and RocksDB commit, pre offset commit); the reopened
+    * query crashes inside foreachBatch after the k-th MICRO-BATCH (post
+    * sink-append and RocksDB commit, pre offset commit). With maxFilesPerTrigger=1
+    * micro-batch k usually carries the k-th staged file, but the engine may
+    * interleave watermark-driven no-data batches, so the crash can land a
+    * file or two earlier in corpus consumption — the safety premise only
+    * needs killAfterBatches < stagedPartCount (fresh files remain for the
+    * recovery query), which holds a fortiori. Either way the crash sits
+    * between a RocksDB commit and its offset commit; the reopened
     * query must restore both the open-session accumulators AND their close
     * timers from the checkpointed RocksDB version — lost timers would leave
     * sessions unclosed when the sentinel's watermark no-data batch fires,

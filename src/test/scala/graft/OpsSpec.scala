@@ -204,6 +204,84 @@ class OpsSpec extends SparkSpec {
     assert(idf((0L, 1L)) > 0.3)
   }
 
+  test("idf near-dup regime switch: long path when the bound fits, decimal when not") {
+    // Tiny corpus: max(v)^2 * max(termsPerDoc) is far below 2^62, so the
+    // auto regime must sum in LONG — no decimal cast anywhere in the plan.
+    val tiny = Dedup.lexicalNearDupIdf(docs, "text", threshold = 0.0,
+      maxDfFrac = 1.0, minShared = 1)
+    assert(!tiny.queryExecution.analyzed.toString.contains("decimal"),
+      "tiny corpus must take the long-accumulator regime")
+    // High-tf corpus engineered past the bound: bigram "hot hot" with
+    // tf=60000, df=2, N=4 -> v = 60000*floor(ln(2)*2^16+0.5) ~ 2.7e9,
+    // v^2 ~ 7.4e18 > 2^62 -> decimal regime, and the exact pair must still
+    // come out at cos 1.0 (the sums are exact in either regime).
+    val hot = "hot " * 60001
+    val hotDocs = Seq((0L, hot), (1L, hot),
+      (2L, "calm filler words one"), (3L, "other filler words two"))
+      .toDF("doc_id", "text")
+    val big = Dedup.lexicalNearDupIdf(hotDocs, "text", threshold = 0.5,
+      maxDfFrac = 1.0, minShared = 1)
+    assert(big.queryExecution.analyzed.toString.contains("decimal"),
+      "past-the-bound corpus must take the decimal regime")
+    val got = big.select("a", "b", "cos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got((0L, 1L)) - 1.0) < 1e-12)
+  }
+
+  test("idf near-dup: forced long and decimal regimes agree bit-exactly") {
+    def run(long: Boolean) =
+      Dedup.lexicalNearDupIdfImpl(docs, "text", threshold = 0.0,
+          maxDfFrac = 1.0, minShared = 1, maxDfCap = 1000, n = 2,
+          forceLongRegime = Some(long))
+        .select("a", "b", "shared_terms", "dot", "cos")
+        .as[(Long, Long, Long, Double, Double)].collect().sorted.toSeq
+    val l = run(long = true); val d = run(long = false)
+    assert(l == d, "regimes diverged on in-bound sums")
+    assert(l.nonEmpty)
+  }
+
+  test("pair-join width derives from candidate volume, floored at session width") {
+    val conf = spark.sessionState.conf.numShufflePartitions
+    // tiny volume: stays at the configured width
+    val (_, posts) = Dedup.cappedPostingsWithTf(docs, "text", 2, 1.0, 1000)
+    assert(Dedup.pairJoinWidth(posts) == conf)
+    // synthetic posting frame with sum(df) = 9e9 -> ceil(9e9/4e6) = 2250
+    val fat = Seq(("t", 0L, 3L, 3000000000L), ("u", 1L, 2L, 6000000000L))
+      .toDF("term", "doc_id", "tf", "df")
+    assert(Dedup.pairJoinWidth(fat) == 2250)
+  }
+
+  test("recall guard: loud failure in the zero-recall regime, silent when healthy") {
+    val base = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      1L -> "the quick brown fox jumps over the lazy dog near the river bend",
+      2L -> "completely different content about spark query engines and shuffles")
+    val inflated = (for ((id, t) <- base; k <- 0 until 30)
+      yield (id + 3L * k, t)).toDF("doc_id", "text")
+    // default (disarmed): the cap empties the output silently — by design
+    assert(Dedup.lexicalNearDup(inflated, "text", threshold = 0.8,
+      maxDfFrac = 0.2, minShared = 3).count() == 0)
+    // armed: every tokenized doc lost its whole term set -> loud failure
+    val ex = intercept[IllegalStateException] {
+      Dedup.lexicalNearDup(inflated, "text", threshold = 0.8,
+        maxDfFrac = 0.2, minShared = 3, maxPrunedEmptyFrac = 0.5)
+    }
+    assert(ex.getMessage.contains("recall guard fired") &&
+      ex.getMessage.contains("composedNearDup"))
+    // idf variant shares the guard
+    intercept[IllegalStateException] {
+      Dedup.lexicalNearDupIdf(inflated, "text", threshold = 0.8,
+        maxDfFrac = 0.2, minShared = 3, maxPrunedEmptyFrac = 0.5)
+    }
+    // healthy corpus: armed at 0.0 (no pruned-empty docs tolerated) passes
+    assert(Dedup.lexicalNearDup(docs, "text", threshold = 0.8,
+      maxDfFrac = 1.0, minShared = 3, maxPrunedEmptyFrac = 0.0).count() > 0)
+    // d19 with the guard armed absorbs the replicas BEFORE the check:
+    // representative corpus is healthy, so no throw AND full recall
+    assert(Dedup.composedNearDup(inflated, "text", threshold = 0.8,
+      maxDfFrac = 0.2, minShared = 3, maxPrunedEmptyFrac = 0.5).count() == 1)
+  }
+
   test("simhash: identical -> hamming 0; near-dup closer than unrelated") {
     val sh = Dedup.simhash(docs, "text").as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

@@ -1070,6 +1070,20 @@ object SparkEntry {
       },
       Some("SELECT event_id, event_type AS rt_type, user_id AS rt_user FROM events")),
 
+    // ---- S3/S4 (corrupt leg): malformed-JSON audit — junk lines injected
+    // deterministically into a JSONL staging and read back through the real
+    // json source in PERMISSIVE + columnNameOfCorruptRecord mode (the S4
+    // parser contract): junk is COUNTED AND RETAINED as raw payload, parsed
+    // rows pass through — con.py:43's warn-and-keep, never a silent null.
+    ("s3_s4_corrupt_audit",
+      (s, d) => graft.sources.Tabular.jsonCorruptAudit(s, docs(s, d)),
+      Some("""SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS corrupt_payload
+        |FROM documents WHERE doc_id % 10 <> 3
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  'JUNK ' || CAST(doc_id AS VARCHAR)
+        |FROM documents WHERE doc_id % 10 = 3""".stripMargin)),
+
     // ---- S1 (jsonl leg): the documents corpus written as newline-delimited
     // JSON and read back through the real json file source with S1's
     // normalize semantics — the standard LLM-corpus interchange format,

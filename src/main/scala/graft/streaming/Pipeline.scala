@@ -215,7 +215,18 @@ object Pipeline {
 
   /** S4: Kafka JSON source (`con.py:14-21`). `startingOffsets=earliest` like
     * the reference; offset tracking via checkpoint (≙ manual commit, but
-    * transactional with the sink). The Kafka `timestamp` column drives T5. */
+    * transactional with the sink). The Kafka `timestamp` column drives T5.
+    *
+    * Malformed-line semantics (r13 verdict #3): the parse is PERMISSIVE
+    * with `columnNameOfCorruptRecord` retention — a junk value yields a
+    * row with null record fields AND the raw payload in `_corrupt_record`,
+    * the warn-and-keep posture of `con.py:43` (the reference warns on an
+    * invalid field and keeps the doc; its json.loads deserializer would
+    * crash outright on unparseable bytes — retention is the deviation a
+    * pipeline actually wants, and T8's null-reject downstream still keeps
+    * corrupt rows out of the store while this column feeds the audit).
+    * The batch-certified twin over a junk-line fixture is
+    * [[graft.sources.Tabular.jsonCorruptAudit]] (s3_s4_corrupt_audit). */
   def kafkaJsonSource(spark: SparkSession, servers: String, topic: String): DataFrame = {
     val raw = spark.readStream
       .format("kafka")
@@ -223,8 +234,12 @@ object Pipeline {
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .load()
+    val schema = Schemas.enrollment
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
     raw.select(
-        from_json(col("value").cast("string"), Schemas.enrollment).as("rec"),
+        from_json(col("value").cast("string"), schema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"),
         col("timestamp"), col("offset"))
       .select(col("rec.*"), unix_millis(col("timestamp")).as("kafka_ts_ms"),
         // Arrival order, surfaced for the sink's tie-break: the broker

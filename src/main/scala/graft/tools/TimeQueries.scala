@@ -29,6 +29,13 @@ object TimeQueries {
       spark.conf.set(k, v)
       println(s"[time] $k=$v")
     }
+    // Runtime-settable posture probes (e.g. RocksDB changelog
+    // checkpointing): forward spark.sql.* sysprops from
+    // GRAFT_EXTRA_JAVA_OPTS into the session conf.
+    for ((k, v) <- sys.props if k.startsWith("spark.sql.streaming.")) {
+      spark.conf.set(k, v)
+      println(s"[time] $k=$v")
+    }
     graft.model.Tables(spark, sfDir, "documents").limit(1).count() // warm session
     for (pass <- 1 to 2; n <- names) {
       val t0 = System.nanoTime()

@@ -98,4 +98,22 @@ class ScaleOpsSpec extends SparkSpec {
       7L -> " leading and trailing spaces ").toMap
     assert(back == want, s"diff: ${back.toSet.diff(want.toSet)}")
   }
+
+  test("corrupt-JSON audit: junk lines counted and retained, parsed rows intact") {
+    // doc_id % 10 == 3 rows become the non-JSON line "JUNK <id>"; the
+    // PERMISSIVE read must keep them as all-null rows with the raw payload
+    // in corrupt_payload, and must parse every other row's fields.
+    val docs = (0L until 25L).map(i => (i, s"text $i", 7L + i))
+      .toDF("doc_id", "text", "n_chars")
+    val audit = Tabular.jsonCorruptAudit(spark, docs)
+    assert(audit.count() == 25) // every input line yields a row
+    val corrupt = audit.filter(col("corrupt_payload").isNotNull)
+      .select("corrupt_payload").as[String].collect().toSet
+    assert(corrupt == Set("JUNK 3", "JUNK 13", "JUNK 23"))
+    assert(audit.filter(col("corrupt_payload").isNotNull &&
+      (col("doc_id").isNotNull || col("n_chars").isNotNull)).count() == 0)
+    val parsed = audit.filter(col("corrupt_payload").isNull)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toSet
+    assert(parsed == (0L until 25L).filter(_ % 10 != 3).map(i => (i, 7L + i)).toSet)
+  }
 }

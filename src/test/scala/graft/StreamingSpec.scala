@@ -493,6 +493,47 @@ class StreamingSpec extends SparkSpec {
       s"outer restart diverged: ${oRestart.diff(oSteady)} vs ${oSteady.diff(oRestart)}")
   }
 
+  test("restart recovery holds under RocksDB changelog checkpointing") {
+    // The cluster-default recovery posture (r13 verdict #7): with
+    // changelogCheckpointing the checkpoint stores per-batch CHANGELOGS and
+    // reconstructs state by replaying them onto the last snapshot, instead
+    // of restoring a full snapshot per batch — a different recovery code
+    // path than the one the other restart tests certify. Run the two
+    // RocksDB-relevant state shapes (timers+sessions; join buffers, forced
+    // onto the RocksDB provider here) through a full crash+recover
+    // lifecycle with the flag on: recovery must still settle exactly.
+    val events = graft.model.Tables(spark, "/root/testdata/sf0.001", "events")
+    val changelog =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val savedC = spark.conf.getOption(changelog)
+    val savedP = spark.conf.getOption(provider)
+    spark.conf.set(changelog, "true")
+    try {
+      def sess(df: org.apache.spark.sql.DataFrame) =
+        df.select($"user_id", $"n_events", $"total_cents", $"start_ms", $"end_ms")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val sSteady = sess(Pipeline.replaySessionSummaries(spark, events))
+      val sRestart = sess(Pipeline.replaySessionSummariesRestart(spark, events))
+      assert(sSteady.nonEmpty && sRestart == sSteady,
+        s"sess diverged under changelog checkpointing: " +
+          s"${sRestart.diff(sSteady)} vs ${sSteady.diff(sRestart)}")
+      spark.conf.set(provider,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      def join(df: org.apache.spark.sql.DataFrame) =
+        df.select($"l_id", $"r_id", $"user_id")
+          .as[(Long, Long, Long)].collect().toSet
+      val jSteady = join(Pipeline.replayIntervalJoin(spark, events))
+      val jRestart = join(Pipeline.replayIntervalJoinRestart(spark, events))
+      assert(jSteady.nonEmpty && jRestart == jSteady,
+        s"ssjoin diverged under changelog checkpointing: " +
+          s"${jRestart.diff(jSteady)} vs ${jSteady.diff(jRestart)}")
+    } finally {
+      savedC.fold(spark.conf.unset(changelog))(spark.conf.set(changelog, _))
+      savedP.fold(spark.conf.unset(provider))(spark.conf.set(provider, _))
+    }
+  }
+
   test("outer interval-join batch-replay emits matches and watermark-proven nulls") {
     // The ssjoin_outer_replay promotion on a hand-checkable corpus: user 1's
     // view converts inside the window; user 2's purchase lands outside it;

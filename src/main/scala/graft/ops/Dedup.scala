@@ -1086,32 +1086,57 @@ object Dedup {
     val (tf, posts) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
     assertRecallGuard(tf, posts, maxPrunedEmptyFrac, "prefixNearDup")
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
-    // Candidate-volume width from the FULL posting frame — an upper bound
-    // on the indexed-tail volume (prefix filtering only removes join rows),
-    // so the derived width is never too narrow; extra width on a filtered
-    // volume costs near-empty tasks, not memory.
-    val width = pairJoinWidth(posts)
 
     // hot -> rare running mass per doc; a term is indexed once the running
-    // mass reaches t^2 * ||d||^2 (the head strictly below stays unindexed)
+    // mass reaches t^2 * ||d||^2 (the head strictly below stays unindexed).
+    // PINNED: both candidate-join sides and the stage-volume aggregate read
+    // the materialized index instead of re-running the window.
     val hotFirst = Window.partitionBy("doc_id")
       .orderBy(col("df").desc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val idx = byTerm(posts.join(norms, Seq("doc_id"))
+    val idx = Materialize.pin(posts.join(norms, Seq("doc_id"))
       .withColumn("__cum", sum(col("tf") * col("tf")).over(hotFirst))
       .filter(col("__cum") >= lit(threshold * threshold) * col("sq"))
-      .select(col("term"), col("doc_id")), width)
-    val cand = idx.select(col("term"), col("doc_id").as("a"))
-      .join(idx.select(col("term"), col("doc_id").as("b")), Seq("term"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-      // the verification join expands each candidate by a full document term
-      // list — pin its parallelism too (same AQE blind spot as the term join)
-      .repartition(width, col("a"))
+      .select(col("term"), col("doc_id")))
+    // d14's two expansion stages have DIFFERENT volumes (the sf1 OOM probe,
+    // r13→r14): the candidate join expands by Σ df_idx² over INDEXED tails,
+    // while the verification join expands each surviving candidate by a
+    // full document term list — at sf1 that second stage is the 1.64B-row
+    // one. Size each from its own measured input: the index df for the
+    // former; |cand| × avg(terms/doc) × 2 (doc-length/candidacy correlation
+    // margin — longer docs index more tails) for the latter, with `cand`
+    // pinned anyway because the verification join is its only consumer and
+    // the count would otherwise re-run the candidate join.
+    val genVolRow = idx.groupBy("term").agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c") * col("__c"))).head()
+    val genWidth =
+      if (genVolRow.isNullAt(0)) numShufflePartitions(posts)
+      else widthForVolume(numShufflePartitions(posts), genVolRow.getLong(0))
+    val spread = byTerm(idx, genWidth)
+    val cand = Materialize.pin(
+      spread.select(col("term"), col("doc_id").as("a"))
+        .join(spread.select(col("term"), col("doc_id").as("b")), Seq("term"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct())
+    val postStats = posts.agg(count(lit(1)).as("__p"),
+      countDistinct(col("doc_id")).as("__d")).head()
+    val avgTerms = if (postStats.getLong(1) == 0L) 1L
+      else math.max(1L, postStats.getLong(0) / postStats.getLong(1))
+    val verWidth = widthForVolume(numShufflePartitions(posts),
+      2L * cand.count() * avgTerms)
+    val verCand = cand.repartition(verWidth, col("a"))
 
     val pa = posts.select(col("doc_id").as("a"), col("term"), col("tf").as("ta"))
     val pb = posts.select(col("doc_id").as("b"), col("term"), col("tf").as("tb"))
-    val pairs = cand.join(pa, Seq("a")).join(pb, Seq("b", "term"))
+    // BOTH verification exchanges carry the expanded volume and need the
+    // derived width: join-by-a expands |cand| × terms(a), and its output
+    // re-shuffles by (b, term) for the second join — left at the configured
+    // width, that second sort held 1.64B rows in 32 task slices at sf1 (the
+    // actual r13 OOM stage, pinpointed r14). The explicit numbered
+    // repartition pins the second exchange; pb co-partitions to match.
+    val expanded = verCand.join(pa, Seq("a"))
+      .repartition(verWidth, col("b"), col("term"))
+    val pairs = expanded.join(pb, Seq("b", "term"))
       .groupBy("a", "b")
       .agg(sum(col("ta") * col("tb")).as("dot"), count(lit(1)).as("shared_terms"))
       .filter(col("shared_terms") >= minShared)

@@ -874,26 +874,49 @@ object Dedup {
     * if more than that fraction of tokenized documents lost their entire
     * term set to the cap, fail loudly with the numbers and the remedies
     * (d19's exact prepass, or a cap raise), instead of returning an empty
-    * frame a pipeline would mistake for "no duplicates". Cost when armed:
-    * two countDistinct aggregates on frames that are already pinned — no
-    * re-tokenization, no new scan of the corpus. */
+    * frame a pipeline would mistake for "no duplicates".
+    *
+    * TWO arms, because the ×100 probes showed the regimes signal
+    * differently (BASELINE.md round 14): exact duplication empties whole
+    * documents (docs_pruned_empty = 97% at exact-×100), while SUFFIX
+    * near-dup replicas keep one rare bigram per doc — zero empty docs —
+    * yet the cap still removes 98.2% of the squared-norm MASS the cosine
+    * scores over. The doc arm alone would wave that regime through, so the
+    * same flag also trips when the pruned mass fraction exceeds it.
+    * Cost when armed: one countDistinct on the pinned tf frame and one
+    * two-sided aggregate on the pinned posting join — no re-tokenization,
+    * no new scan of the corpus. */
   private def assertRecallGuard(tf: DataFrame, posts: DataFrame,
                                 maxPrunedEmptyFrac: Double, op: String): Unit = {
     require(maxPrunedEmptyFrac >= 0 && maxPrunedEmptyFrac <= 1,
       s"maxPrunedEmptyFrac must be in [0,1], got $maxPrunedEmptyFrac")
     if (maxPrunedEmptyFrac >= 1.0) return // disarmed (default)
-    val tokenized = tf.select(countDistinct(col("doc_id"))).head().getLong(0)
-    val kept = posts.select(countDistinct(col("doc_id"))).head().getLong(0)
-    val pruned = tokenized - kept
-    if (tokenized > 0 && pruned.toDouble / tokenized > maxPrunedEmptyFrac)
+    val tot = tf.agg(countDistinct(col("doc_id")).as("__d"),
+      sum(col("tf") * col("tf")).as("__m")).head()
+    val kept = posts.agg(countDistinct(col("doc_id")).as("__d"),
+      sum(col("tf") * col("tf")).as("__m")).head()
+    def remedies = "Remedies: collapse exact duplicates first " +
+      "(composedNearDup/d19), raise maxDfCap/maxDfFrac, or rerun with " +
+      "maxPrunedEmptyFrac=1.0 to accept the traded recall explicitly."
+    val tokenized = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    if (tokenized == 0) return
+    val prunedDocs = tokenized - (if (kept.isNullAt(0)) 0L else kept.getLong(0))
+    if (prunedDocs.toDouble / tokenized > maxPrunedEmptyFrac)
       throw new IllegalStateException(
-        s"$op: df-cap recall guard fired — $pruned of $tokenized tokenized " +
-          f"documents (${pruned.toDouble / tokenized}%.3f > " +
+        s"$op: df-cap recall guard fired — $prunedDocs of $tokenized " +
+          f"tokenized documents (${prunedDocs.toDouble / tokenized}%.3f > " +
           f"$maxPrunedEmptyFrac%.3f) had EVERY term pruned by the dual df " +
           "cap and cannot appear in any pair (zero-recall regime; see " +
-          "dfCapReport/d18). Remedies: collapse exact duplicates first " +
-          "(composedNearDup/d19), raise maxDfCap/maxDfFrac, or rerun with " +
-          "maxPrunedEmptyFrac=1.0 to accept the traded recall explicitly.")
+          s"dfCapReport/d18). $remedies")
+    val mass = tot.getLong(1)
+    val prunedMass = mass - (if (kept.isNullAt(1)) 0L else kept.getLong(1))
+    if (mass > 0 && prunedMass.toDouble / mass > maxPrunedEmptyFrac)
+      throw new IllegalStateException(
+        s"$op: df-cap recall guard fired (mass arm) — the cap removed " +
+          f"$prunedMass of $mass squared-norm mass " +
+          f"(${prunedMass.toDouble / mass}%.3f > $maxPrunedEmptyFrac%.3f); " +
+          "the cosine scores over a sliver of each document and recall is " +
+          s"effectively traded even though no document emptied. $remedies")
   }
 
   /** Diagnostic twin of the df cap (d18): reports how much of the corpus the

@@ -273,9 +273,20 @@ class OpsSpec extends SparkSpec {
       Dedup.lexicalNearDupIdf(inflated, "text", threshold = 0.8,
         maxDfFrac = 0.2, minShared = 3, maxPrunedEmptyFrac = 0.5)
     }
-    // healthy corpus: armed at 0.0 (no pruned-empty docs tolerated) passes
+    // healthy corpus: armed at 0.0 (nothing pruned tolerated) passes
     assert(Dedup.lexicalNearDup(docs, "text", threshold = 0.8,
       maxDfFrac = 1.0, minShared = 3, maxPrunedEmptyFrac = 0.0).count() > 0)
+    // MASS arm (the x100 suffix-replica regime, BASELINE round 14): a
+    // unique " repK" suffix keeps one rare bigram per doc — zero empty
+    // docs — while the cap removes ~92% of the scoring mass. The doc arm
+    // alone would wave this through; the guard must still fire.
+    val suffixed = (for ((id, t) <- base; k <- 0 until 30)
+      yield (id + 3L * k, s"$t rep$k")).toDF("doc_id", "text")
+    val mx = intercept[IllegalStateException] {
+      Dedup.lexicalNearDup(suffixed, "text", threshold = 0.8,
+        maxDfFrac = 0.2, minShared = 3, maxPrunedEmptyFrac = 0.5)
+    }
+    assert(mx.getMessage.contains("mass arm"), mx.getMessage)
     // d19 with the guard armed absorbs the replicas BEFORE the check:
     // representative corpus is healthy, so no throw AND full recall
     assert(Dedup.composedNearDup(inflated, "text", threshold = 0.8,

@@ -744,10 +744,12 @@ object Dedup {
   def lexicalNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
                      maxDfFrac: Double = 0.2, minShared: Int = 3,
                      maxDfCap: Int = 1000, n: Int = 2,
-                     maxPrunedEmptyFrac: Double = 1.0): DataFrame = {
+                     maxPrunedEmptyFrac: Double = 1.0,
+                     maxPrunedMassFrac: Double = 1.0): DataFrame = {
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
     val (tf, posts) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
-    assertRecallGuard(tf, posts, maxPrunedEmptyFrac, "lexicalNearDup")
+    assertRecallGuard(tf, posts, maxPrunedEmptyFrac, maxPrunedMassFrac,
+      "lexicalNearDup")
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
     val spread = byTerm(posts, pairJoinWidth(posts))
     val pa = spread.select(col("term"), col("doc_id").as("a"), col("tf").as("ta"))
@@ -870,27 +872,37 @@ object Dedup {
     * themselves (r13 verdict #5, the fuzzy-join `failOnOversized` pattern):
     * the ×100 replica probe showed the dual df cap can silently prune EVERY
     * term of a document — the query "succeeds" at full cost with zero
-    * recall (18.3 s → 0 pairs). `maxPrunedEmptyFrac < 1.0` arms the guard:
-    * if more than that fraction of tokenized documents lost their entire
+    * recall (18.3 s → 0 pairs). `maxPrunedEmptyFrac < 1.0` arms the doc
+    * arm (`maxPrunedMassFrac < 1.0` the mass arm): if more than that
+    * fraction of tokenized documents lost their entire
     * term set to the cap, fail loudly with the numbers and the remedies
     * (d19's exact prepass, or a cap raise), instead of returning an empty
     * frame a pipeline would mistake for "no duplicates".
     *
-    * TWO arms, because the ×100 probes showed the regimes signal
-    * differently (BASELINE.md round 14): exact duplication empties whole
-    * documents (docs_pruned_empty = 97% at exact-×100), while SUFFIX
-    * near-dup replicas keep one rare bigram per doc — zero empty docs —
-    * yet the cap still removes 98.2% of the squared-norm MASS the cosine
-    * scores over. The doc arm alone would wave that regime through, so the
-    * same flag also trips when the pruned mass fraction exceeds it.
-    * Cost when armed: one countDistinct on the pinned tf frame and one
-    * two-sided aggregate on the pinned posting join — no re-tokenization,
-    * no new scan of the corpus. */
+    * TWO arms, INDEPENDENTLY thresholded, because the ×100 probes showed
+    * the regimes signal differently (BASELINE.md round 14): exact
+    * duplication empties whole documents (docs_pruned_empty = 97% at
+    * exact-×100), while SUFFIX near-dup replicas keep one rare bigram per
+    * doc — zero empty docs — yet the cap still removes 98.2% of the
+    * squared-norm MASS the cosine scores over. The thresholds are separate
+    * flags with separate healthy baselines: an emptied DOCUMENT is always
+    * pathological (any `maxPrunedEmptyFrac` < 1 is a sane arm), whereas
+    * pruning a large MASS fraction is the cap doing its JOB on
+    * boilerplate-heavy corpora — hot shingles dominate Σtf² by design — so
+    * `maxPrunedMassFrac` must be armed deliberately, with a corpus-informed
+    * bound (dfCapReport/d18 measures both fractions for exactly this
+    * calibration). Cost when armed: one countDistinct on the pinned tf
+    * frame and one two-sided aggregate on the pinned posting join — no
+    * re-tokenization, no new scan of the corpus. */
   private def assertRecallGuard(tf: DataFrame, posts: DataFrame,
-                                maxPrunedEmptyFrac: Double, op: String): Unit = {
+                                maxPrunedEmptyFrac: Double,
+                                maxPrunedMassFrac: Double, op: String): Unit = {
     require(maxPrunedEmptyFrac >= 0 && maxPrunedEmptyFrac <= 1,
       s"maxPrunedEmptyFrac must be in [0,1], got $maxPrunedEmptyFrac")
-    if (maxPrunedEmptyFrac >= 1.0) return // disarmed (default)
+    require(maxPrunedMassFrac >= 0 && maxPrunedMassFrac <= 1,
+      s"maxPrunedMassFrac must be in [0,1], got $maxPrunedMassFrac")
+    if (maxPrunedEmptyFrac >= 1.0 && maxPrunedMassFrac >= 1.0)
+      return // both arms disarmed (default)
     val tot = tf.agg(countDistinct(col("doc_id")).as("__d"),
       sum(col("tf") * col("tf")).as("__m")).head()
     val kept = posts.agg(countDistinct(col("doc_id")).as("__d"),
@@ -901,7 +913,8 @@ object Dedup {
     val tokenized = if (tot.isNullAt(0)) 0L else tot.getLong(0)
     if (tokenized == 0) return
     val prunedDocs = tokenized - (if (kept.isNullAt(0)) 0L else kept.getLong(0))
-    if (prunedDocs.toDouble / tokenized > maxPrunedEmptyFrac)
+    if (maxPrunedEmptyFrac < 1.0 &&
+        prunedDocs.toDouble / tokenized > maxPrunedEmptyFrac)
       throw new IllegalStateException(
         s"$op: df-cap recall guard fired — $prunedDocs of $tokenized " +
           f"tokenized documents (${prunedDocs.toDouble / tokenized}%.3f > " +
@@ -910,11 +923,12 @@ object Dedup {
           s"dfCapReport/d18). $remedies")
     val mass = tot.getLong(1)
     val prunedMass = mass - (if (kept.isNullAt(1)) 0L else kept.getLong(1))
-    if (mass > 0 && prunedMass.toDouble / mass > maxPrunedEmptyFrac)
+    if (maxPrunedMassFrac < 1.0 && mass > 0 &&
+        prunedMass.toDouble / mass > maxPrunedMassFrac)
       throw new IllegalStateException(
         s"$op: df-cap recall guard fired (mass arm) — the cap removed " +
           f"$prunedMass of $mass squared-norm mass " +
-          f"(${prunedMass.toDouble / mass}%.3f > $maxPrunedEmptyFrac%.3f); " +
+          f"(${prunedMass.toDouble / mass}%.3f > $maxPrunedMassFrac%.3f); " +
           "the cosine scores over a sliver of each document and recall is " +
           s"effectively traded even though no document emptied. $remedies")
   }
@@ -982,9 +996,11 @@ object Dedup {
   def lexicalNearDupIdf(docs: DataFrame, textCol: String, threshold: Double = 0.8,
                         maxDfFrac: Double = 0.2, minShared: Int = 3,
                         maxDfCap: Int = 1000, n: Int = 2,
-                        maxPrunedEmptyFrac: Double = 1.0): DataFrame =
+                        maxPrunedEmptyFrac: Double = 1.0,
+                        maxPrunedMassFrac: Double = 1.0): DataFrame =
     lexicalNearDupIdfImpl(docs, textCol, threshold, maxDfFrac, minShared,
-      maxDfCap, n, forceLongRegime = None, maxPrunedEmptyFrac)
+      maxDfCap, n, forceLongRegime = None, maxPrunedEmptyFrac,
+      maxPrunedMassFrac)
 
   /** [[lexicalNearDupIdf]] with the accumulator regime overridable for
     * tests (None = auto-derive from the provable overflow bound). */
@@ -992,10 +1008,12 @@ object Dedup {
                         threshold: Double, maxDfFrac: Double, minShared: Int,
                         maxDfCap: Int, n: Int,
                         forceLongRegime: Option[Boolean],
-                        maxPrunedEmptyFrac: Double = 1.0): DataFrame = {
+                        maxPrunedEmptyFrac: Double = 1.0,
+                        maxPrunedMassFrac: Double = 1.0): DataFrame = {
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
     val (tf, posts) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
-    assertRecallGuard(tf, posts, maxPrunedEmptyFrac, "lexicalNearDupIdf")
+    assertRecallGuard(tf, posts, maxPrunedEmptyFrac, maxPrunedMassFrac,
+      "lexicalNearDupIdf")
     // One scalar to the driver (the bounded-sketch contract bloomDedup and
     // kmeans already use): embedding N as a literal lets every consumer
     // derive the weighted values MAP-SIDE from the already-checkpointed
@@ -1066,6 +1084,27 @@ object Dedup {
   }
 
 
+  /** The Bayardo hot→rare prefix index d14 scores over: per doc, running
+    * squared-mass in df-desc order; a (term, doc_id) posting is indexed
+    * once the running mass reaches threshold² · ‖d‖². ONE definition,
+    * shared by [[prefixNearDup]] and the stage-volume probe
+    * (`tools/ProbeWidth`) so the probe's Σdf²/candidate numbers describe
+    * exactly what d14 executes — a hand-copied twin would silently drift.
+    * `norms` is taken as a parameter (not derived here) so the caller's
+    * already-built norms frame is reused and the plan shape is unchanged. */
+  private[graft] def prefixIndexFrame(posts: DataFrame, norms: DataFrame,
+                                      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hotFirst = Window.partitionBy("doc_id")
+      .orderBy(col("df").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    posts.join(norms, Seq("doc_id"))
+      .withColumn("__cum", sum(col("tf") * col("tf")).over(hotFirst))
+      .filter(col("__cum") >= lit(threshold * threshold) * col("sq"))
+      .select(col("term"), col("doc_id"))
+  }
+
+
   /** Prefix-filtered form of [[lexicalNearDup]] — IDENTICAL output, cheaper
     * candidate generation (the Bayardo/Chaudhuri prefix-filtering idea,
     * adapted to the tf-weighted cosine):
@@ -1102,25 +1141,18 @@ object Dedup {
   def prefixNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
                     maxDfFrac: Double = 0.2, minShared: Int = 3,
                     maxDfCap: Int = 1000, n: Int = 2,
-                    maxPrunedEmptyFrac: Double = 1.0): DataFrame = {
+                    maxPrunedEmptyFrac: Double = 1.0,
+                    maxPrunedMassFrac: Double = 1.0): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
-    import org.apache.spark.sql.expressions.Window
     val (tf, posts) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
-    assertRecallGuard(tf, posts, maxPrunedEmptyFrac, "prefixNearDup")
+    assertRecallGuard(tf, posts, maxPrunedEmptyFrac, maxPrunedMassFrac,
+      "prefixNearDup")
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
 
-    // hot -> rare running mass per doc; a term is indexed once the running
-    // mass reaches t^2 * ||d||^2 (the head strictly below stays unindexed).
     // PINNED: both candidate-join sides and the stage-volume aggregate read
     // the materialized index instead of re-running the window.
-    val hotFirst = Window.partitionBy("doc_id")
-      .orderBy(col("df").desc, col("term").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val idx = Materialize.pin(posts.join(norms, Seq("doc_id"))
-      .withColumn("__cum", sum(col("tf") * col("tf")).over(hotFirst))
-      .filter(col("__cum") >= lit(threshold * threshold) * col("sq"))
-      .select(col("term"), col("doc_id")))
+    val idx = Materialize.pin(prefixIndexFrame(posts, norms, threshold))
     // d14's two expansion stages have DIFFERENT volumes (the sf1 OOM probe,
     // r13→r14): the candidate join expands by Σ df_idx² over INDEXED tails,
     // while the verification join expands each surviving candidate by a
@@ -1185,7 +1217,8 @@ object Dedup {
   def composedNearDup(docs: DataFrame, textCol: String, threshold: Double = 0.8,
                       maxDfFrac: Double = 0.2, minShared: Int = 3,
                       maxDfCap: Int = 1000, n: Int = 2,
-                      maxPrunedEmptyFrac: Double = 1.0): DataFrame = {
+                      maxPrunedEmptyFrac: Double = 1.0,
+                      maxPrunedMassFrac: Double = 1.0): DataFrame = {
     // Pinned: the group frame feeds the representative join AND both
     // multiplicity joins — one md5 groupBy, not three (file convention).
     val groups = Materialize.pin(exactDedupGroups(docs, textCol))
@@ -1195,7 +1228,7 @@ object Dedup {
     // prepass has already absorbed replica-driven df inflation, a firing
     // guard means genuinely boilerplate-saturated content, not duplication.
     val pairs = lexicalNearDup(reps, textCol, threshold, maxDfFrac, minShared,
-      maxDfCap, n, maxPrunedEmptyFrac)
+      maxDfCap, n, maxPrunedEmptyFrac, maxPrunedMassFrac)
     // Multiplicities join back from `groups` (rep_doc_id -> n_dups), NOT
     // from `reps`: reps embeds a full docs re-scan + md5 groupBy per use,
     // and the emitted pairs only need the group sizes.

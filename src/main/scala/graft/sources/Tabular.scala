@@ -78,7 +78,11 @@ object Tabular {
     import org.apache.spark.sql.functions._
     val dir = graft.util.TempRoots.create("graft_corrupt_jsonl_").toString
     docs.select(
-        when(pmod(col("doc_id"), lit(10L)) === 3L,
+        // sign-preserving % (not pmod): the oracle's SQL `doc_id % 10`
+        // keeps the dividend's sign in DuckDB, and the injection rule must
+        // be the SAME pure function in both engines or a negative doc_id
+        // diverges (pmod(-7,10)=3 stages junk; -7%10=-7 predicts a parse).
+        when(col("doc_id") % 10 === 3L,
           concat(lit("JUNK "), col("doc_id").cast("string")))
           .otherwise(to_json(struct(col("doc_id"), col("n_chars"))))
           .as("value"))

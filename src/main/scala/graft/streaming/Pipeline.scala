@@ -224,7 +224,9 @@ object Pipeline {
     * invalid field and keeps the doc; its json.loads deserializer would
     * crash outright on unparseable bytes — retention is the deviation a
     * pipeline actually wants, and T8's null-reject downstream still keeps
-    * corrupt rows out of the store while this column feeds the audit).
+    * corrupt rows out of the store; audit consumers read this column off
+    * the source frame — [[consumerTransform]] drops it on the store path
+    * so the persisted schema stays stable).
     * The batch-certified twin over a junk-line fixture is
     * [[graft.sources.Tabular.jsonCorruptAudit]] (s3_s4_corrupt_audit). */
   def kafkaJsonSource(spark: SparkSession, servers: String, topic: String): DataFrame = {
@@ -255,11 +257,23 @@ object Pipeline {
   }
 
   /** Consumer transform chain on a (possibly streaming) frame: T5 timestamp
-    * overwrite, then the full enrichment pipeline (T6-T9). */
+    * overwrite, then the full enrichment pipeline (T6-T9).
+    *
+    * The PERMISSIVE parse's `_corrupt_record` audit column stays on the
+    * SOURCE frame (for audit consumers tapping [[kafkaJsonSource]]
+    * directly) but is dropped HERE, before enrichment: corrupt rows are
+    * null-keyed and already rejected by the pipeline's doc_id filter, so on
+    * the store path the column could only ever persist as always-null —
+    * and worse, it would CHANGE the persisted schema, crashing
+    * `Upsert.mergeBatch`'s column-aligned select on any store written
+    * before the audit column existed. */
   def consumerTransform(df: DataFrame): DataFrame = {
-    val stamped =
-      if (df.columns.contains("kafka_ts_ms")) Enrich.timestampFromEpochMs(df, "kafka_ts_ms").drop("kafka_ts_ms")
+    val clean =
+      if (df.columns.contains("_corrupt_record")) df.drop("_corrupt_record")
       else df
+    val stamped =
+      if (clean.columns.contains("kafka_ts_ms")) Enrich.timestampFromEpochMs(clean, "kafka_ts_ms").drop("kafka_ts_ms")
+      else clean
     Enrich.consumerPipeline(stamped)
   }
 

@@ -30,8 +30,11 @@ object TimeQueries {
       println(s"[time] $k=$v")
     }
     // Runtime-settable posture probes (e.g. RocksDB changelog
-    // checkpointing): forward spark.sql.* sysprops from
-    // GRAFT_EXTRA_JAVA_OPTS into the session conf.
+    // checkpointing): forward spark.sql.streaming.* sysprops — ONLY that
+    // namespace — from GRAFT_EXTRA_JAVA_OPTS into the session conf.
+    // Non-streaming spark.sql.* keys are NOT forwarded (several are
+    // start-time-only and conf.set would throw); set those in the
+    // builder above if a probe needs them.
     for ((k, v) <- sys.props if k.startsWith("spark.sql.streaming.")) {
       spark.conf.set(k, v)
       println(s"[time] $k=$v")

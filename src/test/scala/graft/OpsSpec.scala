@@ -278,13 +278,18 @@ class OpsSpec extends SparkSpec {
       maxDfFrac = 1.0, minShared = 3, maxPrunedEmptyFrac = 0.0).count() > 0)
     // MASS arm (the x100 suffix-replica regime, BASELINE round 14): a
     // unique " repK" suffix keeps one rare bigram per doc — zero empty
-    // docs — while the cap removes ~92% of the scoring mass. The doc arm
-    // alone would wave this through; the guard must still fire.
+    // docs — while the cap removes ~92% of the scoring mass. The arms are
+    // INDEPENDENT flags (separate healthy baselines — hot shingles
+    // legitimately dominate Σtf² on boilerplate-heavy corpora, so a doc
+    // threshold must not double as a mass threshold): the doc arm alone
+    // waves this regime through, the mass arm catches it.
     val suffixed = (for ((id, t) <- base; k <- 0 until 30)
       yield (id + 3L * k, s"$t rep$k")).toDF("doc_id", "text")
+    assert(Dedup.lexicalNearDup(suffixed, "text", threshold = 0.8,
+      maxDfFrac = 0.2, minShared = 3, maxPrunedEmptyFrac = 0.5).count() == 0)
     val mx = intercept[IllegalStateException] {
       Dedup.lexicalNearDup(suffixed, "text", threshold = 0.8,
-        maxDfFrac = 0.2, minShared = 3, maxPrunedEmptyFrac = 0.5)
+        maxDfFrac = 0.2, minShared = 3, maxPrunedMassFrac = 0.5)
     }
     assert(mx.getMessage.contains("mass arm"), mx.getMessage)
     // d19 with the guard armed absorbs the replicas BEFORE the check:

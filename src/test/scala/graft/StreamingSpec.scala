@@ -674,7 +674,13 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Timestamp, String, String, String, String, String, Int, String, Double, Double)]
     val df = input.toDF().toDF("@timestamp", "F_MASV", "F_MAMH", "F_TENMHVN",
       "F_TENLOP", "F_KHOAHOC", "NHHK", "F_DIEM2", "F_DVHT", "F_TCDTTL")
+      // the PERMISSIVE parse's audit column rides the source frame; the
+      // store path must drop it so a pre-existing store's column-aligned
+      // merge select does not crash on a column it never had
+      .withColumn("_corrupt_record", lit(null).cast("string"))
     val out = Pipeline.consumerTransform(df)
+    assert(!out.columns.contains("_corrupt_record"),
+      "store path must not persist the audit column")
     val q = out.writeStream.format("memory").queryName("consumer_out")
       .outputMode("append").start()
     try {

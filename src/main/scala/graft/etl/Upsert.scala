@@ -33,10 +33,22 @@ object Upsert {
     * new version of a key replaces the old, unseen keys append.
     * Implemented as partition-local merge: rows are routed by
     * `partitionCol`, and dynamic partition overwrite rewrites only the
-    * partitions present in the batch. */
+    * partitions present in the batch.
+    *
+    * Schema drift between the batch and the store is REFUSED loudly by
+    * default: the merge rewrites whole partitions, so a silently narrower
+    * batch would DELETE store columns from every rewritten partition, and
+    * a wider one used to die mid-stream in an opaque resolver error.
+    * `allowSchemaEvolution = true` opts into union-by-name widening
+    * instead: the merged schema is the union of both column sets and the
+    * side missing a column gets nulls (the Delta-style mergeSchema
+    * posture). Partitions the batch does not touch keep their old files
+    * either way — readers of an evolved store must tolerate a mixed
+    * on-disk schema (parquet does; a strict schema-on-read does not). */
   def mergeBatch(spark: SparkSession, batch: DataFrame, path: String,
                  keyCols: Seq[String], tsCol: String, tieCol: String,
-                 partitionCol: String): Unit = {
+                 partitionCol: String,
+                 allowSchemaEvolution: Boolean = false): Unit = {
     val incoming = latestByKey(batch, keyCols, tsCol, tieCol)
     val existing =
       try spark.read.parquet(path)
@@ -45,12 +57,27 @@ object Upsert {
     val merged =
       if (existing == null) incoming
       else {
+        if (!allowSchemaEvolution &&
+            existing.columns.toSet != incoming.columns.toSet) {
+          val batchOnly = incoming.columns.toSet -- existing.columns.toSet
+          val storeOnly = existing.columns.toSet -- incoming.columns.toSet
+          throw new IllegalStateException(
+            s"mergeBatch: batch schema drifted from the store at $path — " +
+              s"batch-only columns: ${batchOnly.toSeq.sorted.mkString("[", ", ", "]")}, " +
+              s"store-only columns: ${storeOnly.toSeq.sorted.mkString("[", ", ", "]")}. " +
+              "Refusing: a partition rewrite under the narrower schema would " +
+              "silently drop the store-only columns from every touched " +
+              "partition. Align the batch projection, or pass " +
+              "allowSchemaEvolution=true to widen by name (missing side " +
+              "gets nulls).")
+        }
         // Restrict the existing side to partitions the batch touches, union,
         // re-arbitrate. Keys outside touched partitions are untouched on disk.
         val touched = incoming.select(partitionCol).distinct()
         val relevant = existing.join(broadcast(touched), Seq(partitionCol), "left_semi")
-          .select(incoming.columns.map(col): _*)
-        latestByKey(relevant.unionByName(incoming), keyCols, tsCol, tieCol)
+        latestByKey(
+          relevant.unionByName(incoming, allowMissingColumns = allowSchemaEvolution),
+          keyCols, tsCol, tieCol)
       }
 
     // Materialize the merge to a staging dir BEFORE touching `path`: the
@@ -106,8 +133,10 @@ object Upsert {
     * (strictly stronger than the reference's manual commit + idempotent id,
     * `con.py:18,79-88`). */
   def foreachBatchMerge(path: String, keyCols: Seq[String], tsCol: String,
-                        tieCol: String, partitionCol: String)
+                        tieCol: String, partitionCol: String,
+                        allowSchemaEvolution: Boolean = false)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
-      mergeBatch(batch.sparkSession, batch, path, keyCols, tsCol, tieCol, partitionCol)
+      mergeBatch(batch.sparkSession, batch, path, keyCols, tsCol, tieCol,
+        partitionCol, allowSchemaEvolution)
 }

@@ -120,6 +120,39 @@ class EtlSpec extends SparkSpec {
     assert(m == Map("k1" -> 9.0, "k2" -> 2.0))
   }
 
+  test("S5: mergeBatch refuses schema drift loudly; evolution is opt-in") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_drift").toString
+    val b1 = Seq(("k1", ts("2024-01-01 10:00:00"), 1L, 1.0))
+      .toDF("k", "t", "seq", "v").withColumn("day", to_date(col("t")))
+    Upsert.mergeBatch(spark, b1, dir, Seq("k"), "t", "seq", "day")
+    // NARROWER batch (store-only column v): a silent partition rewrite
+    // would delete v from every touched partition — must refuse, naming it
+    val narrow = Seq(("k1", ts("2024-01-01 12:00:00"), 2L))
+      .toDF("k", "t", "seq").withColumn("day", to_date(col("t")))
+    val exN = intercept[IllegalStateException] {
+      Upsert.mergeBatch(spark, narrow, dir, Seq("k"), "t", "seq", "day")
+    }
+    assert(exN.getMessage.contains("store-only columns: [v]"), exN.getMessage)
+    // WIDER batch (batch-only column extra): refused with the same clarity
+    // (the old code died in an opaque mid-stream resolver error instead)
+    val wide = Seq(("k2", ts("2024-01-01 12:00:00"), 2L, 2.0, "x"))
+      .toDF("k", "t", "seq", "v", "extra").withColumn("day", to_date(col("t")))
+    val exW = intercept[IllegalStateException] {
+      Upsert.mergeBatch(spark, wide, dir, Seq("k"), "t", "seq", "day")
+    }
+    assert(exW.getMessage.contains("batch-only columns: [extra]"), exW.getMessage)
+    // store unchanged by either refusal
+    assert(spark.read.parquet(dir).count() == 1)
+    // opt-in evolution: union-by-name widening, missing side gets nulls
+    Upsert.mergeBatch(spark, wide, dir, Seq("k"), "t", "seq", "day",
+      allowSchemaEvolution = true)
+    val evolved = spark.read.parquet(dir)
+      .select("k", "v", "extra").as[(String, Option[Double], Option[String])]
+      .collect().map { case (k, v, e) => k -> (v, e) }.toMap
+    assert(evolved == Map("k1" -> (Some(1.0), None),
+                          "k2" -> (Some(2.0), Some("x"))))
+  }
+
   test("observe() audit counters match profile() without a second scan") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, None))
       .toDF("id", "v")

@@ -882,6 +882,23 @@ object SparkEntry {
         |                           ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin)),
 
+    // ---- S5: schema evolution under the oracle gate — the ES DYNAMIC
+    // MAPPING twin (con.py:58-63: es.index auto-adds unseen fields to the
+    // daily index; older docs simply lack them). Even-event_id half merged
+    // under the original schema, odd half with a new `src` column under
+    // allowSchemaEvolution=true; the settled store equals the one-shot
+    // latest-wins arbitration with src populated exactly where the winner
+    // traveled in the evolved batch.
+    ("s5_schema_evolution",
+      (s, d) => Upsert.schemaEvolutionReplay(s, ev(s, d)),
+      Some("""SELECT user_id, CAST(ts AS DATE) AS ingest_date, event_id,
+        |  event_type, value, ts,
+        |  CASE WHEN event_id % 2 = 1 THEN 'b2' END AS src
+        |FROM (SELECT user_id, event_id, event_type, value, ts,
+        |        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin)),
+
     // ---- S2+S5 (§2.5): the streaming pipeline itself under the oracle gate —
     // events staged as 4 files, streamed through the REAL file source one
     // micro-batch per file, foreachBatch-merged into a date-partitioned

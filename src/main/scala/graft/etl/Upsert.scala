@@ -139,4 +139,38 @@ object Upsert {
     (batch: DataFrame, _: Long) =>
       mergeBatch(batch.sparkSession, batch, path, keyCols, tsCol, tieCol,
         partitionCol, allowSchemaEvolution)
+
+  /** S5 schema-evolution certification — the reference twin is ES DYNAMIC
+    * MAPPING: `con.py:58-63`'s `es.index` into the daily index auto-adds
+    * fields it has never seen, so a producer that starts emitting a new
+    * field evolves the store in place and older documents simply lack it.
+    * Replayed here as two batch merges into one keyed store: the
+    * even-`event_id` half under the original schema, then the odd half
+    * carrying a new `src` column under `allowSchemaEvolution = true`.
+    * Latest-wins arbitration is commutative across batches, so the settled
+    * store must equal the one-shot arbitration over all events, with `src`
+    * populated exactly on rows whose winning version traveled in the
+    * evolved batch — the cross-engine oracle predicts the whole frame,
+    * nulls included.
+    *
+    * The read-back sets `mergeSchema`: dynamic partition overwrite rewrites
+    * only the partitions the evolved batch touches, so an evolved store
+    * legitimately holds files of BOTH widths and parquet's default
+    * single-file schema inference could miss the new column. */
+  def schemaEvolutionReplay(spark: SparkSession, events: DataFrame): DataFrame = {
+    val dir = graft.util.TempRoots.create("graft_s5_evo_").toString + "/tgt"
+    val base = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+      .withColumn("ingest_date", to_date(col("ts")))
+    mergeBatch(spark, base.filter(col("event_id") % 2 === 0), dir,
+      Seq("user_id", "ingest_date"), "ts", "event_id", "ingest_date")
+    mergeBatch(spark,
+      base.filter(col("event_id") % 2 === 1).withColumn("src", lit("b2")), dir,
+      Seq("user_id", "ingest_date"), "ts", "event_id", "ingest_date",
+      allowSchemaEvolution = true)
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .select(col("user_id"), col("ingest_date"), col("event_id"),
+        col("event_type"), col("value"), col("ts"), col("src"))
+  }
 }

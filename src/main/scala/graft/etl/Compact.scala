@@ -53,8 +53,11 @@ object Compact {
     val staging = new Path(src.getParent, s".${src.getName}__compact_staging")
     val backup = new Path(src.getParent, s".${src.getName}__compact_old")
     f.delete(staging, true); f.delete(backup, true)
-    // coalesce, not repartition: merging files needs no shuffle
-    spark.read.parquet(dir).coalesce(parts)
+    // coalesce, not repartition: merging files needs no shuffle.
+    // mergeSchema: compaction rewrites EVERY file, so on a schema-evolved
+    // store (mixed file widths) the default single-file inference would
+    // permanently drop the evolved columns from the whole table.
+    spark.read.option("mergeSchema", "true").parquet(dir).coalesce(parts)
       .write.mode("overwrite").parquet(staging.toString)
     // two metadata renames, no data copy; restore the backup if the
     // promote fails so the store path never stays missing
@@ -222,7 +225,7 @@ object Compact {
 
   /** Read the live version of a versioned store. */
   def readCurrent(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(currentPath(spark, root))
+    spark.read.option("mergeSchema", "true").parquet(currentPath(spark, root))
 
   /** Windowless compaction of a versioned store: rewrite the live version
     * into ~`targetBytes` files under the NEXT version directory, flip the
@@ -241,7 +244,8 @@ object Compact {
     val bytes = dirBytes(spark, curP)
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val next = versionDir(curN + 1)
-    spark.read.parquet(curP.toString).coalesce(parts)
+    // mergeSchema: same full-rewrite hazard as compact() on evolved stores
+    spark.read.option("mergeSchema", "true").parquet(curP.toString).coalesce(parts)
       .write.mode("overwrite").parquet(new Path(rootP, next).toString)
     writePointer(spark, rootP, next) // the one atomic flip
     // vacuum: drop versions more than keepVersions generations behind

@@ -50,8 +50,12 @@ object Upsert {
                  partitionCol: String,
                  allowSchemaEvolution: Boolean = false): Unit = {
     val incoming = latestByKey(batch, keyCols, tsCol, tieCol)
+    // mergeSchema: a previously-EVOLVED store legitimately holds files of
+    // different widths; the default single-file schema inference could pick
+    // a narrow file and silently null out evolved columns in every
+    // partition this merge rewrites.
     val existing =
-      try spark.read.parquet(path)
+      try spark.read.option("mergeSchema", "true").parquet(path)
       catch { case _: org.apache.spark.sql.AnalysisException => null }
 
     val merged =

@@ -29,6 +29,23 @@ class CompactSpec extends SparkSpec {
     assert(!parent.listFiles().exists(_.getName.contains("__compact")))
   }
 
+  test("compaction preserves evolved columns on a mixed-width store") {
+    // a schema-evolved store legitimately holds files of different widths;
+    // compaction rewrites EVERY file, so a narrow single-file inference
+    // would permanently drop the evolved column from the whole table
+    val dir = java.nio.file.Files.createTempDirectory("cpte").toString + "/t"
+    (1L to 50L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(4).write.mode("append").parquet(dir)
+    (51L to 100L).map(i => (i, s"v$i", s"e$i")).toDF("id", "s", "extra")
+      .repartition(4).write.mode("append").parquet(dir)
+    val (b, a) = Compact.compact(spark, dir, targetBytes = 512L << 20)
+    assert(b == 8 && a == 1, s"$b -> $a")
+    val out = spark.read.parquet(dir) // one file now — plain read suffices
+    assert(out.columns.contains("extra"), "evolved column lost in compaction")
+    val m = out.select("id", "extra").as[(Long, Option[String])].collect().toMap
+    assert(m(1L).isEmpty && m(100L).contains("e100") && m.size == 100)
+  }
+
   test("partitioned compaction preserves pruning and skips small partitions") {
     val root = java.nio.file.Files.createTempDirectory("cptp").toString + "/t"
     val df = (1L to 6000L).map(i => (i, s"2024-01-0${i % 3 + 1}", i * 1.0))

@@ -151,6 +151,15 @@ class EtlSpec extends SparkSpec {
       .collect().map { case (k, v, e) => k -> (v, e) }.toMap
     assert(evolved == Map("k1" -> (Some(1.0), None),
                           "k2" -> (Some(2.0), Some("x"))))
+    // the store now holds files of BOTH widths; a later wide batch must see
+    // the MERGED store schema (not a narrow single-file inference) and merge
+    // without the evolution flag or data loss
+    val wide2 = Seq(("k3", ts("2024-01-01 13:00:00"), 3L, 3.0, "y"))
+      .toDF("k", "t", "seq", "v", "extra").withColumn("day", to_date(col("t")))
+    Upsert.mergeBatch(spark, wide2, dir, Seq("k"), "t", "seq", "day")
+    val after = spark.read.option("mergeSchema", "true").parquet(dir)
+      .select("k", "extra").as[(String, Option[String])].collect().toMap
+    assert(after == Map("k1" -> None, "k2" -> Some("x"), "k3" -> Some("y")))
   }
 
   test("observe() audit counters match profile() without a second scan") {

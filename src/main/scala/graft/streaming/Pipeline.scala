@@ -266,10 +266,21 @@ object Pipeline {
     * the store path the column could only ever persist as always-null —
     * and worse, it would CHANGE the persisted schema, crashing
     * `Upsert.mergeBatch`'s column-aligned select on any store written
-    * before the audit column existed. */
+    * before the audit column existed.
+    *
+    * Before dropping, the column is COUNTED via `observe("s4_audit", ...)`
+    * — the reference warns per bad record (`con.py:43`); the Spark-native
+    * twin is an observed metric in every micro-batch's
+    * `StreamingQueryProgress.observedMetrics`, piggybacked on the batch's
+    * own pass (no second scan), so junk volume is monitorable even though
+    * the store never sees the payloads. */
   def consumerTransform(df: DataFrame): DataFrame = {
     val clean =
-      if (df.columns.contains("_corrupt_record")) df.drop("_corrupt_record")
+      if (df.columns.contains("_corrupt_record"))
+        df.observe("s4_audit",
+            count(when(col("_corrupt_record").isNotNull, 1)).as("corrupt_rows"),
+            count(lit(1)).as("input_rows"))
+          .drop("_corrupt_record")
       else df
     val stamped =
       if (clean.columns.contains("kafka_ts_ms")) Enrich.timestampFromEpochMs(clean, "kafka_ts_ms").drop("kafka_ts_ms")

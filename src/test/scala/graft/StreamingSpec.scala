@@ -674,22 +674,36 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Timestamp, String, String, String, String, String, Int, String, Double, Double)]
     val df = input.toDF().toDF("@timestamp", "F_MASV", "F_MAMH", "F_TENMHVN",
       "F_TENLOP", "F_KHOAHOC", "NHHK", "F_DIEM2", "F_DVHT", "F_TCDTTL")
-      // the PERMISSIVE parse's audit column rides the source frame; the
-      // store path must drop it so a pre-existing store's column-aligned
-      // merge select does not crash on a column it never had
-      .withColumn("_corrupt_record", lit(null).cast("string"))
+      // the PERMISSIVE parse's audit column rides the source frame (junk
+      // rows carry the raw payload, parsed rows null); the store path must
+      // drop it so a pre-existing store's column-aligned merge select does
+      // not crash on a column it never had — but COUNT it first (observe)
+      .withColumn("_corrupt_record",
+        when(col("F_MASV") === "", lit("RAW JUNK LINE")))
     val out = Pipeline.consumerTransform(df)
     assert(!out.columns.contains("_corrupt_record"),
       "store path must not persist the audit column")
     val q = out.writeStream.format("memory").queryName("consumer_out")
       .outputMode("append").start()
     try {
-      input.addData((ts("2024-01-05 08:00:00"), "S1", "C1", "Math", "DI-X", "46", 20241, "8.5", 3.0, 30.0))
+      input.addData(
+        (ts("2024-01-05 08:00:00"), "S1", "C1", "Math", "DI-X", "46", 20241, "8.5", 3.0, 30.0),
+        // the corrupt-line shape: null record fields, payload retained —
+        // null-keyed, so the pipeline rejects it from the store
+        (ts("2024-01-05 08:00:01"), "", "", "", "", "", 0, "", 0.0, 0.0))
       q.processAllAvailable()
       val rows = spark.table("consumer_out").collect()
       assert(rows.length == 1)
       assert(rows.head.getAs[String]("doc_id") == "C1_S1_46_20241")
       assert(rows.head.getAs[java.sql.Date]("ingest_date").toString == "2024-01-05")
+      // the con.py:43 warn-and-count twin: junk is counted in the batch's
+      // own pass even though the store never sees it
+      val audits = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("s4_audit")))
+        .filter(_.getAs[Long]("input_rows") > 0) // skip no-data batches
+      assert(audits.nonEmpty, "no s4_audit observation surfaced")
+      assert(audits.last.getAs[Long]("corrupt_rows") == 1L &&
+        audits.last.getAs[Long]("input_rows") == 2L, audits.last.toString)
     } finally q.stop()
   }
 }

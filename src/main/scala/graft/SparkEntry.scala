@@ -1094,12 +1094,19 @@ object SparkEntry {
     // rows pass through — con.py:43's warn-and-keep, never a silent null.
     ("s3_s4_corrupt_audit",
       (s, d) => graft.sources.Tabular.jsonCorruptAudit(s, docs(s, d)),
-      Some("""SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS corrupt_payload
-        |FROM documents WHERE doc_id % 10 <> 3
-        |UNION ALL
-        |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-        |  'JUNK ' || CAST(doc_id AS VARCHAR)
-        |FROM documents WHERE doc_id % 10 = 3""".stripMargin)),
+      Some(corruptAuditOracle)),
+
+    // ---- S4 (dead-letter leg): the same corrupt fixture STREAMED through
+    // the file text source one micro-batch per file, each foreachBatch
+    // splitting the PERMISSIVE parse — parsed rows to the store table,
+    // junk payloads to a dead-letter table (triage + replay-after-fix,
+    // the pipeline half of con.py:43's warn-and-keep). Both tables
+    // settled, re-read, and predicted by the SAME oracle as the batch
+    // audit: the streaming split must lose and invent nothing.
+    ("s4_dlq_stream_replay",
+      (s, d) => graft.streaming.Pipeline.replayDeadLetter(s, docs(s, d),
+        stageKey = Some(d)),
+      Some(corruptAuditOracle)),
 
     // ---- S1 (jsonl leg): the documents corpus written as newline-delimited
     // JSON and read back through the real json file source with S1's
@@ -2085,6 +2092,18 @@ object SparkEntry {
   // "same oracle as the steady replay" — one definition per pair ENFORCES
   // it (a one-sided edit can no longer silently gate the twins against
   // different SQL).
+  /** One oracle for BOTH corrupt legs (batch audit + streaming dead-letter
+    * split): parsed rows with their fields, junk rows as retained payload —
+    * the injection rule (`doc_id % 10 = 3`) is a pure function of the
+    * table, so DuckDB predicts every staged byte without reading staging. */
+  private lazy val corruptAuditOracle: String =
+    """SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS corrupt_payload
+      |FROM documents WHERE doc_id % 10 <> 3
+      |UNION ALL
+      |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |  'JUNK ' || CAST(doc_id AS VARCHAR)
+      |FROM documents WHERE doc_id % 10 = 3""".stripMargin
+
   private lazy val upsertDailyOracle: String =
     """SELECT user_id, CAST(ts AS DATE) AS ingest_date, event_id,
       |  event_type, value, ts

@@ -74,19 +74,28 @@ object Tabular {
     * and it sidesteps the file format's QUERY_ONLY_CORRUPT_RECORD_COLUMN
     * restriction, so callers may project the audit down to just the
     * payload column. Scale: map-only write + map-only text scan. */
+  /** The corrupt-line fixture: one JSONL `value` per document, with junk
+    * injected by a rule that is a pure function of the table — so a DuckDB
+    * oracle can predict every staged byte. ONE definition, shared by the
+    * batch audit ([[jsonCorruptAudit]]) and the streaming dead-letter
+    * replay (`Pipeline.replayDeadLetter`) so the two legs certify the same
+    * fixture. Sign-preserving % (not pmod): the oracle's SQL `doc_id % 10`
+    * keeps the dividend's sign in DuckDB, and the injection rule must be
+    * the SAME pure function in both engines or a negative doc_id diverges
+    * (pmod(-7,10)=3 stages junk; -7%10=-7 predicts a parse). */
+  private[graft] def corruptJsonlLines(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.select(
+      when(col("doc_id") % 10 === 3L,
+        concat(lit("JUNK "), col("doc_id").cast("string")))
+        .otherwise(to_json(struct(col("doc_id"), col("n_chars"))))
+        .as("value"))
+  }
+
   def jsonCorruptAudit(spark: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val dir = graft.util.TempRoots.create("graft_corrupt_jsonl_").toString
-    docs.select(
-        // sign-preserving % (not pmod): the oracle's SQL `doc_id % 10`
-        // keeps the dividend's sign in DuckDB, and the injection rule must
-        // be the SAME pure function in both engines or a negative doc_id
-        // diverges (pmod(-7,10)=3 stages junk; -7%10=-7 predicts a parse).
-        when(col("doc_id") % 10 === 3L,
-          concat(lit("JUNK "), col("doc_id").cast("string")))
-          .otherwise(to_json(struct(col("doc_id"), col("n_chars"))))
-          .as("value"))
-      .write.mode("overwrite").text(dir)
+    corruptJsonlLines(docs).write.mode("overwrite").text(dir)
     val schema = new StructType()
       .add("doc_id", org.apache.spark.sql.types.LongType)
       .add("n_chars", org.apache.spark.sql.types.LongType)

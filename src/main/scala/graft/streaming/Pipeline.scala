@@ -372,6 +372,74 @@ object Pipeline {
         col("event_type"), col("value"), col("ts"))
   }
 
+  /** S4 DEAD-LETTER replay — the pipeline half of warn-and-keep: counting
+    * junk ([[consumerTransform]]'s observed metric) is monitoring; a real
+    * ingest pipeline also needs the junk ITSELF to land somewhere
+    * queryable for triage and replay-after-fix. The corrupt-line fixture
+    * (same injection as `s3_s4_corrupt_audit` — one definition,
+    * [[graft.sources.Tabular.corruptJsonlLines]]) is staged as `nFiles`
+    * text splits and streamed through the REAL file text source one
+    * micro-batch per file (AvailableNow drain). Each foreachBatch runs the
+    * S4 PERMISSIVE parse ONCE (persisted, so the split does not recompute
+    * the source) and routes it two ways: parsed rows append to the store
+    * table, corrupt rows append their raw payload to the dead-letter
+    * table. Both tables are re-read after settle and returned as one
+    * frame, so the DuckDB oracle predicts every byte on both sides.
+    * Batches are disjoint line sets (file splits of distinct documents),
+    * so the appended union settles to exactly the one-shot split for any
+    * batch cut. Schema-pinned re-reads: a corpus with NO junk leaves the
+    * dead-letter table legitimately empty, which must read back as an
+    * empty frame, not an inference error. */
+  def replayDeadLetter(spark: SparkSession, docs: DataFrame,
+                       nFiles: Int = 4,
+                       stageKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val src = memoStage(stageKey, s"s4dlq|$nFiles") {
+      val root = replayTempRoot("graft_dlq_stage_")
+      graft.sources.Tabular.corruptJsonlLines(docs)
+        .repartition(nFiles)
+        .write.mode("overwrite").text(s"$root/src")
+      s"$root/src"
+    }
+    val run = replayTempRoot("graft_dlq_run_")
+    val store = s"$run/store"; val dlq = s"$run/dlq"; val ckpt = s"$run/ckpt"
+    new java.io.File(store).mkdirs(); new java.io.File(dlq).mkdirs()
+    val parsed = spark.readStream
+      .option("maxFilesPerTrigger", 1).text(src)
+      .select(from_json(col("value"),
+        StructType.fromDDL("doc_id BIGINT, n_chars BIGINT, _corrupt_record STRING"),
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
+      .select(col("rec.doc_id"), col("rec.n_chars"),
+        col("rec._corrupt_record").as("corrupt_payload"))
+    withReplayFanout(spark) {
+      val q = parsed.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.persist()
+          try {
+            batch.filter(col("corrupt_payload").isNull)
+              .select("doc_id", "n_chars")
+              .write.mode("append").parquet(store)
+            batch.filter(col("corrupt_payload").isNotNull)
+              .select("corrupt_payload")
+              .write.mode("append").parquet(dlq)
+          } finally batch.unpersist()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val storeDf = spark.read
+      .schema(StructType.fromDDL("doc_id BIGINT, n_chars BIGINT")).parquet(store)
+    val dlqDf = spark.read
+      .schema(StructType.fromDDL("corrupt_payload STRING")).parquet(dlq)
+    storeDf.withColumn("corrupt_payload", lit(null).cast("string"))
+      .unionByName(dlqDf
+        .withColumn("doc_id", lit(null).cast("long"))
+        .withColumn("n_chars", lit(null).cast("long")))
+  }
+
   /** [[replayUpsertDaily]] with a CRASH INJECTED MID-CORPUS: the first query
     * run merges `killAfterBatches` micro-batches and then throws INSIDE
     * foreachBatch — after the sink write, BEFORE the offset commit, the

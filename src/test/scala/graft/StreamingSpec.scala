@@ -706,4 +706,22 @@ class StreamingSpec extends SparkSpec {
         audits.last.getAs[Long]("input_rows") == 2L, audits.last.toString)
     } finally q.stop()
   }
+
+  test("dead-letter replay splits junk from parsed rows; empty DLQ reads clean") {
+    // ids chosen so %10==3 junk exists: 3 and 13 are junk, 1/2/12 parse
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (12L, 40L), (13L, 50L))
+      .toDF("doc_id", "n_chars")
+    val out = Pipeline.replayDeadLetter(spark, docs, nFiles = 2)
+      .as[(Option[Long], Option[Long], Option[String])].collect()
+    val parsed = out.filter(_._3.isEmpty).map(r => r._1.get -> r._2.get).toMap
+    val junk = out.flatMap(_._3).sorted.toSeq
+    assert(parsed == Map(1L -> 10L, 2L -> 20L, 12L -> 40L))
+    assert(junk == Seq("JUNK 13", "JUNK 3"))
+    // a corpus with NO junk must settle to an EMPTY dead-letter table that
+    // reads back as an empty frame (schema-pinned), not an inference error
+    val clean = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars")
+    val out2 = Pipeline.replayDeadLetter(spark, clean, nFiles = 2)
+      .as[(Option[Long], Option[Long], Option[String])].collect()
+    assert(out2.length == 2 && out2.forall(_._3.isEmpty))
+  }
 }

@@ -1108,6 +1108,17 @@ object SparkEntry {
         stageKey = Some(d)),
       Some(corruptAuditOracle)),
 
+    // ---- S4 (dead-letter CRASH leg): same split, but the first query
+    // crashes inside foreachBatch after a batch's two table writes land
+    // and before its offset commits — the exact window where an append
+    // sink would duplicate the batch on recovery. The per-batchId
+    // overwrite sink replaces the orphaned output instead, so the settled
+    // result must still equal the one-shot split — same oracle.
+    ("s4_dlq_restart_replay",
+      (s, d) => graft.streaming.Pipeline.replayDeadLetterRestart(s, docs(s, d),
+        stageKey = Some(d)),
+      Some(corruptAuditOracle)),
+
     // ---- S1 (jsonl leg): the documents corpus written as newline-delimited
     // JSON and read back through the real json file source with S1's
     // normalize semantics — the standard LLM-corpus interchange format,

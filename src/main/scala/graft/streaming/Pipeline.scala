@@ -78,10 +78,10 @@ object Pipeline {
     * requested — and a restart leg's `killAfterBatches < nFiles` premise
     * would silently hold against a number of batches that never existed.
     * The restart legs re-check against THIS count (review finding). */
-  private def stagedPartCount(dir: String): Int = {
+  private def stagedPartCount(dir: String, ext: String = ".parquet"): Int = {
     val fs = new java.io.File(dir).listFiles()
     if (fs == null) 0
-    else fs.count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    else fs.count(f => f.getName.startsWith("part-") && f.getName.endsWith(ext))
   }
 
   private def requireRealBatchAfterCrash(killAfterBatches: Int, realBatches: Int,
@@ -381,30 +381,98 @@ object Pipeline {
     * text splits and streamed through the REAL file text source one
     * micro-batch per file (AvailableNow drain). Each foreachBatch runs the
     * S4 PERMISSIVE parse ONCE (persisted, so the split does not recompute
-    * the source) and routes it two ways: parsed rows append to the store
-    * table, corrupt rows append their raw payload to the dead-letter
-    * table. Both tables are re-read after settle and returned as one
-    * frame, so the DuckDB oracle predicts every byte on both sides.
-    * Batches are disjoint line sets (file splits of distinct documents),
-    * so the appended union settles to exactly the one-shot split for any
-    * batch cut. Schema-pinned re-reads: a corpus with NO junk leaves the
-    * dead-letter table legitimately empty, which must read back as an
-    * empty frame, not an inference error. */
+    * the source) and routes it two ways: parsed rows to the store table,
+    * corrupt rows (raw payload) to the dead-letter table. Both tables are
+    * re-read after settle and returned as one frame, so the DuckDB oracle
+    * predicts every byte on both sides.
+    *
+    * The sink is the per-batchId deterministic-path pattern (each batch
+    * OVERWRITES `<table>/batch=<id>`), NOT blind appends: a batch whose
+    * write landed but whose offset never committed re-runs on recovery,
+    * and an append sink would duplicate every one of its rows — the
+    * overwrite replaces them instead, making the split idempotent and the
+    * settled result exact for ANY crash point
+    * ([[replayDeadLetterRestart]] certifies exactly that).
+    * Schema-pinned re-reads: a corpus with NO junk leaves the dead-letter
+    * table legitimately empty, which must read back as an empty frame,
+    * not an inference error. */
   def replayDeadLetter(spark: SparkSession, docs: DataFrame,
                        nFiles: Int = 4,
                        stageKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.types.StructType
-    val src = memoStage(stageKey, s"s4dlq|$nFiles") {
+    val src = dlqStagedSrc(docs, nFiles, stageKey)
+    val run = replayTempRoot("graft_dlq_run_")
+    val store = s"$run/store"; val dlq = s"$run/dlq"; val ckpt = s"$run/ckpt"
+    new java.io.File(store).mkdirs(); new java.io.File(dlq).mkdirs()
+    withReplayFanout(spark) {
+      val q = dlqParsedStream(spark, src).writeStream
+        .foreachBatch(dlqSplitWriter(store, dlq))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    dlqSettled(spark, store, dlq)
+  }
+
+  /** Crash-recovery twin of [[replayDeadLetter]] (the restart-family
+    * pattern): the first query crashes INSIDE foreachBatch after the
+    * k-th batch's two table writes land and BEFORE its offset commits —
+    * the exact window where an append sink would duplicate the whole
+    * batch on recovery. A second query reopens the checkpoint, re-runs
+    * the uncommitted batch (whose per-batchId overwrite replaces its own
+    * orphaned output), drains the rest, and the settled result must
+    * STILL equal the one-shot split — same oracle as the steady leg. */
+  def replayDeadLetterRestart(spark: SparkSession, docs: DataFrame,
+                              nFiles: Int = 4, killAfterBatches: Int = 2,
+                              stageKey: Option[String] = None): DataFrame = {
+    require(killAfterBatches >= 1 && killAfterBatches < nFiles,
+      s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
+        s"got $killAfterBatches / $nFiles")
+    val src = dlqStagedSrc(docs, nFiles, stageKey)
+    requireRealBatchAfterCrash(killAfterBatches,
+      stagedPartCount(src, ext = ".txt"), "s4 dlq restart")
+    val run = replayTempRoot("graft_dlqr_run_")
+    val store = s"$run/store"; val dlq = s"$run/dlq"; val ckpt = s"$run/ckpt"
+    new java.io.File(store).mkdirs(); new java.io.File(dlq).mkdirs()
+    val write = dlqSplitWriter(store, dlq)
+    val CrashMark = "graft-simulated-crash-post-dlq-write-pre-commit"
+    withReplayFanout(spark) {
+      val written = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q1 = dlqParsedStream(spark, src).writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          write(batch, id)
+          if (written.incrementAndGet() == killAfterBatches)
+            throw new RuntimeException(CrashMark)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      expectInjectedCrash(CrashMark)(q1.awaitTermination())
+      val q2 = dlqParsedStream(spark, src).writeStream
+        .foreachBatch(write)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    dlqSettled(spark, store, dlq)
+  }
+
+  private def dlqStagedSrc(docs: DataFrame, nFiles: Int,
+                           stageKey: Option[String]): String =
+    memoStage(stageKey, s"s4dlq|$nFiles") {
       val root = replayTempRoot("graft_dlq_stage_")
       graft.sources.Tabular.corruptJsonlLines(docs)
         .repartition(nFiles)
         .write.mode("overwrite").text(s"$root/src")
       s"$root/src"
     }
-    val run = replayTempRoot("graft_dlq_run_")
-    val store = s"$run/store"; val dlq = s"$run/dlq"; val ckpt = s"$run/ckpt"
-    new java.io.File(store).mkdirs(); new java.io.File(dlq).mkdirs()
-    val parsed = spark.readStream
+
+  /** The S4 PERMISSIVE parse over the staged text splits — `def`, not
+    * `val`, so the restart leg's recovery query gets a fresh plan. */
+  private def dlqParsedStream(spark: SparkSession, src: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    spark.readStream
       .option("maxFilesPerTrigger", 1).text(src)
       .select(from_json(col("value"),
         StructType.fromDDL("doc_id BIGINT, n_chars BIGINT, _corrupt_record STRING"),
@@ -412,28 +480,37 @@ object Pipeline {
           "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
       .select(col("rec.doc_id"), col("rec.n_chars"),
         col("rec._corrupt_record").as("corrupt_payload"))
-    withReplayFanout(spark) {
-      val q = parsed.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.persist()
-          try {
-            batch.filter(col("corrupt_payload").isNull)
-              .select("doc_id", "n_chars")
-              .write.mode("append").parquet(store)
-            batch.filter(col("corrupt_payload").isNotNull)
-              .select("corrupt_payload")
-              .write.mode("append").parquet(dlq)
-          } finally batch.unpersist()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+  }
+
+  /** Idempotent two-way split sink: per-batchId deterministic paths,
+    * overwritten — NOT appended — so a crash-replayed batch replaces its
+    * own orphaned output instead of duplicating it. */
+  private def dlqSplitWriter(store: String, dlq: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, id: Long) => {
+      batch.persist()
+      try {
+        batch.filter(col("corrupt_payload").isNull)
+          .select("doc_id", "n_chars")
+          .write.mode("overwrite").parquet(s"$store/batch=$id")
+        batch.filter(col("corrupt_payload").isNotNull)
+          .select("corrupt_payload")
+          .write.mode("overwrite").parquet(s"$dlq/batch=$id")
+      } finally batch.unpersist()
     }
+
+  private def dlqSettled(spark: SparkSession, store: String,
+                         dlq: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    // partition discovery surfaces batch=<id> as an extra column on top of
+    // the pinned schema; project it away — batch placement is sink
+    // mechanics, not data
     val storeDf = spark.read
-      .schema(StructType.fromDDL("doc_id BIGINT, n_chars BIGINT")).parquet(store)
+      .schema(StructType.fromDDL("doc_id BIGINT, n_chars BIGINT"))
+      .parquet(store).select("doc_id", "n_chars")
     val dlqDf = spark.read
-      .schema(StructType.fromDDL("corrupt_payload STRING")).parquet(dlq)
+      .schema(StructType.fromDDL("corrupt_payload STRING"))
+      .parquet(dlq).select("corrupt_payload")
     storeDf.withColumn("corrupt_payload", lit(null).cast("string"))
       .unionByName(dlqDf
         .withColumn("doc_id", lit(null).cast("long"))

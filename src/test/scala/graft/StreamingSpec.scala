@@ -724,4 +724,20 @@ class StreamingSpec extends SparkSpec {
       .as[(Option[Long], Option[Long], Option[String])].collect()
     assert(out2.length == 2 && out2.forall(_._3.isEmpty))
   }
+
+  test("dead-letter restart replay settles exactly despite the crash-replayed batch") {
+    // enough distinct rows that every one of the 4 staged files is
+    // non-empty; ids 3,13,23,33 are junk (%10==3)
+    val docs = (1L to 40L).map(i => (i, i * 10L)).toDF("doc_id", "n_chars")
+    val out = Pipeline.replayDeadLetterRestart(spark, docs, nFiles = 4,
+      killAfterBatches = 2)
+      .as[(Option[Long], Option[Long], Option[String])].collect()
+    // the crash-replayed batch must NOT duplicate: exactly one output line
+    // per input line, junk retained verbatim
+    assert(out.length == 40, s"expected 40 settled lines, got ${out.length}")
+    val junk = out.flatMap(_._3).sorted.toSeq
+    assert(junk == Seq("JUNK 13", "JUNK 23", "JUNK 3", "JUNK 33"))
+    val parsed = out.filter(_._3.isEmpty).map(_._1.get).sorted.toSeq
+    assert(parsed == (1L to 40L).filterNot(_ % 10 == 3).toSeq)
+  }
 }

@@ -893,7 +893,7 @@ object SparkEntry {
       (s, d) => Upsert.schemaEvolutionReplay(s, ev(s, d)),
       Some("""SELECT user_id, CAST(ts AS DATE) AS ingest_date, event_id,
         |  event_type, value, ts,
-        |  CASE WHEN event_id % 2 = 1 THEN 'b2' END AS src
+        |  CASE WHEN abs(event_id % 2) = 1 THEN 'b2' END AS src
         |FROM (SELECT user_id, event_id, event_type, value, ts,
         |        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
         |                           ORDER BY ts DESC, event_id DESC) AS rn

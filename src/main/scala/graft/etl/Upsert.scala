@@ -39,28 +39,57 @@ object Upsert {
     * default: the merge rewrites whole partitions, so a silently narrower
     * batch would DELETE store columns from every rewritten partition, and
     * a wider one used to die mid-stream in an opaque resolver error.
-    * `allowSchemaEvolution = true` opts into union-by-name widening
-    * instead: the merged schema is the union of both column sets and the
-    * side missing a column gets nulls (the Delta-style mergeSchema
-    * posture). Partitions the batch does not touch keep their old files
+    * `allowSchemaEvolution = true` opts into union-by-name widening of the
+    * COLUMN SET: the merged schema is the union of both and the side
+    * missing a column gets nulls (the Delta-style mergeSchema posture).
+    * Same-name TYPE drift is refused even under the flag — a union would
+    * silently coerce, and a partition rewrite would leave mixed parquet
+    * physical types that wedge every later schema-merging read of the
+    * store. Partitions the batch does not touch keep their old files
     * either way — readers of an evolved store must tolerate a mixed
-    * on-disk schema (parquet does; a strict schema-on-read does not). */
+    * on-disk width (parquet does; a strict schema-on-read does not).
+    *
+    * `knownSchema` is the per-query schema cache ([[foreachBatchMerge]]):
+    * without it every merge pays a mergeSchema footer sweep over the WHOLE
+    * store (required for correctness — a previously-evolved store holds
+    * files of different widths, and single-file inference picking a
+    * narrow file would silently null evolved columns in every rewritten
+    * partition). With it the store is read schema-pinned — zero footer
+    * I/O. The returned schema is the settled store schema; pass it back
+    * as the next batch's `knownSchema`. Single-writer contract: the cache
+    * is only sound while this query is the store's sole writer (which the
+    * upsert sink's checkpointed ownership already implies). */
   def mergeBatch(spark: SparkSession, batch: DataFrame, path: String,
                  keyCols: Seq[String], tsCol: String, tieCol: String,
                  partitionCol: String,
-                 allowSchemaEvolution: Boolean = false): Unit = {
+                 allowSchemaEvolution: Boolean = false,
+                 knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : org.apache.spark.sql.types.StructType = {
     val incoming = latestByKey(batch, keyCols, tsCol, tieCol)
-    // mergeSchema: a previously-EVOLVED store legitimately holds files of
-    // different widths; the default single-file schema inference could pick
-    // a narrow file and silently null out evolved columns in every
-    // partition this merge rewrites.
-    val existing =
-      try spark.read.option("mergeSchema", "true").parquet(path)
-      catch { case _: org.apache.spark.sql.AnalysisException => null }
+    val existing = knownSchema match {
+      case Some(sc) => spark.read.schema(sc).parquet(path)
+      case None =>
+        try spark.read.option("mergeSchema", "true").parquet(path)
+        catch { case _: org.apache.spark.sql.AnalysisException => null }
+    }
 
     val merged =
       if (existing == null) incoming
       else {
+        val existingTypes = existing.schema.map(f => f.name -> f.dataType).toMap
+        val incomingTypes = incoming.schema.map(f => f.name -> f.dataType).toMap
+        val typeDrift = (existingTypes.keySet & incomingTypes.keySet)
+          .filter(n => existingTypes(n) != incomingTypes(n))
+        if (typeDrift.nonEmpty)
+          throw new IllegalStateException(
+            s"mergeBatch: same-name TYPE drift between batch and store at $path — " +
+              typeDrift.toSeq.sorted.map(n =>
+                s"$n: store ${existingTypes(n).simpleString} vs batch " +
+                  s"${incomingTypes(n).simpleString}").mkString("[", ", ", "]") +
+              ". Refused even under allowSchemaEvolution: a union would " +
+              "silently coerce, and a partition rewrite would leave mixed " +
+              "parquet physical types that wedge later schema-merging reads. " +
+              "Cast the batch to the store's types before merging.")
         if (!allowSchemaEvolution &&
             existing.columns.toSet != incoming.columns.toSet) {
           val batchOnly = incoming.columns.toSet -- existing.columns.toSet
@@ -103,6 +132,7 @@ object Upsert {
         new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     }
+    merged.schema
   }
 
   /** SCD Type-2 history build: turn a keyed change stream into versioned
@@ -139,10 +169,22 @@ object Upsert {
   def foreachBatchMerge(path: String, keyCols: Seq[String], tsCol: String,
                         tieCol: String, partitionCol: String,
                         allowSchemaEvolution: Boolean = false)
-      : (DataFrame, Long) => Unit =
+      : (DataFrame, Long) => Unit = {
+    // Per-query schema cache (review finding): the correctness-required
+    // mergeSchema footer sweep over the whole store runs ONCE, on the
+    // query's first batch; every later batch reads the store
+    // schema-pinned — zero footer I/O on the hot path, which matters on
+    // exactly the store whose per-batch file accretion compaction exists
+    // to fight. An evolution merge returns the widened schema and the
+    // cache follows. Sound under the sink's single-writer checkpoint
+    // ownership; a fresh query (including crash recovery) starts cold and
+    // re-sweeps once.
+    val cached = new java.util.concurrent.atomic.AtomicReference[
+      Option[org.apache.spark.sql.types.StructType]](None)
     (batch: DataFrame, _: Long) =>
-      mergeBatch(batch.sparkSession, batch, path, keyCols, tsCol, tieCol,
-        partitionCol, allowSchemaEvolution)
+      cached.set(Some(mergeBatch(batch.sparkSession, batch, path, keyCols,
+        tsCol, tieCol, partitionCol, allowSchemaEvolution, cached.get())))
+  }
 
   /** S5 schema-evolution certification — the reference twin is ES DYNAMIC
     * MAPPING: `con.py:58-63`'s `es.index` into the daily index auto-adds
@@ -167,10 +209,17 @@ object Upsert {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts"))
       .withColumn("ingest_date", to_date(col("ts")))
-    mergeBatch(spark, base.filter(col("event_id") % 2 === 0), dir,
+    // TOTAL split (review finding): plain `% 2 === 1` misses negative-odd
+    // ids (sign-preserving % gives -1) and nulls (null predicate — dropped
+    // by BOTH filters), silently losing those rows while the oracle keeps
+    // them. `abs(% 2) === 1` marks odd for either sign; the even side
+    // takes the complement with nulls coalesced in, so every row lands in
+    // exactly one batch. The oracle's CASE uses the same abs() predicate.
+    val odd = abs(col("event_id") % 2) === 1
+    mergeBatch(spark, base.filter(coalesce(odd, lit(false)) === false), dir,
       Seq("user_id", "ingest_date"), "ts", "event_id", "ingest_date")
     mergeBatch(spark,
-      base.filter(col("event_id") % 2 === 1).withColumn("src", lit("b2")), dir,
+      base.filter(odd).withColumn("src", lit("b2")), dir,
       Seq("user_id", "ingest_date"), "ts", "event_id", "ingest_date",
       allowSchemaEvolution = true)
     spark.read.option("mergeSchema", "true").parquet(dir)

@@ -57,23 +57,6 @@ object Tabular {
     scan(spark, dir, format = "json", schema = Some(df.schema))
   }
 
-  /** S4 malformed-JSON audit, batch-certified (r13 verdict #3): stage the
-    * corpus as JSON lines with DETERMINISTIC junk injected (doc_id % 10 ==
-    * 3 → the non-JSON line `JUNK <id>` replaces the record), then read
-    * through the REAL json source in PERMISSIVE mode with
-    * `columnNameOfCorruptRecord` retention — the same parser contract the
-    * S4 Kafka source runs. Output is one row per input LINE: parsed rows
-    * carry their fields, junk rows carry null fields and the raw payload —
-    * counted and retained, never silently nulled (`con.py:43`'s
-    * warn-and-keep). The injection rule is a pure function of the table, so
-    * the DuckDB oracle predicts the entire frame — including every retained
-    * junk payload byte — without reading the staging.
-    *
-    * The parse is text-scan + `from_json`, NOT the raw json file format:
-    * that is byte-for-byte the S4 Kafka parse (value string → from_json),
-    * and it sidesteps the file format's QUERY_ONLY_CORRUPT_RECORD_COLUMN
-    * restriction, so callers may project the audit down to just the
-    * payload column. Scale: map-only write + map-only text scan. */
   /** The corrupt-line fixture: one JSONL `value` per document, with junk
     * injected by a rule that is a pure function of the table — so a DuckDB
     * oracle can predict every staged byte. ONE definition, shared by the
@@ -92,20 +75,46 @@ object Tabular {
         .as("value"))
   }
 
-  def jsonCorruptAudit(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** The S4 PERMISSIVE parse of a `value` line column — like the fixture,
+    * ONE definition for both corrupt legs (batch audit here, streaming
+    * dead-letter split in `Pipeline.dlqParsedStream`): a one-sided schema
+    * or parser-option edit would otherwise silently decouple what the two
+    * legs certify. Works on batch AND streaming frames (pure select). */
+  private[graft] def corruptParsed(lines: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val dir = graft.util.TempRoots.create("graft_corrupt_jsonl_").toString
-    corruptJsonlLines(docs).write.mode("overwrite").text(dir)
     val schema = new StructType()
       .add("doc_id", org.apache.spark.sql.types.LongType)
       .add("n_chars", org.apache.spark.sql.types.LongType)
       .add("_corrupt_record", org.apache.spark.sql.types.StringType)
-    spark.read.text(dir)
+    lines
       .select(from_json(col("value"), schema,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
       .select(col("rec.doc_id").as("doc_id"), col("rec.n_chars").as("n_chars"),
         col("rec._corrupt_record").as("corrupt_payload"))
+  }
+
+  /** S4 malformed-JSON audit, batch-certified (r13 verdict #3): stage the
+    * corpus as JSON lines with DETERMINISTIC junk injected (doc_id % 10 ==
+    * 3 → the non-JSON line `JUNK <id>` replaces the record), then read
+    * through the REAL json source in PERMISSIVE mode with
+    * `columnNameOfCorruptRecord` retention — the same parser contract the
+    * S4 Kafka source runs. Output is one row per input LINE: parsed rows
+    * carry their fields, junk rows carry null fields and the raw payload —
+    * counted and retained, never silently nulled (`con.py:43`'s
+    * warn-and-keep). The injection rule is a pure function of the table, so
+    * the DuckDB oracle predicts the entire frame — including every retained
+    * junk payload byte — without reading the staging.
+    *
+    * The parse is text-scan + `from_json`, NOT the raw json file format:
+    * that is byte-for-byte the S4 Kafka parse (value string → from_json),
+    * and it sidesteps the file format's QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    * restriction, so callers may project the audit down to just the
+    * payload column. Scale: map-only write + map-only text scan. */
+  def jsonCorruptAudit(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val dir = graft.util.TempRoots.create("graft_corrupt_jsonl_").toString
+    corruptJsonlLines(docs).write.mode("overwrite").text(dir)
+    corruptParsed(spark.read.text(dir))
   }
 
   /** Blank-row filter + ''->null for string columns (pro.py:42,76). */

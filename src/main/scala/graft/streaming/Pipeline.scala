@@ -468,19 +468,13 @@ object Pipeline {
       s"$root/src"
     }
 
-  /** The S4 PERMISSIVE parse over the staged text splits — `def`, not
-    * `val`, so the restart leg's recovery query gets a fresh plan. */
-  private def dlqParsedStream(spark: SparkSession, src: String): DataFrame = {
-    import org.apache.spark.sql.types.StructType
-    spark.readStream
-      .option("maxFilesPerTrigger", 1).text(src)
-      .select(from_json(col("value"),
-        StructType.fromDDL("doc_id BIGINT, n_chars BIGINT, _corrupt_record STRING"),
-        Map("mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
-      .select(col("rec.doc_id"), col("rec.n_chars"),
-        col("rec._corrupt_record").as("corrupt_payload"))
-  }
+  /** The S4 PERMISSIVE parse over the staged text splits — the parse
+    * itself is [[graft.sources.Tabular.corruptParsed]], ONE definition
+    * with the batch audit leg so the two cannot drift. `def`, not `val`,
+    * so the restart leg's recovery query gets a fresh plan. */
+  private def dlqParsedStream(spark: SparkSession, src: String): DataFrame =
+    graft.sources.Tabular.corruptParsed(
+      spark.readStream.option("maxFilesPerTrigger", 1).text(src))
 
   /** Idempotent two-way split sink: per-batchId deterministic paths,
     * overwritten — NOT appended — so a crash-replayed batch replaces its

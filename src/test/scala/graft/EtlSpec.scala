@@ -141,7 +141,18 @@ class EtlSpec extends SparkSpec {
       Upsert.mergeBatch(spark, wide, dir, Seq("k"), "t", "seq", "day")
     }
     assert(exW.getMessage.contains("batch-only columns: [extra]"), exW.getMessage)
-    // store unchanged by either refusal
+    // same-name TYPE drift (v: double -> string): refused even under the
+    // evolution flag — a union would coerce silently and the rewrite would
+    // leave mixed parquet physical types wedging later schema-merged reads
+    val retyped = Seq(("k9", ts("2024-01-01 12:00:00"), 4L, "notadouble"))
+      .toDF("k", "t", "seq", "v").withColumn("day", to_date(col("t")))
+    val exT = intercept[IllegalStateException] {
+      Upsert.mergeBatch(spark, retyped, dir, Seq("k"), "t", "seq", "day",
+        allowSchemaEvolution = true)
+    }
+    assert(exT.getMessage.contains("TYPE drift") &&
+      exT.getMessage.contains("v: store double vs batch string"), exT.getMessage)
+    // store unchanged by any refusal
     assert(spark.read.parquet(dir).count() == 1)
     // opt-in evolution: union-by-name widening, missing side gets nulls
     Upsert.mergeBatch(spark, wide, dir, Seq("k"), "t", "seq", "day",

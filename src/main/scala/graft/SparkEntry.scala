@@ -1119,6 +1119,19 @@ object SparkEntry {
         stageKey = Some(d)),
       Some(corruptAuditOracle)),
 
+    // ---- S4 (salvage leg): replay-after-fix over the dead-letter shape —
+    // a fixed parser recovers the id from each junk payload and the
+    // salvaged rows rejoin the corpus flagged; unsalvageable payloads
+    // degrade to a null id (row count conserved through triage).
+    ("s4_dlq_salvage",
+      (s, d) => graft.sources.Tabular.dlqSalvage(
+        graft.sources.Tabular.jsonCorruptAudit(s, docs(s, d))),
+      Some("""SELECT doc_id, n_chars, FALSE AS salvaged
+        |FROM documents WHERE doc_id % 10 <> 3
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS BIGINT), TRUE
+        |FROM documents WHERE doc_id % 10 = 3""".stripMargin)),
+
     // ---- S1 (jsonl leg): the documents corpus written as newline-delimited
     // JSON and read back through the real json file source with S1's
     // normalize semantics — the standard LLM-corpus interchange format,

@@ -117,6 +117,29 @@ object Tabular {
     corruptParsed(spark.read.text(dir))
   }
 
+  /** DLQ SALVAGE — replay-after-fix, the step a dead-letter table exists
+    * for: once the junk pattern is understood, a fixed parser recovers
+    * what it can and the salvaged rows rejoin the corpus, flagged. Input
+    * is the audit shape (doc_id, n_chars, corrupt_payload) either corrupt
+    * leg produces; `pattern`'s first capture group is the recoverable id
+    * (default matches the fixture's `JUNK <id>`). Unsalvageable payloads
+    * degrade to a null id rather than dropping — `try_cast` of
+    * `regexp_extract`'s empty-string no-match, the same null-on-junk
+    * posture as T6/T13 — so the row count is conserved through triage.
+    * Scale: one map-only pass, no shuffle. */
+  def dlqSalvage(audit: DataFrame,
+                 pattern: String = "^JUNK (-?\\d+)$"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    audit.filter(col("corrupt_payload").isNull)
+      .select(col("doc_id"), col("n_chars"), lit(false).as("salvaged"))
+      .unionByName(audit.filter(col("corrupt_payload").isNotNull)
+        .select(
+          regexp_extract(col("corrupt_payload"), pattern, 1)
+            .try_cast("long").as("doc_id"),
+          lit(null).cast("long").as("n_chars"),
+          lit(true).as("salvaged")))
+  }
+
   /** Blank-row filter + ''->null for string columns (pro.py:42,76). */
   private def normalize(df: DataFrame): DataFrame = {
     val stringCols = df.schema.fields

@@ -1093,7 +1093,8 @@ object SparkEntry {
     // parser contract): junk is COUNTED AND RETAINED as raw payload, parsed
     // rows pass through — con.py:43's warn-and-keep, never a silent null.
     ("s3_s4_corrupt_audit",
-      (s, d) => graft.sources.Tabular.jsonCorruptAudit(s, docs(s, d)),
+      (s, d) => graft.sources.Tabular.jsonCorruptAudit(s, docs(s, d),
+        stageKey = Some(d)),
       Some(corruptAuditOracle)),
 
     // ---- S4 (dead-letter leg): the same corrupt fixture STREAMED through
@@ -1125,7 +1126,8 @@ object SparkEntry {
     // degrade to a null id (row count conserved through triage).
     ("s4_dlq_salvage",
       (s, d) => graft.sources.Tabular.dlqSalvage(
-        graft.sources.Tabular.jsonCorruptAudit(s, docs(s, d))),
+        graft.sources.Tabular.jsonCorruptAudit(s, docs(s, d),
+          stageKey = Some(d))),
       Some("""SELECT doc_id, n_chars, FALSE AS salvaged
         |FROM documents WHERE doc_id % 10 <> 3
         |UNION ALL

@@ -17,6 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** Nested nullability flattened to all-nullable, for the type-drift
+    * comparison: only the erased type matters for merge compatibility
+    * (Spark's own `asNullable` is private). */
+  private def erasedNullability(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, erasedNullability(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(erasedNullability(a.elementType), containsNull = true)
+      case m: MapType => MapType(erasedNullability(m.keyType),
+        erasedNullability(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   /** Latest row per key — the arbitration rule. Deterministic: ties on the
     * timestamp break on `tieCol` (the reference relies on ES arrival order,
     * which is unstable; SURVEY.md §7.4 pins a total order instead). */
@@ -76,8 +93,14 @@ object Upsert {
     val merged =
       if (existing == null) incoming
       else {
-        val existingTypes = existing.schema.map(f => f.name -> f.dataType).toMap
-        val incomingTypes = incoming.schema.map(f => f.name -> f.dataType).toMap
+        // nullability-erased comparison: parquet read-back forces nested
+        // fields nullable (ArrayType.containsNull, struct members), so a
+        // strict DataType comparison would misreport a legitimate batch
+        // built from non-null values as type drift
+        val existingTypes =
+          existing.schema.map(f => f.name -> erasedNullability(f.dataType)).toMap
+        val incomingTypes =
+          incoming.schema.map(f => f.name -> erasedNullability(f.dataType)).toMap
         val typeDrift = (existingTypes.keySet & incomingTypes.keySet)
           .filter(n => existingTypes(n) != incomingTypes(n))
         if (typeDrift.nonEmpty)

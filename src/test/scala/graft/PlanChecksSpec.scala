@@ -338,4 +338,14 @@ class PlanChecksSpec extends SparkSpec {
       s"corpus re-tokenized (pin bypassed):\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("DLQ salvage scans the staged text once (single-select, no union)") {
+    // the review fix: filter-branches-unioned planned TWO scans of the
+    // staged input, each re-running the from_json parse; the one-select
+    // shape must keep it to a single text scan
+    val plan = finalPlanString(SparkEntry.queries("s4_dlq_salvage")(spark, sf))
+    assert(countOf(plan, "Scan text") == 1,
+      s"staged input scanned more than once:\n$plan")
+    assert(!plan.contains("Union"), s"salvage re-grew a union:\n$plan")
+  }
 }

@@ -1128,11 +1128,15 @@ object SparkEntry {
       (s, d) => graft.sources.Tabular.dlqSalvage(
         graft.sources.Tabular.jsonCorruptAudit(s, docs(s, d),
           stageKey = Some(d))),
+      // coalesce(.., -1): a NULL doc_id must route to the parsed branch in
+      // BOTH engines — the Spark fixture's `when` sends it there (null
+      // predicate -> otherwise), while a bare `doc_id % 10 <> 3` would drop
+      // it from both DuckDB branches entirely (r14 advice).
       Some("""SELECT doc_id, n_chars, FALSE AS salvaged
-        |FROM documents WHERE doc_id % 10 <> 3
+        |FROM documents WHERE coalesce(doc_id % 10, -1) <> 3
         |UNION ALL
         |SELECT doc_id, CAST(NULL AS BIGINT), TRUE
-        |FROM documents WHERE doc_id % 10 = 3""".stripMargin)),
+        |FROM documents WHERE coalesce(doc_id % 10, -1) = 3""".stripMargin)),
 
     // ---- S1 (jsonl leg): the documents corpus written as newline-delimited
     // JSON and read back through the real json file source with S1's
@@ -2121,14 +2125,17 @@ object SparkEntry {
   /** One oracle for BOTH corrupt legs (batch audit + streaming dead-letter
     * split): parsed rows with their fields, junk rows as retained payload —
     * the injection rule (`doc_id % 10 = 3`) is a pure function of the
-    * table, so DuckDB predicts every staged byte without reading staging. */
+    * table, so DuckDB predicts every staged byte without reading staging.
+    * coalesce(.., -1): a NULL doc_id routes to the parsed branch in both
+    * engines (the Spark `when`'s null predicate takes the otherwise arm; a
+    * bare `% 10 <> 3` would drop the row from both DuckDB branches). */
   private lazy val corruptAuditOracle: String =
     """SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS corrupt_payload
-      |FROM documents WHERE doc_id % 10 <> 3
+      |FROM documents WHERE coalesce(doc_id % 10, -1) <> 3
       |UNION ALL
       |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |  'JUNK ' || CAST(doc_id AS VARCHAR)
-      |FROM documents WHERE doc_id % 10 = 3""".stripMargin
+      |FROM documents WHERE coalesce(doc_id % 10, -1) = 3""".stripMargin
 
   private lazy val upsertDailyOracle: String =
     """SELECT user_id, CAST(ts AS DATE) AS ingest_date, event_id,

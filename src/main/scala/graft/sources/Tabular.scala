@@ -125,7 +125,15 @@ object Tabular {
     val dir = stageKey match {
       case None => stage()
       case Some(k) =>
-        corruptStageMemo.computeIfAbsent(k, _ => stage())
+        // The memo key folds in the semantic hash of the docs plan: the
+        // caller's stageKey names the CORPUS (sf dir), but two callers
+        // passing the same key with different frames (e.g. a filtered
+        // slice) must not silently reuse each other's staging (r14
+        // advice). The hash is plan-level — cheap, deterministic within
+        // the JVM, and exactly as stable as the staging's premise (a pure
+        // function of the input plan).
+        corruptStageMemo.computeIfAbsent(
+          s"$k|${docs.queryExecution.analyzed.semanticHash()}", _ => stage())
     }
     corruptParsed(spark.read.text(dir))
   }

@@ -236,24 +236,53 @@ object Pipeline {
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .load()
+    kafkaValueParse(raw)
+  }
+
+  /** The S4 value parse, factored off the `format("kafka")` load so the
+    * parse contract is unit-testable without a broker (the live spec
+    * exercises the wire; this is the semantics). Input shape is the Kafka
+    * source's: `value` (binary or string), `timestamp`, `offset`.
+    *
+    * Tombstone posture (r14 advice): a NULL Kafka value (a compaction
+    * tombstone, or a producer bug) makes `from_json` return a null struct —
+    * an all-null row with a null `_corrupt_record`, invisible to the
+    * `s4_audit` corrupt-rows metric and indistinguishable from a
+    * parsed-but-empty record. Null values are therefore tagged INTO the
+    * corrupt path with a sentinel payload: they are counted by the observed
+    * metric, retained for triage like any junk line, and still rejected
+    * from the store by the null-key filter downstream. (A consumer wanting
+    * delete-on-tombstone semantics would branch on the sentinel BEFORE
+    * [[consumerTransform]] drops the audit column.) */
+  private[graft] val TombstoneMark = "<null-kafka-value>"
+  private[graft] def kafkaValueParse(raw: DataFrame): DataFrame = {
     val schema = Schemas.enrollment
       .add("_corrupt_record", org.apache.spark.sql.types.StringType)
     raw.select(
-        from_json(col("value").cast("string"), schema,
+        col("value").cast("string").as("__v"),
+        col("timestamp"), col("offset"))
+      .select(
+        from_json(col("__v"), schema,
           Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"),
-        col("timestamp"), col("offset"))
-      .select(col("rec.*"), unix_millis(col("timestamp")).as("kafka_ts_ms"),
-        // Arrival order, surfaced for the sink's tie-break: the broker
-        // timestamp is millisecond-granular, so two versions of one doc in
-        // the same ms need a distinguishing order — the log offset is it
-        // WITHIN one partition. With key-partitioned topics (key = doc_id,
-        // the production layout) all versions of a doc share a partition,
-        // so the single offset column reproduces the reference's sequential
-        // es.index last-write-wins (con.py:60-63). If same-key events were
-        // spread across partitions, same-ms ties would compare offsets from
-        // unrelated logs: deterministic, but arbitrary w.r.t. arrival order.
-        col("offset").as("kafka_offset"))
+        col("__v"), col("timestamp"), col("offset"))
+      .select(col("rec.*"), col("__v"), col("timestamp"), col("offset"))
+      .withColumn("_corrupt_record",
+        when(col("__v").isNull, lit(TombstoneMark))
+          .otherwise(col("_corrupt_record")))
+      .drop("__v")
+      .withColumn("kafka_ts_ms", unix_millis(col("timestamp")))
+      // Arrival order, surfaced for the sink's tie-break: the broker
+      // timestamp is millisecond-granular, so two versions of one doc in
+      // the same ms need a distinguishing order — the log offset is it
+      // WITHIN one partition. With key-partitioned topics (key = doc_id,
+      // the production layout) all versions of a doc share a partition,
+      // so the single offset column reproduces the reference's sequential
+      // es.index last-write-wins (con.py:60-63). If same-key events were
+      // spread across partitions, same-ms ties would compare offsets from
+      // unrelated logs: deterministic, but arbitrary w.r.t. arrival order.
+      .withColumn("kafka_offset", col("offset"))
+      .drop("timestamp", "offset")
   }
 
   /** Consumer transform chain on a (possibly streaming) frame: T5 timestamp

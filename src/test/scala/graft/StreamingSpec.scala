@@ -740,4 +740,30 @@ class StreamingSpec extends SparkSpec {
     val parsed = out.filter(_._3.isEmpty).map(_._1.get).sorted.toSeq
     assert(parsed == (1L to 40L).filterNot(_ % 10 == 3).toSeq)
   }
+
+  test("kafka value parse tags tombstones into the corrupt path") {
+    // The S4 parse contract without a broker (kafkaValueParse is the
+    // factored semantics of kafkaJsonSource): a good JSON line parses, a
+    // junk line retains its payload, and a NULL value (compaction
+    // tombstone) is tagged with the sentinel — counted by the s4_audit
+    // metric and rejected by the null-key filter, never an invisible
+    // all-null row (r14 advice).
+    val good = """{"F_MASV":"SV001","F_DIEM2":"8.5","NHHK":20241}"""
+    val raw = Seq(
+      (Option(good.getBytes("UTF-8")), 1L),
+      (Option("not json".getBytes("UTF-8")), 2L),
+      (Option.empty[Array[Byte]], 3L))
+      .toDF("value", "offset")
+      .withColumn("timestamp", lit(java.sql.Timestamp.valueOf("2024-01-02 03:04:05")))
+    val out = Pipeline.kafkaValueParse(raw)
+      .select("F_MASV", "_corrupt_record", "kafka_offset")
+      .as[(Option[String], Option[String], Long)]
+      .collect().sortBy(_._3)
+    assert(out(0) == ((Some("SV001"), None, 1L)))
+    assert(out(1) == ((None, Some("not json"), 2L)))
+    assert(out(2) == ((None, Some(Pipeline.TombstoneMark), 3L)))
+    // and the consumerTransform audit metric counts all non-null tags:
+    // both the junk line and the tombstone carry a payload here
+    assert(out.count(_._2.isDefined) == 2)
+  }
 }

@@ -1677,6 +1677,29 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
 
+    // ---- join_fuzzy_composed: the d19 rep-set composition applied to the
+    // fuzzy join (r14 verdict #2) — exact-duplicate keys collapse to one
+    // representative with multiplicity BEFORE the FastSS join, and the
+    // output is content-level key pairs carrying reconstruction weights
+    // (dist-1 rows weigh n1×n2, duplicated keys one dist-0 row weighing
+    // C(n,2)), so Σ pair_weight equals the plain join's id-pair count
+    // without materializing the quadratic expansion. Oracle is the
+    // all-pairs ground truth over DISTINCT names plus the dup-group rows.
+    ("join_fuzzy_composed",
+      (s, d) => graft.ops.FuzzyJoin.composedEditDistancePairs(
+        Tables(s, d, "customer"), "c_custkey", "c_name",
+        failOnOversized = true),
+      Some("""WITH groups AS (
+        |  SELECT c_name AS k, count(*) AS n FROM customer GROUP BY 1)
+        |SELECT a.k AS k1, b.k AS k2,
+        |  CAST(levenshtein(a.k, b.k) AS INT) AS dist,
+        |  a.n AS n1, b.n AS n2, a.n * b.n AS pair_weight
+        |FROM groups a JOIN groups b ON a.k < b.k
+        |WHERE levenshtein(a.k, b.k) <= 1
+        |UNION ALL
+        |SELECT k, k, CAST(0 AS INT), n, n, (n * (n - 1)) // 2
+        |FROM groups WHERE n > 1""".stripMargin)),
+
     // ---- e: embedding similarity (north star)
     ("e1_cosine_topk",
       (s, d) => Similarity.bruteForceTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),

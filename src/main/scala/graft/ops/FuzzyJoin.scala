@@ -146,6 +146,57 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("a_key"), col("b_key")).cast("int"))
   }
 
+  /** Composed exact→fuzzy join — the d19 rep-set pattern
+    * ([[Dedup.composedNearDup]]) applied to entity resolution: at high
+    * replica density the ×100 scale probe measured [[editDistancePairs]]
+    * emitting 2.70B id pairs in 62.5 s — the blocking stayed linear, but
+    * the OUTPUT is quadratic by corpus construction (C(100,2) id pairs per
+    * duplicated key plus n_a×n_b per dist-1 key pair), and cost tracks the
+    * output. The fix is structural: collapse exact-duplicate keys to one
+    * representative with multiplicity FIRST (hash groupBy — replica
+    * density is absorbed where duplication is exact), run the FastSS
+    * machinery over the distinct-key set, and emit CONTENT-level pairs
+    * carrying each side's multiplicity, so the id-level pair count is
+    * reconstructable without materializing it:
+    *
+    *   Σ pair_weight over this output  ==  |editDistancePairs output|
+    *
+    * (dist-1 rows weigh n1×n2; each duplicated key contributes one dist-0
+    * row weighing C(n,2)). FuzzyJoinSpec certifies that closure.
+    *
+    * Scale shape: one groupBy(key) + the FastSS join over distinct keys
+    * (which [[editDistancePairs]] already runs internally — composing adds
+    * NO new shuffle class) minus the two id re-expansion joins and their
+    * quadratic output. At replica density k the output is ~k² smaller. */
+  def composedEditDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                                maxBucket: Int = 64,
+                                failOnOversized: Boolean = false): DataFrame = {
+    // Pinned: the multiplicity frame feeds the rep-set join AND both
+    // weight joins — one groupBy, not three (the d19 file convention).
+    val groups = graft.Materialize.pin(
+      df.groupBy(col(strCol).as("key")).agg(count(lit(1)).as("n")))
+    // The FastSS candidate search + levenshtein verify over the distinct
+    // keys, each key acting as its own id (so a_key/b_key ordering is the
+    // pair identity). The internal distance-0 self-join is empty over a
+    // distinct-key set; dist-0 groups are re-emitted from `groups` below.
+    val repPairs = editDistancePairs(
+      groups.select(col("key").as("id"), col("key")),
+      "id", "key", maxBucket, failOnOversized)
+    val cross = repPairs
+      .select(col("a_key").as("k1"), col("b_key").as("k2"), col("dist"))
+      .join(groups.select(col("key").as("k1"), col("n").as("n1")), Seq("k1"))
+      .join(groups.select(col("key").as("k2"), col("n").as("n2")), Seq("k2"))
+      .select(col("k1"), col("k2"), col("dist"), col("n1"), col("n2"),
+        (col("n1") * col("n2")).as("pair_weight"))
+    // Each duplicated key is one dist-0 row weighing C(n,2) — shiftright
+    // keeps the arithmetic integer-exact (n·(n−1) is always even).
+    val within = groups.filter(col("n") > 1)
+      .select(col("key").as("k1"), col("key").as("k2"),
+        lit(0).as("dist"), col("n").as("n1"), col("n").as("n2"),
+        shiftright(col("n") * (col("n") - 1), 1).as("pair_weight"))
+    cross.union(within)
+  }
+
   /** Audit for route mode: the variant buckets `editDistancePairs` would
     * treat as oversized at this cap — `(v, n)` with n = distinct keys in
     * the bucket. Empty ⇒ route mode is exact (nothing shed). Same distinct

@@ -96,6 +96,40 @@ class FunnelFuzzySpec extends SparkSpec {
       (1L, 4L, 1), (2L, 4L, 1), (3L, 4L, 1)))
   }
 
+  test("composed fuzzy: content-level pairs with exact multiplicities") {
+    // 3×"dup", 2×"dupe", 1×"zzz": the composed output is KEY pairs — one
+    // dist-1 row (dup, dupe) weighing 3×2 and one dist-0 row for each
+    // duplicated key weighing C(n,2) — never the 9 id-level pairs.
+    val names = Seq((1L, "dup"), (2L, "dup"), (3L, "dup"),
+      (4L, "dupe"), (5L, "dupe"), (6L, "zzz")).toDF("id", "name")
+    val got = FuzzyJoin.composedEditDistancePairs(names, "id", "name")
+      .select("k1", "k2", "dist", "n1", "n2", "pair_weight")
+      .as[(String, String, Int, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("dup", "dupe", 1, 3L, 2L, 6L),
+      ("dup", "dup", 0, 3L, 3L, 3L),
+      ("dupe", "dupe", 0, 2L, 2L, 1L)))
+  }
+
+  test("composed fuzzy: pair-weight accounting closes against the plain join") {
+    // The composition contract (the 256 = 248 + 8 pattern): over ANY
+    // corpus, Σ pair_weight of the composed output equals the plain
+    // id-level pair count — seeded-random keys over a tiny alphabet with
+    // heavy duplication make both regimes (dist-0 groups, dist-1 cross
+    // products) carry real weight.
+    val rnd = new scala.util.Random(20250814)
+    val rows = (1 to 400).map { i =>
+      val len = rnd.nextInt(4) + 1
+      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    }.toDF("id", "name")
+    val plain = FuzzyJoin.editDistancePairs(rows, "id", "name").count()
+    val composedWeight = FuzzyJoin.composedEditDistancePairs(rows, "id", "name")
+      .agg(sum("pair_weight")).as[Long].head()
+    assert(plain > 0, "fixture produced no pairs — not exercising the contract")
+    assert(composedWeight == plain,
+      s"composed Σweight $composedWeight != plain pair count $plain")
+  }
+
   test("fuzzy pairs: oversized variant bucket is cap-and-routed, not quadratic") {
     // 30 distinct keys "Xaa" plus "aa" itself all share deletion variant
     // "aa" — a 31-member bucket. Capped at 8, the bucket must emit ONLY its

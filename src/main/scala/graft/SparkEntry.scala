@@ -925,6 +925,19 @@ object SparkEntry {
         stageKey = Some(d)),
       Some(upsertDailyOracle)),
 
+    // ---- S2 LITERAL-EXCEL leg (r14 verdict #3): the reference's watcher
+    // fires on `.xlsx` files specifically (pro.py:96-108). Real workbooks
+    // staged one per micro-batch through readStream.format("xlsx") — the
+    // source's own MicroBatchStream with seen-file offsets in the
+    // checkpoint — landed via the idempotent per-batchId sink and settled.
+    // Oracle: the plain batch projection (stringified, matching the
+    // xlsx contract that every cell reads as string).
+    ("s2_xlsx_stream_replay",
+      (s, d) => graft.streaming.Pipeline.replayXlsxStream(s,
+        Tables(s, d, "customer"), stageKey = Some(d)),
+      Some("""SELECT CAST(c_custkey AS VARCHAR) AS c_custkey,
+        |  c_name, c_mktsegment FROM customer""".stripMargin)),
+
     // ---- T1 (§2.5): the watermarked STREAMING dedup under the oracle gate —
     // dropDuplicatesWithinWatermark over a 4-file replay of the corpus; the
     // emitted set is exactly one row per distinct content hash for any batch

@@ -67,7 +67,7 @@ class XlsxTable(schema0: StructType, options: CaseInsensitiveStringMap)
   override def name(): String = s"xlsx:${options.get("path")}"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new XlsxScan(schema0, options)
@@ -77,6 +77,9 @@ class XlsxTable(schema0: StructType, options: CaseInsensitiveStringMap)
 class XlsxScan(schema0: StructType, options: CaseInsensitiveStringMap) extends Scan with Batch {
   override def readSchema(): StructType = schema0
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new XlsxMicroBatchStream(schema0, options)
   override def description(): String = s"xlsx scan of ${options.get("path")}"
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -102,6 +105,108 @@ class XlsxScan(schema0: StructType, options: CaseInsensitiveStringMap) extends S
 
 /** One workbook file = one partition (a zip stream is not splittable). */
 case class XlsxFilePartition(path: String, sheet: Int, header: Boolean) extends InputPartition
+
+/** Streaming offset = the set of workbook files already processed,
+  * serialized as a sorted JSON array of paths. A directory-watch offset
+  * must identify FILES, not a count or a high-water name: files arrive in
+  * arbitrary name order (the reference's watchdog fires on any create,
+  * `pro.py:96-108`) and a count- or watermark-shaped offset would
+  * silently skip a late file sorting below the mark. The file-set shape is
+  * exact for any arrival order; its cost grows with corpus size, which is
+  * the same trade Spark's own FileStreamSource makes (its seen-files log,
+  * compacted) — at lake scale the production path is the parquet/csv file
+  * source over a committed layout; this source exists for the reference's
+  * literal watch-Excel-directory flow, where workbook counts are small by
+  * construction (each is a hand-exported gradebook). */
+case class XlsxOffset(files: Seq[String])
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(files.toList))
+  }
+}
+object XlsxOffset {
+  def fromJson(json: String): XlsxOffset = XlsxOffset(
+    org.json4s.jackson.JsonMethods.parse(json)
+      .asInstanceOf[org.json4s.JArray].arr
+      .map(_.asInstanceOf[org.json4s.JString].s))
+}
+
+/** S2-over-xlsx: the reference's directory watcher fires per created
+  * workbook (`pro.py:96-108` watchdog → `process_excel_file`); the Spark
+  * twin is a MicroBatchStream that lists the watched directory each
+  * trigger, diffs against the seen-file offset, and plans one
+  * [[XlsxFilePartition]] per NEW workbook — the same discovery contract as
+  * Spark's file source, over the same per-file reader as the batch scan.
+  *
+  * Admission control: `maxFilesPerTrigger` (default: all available) bounds
+  * each micro-batch; [[SupportsTriggerAvailableNow]] snapshots the listing
+  * at query start so an AvailableNow drain terminates even while files
+  * keep arriving (late files are the NEXT run's work — offsets in the
+  * checkpoint make that resume exact, certified in XlsxSpec). */
+class XlsxMicroBatchStream(schema0: StructType, options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+  // Driver-side conf capture (same rationale as the batch scan's factory).
+  private val conf = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+  private val sheet = XlsxIO.intOpt(options, "sheet", 1)
+  private val header = XlsxIO.boolOpt(options, "header", default = true)
+
+  /** AvailableNow snapshot: when set, discovery is frozen at this listing. */
+  @volatile private var snapshot: Option[Seq[String]] = None
+
+  private def listNow(): Seq[String] =
+    snapshot.getOrElse(XlsxIO.listFilesIn(options, conf.value))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    snapshot = Some(XlsxIO.listFilesIn(options, conf.value))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = XlsxOffset(Nil)
+  override def deserializeOffset(json: String): Offset = XlsxOffset.fromJson(json)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is the entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[XlsxOffset].files.toSet
+    val fresh = listNow().filterNot(seen).sorted
+    val admitted = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    if (admitted.isEmpty) start
+    else XlsxOffset((seen ++ admitted).toSeq.sorted)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[XlsxOffset].files.toSet
+    end.asInstanceOf[XlsxOffset].files.filterNot(seen).sorted
+      .map(p => XlsxFilePartition(p, sheet, header): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val width = schema0.length
+    val c = conf
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new XlsxPartitionReader(partition.asInstanceOf[XlsxFilePartition], width, c)
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class XlsxPartitionReader(part: XlsxFilePartition, width: Int,
                           conf: org.apache.spark.util.SerializableConfiguration)
@@ -140,15 +245,24 @@ object XlsxIO {
     * `.xlsx` directly inside a directory, sorted for determinism). Uses the
     * Hadoop FileSystem API so the same code reads local paths in tests and
     * distributed stores on a cluster. */
-  def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+  def listFiles(options: CaseInsensitiveStringMap): Seq[String] =
+    // driver side: the active session's Hadoop conf carries spark.hadoop.*
+    listFilesIn(options, SparkSession.active.sessionState.newHadoopConf())
+
+  /** Listing against an explicit conf (the streaming source captures the
+    * session conf once at query start). A missing path lists as EMPTY, not
+    * an error: a watched directory legitimately starts before its first
+    * workbook arrives (`pro.py`'s watcher observes the directory, not a
+    * file). The batch path still fails on a missing path via
+    * `inferSchema`'s nonEmpty require. */
+  def listFilesIn(options: CaseInsensitiveStringMap,
+                  conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     val raw = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("xlsx source requires a path"))
-    // driver side: the active session's Hadoop conf carries spark.hadoop.*
-    val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(raw)
     val fs = p.getFileSystem(conf)
-    val st = fs.getFileStatus(p)
-    if (st.isDirectory)
+    if (!fs.exists(p)) Nil
+    else if (fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))
         .map(_.getPath.toString).sorted

@@ -401,6 +401,78 @@ object Pipeline {
         col("event_type"), col("value"), col("ts"))
   }
 
+  /** S2-over-xlsx staging: the corpus split into `nFiles` REAL workbooks,
+    * written from inside executors (foreachPartition → XlsxWriter over the
+    * Hadoop FileSystem — no driver collect; a cluster would land the same
+    * files on the shared store). Values are stringified IN the frame
+    * before writing so every staged cell is a shared-string entry and the
+    * DuckDB oracle's `CAST(.. AS VARCHAR)` predicts each byte. */
+  private def stagedXlsxSrc(spark: SparkSession, customer: DataFrame,
+                            nFiles: Int, stageKey: Option[String]): String =
+    memoStage(stageKey, s"s2xlsx|$nFiles") {
+      val root = replayTempRoot("graft_xlsx_stage_")
+      val dir = s"$root/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val header: Seq[Any] = Seq("c_custkey", "c_name", "c_mktsegment")
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      customer
+        .select(col("c_custkey").cast("string").as("c_custkey"),
+          col("c_name"), col("c_mktsegment"))
+        .repartitionByRange(nFiles, col("c_custkey"))
+        .foreachPartition { (it: Iterator[Row]) =>
+          // one workbook per non-empty partition; rows buffered in memory —
+          // bounded by Excel's own sheet cap, the same bound the reader has
+          val rows = it.map(r =>
+            Seq[Any](r.getString(0), r.getString(1), r.getString(2))).toSeq
+          if (rows.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val p = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.xlsx")
+            val out = p.getFileSystem(hconf.value).create(p, true)
+            try graft.sources.xlsx.XlsxWriter.writeTo(out, header +: rows)
+            finally out.close()
+          }
+        }
+      dir
+    }
+
+  /** S2 LITERAL-EXCEL replay (r14 verdict #3, missing #2): the reference's
+    * watcher fires on `.xlsx` files specifically (`pro.py:96-108`); this
+    * leg runs that exact composition — real workbooks staged one per
+    * micro-batch through `readStream.format("xlsx")` (the source's own
+    * MicroBatchStream: seen-file offsets in the checkpoint, per-file
+    * partitions, admission-controlled discovery), landed via the
+    * per-batchId idempotent overwrite sink, settled and re-read for the
+    * cross-engine gate. The oracle is the plain batch projection of the
+    * same table: the Excel round trip plus the streaming machinery must
+    * lose and invent nothing, byte-for-byte. */
+  def replayXlsxStream(spark: SparkSession, customer: DataFrame,
+                       nFiles: Int = 4,
+                       stageKey: Option[String] = None): DataFrame = {
+    val src = stagedXlsxSrc(spark, customer, nFiles, stageKey)
+    val run = replayTempRoot("graft_xlsx_run_")
+    val store = s"$run/store"; val ckpt = s"$run/ckpt"
+    new java.io.File(store).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("c_custkey", "c_name", "c_mktsegment").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType, nullable = true)))
+    withReplayFanout(spark) {
+      val q = spark.readStream.format("xlsx").schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$store/batch=$id")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(store).select("c_custkey", "c_name", "c_mktsegment")
+  }
+
   /** S4 DEAD-LETTER replay — the pipeline half of warn-and-keep: counting
     * junk ([[consumerTransform]]'s observed metric) is monitoring; a real
     * ingest pipeline also needs the junk ITSELF to land somewhere

@@ -1,82 +1,13 @@
 package graft
 
-import java.util.zip.{ZipEntry, ZipOutputStream}
-
 import org.apache.spark.sql.functions._
 
-/** Minimal OOXML workbook writer (tests only): enough of ECMA-376 to make a
-  * real consumer (and this repo's xlsx source) read it — content types, rels,
-  * workbook, one sheet, shared strings. Strings go through the shared-string
-  * table (the layout Excel itself writes); numbers are plain numeric cells. */
+/** Test alias for the main-side OOXML writer (promoted to
+  * `graft.sources.xlsx.XlsxWriter` so the streaming replay can stage
+  * workbooks; one definition). */
 object XlsxTestFixture {
-  def write(path: String, rows: Seq[Seq[Any]]): Unit = {
-    val shared = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    def sharedIdx(s: String): Int = shared.getOrElseUpdate(s, shared.size)
-
-    def cellXml(ref: String, v: Any): String = v match {
-      case null => ""
-      case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
-      case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
-      case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
-      case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
-      case s: String => s"""<c r="$ref" t="s"><v>${sharedIdx(s)}</v></c>"""
-      case other => sys.error(s"unsupported fixture cell: $other")
-    }
-    def colRef(i: Int): String = {
-      var n = i + 1; val sb = new StringBuilder
-      while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
-      sb.toString
-    }
-    val sheetRows = rows.zipWithIndex.map { case (cells, r) =>
-      val cs = cells.zipWithIndex.map { case (v, c) => cellXml(s"${colRef(c)}${r + 1}", v) }
-      s"""<row r="${r + 1}">${cs.mkString}</row>"""
-    }.mkString
-    def esc(s: String): String =
-      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-
-    val zip = new ZipOutputStream(new java.io.FileOutputStream(path))
-    def entry(name: String, body: String): Unit = {
-      zip.putNextEntry(new ZipEntry(name))
-      zip.write(body.getBytes("UTF-8"))
-      zip.closeEntry()
-    }
-    entry("[Content_Types].xml",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
-        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
-        |<Default Extension="xml" ContentType="application/xml"/>
-        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
-        |<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
-        |</Types>""".stripMargin)
-    entry("_rels/.rels",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
-        |</Relationships>""".stripMargin)
-    entry("xl/workbook.xml",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-        |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
-        |</workbook>""".stripMargin)
-    entry("xl/_rels/workbook.xml.rels",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>
-        |</Relationships>""".stripMargin)
-    entry("xl/worksheets/sheet1.xml",
-      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-         |<sheetData>$sheetRows</sheetData>
-         |</worksheet>""".stripMargin)
-    val sst = shared.keysIterator
-      .map(s => s"<si><t xml:space=\"preserve\">${esc(s)}</t></si>").mkString
-    entry("xl/sharedStrings.xml",
-      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${shared.size}" uniqueCount="${shared.size}">$sst</sst>""".stripMargin)
-    zip.close()
-  }
+  def write(path: String, rows: Seq[Seq[Any]]): Unit =
+    graft.sources.xlsx.XlsxWriter.write(path, rows)
 }
 
 /** S1 via a real `.xlsx`: the reference ingests Excel workbooks
@@ -154,6 +85,74 @@ class XlsxSpec extends SparkSpec {
       .na.fill("")
     // 9 vs 9.0: numeric cells keep their literal form in both sources
     assert(fromXlsx.exceptAll(fromCsv).isEmpty && fromCsv.exceptAll(fromXlsx).isEmpty)
+  }
+
+  test("streaming: one workbook per micro-batch, AvailableNow drains all") {
+    // The pro.py:96-108 watcher flow through readStream.format("xlsx"):
+    // three staged workbooks, maxFilesPerTrigger=1 → exactly three
+    // micro-batches, union of batches == union of workbooks.
+    val d = tmpDir()
+    for (i <- 1 to 3)
+      XlsxTestFixture.write(new java.io.File(d, s"wb$i.xlsx").getAbsolutePath,
+        Seq(Seq("k", "v"), Seq(s"k$i", i), Seq(s"k${i}b", i * 10)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val ckpt = new java.io.File(d, "ckpt").getAbsolutePath
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String)]]
+    val q = spark.readStream.format("xlsx").schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .load(d.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += b.as[(String, String)].collect().toSeq
+        }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.length == 3, s"expected 3 one-file micro-batches, got ${batches.length}")
+    assert(batches.forall(_.length == 2))
+    assert(batches.flatten.toSet == Set(
+      ("k1", "1"), ("k1b", "10"), ("k2", "2"), ("k2b", "20"), ("k3", "3"), ("k3b", "30")))
+  }
+
+  test("streaming: checkpointed offsets resume exactly — new files only") {
+    // Watcher semantics across restarts: a second drain from the same
+    // checkpoint must read ONLY workbooks that arrived after the first —
+    // the seen-file offset makes discovery exact for any arrival order
+    // (including a new file sorting BEFORE already-seen names).
+    val d = tmpDir()
+    val src = new java.io.File(d, "watch"); src.mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType)))
+    val ckpt = new java.io.File(d, "ckpt").getAbsolutePath
+    def drain(): Seq[String] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = spark.readStream.format("xlsx").schema(schema)
+        .load(src.getAbsolutePath)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.as[String].collect() }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.toSeq
+    }
+    XlsxTestFixture.write(new java.io.File(src, "m.xlsx").getAbsolutePath,
+      Seq(Seq("k"), Seq("first")))
+    assert(drain().sorted == Seq("first"))
+    // one sorts AFTER the seen file, one BEFORE — both must be discovered
+    XlsxTestFixture.write(new java.io.File(src, "z.xlsx").getAbsolutePath,
+      Seq(Seq("k"), Seq("late-after")))
+    XlsxTestFixture.write(new java.io.File(src, "a.xlsx").getAbsolutePath,
+      Seq(Seq("k"), Seq("late-before")))
+    assert(drain().sorted == Seq("late-after", "late-before"))
+    assert(drain().isEmpty) // third drain: nothing new
   }
 
   test("header=false and sheet selection options") {

@@ -1568,6 +1568,21 @@ object SparkEntry {
       Some(Dedup.lexicalNearDupSql(TextAnalysis.TokenRegex,
         threshold = 0.8, maxDfFrac = 0.2, minShared = 3))),
 
+    // ---- d13 with the recall guard ARMED (r14 verdict #5): the same scoring
+    // with both guard arms live — no document may lose its whole term set
+    // (empty arm 0.1) and the cap may remove at most half the squared-norm
+    // mass (mass arm 0.5; d18 measures 0 pruned at the gate corpora, so
+    // healthy headroom is wide). Oracle is d13's: this certifies IN-GATE
+    // that arming does not perturb results on a healthy corpus — the
+    // fire path (exact-×100 shape, both arms) is OpsSpec's recall-guard
+    // test. The production posture: run guarded, calibrate arms from d18.
+    ("d13_guarded",
+      (s, d) => Dedup.lexicalNearDup(docs(s, d), "text",
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3,
+        maxPrunedEmptyFrac = 0.1, maxPrunedMassFrac = 0.5),
+      Some(Dedup.lexicalNearDupSql(TextAnalysis.TokenRegex,
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3))),
+
     // ---- d14: prefix-filtered (Bayardo) near-dup on TRIGRAM shingles —
     // prefixNearDup needs a power-law df distribution to pay off, which the
     // 31-word-vocabulary corpus only exhibits at n=3 (sf0.01: vocab 16245,

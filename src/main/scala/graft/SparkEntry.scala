@@ -935,8 +935,17 @@ object SparkEntry {
     ("s2_xlsx_stream_replay",
       (s, d) => graft.streaming.Pipeline.replayXlsxStream(s,
         Tables(s, d, "customer"), stageKey = Some(d)),
-      Some("""SELECT CAST(c_custkey AS VARCHAR) AS c_custkey,
-        |  c_name, c_mktsegment FROM customer""".stripMargin)),
+      Some(xlsxReplayOracle)),
+
+    // ---- crash twin (8th member of the restart family): the first query
+    // dies after a workbook's sink write lands and before its offset
+    // commits; recovery reopens the checkpoint — the custom source's
+    // deserializeOffset + seen-file diff under test — and the idempotent
+    // per-batchId sink absorbs the replayed workbook. Same oracle.
+    ("s2_xlsx_restart_replay",
+      (s, d) => graft.streaming.Pipeline.replayXlsxStreamRestart(s,
+        Tables(s, d, "customer"), stageKey = Some(d)),
+      Some(xlsxReplayOracle)),
 
     // ---- T1 (§2.5): the watermarked STREAMING dedup under the oracle gate —
     // dropDuplicatesWithinWatermark over a 4-file replay of the corpus; the
@@ -2173,6 +2182,13 @@ object SparkEntry {
   // "same oracle as the steady replay" — one definition per pair ENFORCES
   // it (a one-sided edit can no longer silently gate the twins against
   // different SQL).
+  /** One oracle for BOTH xlsx streaming legs (steady + crash-restart): the
+    * plain batch projection, stringified per the xlsx every-cell-is-a-string
+    * contract. */
+  private lazy val xlsxReplayOracle: String =
+    """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey,
+      |  c_name, c_mktsegment FROM customer""".stripMargin
+
   /** One oracle for BOTH corrupt legs (batch audit + streaming dead-letter
     * split): parsed rows with their fields, junk rows as retained payload —
     * the injection rule (`doc_id % 10 = 3`) is a pure function of the

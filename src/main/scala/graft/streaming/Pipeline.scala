@@ -473,6 +473,57 @@ object Pipeline {
     spark.read.parquet(store).select("c_custkey", "c_name", "c_mktsegment")
   }
 
+  /** Crash-recovery twin of [[replayXlsxStream]] (8th member of the restart
+    * family): the first query crashes inside foreachBatch after the k-th
+    * batch's sink write lands and before its offset commits; a second query
+    * reopens the checkpoint — which makes the custom source's
+    * `deserializeOffset` + seen-file diff the machinery under test — re-runs
+    * the unacknowledged workbook (its per-batchId overwrite replaces the
+    * orphaned output), and drains the rest. Same oracle as the steady leg. */
+  def replayXlsxStreamRestart(spark: SparkSession, customer: DataFrame,
+                              nFiles: Int = 4, killAfterBatches: Int = 2,
+                              stageKey: Option[String] = None): DataFrame = {
+    require(killAfterBatches >= 1 && killAfterBatches < nFiles,
+      s"crash must land mid-corpus: need 1 <= killAfterBatches < nFiles, " +
+        s"got $killAfterBatches / $nFiles")
+    val src = stagedXlsxSrc(spark, customer, nFiles, stageKey)
+    requireRealBatchAfterCrash(killAfterBatches,
+      stagedPartCount(src, ext = ".xlsx"), "s2 xlsx restart")
+    val run = replayTempRoot("graft_xlsxr_run_")
+    val store = s"$run/store"; val ckpt = s"$run/ckpt"
+    new java.io.File(store).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("c_custkey", "c_name", "c_mktsegment").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType, nullable = true)))
+    def stream = spark.readStream.format("xlsx").schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .load(src)
+    val CrashMark = "graft-simulated-crash-post-xlsx-write-pre-commit"
+    withReplayFanout(spark) {
+      val written = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q1 = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$store/batch=$id")
+          if (written.incrementAndGet() == killAfterBatches)
+            throw new RuntimeException(CrashMark)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      expectInjectedCrash(CrashMark)(q1.awaitTermination())
+      val q2 = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$store/batch=$id")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    spark.read.parquet(store).select("c_custkey", "c_name", "c_mktsegment")
+  }
+
   /** S4 DEAD-LETTER replay — the pipeline half of warn-and-keep: counting
     * junk ([[consumerTransform]]'s observed metric) is monitoring; a real
     * ingest pipeline also needs the junk ITSELF to land somewhere

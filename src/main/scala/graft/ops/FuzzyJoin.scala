@@ -70,7 +70,45 @@ object FuzzyJoin {
 
     // Defense 1: variant index over DISTINCT keys only (the distinct
     // reuses the key partitioning — no extra exchange).
-    val variants = rows.select("key").distinct()
+    val keyPairs = distinctKeyPairs(rows.select("key").distinct(),
+      maxBucket, failOnOversized)
+
+    // Re-expand verified key pairs to id pairs (cross product of the two
+    // keys' id sets), keys riding along with their ids. Both joins probe
+    // the one key-partitioned `rows` exchange; the keyPairs side is the
+    // small one (bounded by true near-dup key pairs) — AQE picks broadcast
+    // when it fits.
+    val crossPairs = keyPairs
+      .join(rows.select(col("id").as("id1"), col("key").as("k1")), Seq("k1"))
+      .join(rows.select(col("id").as("id2"), col("key").as("k2")), Seq("k2"))
+      .select(
+        least(col("id1"), col("id2")).as("a_id"),
+        greatest(col("id1"), col("id2")).as("b_id"),
+        when(col("id1") < col("id2"), col("k1")).otherwise(col("k2")).as("a_key"),
+        when(col("id1") < col("id2"), col("k2")).otherwise(col("k1")).as("b_key"))
+    // Distance-0 pairs (same key, different ids) never enter the variant
+    // index; they come straight from a key self-join on the id rows —
+    // another reuse of the same exchange.
+    val samePairs = rows.as("a")
+      .join(rows.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.key").as("a_key"), col("b.key").as("b_key"))
+
+    crossPairs.union(samePairs)
+      .withColumn("dist", levenshtein(col("a_key"), col("b_key")).cast("int"))
+  }
+
+  /** The FastSS core over a frame of DISTINCT keys (column `key`): every
+    * unordered pair (k1, k2) with levenshtein <= 1 and k1 < k2, subject to
+    * the bucket cap/fail semantics documented on [[editDistancePairs]].
+    * Factored so [[composedEditDistancePairs]] feeds its (already
+    * distinct) multiplicity frame straight in — no second distinct pass,
+    * no key repartition of the full id rows, and no always-empty
+    * distance-0 self-join. */
+  private[graft] def distinctKeyPairs(keys: DataFrame, maxBucket: Int,
+                                      failOnOversized: Boolean): DataFrame = {
+    val variants = keys
       .select(col("key"), explode(array_union(
         array(col("key")),
         array_distinct(transform(sequence(lit(1), length(col("key"))),
@@ -117,33 +155,8 @@ object FuzzyJoin {
         greatest(col("ka"), col("kb")).as("k2"))
 
     // Verify once per DISTINCT key pair (cheaper than per id pair).
-    val keyPairs = smallPairs.union(bigPairs).distinct()
+    smallPairs.union(bigPairs).distinct()
       .filter(levenshtein(col("k1"), col("k2")) <= 1)
-
-    // Re-expand verified key pairs to id pairs (cross product of the two
-    // keys' id sets), keys riding along with their ids. Both joins probe
-    // the one key-partitioned `rows` exchange; the keyPairs side is the
-    // small one (bounded by true near-dup key pairs) — AQE picks broadcast
-    // when it fits.
-    val crossPairs = keyPairs
-      .join(rows.select(col("id").as("id1"), col("key").as("k1")), Seq("k1"))
-      .join(rows.select(col("id").as("id2"), col("key").as("k2")), Seq("k2"))
-      .select(
-        least(col("id1"), col("id2")).as("a_id"),
-        greatest(col("id1"), col("id2")).as("b_id"),
-        when(col("id1") < col("id2"), col("k1")).otherwise(col("k2")).as("a_key"),
-        when(col("id1") < col("id2"), col("k2")).otherwise(col("k1")).as("b_key"))
-    // Distance-0 pairs (same key, different ids) never enter the variant
-    // index; they come straight from a key self-join on the id rows —
-    // another reuse of the same exchange.
-    val samePairs = rows.as("a")
-      .join(rows.as("b"),
-        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.key").as("a_key"), col("b.key").as("b_key"))
-
-    crossPairs.union(samePairs)
-      .withColumn("dist", levenshtein(col("a_key"), col("b_key")).cast("int"))
   }
 
   /** Composed exact→fuzzy join — the d19 rep-set pattern
@@ -171,19 +184,16 @@ object FuzzyJoin {
   def composedEditDistancePairs(df: DataFrame, idCol: String, strCol: String,
                                 maxBucket: Int = 64,
                                 failOnOversized: Boolean = false): DataFrame = {
-    // Pinned: the multiplicity frame feeds the rep-set join AND both
+    // Pinned: the multiplicity frame feeds the FastSS core AND both
     // weight joins — one groupBy, not three (the d19 file convention).
+    // The groupBy IS the distinct pass, so the core gets its distinct-key
+    // input for free (no second distinct, no id-row repartition, no empty
+    // distance-0 self-join — the wrapper's id-level machinery is exactly
+    // what composing exists to avoid).
     val groups = graft.Materialize.pin(
       df.groupBy(col(strCol).as("key")).agg(count(lit(1)).as("n")))
-    // The FastSS candidate search + levenshtein verify over the distinct
-    // keys, each key acting as its own id (so a_key/b_key ordering is the
-    // pair identity). The internal distance-0 self-join is empty over a
-    // distinct-key set; dist-0 groups are re-emitted from `groups` below.
-    val repPairs = editDistancePairs(
-      groups.select(col("key").as("id"), col("key")),
-      "id", "key", maxBucket, failOnOversized)
-    val cross = repPairs
-      .select(col("a_key").as("k1"), col("b_key").as("k2"), col("dist"))
+    val cross = distinctKeyPairs(groups.select("key"), maxBucket, failOnOversized)
+      .withColumn("dist", levenshtein(col("k1"), col("k2")).cast("int"))
       .join(groups.select(col("key").as("k1"), col("n").as("n1")), Seq("k1"))
       .join(groups.select(col("key").as("k2"), col("n").as("n2")), Seq("k2"))
       .select(col("k1"), col("k2"), col("dist"), col("n1"), col("n2"),

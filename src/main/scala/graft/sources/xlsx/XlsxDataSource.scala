@@ -106,24 +106,29 @@ class XlsxScan(schema0: StructType, options: CaseInsensitiveStringMap) extends S
 /** One workbook file = one partition (a zip stream is not splittable). */
 case class XlsxFilePartition(path: String, sheet: Int, header: Boolean) extends InputPartition
 
-/** Streaming offset = the set of workbook files already processed,
-  * serialized as a sorted JSON array of paths. A directory-watch offset
-  * must identify FILES, not a count or a high-water name: files arrive in
-  * arbitrary name order (the reference's watchdog fires on any create,
-  * `pro.py:96-108`) and a count- or watermark-shaped offset would
-  * silently skip a late file sorting below the mark. The file-set shape is
-  * exact for any arrival order; its cost grows with corpus size, which is
-  * the same trade Spark's own FileStreamSource makes (its seen-files log,
-  * compacted) — at lake scale the production path is the parquet/csv file
-  * source over a committed layout; this source exists for the reference's
-  * literal watch-Excel-directory flow, where workbook counts are small by
-  * construction (each is a hand-exported gradebook). */
-case class XlsxOffset(files: Seq[String])
+/** Streaming offset = the set of workbook VERSIONS already processed —
+  * each entry a `path#mtime#length` triple, serialized as a sorted JSON
+  * array. A directory-watch offset must identify FILES, not a count or a
+  * high-water name: files arrive in arbitrary name order and a count- or
+  * watermark-shaped offset would silently skip a late file sorting below
+  * the mark. The entries are (path, mtime, length) VERSIONS, not bare
+  * paths, because the reference's watchdog fires on create AND modify
+  * (`pro.py:96-108` handles both events with the same full re-read): an
+  * overwritten workbook stats as a new version, is re-admitted whole, and
+  * the downstream T1 content dedup yields exactly the reference's
+  * re-read + diff delta semantics (SURVEY §7.4) — the one watcher
+  * behavior Spark's own append-only FileStreamSource cannot express.
+  * The file-set shape's cost grows with corpus size, the same trade
+  * Spark's seen-files log makes (compacted) — at lake scale the
+  * production path is the parquet/csv file source over a committed
+  * layout; this source exists for the literal watch-Excel-directory flow,
+  * where workbook counts are small by construction. */
+case class XlsxOffset(entries: Seq[String])
   extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {
     import org.json4s.JsonDSL._
     org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.render(files.toList))
+      org.json4s.jackson.JsonMethods.render(entries.toList))
   }
 }
 object XlsxOffset {
@@ -131,6 +136,12 @@ object XlsxOffset {
     org.json4s.jackson.JsonMethods.parse(json)
       .asInstanceOf[org.json4s.JArray].arr
       .map(_.asInstanceOf[org.json4s.JString].s))
+  /** `#` cannot appear in the numeric suffixes, so splitting on the LAST
+    * two `#`s recovers the path unambiguously even if the path itself
+    * contains `#`. */
+  def entry(path: String, mtime: Long, len: Long): String = s"$path#$mtime#$len"
+  def pathOf(entry: String): String =
+    entry.substring(0, entry.lastIndexOf('#', entry.lastIndexOf('#') - 1))
 }
 
 /** S2-over-xlsx: the reference's directory watcher fires per created
@@ -162,10 +173,10 @@ class XlsxMicroBatchStream(schema0: StructType, options: CaseInsensitiveStringMa
   @volatile private var snapshot: Option[Seq[String]] = None
 
   private def listNow(): Seq[String] =
-    snapshot.getOrElse(XlsxIO.listFilesIn(options, conf.value))
+    snapshot.getOrElse(XlsxIO.listEntriesIn(options, conf.value))
 
   override def prepareForTriggerAvailableNow(): Unit =
-    snapshot = Some(XlsxIO.listFilesIn(options, conf.value))
+    snapshot = Some(XlsxIO.listEntriesIn(options, conf.value))
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
@@ -178,7 +189,7 @@ class XlsxMicroBatchStream(schema0: StructType, options: CaseInsensitiveStringMa
       "admission-control latestOffset(start, limit) is the entry point")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[XlsxOffset].files.toSet
+    val seen = start.asInstanceOf[XlsxOffset].entries.toSet
     val fresh = listNow().filterNot(seen).sorted
     val admitted = limit match {
       case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
@@ -190,9 +201,10 @@ class XlsxMicroBatchStream(schema0: StructType, options: CaseInsensitiveStringMa
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[XlsxOffset].files.toSet
-    end.asInstanceOf[XlsxOffset].files.filterNot(seen).sorted
-      .map(p => XlsxFilePartition(p, sheet, header): InputPartition).toArray
+    val seen = start.asInstanceOf[XlsxOffset].entries.toSet
+    end.asInstanceOf[XlsxOffset].entries.filterNot(seen).sorted
+      .map(e => XlsxFilePartition(XlsxOffset.pathOf(e), sheet, header): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -267,6 +279,27 @@ object XlsxIO {
         .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))
         .map(_.getPath.toString).sorted
     else Seq(p.toString)
+  }
+
+  /** Streaming listing: one [[XlsxOffset.entry]] per workbook VERSION
+    * (path, mtime, length) — an overwritten file stats as a new entry and
+    * re-enters discovery, the watch-modify half of `pro.py:96-108`. */
+  def listEntriesIn(options: CaseInsensitiveStringMap,
+                    conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val raw = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("xlsx source requires a path"))
+    val p = new org.apache.hadoop.fs.Path(raw)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Nil
+    else {
+      val sts =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq
+            .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))
+        else Seq(fs.getFileStatus(p))
+      sts.map(s => XlsxOffset.entry(
+        s.getPath.toString, s.getModificationTime, s.getLen)).sorted
+    }
   }
 
   /** Parse one sheet of one workbook into rows of (0-based column index,

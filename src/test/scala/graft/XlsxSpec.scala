@@ -153,6 +153,20 @@ class XlsxSpec extends SparkSpec {
       Seq(Seq("k"), Seq("late-before")))
     assert(drain().sorted == Seq("late-after", "late-before"))
     assert(drain().isEmpty) // third drain: nothing new
+
+    // MODIFY semantics (pro.py:96-108 fires on modify too — the behavior
+    // Spark's own append-only file source cannot express): overwriting an
+    // already-seen workbook stats as a NEW (path, mtime, length) version
+    // and is re-admitted WHOLE; downstream T1 content dedup then yields
+    // the reference's re-read + diff delta (SURVEY §7.4).
+    val mPath = new java.io.File(src, "m.xlsx")
+    XlsxTestFixture.write(mPath.getAbsolutePath,
+      Seq(Seq("k"), Seq("first"), Seq("second")))
+    // pin a strictly newer mtime: a coarse-mtime filesystem could stat the
+    // rewrite into the same (mtime, length) version within one tick
+    java.nio.file.Files.setLastModifiedTime(mPath.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 10000))
+    assert(drain().sorted == Seq("first", "second")) // full re-read of the new version
   }
 
   test("header=false and sheet selection options") {

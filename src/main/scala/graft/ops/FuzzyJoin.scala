@@ -189,9 +189,14 @@ object FuzzyJoin {
     // The groupBy IS the distinct pass, so the core gets its distinct-key
     // input for free (no second distinct, no id-row repartition, no empty
     // distance-0 self-join — the wrapper's id-level machinery is exactly
-    // what composing exists to avoid).
+    // what composing exists to avoid). NULL keys are dropped BEFORE the
+    // groupBy: [[editDistancePairs]] emits nothing for them (a null key
+    // explodes to no variants and never satisfies the equi-joins), so a
+    // null dist-0 group here would break the Σ pair_weight closure
+    // (review finding).
     val groups = graft.Materialize.pin(
-      df.groupBy(col(strCol).as("key")).agg(count(lit(1)).as("n")))
+      df.filter(col(strCol).isNotNull)
+        .groupBy(col(strCol).as("key")).agg(count(lit(1)).as("n")))
     val cross = distinctKeyPairs(groups.select("key"), maxBucket, failOnOversized)
       .withColumn("dist", levenshtein(col("k1"), col("k2")).cast("int"))
       .join(groups.select(col("key").as("k1"), col("n").as("n1")), Seq("k1"))

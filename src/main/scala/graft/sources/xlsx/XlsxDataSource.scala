@@ -262,18 +262,21 @@ object XlsxIO {
     listFilesIn(options, SparkSession.active.sessionState.newHadoopConf())
 
   /** Listing against an explicit conf (the streaming source captures the
-    * session conf once at query start). A missing path lists as EMPTY, not
-    * an error: a watched directory legitimately starts before its first
-    * workbook arrives (`pro.py`'s watcher observes the directory, not a
-    * file). The batch path still fails on a missing path via
-    * `inferSchema`'s nonEmpty require. */
+    * session conf once at query start). A missing path is an ERROR here:
+    * this is the BATCH listing, and a batch read with an explicit schema
+    * never passes through `inferSchema`'s nonEmpty require — without this
+    * check a mistyped path would silently read as zero rows (review
+    * finding). The STREAMING listing ([[listEntriesIn]]) deliberately
+    * differs: a watched directory legitimately starts before its first
+    * workbook arrives. */
   def listFilesIn(options: CaseInsensitiveStringMap,
                   conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     val raw = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("xlsx source requires a path"))
     val p = new org.apache.hadoop.fs.Path(raw)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Nil
+    if (!fs.exists(p))
+      throw new java.io.FileNotFoundException(s"xlsx path does not exist: $raw")
     else if (fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))

@@ -29,7 +29,13 @@ object XlsxWriter {
     * same code lands workbooks on a cluster store). */
   def writeTo(out: java.io.OutputStream, rows: Seq[Seq[Any]]): Unit = {
     val shared = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    def sharedIdx(s: String): Int = shared.getOrElseUpdate(s, shared.size)
+    // ECMA-376 distinguishes count (total string-cell REFERENCES) from
+    // uniqueCount (distinct <si> entries) — strict validators cross-check.
+    var stringCells = 0
+    def sharedIdx(s: String): Int = {
+      stringCells += 1
+      shared.getOrElseUpdate(s, shared.size)
+    }
 
     def cellXml(ref: String, v: Any): String = v match {
       case null => ""
@@ -92,7 +98,10 @@ object XlsxWriter {
       .map(s => s"<si><t xml:space=\"preserve\">${esc(s)}</t></si>").mkString
     entry("xl/sharedStrings.xml",
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${shared.size}" uniqueCount="${shared.size}">$sst</sst>""".stripMargin)
-    zip.close()
+         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="$stringCells" uniqueCount="${shared.size}">$sst</sst>""".stripMargin)
+    // finish(), not close(): callers own the stream (doc above) — close()
+    // would propagate to the underlying OutputStream and break a caller
+    // that writes after, or double-close one that closes in `finally`.
+    zip.finish()
   }
 }

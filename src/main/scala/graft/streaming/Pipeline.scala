@@ -48,15 +48,21 @@ object Pipeline {
     * as ad-hoc ones. Every SHAPE parameter of the staging (nFiles for all
     * replays; gapMs/withinMs where they bake into sentinel timestamps)
     * must ride in the tag — two same-key calls with different shapes would
-    * otherwise silently reuse the first call's staging (r10 advice). */
+    * otherwise silently reuse the first call's staging (r10 advice), and
+    * the staged FRAME's plan identity rides in the key as a semantic hash
+    * (same rationale as Tabular's corrupt-stage memo, r14 advice: the
+    * stageKey names the corpus, but a same-key caller staging a DIFFERENT
+    * frame — e.g. a filtered slice — must stage independently). */
   private val stagedMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def memoStage[T <: AnyRef](stageKey: Option[String], tag: String)
-                                    (build: => T): T = stageKey match {
-    case None => build
-    case Some(k) =>
-      stagedMemo.computeIfAbsent(s"$tag|$k", _ => build).asInstanceOf[T]
-  }
+  private def memoStage[T <: AnyRef](stageKey: Option[String], tag: String,
+                                     staged: DataFrame*)(build: => T): T =
+    stageKey match {
+      case None => build
+      case Some(k) =>
+        val ident = staged.map(_.queryExecution.analyzed.semanticHash()).mkString(",")
+        stagedMemo.computeIfAbsent(s"$tag|$ident|$k", _ => build).asInstanceOf[T]
+    }
 
   /** Shared crash-detection for the restart legs: run the drain, demand the
     * injected failure, and re-throw anything that is NOT the injected crash.
@@ -266,11 +272,21 @@ object Pipeline {
           Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"),
         col("__v"), col("timestamp"), col("offset"))
-      .select(col("rec.*"), col("__v"), col("timestamp"), col("offset"))
+      .select(col("rec.*"), col("rec").isNull.as("__recnull"),
+        col("__v"), col("timestamp"), col("offset"))
+      // A null STRUCT (not just a null value) must also route to the
+      // corrupt path: from_json returns a null struct for the JSON
+      // literal `null` (or bare whitespace) — a non-null payload that a
+      // `__v IS NULL` test alone misses, reproducing the invisible
+      // all-null row (review finding). PERMISSIVE mode parses actual junk
+      // into a NON-null struct carrying _corrupt_record, so this arm only
+      // catches the null-literal family; the raw payload is retained as
+      // the corrupt record, same as any junk line.
       .withColumn("_corrupt_record",
         when(col("__v").isNull, lit(TombstoneMark))
+          .when(col("__recnull"), col("__v"))
           .otherwise(col("_corrupt_record")))
-      .drop("__v")
+      .drop("__v", "__recnull")
       .withColumn("kafka_ts_ms", unix_millis(col("timestamp")))
       // Arrival order, surfaced for the sink's tie-break: the broker
       // timestamp is millisecond-granular, so two versions of one doc in
@@ -368,7 +384,7 @@ object Pipeline {
     * cut — the result is provably independent of how rows land in files. */
   private def stagedUpsertSrc(spark: SparkSession, events: DataFrame,
                               nFiles: Int, stageKey: Option[String]): String =
-    memoStage(stageKey, s"s2|$nFiles") {
+    memoStage(stageKey, s"s2|$nFiles", events) {
       val root = replayTempRoot("graft_s2_replay_")
       events.repartitionByRange(nFiles, col("event_id"))
         .write.mode("overwrite").parquet(s"$root/src")
@@ -409,11 +425,11 @@ object Pipeline {
     * DuckDB oracle's `CAST(.. AS VARCHAR)` predicts each byte. */
   private def stagedXlsxSrc(spark: SparkSession, customer: DataFrame,
                             nFiles: Int, stageKey: Option[String]): String =
-    memoStage(stageKey, s"s2xlsx|$nFiles") {
+    memoStage(stageKey, s"s2xlsx|$nFiles", customer) {
       val root = replayTempRoot("graft_xlsx_stage_")
       val dir = s"$root/src"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      val header: Seq[Any] = Seq("c_custkey", "c_name", "c_mktsegment")
+      val header: Seq[Any] = XlsxReplayCols
       val hconf = new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf())
       customer
@@ -453,25 +469,33 @@ object Pipeline {
     val run = replayTempRoot("graft_xlsx_run_")
     val store = s"$run/store"; val ckpt = s"$run/ckpt"
     new java.io.File(store).mkdirs()
-    val schema = org.apache.spark.sql.types.StructType(
-      Seq("c_custkey", "c_name", "c_mktsegment").map(n =>
-        org.apache.spark.sql.types.StructField(n,
-          org.apache.spark.sql.types.StringType, nullable = true)))
     withReplayFanout(spark) {
-      val q = spark.readStream.format("xlsx").schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .load(src)
-        .writeStream
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          b.write.mode("overwrite").parquet(s"$store/batch=$id")
-        }
+      val q = xlsxReplayStream(spark, src).writeStream
+        .foreachBatch(xlsxBatchSink(store) _)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(store).select("c_custkey", "c_name", "c_mktsegment")
+    xlsxSettled(spark, store)
   }
+
+  /** One projection + schema + sink + settle for BOTH xlsx legs (the
+    * one-definition-per-pair convention the oracle table enforces for SQL:
+    * a one-sided edit can no longer gate the twins against different
+    * shapes). */
+  private val XlsxReplayCols = Seq("c_custkey", "c_name", "c_mktsegment")
+  private def xlsxReplaySchema = org.apache.spark.sql.types.StructType(
+    XlsxReplayCols.map(n => org.apache.spark.sql.types.StructField(n,
+      org.apache.spark.sql.types.StringType, nullable = true)))
+  private def xlsxReplayStream(spark: SparkSession, src: String): DataFrame =
+    spark.readStream.format("xlsx").schema(xlsxReplaySchema)
+      .option("maxFilesPerTrigger", "1")
+      .load(src)
+  private def xlsxBatchSink(store: String)(b: DataFrame, id: Long): Unit =
+    b.write.mode("overwrite").parquet(s"$store/batch=$id")
+  private def xlsxSettled(spark: SparkSession, store: String): DataFrame =
+    spark.read.parquet(store).select(XlsxReplayCols.map(col): _*)
 
   /** Crash-recovery twin of [[replayXlsxStream]] (8th member of the restart
     * family): the first query crashes inside foreachBatch after the k-th
@@ -492,19 +516,12 @@ object Pipeline {
     val run = replayTempRoot("graft_xlsxr_run_")
     val store = s"$run/store"; val ckpt = s"$run/ckpt"
     new java.io.File(store).mkdirs()
-    val schema = org.apache.spark.sql.types.StructType(
-      Seq("c_custkey", "c_name", "c_mktsegment").map(n =>
-        org.apache.spark.sql.types.StructField(n,
-          org.apache.spark.sql.types.StringType, nullable = true)))
-    def stream = spark.readStream.format("xlsx").schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .load(src)
     val CrashMark = "graft-simulated-crash-post-xlsx-write-pre-commit"
     withReplayFanout(spark) {
       val written = new java.util.concurrent.atomic.AtomicInteger(0)
-      val q1 = stream.writeStream
+      val q1 = xlsxReplayStream(spark, src).writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
-          b.write.mode("overwrite").parquet(s"$store/batch=$id")
+          xlsxBatchSink(store)(b, id)
           if (written.incrementAndGet() == killAfterBatches)
             throw new RuntimeException(CrashMark)
         }
@@ -512,16 +529,14 @@ object Pipeline {
         .trigger(Trigger.AvailableNow())
         .start()
       expectInjectedCrash(CrashMark)(q1.awaitTermination())
-      val q2 = stream.writeStream
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          b.write.mode("overwrite").parquet(s"$store/batch=$id")
-        }
+      val q2 = xlsxReplayStream(spark, src).writeStream
+        .foreachBatch(xlsxBatchSink(store) _)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
       q2.awaitTermination()
     }
-    spark.read.parquet(store).select("c_custkey", "c_name", "c_mktsegment")
+    xlsxSettled(spark, store)
   }
 
   /** S4 DEAD-LETTER replay — the pipeline half of warn-and-keep: counting
@@ -612,7 +627,7 @@ object Pipeline {
 
   private def dlqStagedSrc(docs: DataFrame, nFiles: Int,
                            stageKey: Option[String]): String =
-    memoStage(stageKey, s"s4dlq|$nFiles") {
+    memoStage(stageKey, s"s4dlq|$nFiles", docs) {
       val root = replayTempRoot("graft_dlq_stage_")
       graft.sources.Tabular.corruptJsonlLines(docs)
         .repartition(nFiles)
@@ -742,7 +757,7 @@ object Pipeline {
     * silent-drift hazard memoStage's doc warns about). */
   private def stagedDedupSrc(spark: SparkSession, docs: DataFrame, nFiles: Int,
                              stageKey: Option[String]): (String, java.lang.Long) =
-    memoStage(stageKey, s"t1|$nFiles") {
+    memoStage(stageKey, s"t1|$nFiles", docs) {
       val root = replayTempRoot("graft_t1_replay_")
       val s = s"$root/src"
       docs.select(col("doc_id"), col("text"))
@@ -857,7 +872,7 @@ object Pipeline {
     * rationale as [[stagedDedupSrc]]). */
   private def stagedGpaSrc(spark: SparkSession, events: DataFrame, nFiles: Int,
                            stageKey: Option[String]): String =
-    memoStage(stageKey, s"gpa|$nFiles") {
+    memoStage(stageKey, s"gpa|$nFiles", events) {
       val root = replayTempRoot("graft_gpa_replay_")
       val s = s"$root/src"
       // Range-split on EVENT TIME, not on the stateful key: a split on F_MASV
@@ -1036,7 +1051,7 @@ object Pipeline {
                                 killAfterBatches: Int): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
-    val (staged, src) = memoStage(stageKey, s"sess|$gapMs|$nFiles") {
+    val (staged, src) = memoStage(stageKey, s"sess|$gapMs|$nFiles", events) {
       val root = replayTempRoot("graft_sess_replay_")
       val stagedD = s"$root/staged"; val sent = s"$root/sent"
       val srcD = s"$root/src"
@@ -1154,7 +1169,7 @@ object Pipeline {
                                within: String, nFiles: Int,
                                stageKey: Option[String])
       : (String, String, java.lang.Long) =
-    memoStage(stageKey, s"ssjoin|$within|$nFiles") {
+    memoStage(stageKey, s"ssjoin|$within|$nFiles", events) {
       val root = replayTempRoot("graft_ssj_replay_")
       val cols = Seq(col("event_id"), col("user_id"), col("ts"))
       events.filter(col("event_type").isin("view", "click"))
@@ -1326,7 +1341,7 @@ object Pipeline {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
     val within = s"$withinMs milliseconds"
-    val (lsrc, rsrc, delaySec) = memoStage(stageKey, s"ssjoin_outer|$withinMs|$nFiles") {
+    val (lsrc, rsrc, delaySec) = memoStage(stageKey, s"ssjoin_outer|$withinMs|$nFiles", events) {
       val root = replayTempRoot("graft_ssjo_replay_")
       val cols = Seq(col("event_id"), col("user_id"), col("ts"))
       // Span and max in ONE aggregation pass (two separate .head()s each

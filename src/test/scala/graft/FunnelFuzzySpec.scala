@@ -130,6 +130,19 @@ class FunnelFuzzySpec extends SparkSpec {
       s"composed Σweight $composedWeight != plain pair count $plain")
   }
 
+  test("composed fuzzy: duplicated NULL keys emit no group and keep the closure") {
+    // editDistancePairs drops null keys entirely (no variants, no equi-join
+    // match); the composed form must not resurrect them as a (null,null)
+    // dist-0 group or the Σ pair_weight closure breaks (review finding).
+    val rows = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option("abc")), (4L, Option("abd"))).toDF("id", "name")
+    val composed = FuzzyJoin.composedEditDistancePairs(rows, "id", "name")
+    assert(composed.filter(col("k1").isNull || col("k2").isNull).count() == 0)
+    val composedWeight = composed.agg(sum("pair_weight")).as[Long].head()
+    val plain = FuzzyJoin.editDistancePairs(rows, "id", "name").count()
+    assert(composedWeight == plain && plain == 1L)
+  }
+
   test("fuzzy pairs: oversized variant bucket is cap-and-routed, not quadratic") {
     // 30 distinct keys "Xaa" plus "aa" itself all share deletion variant
     // "aa" — a 31-member bucket. Capped at 8, the bucket must emit ONLY its

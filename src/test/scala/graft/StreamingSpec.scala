@@ -752,7 +752,11 @@ class StreamingSpec extends SparkSpec {
     val raw = Seq(
       (Option(good.getBytes("UTF-8")), 1L),
       (Option("not json".getBytes("UTF-8")), 2L),
-      (Option.empty[Array[Byte]], 3L))
+      (Option.empty[Array[Byte]], 3L),
+      // the JSON literal `null`: a NON-null payload whose from_json result
+      // is a null STRUCT — without the null-struct arm this was the one
+      // remaining invisible all-null row (review finding)
+      (Option("null".getBytes("UTF-8")), 4L))
       .toDF("value", "offset")
       .withColumn("timestamp", lit(java.sql.Timestamp.valueOf("2024-01-02 03:04:05")))
     val out = Pipeline.kafkaValueParse(raw)
@@ -762,8 +766,9 @@ class StreamingSpec extends SparkSpec {
     assert(out(0) == ((Some("SV001"), None, 1L)))
     assert(out(1) == ((None, Some("not json"), 2L)))
     assert(out(2) == ((None, Some(Pipeline.TombstoneMark), 3L)))
+    assert(out(3) == ((None, Some("null"), 4L)))
     // and the consumerTransform audit metric counts all non-null tags:
-    // both the junk line and the tombstone carry a payload here
-    assert(out.count(_._2.isDefined) == 2)
+    // the junk line, the tombstone, and the null literal all carry payloads
+    assert(out.count(_._2.isDefined) == 3)
   }
 }

@@ -44,6 +44,50 @@ class XlsxSpec extends SparkSpec {
     assert(rows(3).getString(1) == "A&B <lab>") // xml-escaped roundtrip
   }
 
+  test("batch read of a missing path fails loudly even with an explicit schema") {
+    // An explicit schema skips inferSchema (and its nonEmpty require), so
+    // the batch listing itself must throw — a mistyped path silently
+    // reading as zero rows is the failure mode (review finding). The
+    // STREAMING listing deliberately differs: a watched directory may
+    // legitimately not exist yet.
+    val schema = org.apache.spark.sql.types.StructType(Seq("a", "b").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").schema(schema)
+        .load("/nonexistent/graft_xlsx_typo").collect()
+    }
+    def chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+    assert(chain.exists(_.isInstanceOf[java.io.FileNotFoundException]),
+      s"expected FileNotFoundException in the cause chain, got $e")
+  }
+
+  test("writer: sst count is total string cells, and the caller's stream stays open") {
+    // count = total string-cell REFERENCES vs uniqueCount = distinct <si>
+    // entries (ECMA-376; strict validators cross-check), and writeTo must
+    // not close the caller-owned stream (zip.finish, not zip.close).
+    val rows: Seq[Seq[Any]] = Seq(Seq("h1", "h2"), Seq("x", "x"), Seq("x", 7))
+    val bos = new java.io.ByteArrayOutputStream()
+    var closed = false
+    val out = new java.io.FilterOutputStream(bos) {
+      override def close(): Unit = { closed = true; super.close() }
+    }
+    graft.sources.xlsx.XlsxWriter.writeTo(out, rows)
+    assert(!closed, "writeTo closed the caller-owned stream")
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    var sst = ""
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (e.getName == "xl/sharedStrings.xml")
+        sst = new String(zin.readAllBytes(), "UTF-8")
+      e = zin.getNextEntry
+    }
+    // 5 string cells ("h1","h2","x","x","x"), 3 distinct
+    assert(sst.contains("count=\"5\""), sst)
+    assert(sst.contains("uniqueCount=\"3\""), sst)
+  }
+
   test("blank-row drop matches the pro.py contract via Ingest.dropBlankRows") {
     val d = tmpDir()
     val f = new java.io.File(d, "wb1.xlsx").getAbsolutePath

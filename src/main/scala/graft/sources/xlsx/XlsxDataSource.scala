@@ -32,7 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * ingest (S2) produces. All columns are strings (`pro.py` stringifies too);
   * downstream casts are `try_cast`-based lenient casts (T6).
   *
-  * Options: `header` (default true), `sheet` (1-based index, default 1).
+  * Options: `header` (default true), `sheet` (1-based index, default 1),
+  * `ignoreCorruptFiles` (default: the session's
+  * `spark.sql.files.ignoreCorruptFiles`) — an unreadable workbook reads as
+  * empty instead of failing the task; essential for the STREAMING source,
+  * where a poison file in the watched directory would otherwise crash
+  * every restart of the query forever.
   */
 class XlsxDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "xlsx"
@@ -85,7 +90,8 @@ class XlsxScan(schema0: StructType, options: CaseInsensitiveStringMap) extends S
   override def planInputPartitions(): Array[InputPartition] =
     XlsxIO.listFiles(options).map(p =>
       XlsxFilePartition(p, XlsxIO.intOpt(options, "sheet", 1),
-        XlsxIO.boolOpt(options, "header", default = true)): InputPartition).toArray
+        XlsxIO.boolOpt(options, "header", default = true),
+        XlsxIO.ignoreCorrupt(options)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val width = schema0.length
@@ -104,7 +110,8 @@ class XlsxScan(schema0: StructType, options: CaseInsensitiveStringMap) extends S
 }
 
 /** One workbook file = one partition (a zip stream is not splittable). */
-case class XlsxFilePartition(path: String, sheet: Int, header: Boolean) extends InputPartition
+case class XlsxFilePartition(path: String, sheet: Int, header: Boolean,
+                             ignoreCorrupt: Boolean = false) extends InputPartition
 
 /** Streaming offset = the set of workbook VERSIONS already processed —
   * each entry a `path#mtime#length` triple, serialized as a sorted JSON
@@ -168,6 +175,7 @@ class XlsxMicroBatchStream(schema0: StructType, options: CaseInsensitiveStringMa
     SparkSession.active.sessionState.newHadoopConf())
   private val sheet = XlsxIO.intOpt(options, "sheet", 1)
   private val header = XlsxIO.boolOpt(options, "header", default = true)
+  private val ignoreCorrupt = XlsxIO.ignoreCorrupt(options)
 
   /** AvailableNow snapshot: when set, discovery is frozen at this listing. */
   @volatile private var snapshot: Option[Seq[String]] = None
@@ -203,7 +211,8 @@ class XlsxMicroBatchStream(schema0: StructType, options: CaseInsensitiveStringMa
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[XlsxOffset].entries.toSet
     end.asInstanceOf[XlsxOffset].entries.filterNot(seen).sorted
-      .map(e => XlsxFilePartition(XlsxOffset.pathOf(e), sheet, header): InputPartition)
+      .map(e => XlsxFilePartition(XlsxOffset.pathOf(e), sheet, header,
+        ignoreCorrupt): InputPartition)
       .toArray
   }
 
@@ -222,10 +231,39 @@ class XlsxMicroBatchStream(schema0: StructType, options: CaseInsensitiveStringMa
 
 class XlsxPartitionReader(part: XlsxFilePartition, width: Int,
                           conf: org.apache.spark.util.SerializableConfiguration)
-  extends PartitionReader[InternalRow] {
+  extends PartitionReader[InternalRow] with org.apache.spark.internal.Logging {
+  // `ignoreCorrupt` mirrors Spark's own file sources (the
+  // spark.sql.files.ignoreCorruptFiles contract, FileScanRDD's
+  // IOException|RuntimeException catch): an unreadable workbook logs and
+  // reads as EMPTY instead of failing the task. The case that makes this
+  // matter is the STREAM: a poison file in a watched directory would
+  // otherwise crash every restart forever — with the flag, the bad
+  // version still enters the seen-file offset, so the query moves on and
+  // a FIXED overwrite of the file stats as a new version and is
+  // re-admitted (the modify path doubling as the repair path).
+  private def corrupt(stage: String): PartialFunction[Throwable, Iterator[Seq[(Int, String)]]] = {
+    case e @ (_: java.io.IOException | _: RuntimeException |
+              _: javax.xml.stream.XMLStreamException) if part.ignoreCorrupt =>
+      logWarning(s"skipping corrupt xlsx ${part.path} ($stage): $e")
+      Iterator.empty
+  }
   private val rows: Iterator[Seq[(Int, String)]] = {
-    val it = XlsxIO.readSheet(part.path, part.sheet, conf.value)
-    if (part.header && it.hasNext) { it.next(); it } else it
+    val base =
+      try {
+        val it = XlsxIO.readSheet(part.path, part.sheet, conf.value)
+        if (part.header && it.hasNext) { it.next(); it } else it
+      } catch corrupt("open")
+    // Sheet bytes are pre-read, but the XML stream can still fail
+    // MID-iteration (truncated/garbled sheet XML): same skip semantics as
+    // Spark's — rows already produced stand, the rest of the file drops.
+    new Iterator[Seq[(Int, String)]] {
+      private var broken = false
+      override def hasNext: Boolean = !broken &&
+        (try base.hasNext
+         catch { case e if corrupt("read").isDefinedAt(e) =>
+           corrupt("read")(e); broken = true; false })
+      override def next(): Seq[(Int, String)] = base.next()
+    }
   }
   private var current: InternalRow = _
 
@@ -252,6 +290,17 @@ object XlsxIO {
     Option(o.get(k)).map(_.toBoolean).getOrElse(default)
   def intOpt(o: CaseInsensitiveStringMap, k: String, default: Int): Int =
     Option(o.get(k)).map(_.toInt).getOrElse(default)
+
+  /** `ignoreCorruptFiles` source option, defaulting to the session's
+    * `spark.sql.files.ignoreCorruptFiles` — the same knob Spark's built-in
+    * file sources honor, resolved DRIVER-side at plan time so executors
+    * need no session. Schema INFERENCE deliberately ignores it: inference
+    * reads the first listed workbook, and silently inferring from a corrupt
+    * file has no sane result — pass an explicit schema when the directory
+    * may hold junk. */
+  def ignoreCorrupt(o: CaseInsensitiveStringMap): Boolean =
+    Option(o.get("ignoreCorruptFiles")).map(_.toBoolean).getOrElse(
+      SparkSession.active.sessionState.conf.ignoreCorruptFiles)
 
   /** Resolve the `path` option to concrete workbook files (a file, or every
     * `.xlsx` directly inside a directory, sorted for determinism). Uses the

@@ -163,6 +163,72 @@ class XlsxSpec extends SparkSpec {
       ("k1", "1"), ("k1b", "10"), ("k2", "2"), ("k2b", "20"), ("k3", "3"), ("k3b", "30")))
   }
 
+  test("ignoreCorruptFiles: batch fails loudly by default, skips with the flag") {
+    // The spark.sql.files.ignoreCorruptFiles contract on the xlsx source:
+    // default posture surfaces the corrupt workbook; with the option the
+    // bad file reads as empty and the good rows survive.
+    val d = tmpDir()
+    XlsxTestFixture.write(new java.io.File(d, "good.xlsx").getAbsolutePath,
+      Seq(Seq("k", "v"), Seq("a", 1), Seq("b", 2)))
+    java.nio.file.Files.write(
+      new java.io.File(d, "junk.xlsx").toPath,
+      "this is not a zip archive".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq("k", "v").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    intercept[Exception] {
+      spark.read.format("xlsx").schema(schema).load(d.getAbsolutePath).collect()
+    }
+    val kept = spark.read.format("xlsx").schema(schema)
+      .option("ignoreCorruptFiles", "true")
+      .load(d.getAbsolutePath)
+      .as[(String, String)].collect().toSet
+    assert(kept == Set(("a", "1"), ("b", "2")))
+  }
+
+  test("streaming: a poison file skips once, and its FIX re-enters as a new version") {
+    // The case ignoreCorruptFiles exists for: a junk workbook in the
+    // watched directory must not wedge the stream (without the flag it
+    // would crash every restart forever — the offset only advances past a
+    // completed batch). With the flag the poison file drains as empty,
+    // enters the seen-file offset, and the stream moves on; overwriting it
+    // with a VALID workbook stats as a new (mtime, length) version, so the
+    // repair is discovered by the same modify path the watcher contract
+    // already certifies.
+    val d = tmpDir()
+    val src = new java.io.File(d, "watch"); src.mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType)))
+    val ckpt = new java.io.File(d, "ckpt").getAbsolutePath
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drain(): Unit = {
+      val q = spark.readStream.format("xlsx").schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .load(src.getAbsolutePath)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.as[String].collect() }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    XlsxTestFixture.write(new java.io.File(src, "ok.xlsx").getAbsolutePath,
+      Seq(Seq("k"), Seq("good")))
+    val poison = new java.io.File(src, "poison.xlsx")
+    java.nio.file.Files.write(poison.toPath, "garbage".getBytes("UTF-8"))
+    drain()
+    assert(got.sorted == Seq("good"), s"poison leaked or good row lost: $got")
+    // repair: overwrite the poison file with a valid workbook, new version
+    XlsxTestFixture.write(poison.getAbsolutePath, Seq(Seq("k"), Seq("fixed")))
+    java.nio.file.Files.setLastModifiedTime(poison.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        poison.lastModified() + 2000)) // distinct mtime even on coarse clocks
+    drain()
+    assert(got.sorted == Seq("fixed", "good"), s"repair not re-admitted: $got")
+  }
+
   test("streaming: checkpointed offsets resume exactly — new files only") {
     // Watcher semantics across restarts: a second drain from the same
     // checkpoint must read ONLY workbooks that arrived after the first —

@@ -49,6 +49,14 @@ object FuzzyJoin {
     * levenshtein(a_key, b_key) <= 1 and a_id < b_id, subject to the
     * oversized-bucket routing documented above.
     *
+    * Input contract: rows with a NULL id or NULL key are dropped (a null
+    * id cannot participate in an ordered a_id < b_id pair, and a null key
+    * matches nothing — the same rows any all-pairs SQL oracle drops), and
+    * ids are expected UNIQUE per row (entity resolution's premise; with
+    * duplicated id values the id ordering cannot distinguish rows, so
+    * same-id pairs are excluded rather than emitted as degenerate
+    * a_id == b_id rows).
+    *
     * `failOnOversized = true` turns the cap from route-and-shed into a
     * loud guardrail: any variant bucket over `maxBucket` raises at
     * execution time (a lazy `raise_error` inside the bucket census — zero
@@ -66,6 +74,7 @@ object FuzzyJoin {
     // three id-level joins below (also breaks the single-file parquet scan
     // out of its single task, which `spread` did in the first cut).
     val rows = df.select(col(idCol).as("id"), col(strCol).as("key"))
+      .filter(col("id").isNotNull && col("key").isNotNull)
       .repartition(col("key"))
 
     // Defense 1: variant index over DISTINCT keys only (the distinct
@@ -81,11 +90,16 @@ object FuzzyJoin {
     val crossPairs = keyPairs
       .join(rows.select(col("id").as("id1"), col("key").as("k1")), Seq("k1"))
       .join(rows.select(col("id").as("id2"), col("key").as("k2")), Seq("k2"))
+      // id1 =!= id2 upholds the ordered-pair contract even on dirty input
+      // (a duplicated id under two near-dup keys would otherwise emit a
+      // degenerate a_id == b_id row — review finding).
+      .filter(col("id1") =!= col("id2"))
       .select(
         least(col("id1"), col("id2")).as("a_id"),
         greatest(col("id1"), col("id2")).as("b_id"),
         when(col("id1") < col("id2"), col("k1")).otherwise(col("k2")).as("a_key"),
-        when(col("id1") < col("id2"), col("k2")).otherwise(col("k1")).as("b_key"))
+        when(col("id1") < col("id2"), col("k2")).otherwise(col("k1")).as("b_key"),
+        col("dist"))
     // Distance-0 pairs (same key, different ids) never enter the variant
     // index; they come straight from a key self-join on the id rows —
     // another reuse of the same exchange.
@@ -93,27 +107,27 @@ object FuzzyJoin {
       .join(rows.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.key").as("a_key"), col("b.key").as("b_key"))
+        col("a.key").as("a_key"), col("b.key").as("b_key"),
+        lit(0).cast("int").as("dist"))
 
+    // dist rides from the core's one verification pass (crossPairs) or is
+    // 0 by construction (samePairs) — no per-id-pair levenshtein on the
+    // output path, which at the x100 probe's 2.7B pairs was 2.7B redundant
+    // O(len^2) evaluations (review finding).
     crossPairs.union(samePairs)
-      .withColumn("dist", levenshtein(col("a_key"), col("b_key")).cast("int"))
   }
 
   /** The FastSS core over a frame of DISTINCT keys (column `key`): every
-    * unordered pair (k1, k2) with levenshtein <= 1 and k1 < k2, subject to
-    * the bucket cap/fail semantics documented on [[editDistancePairs]].
-    * Factored so [[composedEditDistancePairs]] feeds its (already
-    * distinct) multiplicity frame straight in — no second distinct pass,
-    * no key repartition of the full id rows, and no always-empty
-    * distance-0 self-join. */
+    * (k1, k2, dist) with levenshtein <= 1 and k1 < k2 — dist computed ONCE
+    * here, in the same pass that verifies the pair, and carried by both
+    * callers — subject to the bucket cap/fail semantics documented on
+    * [[editDistancePairs]]. Factored so [[composedEditDistancePairs]]
+    * feeds its (already distinct) multiplicity frame straight in — no
+    * second distinct pass, no key repartition of the full id rows, and no
+    * always-empty distance-0 self-join. */
   private[graft] def distinctKeyPairs(keys: DataFrame, maxBucket: Int,
                                       failOnOversized: Boolean): DataFrame = {
-    val variants = keys
-      .select(col("key"), explode(array_union(
-        array(col("key")),
-        array_distinct(transform(sequence(lit(1), length(col("key"))),
-          i => concat(col("key").substr(lit(1), i - 1),
-            col("key").substr(i + 1, length(col("key")))))))).as("v"))
+    val variants = withVariants(keys)
 
     // Defense 2: per-variant distinct-key census as a window count — the
     // one variant-partitioned exchange whose partitioning (and sort) the
@@ -130,7 +144,7 @@ object FuzzyJoin {
       else census.withColumn("__n",
         when(col("__n") > maxBucket,
           raise_error(format_string(
-            "FuzzyJoin.editDistancePairs: variant bucket '%s' holds %s " +
+            "FuzzyJoin: variant bucket '%s' holds %s " +
               "distinct keys (maxBucket=%s); route mode would shed " +
               "substitution pairs confined to oversized buckets — raise " +
               "maxBucket or accept route mode",
@@ -154,10 +168,22 @@ object FuzzyJoin {
       .select(least(col("ka"), col("kb")).as("k1"),
         greatest(col("ka"), col("kb")).as("k2"))
 
-    // Verify once per DISTINCT key pair (cheaper than per id pair).
+    // Verify once per DISTINCT key pair (cheaper than per id pair); the
+    // verifying distance IS the output dist column.
     smallPairs.union(bigPairs).distinct()
-      .filter(levenshtein(col("k1"), col("k2")) <= 1)
+      .withColumn("dist", levenshtein(col("k1"), col("k2")).cast("int"))
+      .filter(col("dist") <= 1)
   }
+
+  /** {identity + every 1-deletion} variant expansion — ONE definition for
+    * the join core and the route-mode audit, so the census can never
+    * desynchronize from the join it audits (review finding). */
+  private def withVariants(keys: DataFrame): DataFrame =
+    keys.select(col("key"), explode(array_union(
+      array(col("key")),
+      array_distinct(transform(sequence(lit(1), length(col("key"))),
+        i => concat(col("key").substr(lit(1), i - 1),
+          col("key").substr(i + 1, length(col("key")))))))).as("v"))
 
   /** Composed exact→fuzzy join — the d19 rep-set pattern
     * ([[Dedup.composedNearDup]]) applied to entity resolution: at high
@@ -175,7 +201,10 @@ object FuzzyJoin {
     *   Σ pair_weight over this output  ==  |editDistancePairs output|
     *
     * (dist-1 rows weigh n1×n2; each duplicated key contributes one dist-0
-    * row weighing C(n,2)). FuzzyJoinSpec certifies that closure.
+    * row weighing C(n,2)). FunnelFuzzySpec certifies that closure, which
+    * holds under [[editDistancePairs]]'s input contract (unique non-null
+    * ids); multiplicities here are countDistinct(id) with null ids and
+    * null keys dropped, mirroring the plain join's row admission exactly.
     *
     * Scale shape: one groupBy(key) + the FastSS join over distinct keys
     * (which [[editDistancePairs]] already runs internally — composing adds
@@ -189,16 +218,16 @@ object FuzzyJoin {
     // The groupBy IS the distinct pass, so the core gets its distinct-key
     // input for free (no second distinct, no id-row repartition, no empty
     // distance-0 self-join — the wrapper's id-level machinery is exactly
-    // what composing exists to avoid). NULL keys are dropped BEFORE the
-    // groupBy: [[editDistancePairs]] emits nothing for them (a null key
-    // explodes to no variants and never satisfies the equi-joins), so a
-    // null dist-0 group here would break the Σ pair_weight closure
+    // what composing exists to avoid). NULL keys and NULL ids are dropped
+    // BEFORE the groupBy — the plain join admits neither (a null key
+    // explodes to no variants; a null id cannot form an ordered pair) —
+    // so no phantom dist-0 group can break the Σ pair_weight closure
     // (review finding).
     val groups = graft.Materialize.pin(
-      df.filter(col(strCol).isNotNull)
-        .groupBy(col(strCol).as("key")).agg(count(lit(1)).as("n")))
+      df.filter(col(strCol).isNotNull && col(idCol).isNotNull)
+        .groupBy(col(strCol).as("key"))
+        .agg(countDistinct(col(idCol)).as("n")))
     val cross = distinctKeyPairs(groups.select("key"), maxBucket, failOnOversized)
-      .withColumn("dist", levenshtein(col("k1"), col("k2")).cast("int"))
       .join(groups.select(col("key").as("k1"), col("n").as("n1")), Seq("k1"))
       .join(groups.select(col("key").as("k2"), col("n").as("n2")), Seq("k2"))
       .select(col("k1"), col("k2"), col("dist"), col("n1"), col("n2"),
@@ -220,12 +249,8 @@ object FuzzyJoin {
     * cheap to run ahead of a large route-mode job ("no silent caps"). */
   def oversizedBuckets(df: DataFrame, idCol: String, strCol: String,
                        maxBucket: Int = 64): DataFrame =
-    df.select(col(strCol).as("key")).distinct()
-      .select(col("key"), explode(array_union(
-        array(col("key")),
-        array_distinct(transform(sequence(lit(1), length(col("key"))),
-          i => concat(col("key").substr(lit(1), i - 1),
-            col("key").substr(i + 1, length(col("key")))))))).as("v"))
+    withVariants(df.select(col(strCol).as("key"))
+        .filter(col("key").isNotNull).distinct())
       .groupBy("v").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
 }

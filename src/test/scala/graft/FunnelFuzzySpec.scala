@@ -130,6 +130,22 @@ class FunnelFuzzySpec extends SparkSpec {
       s"composed Σweight $composedWeight != plain pair count $plain")
   }
 
+  test("fuzzy join: null or duplicated ids never produce degenerate pairs") {
+    // The ordered-pair contract (a_id < b_id) on dirty input: a NULL id
+    // drops (it cannot be ordered), and a duplicated id under two near-dup
+    // keys must not emit an a_id == b_id self-pair (review finding).
+    val rows = Seq((Option(1L), "abc"), (Option(1L), "abd"),
+      (Option.empty[Long], "abe"), (Option(2L), "abc")).toDF("id", "name")
+    val out = FuzzyJoin.editDistancePairs(rows, "id", "name")
+      .select("a_id", "b_id", "dist").collect()
+    assert(out.forall(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+      r.getLong(0) < r.getLong(1)))
+    // surviving pairs: (1,2) at dist 0 (abc==abc) and (1,2) at dist 1
+    // (abd~abc); the id-1 self-match and every null-id pair are gone
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq ==
+      Seq((1L, 2L, 0), (1L, 2L, 1)))
+  }
+
   test("composed fuzzy: duplicated NULL keys emit no group and keep the closure") {
     // editDistancePairs drops null keys entirely (no variants, no equi-join
     // match); the composed form must not resurrect them as a (null,null)

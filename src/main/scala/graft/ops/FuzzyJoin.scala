@@ -203,8 +203,14 @@ object FuzzyJoin {
     * (dist-1 rows weigh n1×n2; each duplicated key contributes one dist-0
     * row weighing C(n,2)). FunnelFuzzySpec certifies that closure, which
     * holds under [[editDistancePairs]]'s input contract (unique non-null
-    * ids); multiplicities here are countDistinct(id) with null ids and
-    * null keys dropped, mirroring the plain join's row admission exactly.
+    * ids). Multiplicities are countDistinct(id) with null ids and null
+    * keys dropped — the same ROW admission as the plain join — but the
+    * closure itself is only exact for unique ids: an id duplicated under
+    * two near-dup KEYS is excluded from the plain join's cross pairs
+    * (id1 =!= id2) while composed still weighs it (knowing which
+    * candidate pairs share ids would require materializing per-key id
+    * sets, the machinery composing exists to avoid). Unique ids are
+    * entity resolution's premise; dedupe ids upstream if violated.
     *
     * Scale shape: one groupBy(key) + the FastSS join over distinct keys
     * (which [[editDistancePairs]] already runs internally — composing adds

@@ -247,24 +247,15 @@ class XlsxPartitionReader(part: XlsxFilePartition, width: Int,
       logWarning(s"skipping corrupt xlsx ${part.path} ($stage): $e")
       Iterator.empty
   }
-  private val rows: Iterator[Seq[(Int, String)]] = {
-    val base =
-      try {
-        val it = XlsxIO.readSheet(part.path, part.sheet, conf.value)
-        if (part.header && it.hasNext) { it.next(); it } else it
-      } catch corrupt("open")
-    // Sheet bytes are pre-read, but the XML stream can still fail
-    // MID-iteration (truncated/garbled sheet XML): same skip semantics as
-    // Spark's — rows already produced stand, the rest of the file drops.
-    new Iterator[Seq[(Int, String)]] {
-      private var broken = false
-      override def hasNext: Boolean = !broken &&
-        (try base.hasNext
-         catch { case e if corrupt("read").isDefinedAt(e) =>
-           corrupt("read")(e); broken = true; false })
-      override def next(): Seq[(Int, String)] = base.next()
-    }
-  }
+  private val rows: Iterator[Seq[(Int, String)]] =
+    // One catch covers the WHOLE file: readSheet reads the zip and parses
+    // the complete sheet XML eagerly (the iterator it returns is over an
+    // already-built buffer), so truncated zips, garbled XML, and missing
+    // sheets all surface here — there is no mid-iteration failure mode.
+    try {
+      val it = XlsxIO.readSheet(part.path, part.sheet, conf.value)
+      if (part.header && it.hasNext) { it.next(); it } else it
+    } catch corrupt("open")
   private var current: InternalRow = _
 
   override def next(): Boolean =

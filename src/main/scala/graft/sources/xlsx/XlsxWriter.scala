@@ -58,7 +58,18 @@ object XlsxWriter {
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-    val zip = new ZipOutputStream(out)
+    // Close-shield: callers own `out` (doc above), but the zip must be
+    // close()d — not just finish()ed — because ZipOutputStream only end()s
+    // its internal default Deflater in close(); finish() alone would leak
+    // the deflater's native zlib buffers until GC, once per staged
+    // workbook (review finding). The shield turns the propagated close
+    // into a flush and delegates bulk writes (FilterOutputStream's
+    // default is a byte-at-a-time loop).
+    val zip = new ZipOutputStream(new java.io.FilterOutputStream(out) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
+      override def close(): Unit = out.flush()
+    })
     def entry(name: String, body: String): Unit = {
       zip.putNextEntry(new ZipEntry(name))
       zip.write(body.getBytes("UTF-8"))
@@ -99,9 +110,6 @@ object XlsxWriter {
     entry("xl/sharedStrings.xml",
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="$stringCells" uniqueCount="${shared.size}">$sst</sst>""".stripMargin)
-    // finish(), not close(): callers own the stream (doc above) — close()
-    // would propagate to the underlying OutputStream and break a caller
-    // that writes after, or double-close one that closes in `finally`.
-    zip.finish()
+    zip.close() // ends the deflater; the shield keeps `out` open
   }
 }

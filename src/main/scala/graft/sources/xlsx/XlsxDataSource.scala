@@ -87,11 +87,15 @@ class XlsxScan(schema0: StructType, options: CaseInsensitiveStringMap) extends S
     new XlsxMicroBatchStream(schema0, options)
   override def description(): String = s"xlsx scan of ${options.get("path")}"
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // Resolve options once, not once per listed file (the streaming twin
+    // hoists these into vals the same way).
+    val sheet = XlsxIO.intOpt(options, "sheet", 1)
+    val header = XlsxIO.boolOpt(options, "header", default = true)
+    val ignoreCorrupt = XlsxIO.ignoreCorrupt(options)
     XlsxIO.listFiles(options).map(p =>
-      XlsxFilePartition(p, XlsxIO.intOpt(options, "sheet", 1),
-        XlsxIO.boolOpt(options, "header", default = true),
-        XlsxIO.ignoreCorrupt(options)): InputPartition).toArray
+      XlsxFilePartition(p, sheet, header, ignoreCorrupt): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val width = schema0.length
@@ -243,7 +247,8 @@ class XlsxPartitionReader(part: XlsxFilePartition, width: Int,
   // re-admitted (the modify path doubling as the repair path).
   private def corrupt(stage: String): PartialFunction[Throwable, Iterator[Seq[(Int, String)]]] = {
     case e @ (_: java.io.IOException | _: RuntimeException |
-              _: javax.xml.stream.XMLStreamException) if part.ignoreCorrupt =>
+              _: javax.xml.stream.XMLStreamException)
+        if part.ignoreCorrupt && !e.isInstanceOf[XlsxMissingSheetException] =>
       logWarning(s"skipping corrupt xlsx ${part.path} ($stage): $e")
       Iterator.empty
   }
@@ -275,6 +280,10 @@ class XlsxPartitionReader(part: XlsxFilePartition, width: Int,
 }
 
 /** Zip + sheet-XML plumbing shared by schema inference and the reader. */
+/** A structurally-readable workbook lacking the REQUESTED sheet index —
+  * deliberately NOT skippable by `ignoreCorruptFiles` (see readSheet). */
+class XlsxMissingSheetException(msg: String) extends IllegalArgumentException(msg)
+
 object XlsxIO {
 
   def boolOpt(o: CaseInsensitiveStringMap, k: String, default: Boolean): Boolean =
@@ -368,7 +377,22 @@ object XlsxIO {
         e = zip.getNextEntry
       }
     } finally zip.close()
-    require(sheetBytes != null, s"$path has no sheet $sheet ($target)")
+    // Two distinct failure classes (review finding): a zip with NO sheet 1
+    // is not a workbook at all — corrupt-file class, skippable under
+    // ignoreCorruptFiles like any junk bytes — while a workbook that lacks
+    // a specifically-REQUESTED higher sheet is a misconfigured `sheet`
+    // option, which must stay loud even under the flag (silently reading
+    // a whole directory as zero rows is the failure mode this source's
+    // missing-path check exists to prevent).
+    if (sheetBytes == null) {
+      if (sheet == 1)
+        throw new java.io.IOException(
+          s"$path has no sheet 1 ($target) — not a usable workbook")
+      else
+        throw new XlsxMissingSheetException(
+          s"$path has no sheet $sheet ($target); the archive read fine, so " +
+            "this is a misconfigured `sheet` option, not file corruption")
+    }
     val shared = if (sharedBytes == null) IndexedSeq.empty else parseSharedStrings(sharedBytes)
     parseSheet(sheetBytes, shared)
   }

@@ -70,6 +70,7 @@ object XlsxWriter {
         out.write(b, off, len)
       override def close(): Unit = out.flush()
     })
+    try {
     def entry(name: String, body: String): Unit = {
       zip.putNextEntry(new ZipEntry(name))
       zip.write(body.getBytes("UTF-8"))
@@ -110,6 +111,9 @@ object XlsxWriter {
     entry("xl/sharedStrings.xml",
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="$stringCells" uniqueCount="${shared.size}">$sst</sst>""".stripMargin)
-    zip.close() // ends the deflater; the shield keeps `out` open
+    // in finally: a mid-write IOException (disk full, DFS quota) must
+    // still end() the deflater — the leak this close exists to prevent
+    // (review finding); the shield keeps `out` open either way.
+    } finally zip.close()
   }
 }

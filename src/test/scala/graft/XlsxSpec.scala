@@ -186,6 +186,29 @@ class XlsxSpec extends SparkSpec {
     assert(kept == Set(("a", "1"), ("b", "2")))
   }
 
+  test("ignoreCorruptFiles does not swallow a misconfigured sheet option") {
+    // Two failure classes (review finding): a zip that is not a workbook is
+    // corrupt (skippable), but a VALID workbook lacking the specifically
+    // requested sheet N>1 is a misconfiguration — under a cluster-wide
+    // ignoreCorruptFiles=true a swallowed sheet typo would silently read
+    // the whole directory as zero rows.
+    val d = tmpDir()
+    XlsxTestFixture.write(new java.io.File(d, "wb.xlsx").getAbsolutePath,
+      Seq(Seq("k"), Seq("a")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").schema(schema)
+        .option("ignoreCorruptFiles", "true").option("sheet", "3")
+        .load(d.getAbsolutePath).collect()
+    }
+    def chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+    assert(chain.exists(
+      _.isInstanceOf[graft.sources.xlsx.XlsxMissingSheetException]),
+      s"expected XlsxMissingSheetException in the cause chain, got $e")
+  }
+
   test("streaming: a poison file skips once, and its FIX re-enters as a new version") {
     // The case ignoreCorruptFiles exists for: a junk workbook in the
     // watched directory must not wedge the stream (without the flag it

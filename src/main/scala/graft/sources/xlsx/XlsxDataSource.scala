@@ -369,29 +369,34 @@ object XlsxIO {
     val target = s"xl/worksheets/sheet$sheet.xml"
     var sheetBytes: Array[Byte] = null
     var sharedBytes: Array[Byte] = null
+    var sawWorksheet = false
     try {
       var e = zip.getNextEntry
       while (e != null && (sheetBytes == null || sharedBytes == null)) {
+        if (e.getName.startsWith("xl/worksheets/")) sawWorksheet = true
         if (e.getName == target) sheetBytes = zip.readAllBytes()
         else if (e.getName == "xl/sharedStrings.xml") sharedBytes = zip.readAllBytes()
         e = zip.getNextEntry
       }
     } finally zip.close()
-    // Two distinct failure classes (review finding): a zip with NO sheet 1
-    // is not a workbook at all — corrupt-file class, skippable under
-    // ignoreCorruptFiles like any junk bytes — while a workbook that lacks
-    // a specifically-REQUESTED higher sheet is a misconfigured `sheet`
-    // option, which must stay loud even under the flag (silently reading
-    // a whole directory as zero rows is the failure mode this source's
-    // missing-path check exists to prevent).
+    // Two distinct failure classes (review findings, both passes): the
+    // split keys on whether the archive IS a workbook (has any
+    // xl/worksheets/ entry), not on the requested index. A zip with no
+    // worksheets at all — junk bytes, a renamed .jar/.docx — is the
+    // corrupt-file class, skippable under ignoreCorruptFiles at ANY
+    // requested sheet (a poison file must not wedge a sheet=2 stream
+    // either). A REAL workbook that lacks the requested sheet is a
+    // misconfigured `sheet` option, which must stay loud even under the
+    // flag: silently reading a whole directory as zero rows is the
+    // failure mode this source's missing-path check exists to prevent.
     if (sheetBytes == null) {
-      if (sheet == 1)
+      if (!sawWorksheet)
         throw new java.io.IOException(
-          s"$path has no sheet 1 ($target) — not a usable workbook")
+          s"$path has no worksheets ($target absent) — not a usable workbook")
       else
         throw new XlsxMissingSheetException(
-          s"$path has no sheet $sheet ($target); the archive read fine, so " +
-            "this is a misconfigured `sheet` option, not file corruption")
+          s"$path is a workbook but has no sheet $sheet ($target); this is " +
+            "a misconfigured `sheet` option, not file corruption")
     }
     val shared = if (sharedBytes == null) IndexedSeq.empty else parseSharedStrings(sharedBytes)
     parseSheet(sheetBytes, shared)

@@ -71,6 +71,18 @@ object XlsxWriter {
       override def close(): Unit = out.flush()
     })
     try {
+      runWrites()
+      zip.close() // ends the deflater; the shield keeps `out` open
+    } catch { case t: Throwable =>
+      // A mid-write failure (disk full, DFS quota) must still end() the
+      // deflater, but the close flushes to the same broken stream and can
+      // throw a SECOND exception — suppress it under the root cause
+      // instead of letting it replace it (review finding).
+      try zip.close() catch { case c: Throwable if c ne t => t.addSuppressed(c) }
+      throw t
+    }
+
+    def runWrites(): Unit = {
     def entry(name: String, body: String): Unit = {
       zip.putNextEntry(new ZipEntry(name))
       zip.write(body.getBytes("UTF-8"))
@@ -111,9 +123,6 @@ object XlsxWriter {
     entry("xl/sharedStrings.xml",
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="$stringCells" uniqueCount="${shared.size}">$sst</sst>""".stripMargin)
-    // in finally: a mid-write IOException (disk full, DFS quota) must
-    // still end() the deflater — the leak this close exists to prevent
-    // (review finding); the shield keeps `out` open either way.
-    } finally zip.close()
+    }
   }
 }

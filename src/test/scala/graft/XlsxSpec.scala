@@ -209,6 +209,26 @@ class XlsxSpec extends SparkSpec {
       s"expected XlsxMissingSheetException in the cause chain, got $e")
   }
 
+  test("a non-workbook zip skips under ignoreCorruptFiles at any sheet index") {
+    // The corrupt-vs-misconfig split keys on workbook-ness (any
+    // xl/worksheets/ entry), not the requested index: a renamed .zip/.jar
+    // dropped into a watched directory must stay skippable even when the
+    // reader is configured for sheet 2 (review finding).
+    val d = tmpDir()
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(new java.io.File(d, "junk.xlsx")))
+    zos.putNextEntry(new java.util.zip.ZipEntry("readme.txt"))
+    zos.write("not a workbook".getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val got = spark.read.format("xlsx").schema(schema)
+      .option("ignoreCorruptFiles", "true").option("sheet", "2")
+      .load(d.getAbsolutePath).collect()
+    assert(got.isEmpty)
+  }
+
   test("streaming: a poison file skips once, and its FIX re-enters as a new version") {
     // The case ignoreCorruptFiles exists for: a junk workbook in the
     // watched directory must not wedge the stream (without the flag it

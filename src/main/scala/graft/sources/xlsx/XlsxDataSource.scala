@@ -370,25 +370,31 @@ object XlsxIO {
     var sheetBytes: Array[Byte] = null
     var sharedBytes: Array[Byte] = null
     var sawWorksheet = false
+    // Matches exactly the parts THIS reader can read (sheetN.xml under
+    // xl/worksheets/) — not _rels sidecars, directory entries, or
+    // spec-legal-but-differently-named worksheet parts, all of which leave
+    // the file unreadable by this source and so in the skippable class.
+    val sheetNameRe = "xl/worksheets/sheet[0-9]+\\.xml".r
     try {
       var e = zip.getNextEntry
       while (e != null && (sheetBytes == null || sharedBytes == null)) {
-        if (e.getName.startsWith("xl/worksheets/")) sawWorksheet = true
+        if (sheetNameRe.matches(e.getName)) sawWorksheet = true
         if (e.getName == target) sheetBytes = zip.readAllBytes()
         else if (e.getName == "xl/sharedStrings.xml") sharedBytes = zip.readAllBytes()
         e = zip.getNextEntry
       }
     } finally zip.close()
-    // Two distinct failure classes (review findings, both passes): the
-    // split keys on whether the archive IS a workbook (has any
-    // xl/worksheets/ entry), not on the requested index. A zip with no
-    // worksheets at all — junk bytes, a renamed .jar/.docx — is the
-    // corrupt-file class, skippable under ignoreCorruptFiles at ANY
-    // requested sheet (a poison file must not wedge a sheet=2 stream
-    // either). A REAL workbook that lacks the requested sheet is a
-    // misconfigured `sheet` option, which must stay loud even under the
-    // flag: silently reading a whole directory as zero rows is the
-    // failure mode this source's missing-path check exists to prevent.
+    // Two distinct failure classes (review findings, several passes): the
+    // split keys on whether the archive holds worksheets THIS READER CAN
+    // SEE (sheetN.xml parts), not on the requested index. A zip with none
+    // — junk bytes, a renamed .jar/.docx, a workbook with non-standard
+    // part names — is the corrupt-file class, skippable under
+    // ignoreCorruptFiles at ANY requested sheet (a poison file must not
+    // wedge a sheet=2 stream either). A readable workbook that lacks the
+    // requested sheet is a misconfigured `sheet` option, which must stay
+    // loud even under the flag: silently reading a whole directory as
+    // zero rows is the failure mode this source's missing-path check
+    // exists to prevent.
     if (sheetBytes == null) {
       if (!sawWorksheet)
         throw new java.io.IOException(

@@ -37,7 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `spark.sql.files.ignoreCorruptFiles`) — an unreadable workbook reads as
   * empty instead of failing the task; essential for the STREAMING source,
   * where a poison file in the watched directory would otherwise crash
-  * every restart of the query forever.
+  * every restart of the query forever. `ignoreMissingFiles` (default: the
+  * session's `spark.sql.files.ignoreMissingFiles`) — the separate escape
+  * for a file DELETED after listing/admission. Streaming-only:
+  * `maxFilesPerTrigger`, `pruneRemovedFiles` (see [[XlsxOffset]]).
   */
 class XlsxDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "xlsx"
@@ -93,29 +96,35 @@ class XlsxScan(schema0: StructType, options: CaseInsensitiveStringMap) extends S
     val sheet = XlsxIO.intOpt(options, "sheet", 1)
     val header = XlsxIO.boolOpt(options, "header", default = true)
     val ignoreCorrupt = XlsxIO.ignoreCorrupt(options)
+    val ignoreMissing = XlsxIO.ignoreMissing(options)
     XlsxIO.listFiles(options).map(p =>
-      XlsxFilePartition(p, sheet, header, ignoreCorrupt): InputPartition).toArray
+      XlsxFilePartition(p, sheet, header, ignoreCorrupt,
+        ignoreMissing): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val width = schema0.length
+  override def createReaderFactory(): PartitionReaderFactory =
     // Ship the SESSION Hadoop conf (spark.hadoop.* keys: credentials, HA
     // nameservices) to executors — a bare `new Configuration()` works on
     // local paths but breaks on any real cluster store.
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      SparkSession.active.sessionState.newHadoopConf())
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val part = partition.asInstanceOf[XlsxFilePartition]
-        new XlsxPartitionReader(part, width, conf)
-      }
-    }
-  }
+    XlsxReaderFactory(schema0.length,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+}
+
+/** ONE reader factory for the batch scan and the micro-batch stream (they
+  * read identical per-file partitions; two copies of this block would have
+  * to be edited in lockstep — review finding). */
+case class XlsxReaderFactory(
+    width: Int, conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new XlsxPartitionReader(partition.asInstanceOf[XlsxFilePartition], width, conf)
 }
 
 /** One workbook file = one partition (a zip stream is not splittable). */
 case class XlsxFilePartition(path: String, sheet: Int, header: Boolean,
-                             ignoreCorrupt: Boolean = false) extends InputPartition
+                             ignoreCorrupt: Boolean = false,
+                             ignoreMissing: Boolean = false) extends InputPartition
 
 /** Streaming offset = the set of workbook VERSIONS already processed —
   * each entry a `path#mtime#length` triple, serialized as a sorted JSON
@@ -129,11 +138,25 @@ case class XlsxFilePartition(path: String, sheet: Int, header: Boolean,
   * the downstream T1 content dedup yields exactly the reference's
   * re-read + diff delta semantics (SURVEY §7.4) — the one watcher
   * behavior Spark's own append-only FileStreamSource cannot express.
+  *
+  * Known stat-versioning window: an overwrite that lands within one
+  * filesystem timestamp tick AND deflates to the identical byte length
+  * stats as the same version and is NOT re-admitted — the same blind spot
+  * as any stat-based watcher (Spark's file source keys on mtime alone and
+  * shares it). Content hashing would close it at the cost of reading every
+  * file on every trigger; for the watch-a-directory flow the next real
+  * save re-admits the workbook.
+  *
   * The file-set shape's cost grows with corpus size, the same trade
   * Spark's seen-files log makes (compacted) — at lake scale the
   * production path is the parquet/csv file source over a committed
   * layout; this source exists for the literal watch-Excel-directory flow,
-  * where workbook counts are small by construction. */
+  * where workbook counts are small by construction. The opt-in
+  * `pruneRemovedFiles` option drops entries for DELETED paths from the
+  * offset at each admission, bounding it by the directory's live
+  * population (a deleted-then-restored file with identical stats is then
+  * re-admitted whole — watcher create semantics, absorbed by the T1
+  * content dedup downstream). */
 case class XlsxOffset(entries: Seq[String])
   extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {
@@ -180,6 +203,9 @@ class XlsxMicroBatchStream(schema0: StructType, options: CaseInsensitiveStringMa
   private val sheet = XlsxIO.intOpt(options, "sheet", 1)
   private val header = XlsxIO.boolOpt(options, "header", default = true)
   private val ignoreCorrupt = XlsxIO.ignoreCorrupt(options)
+  private val ignoreMissing = XlsxIO.ignoreMissing(options)
+  private val pruneRemoved =
+    XlsxIO.boolOpt(options, "pruneRemovedFiles", default = false)
 
   /** AvailableNow snapshot: when set, discovery is frozen at this listing. */
   @volatile private var snapshot: Option[Seq[String]] = None
@@ -201,33 +227,41 @@ class XlsxMicroBatchStream(schema0: StructType, options: CaseInsensitiveStringMa
       "admission-control latestOffset(start, limit) is the entry point")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[XlsxOffset].entries.toSet
-    val fresh = listNow().filterNot(seen).sorted
+    val seenEntries = start.asInstanceOf[XlsxOffset].entries
+    val seen = seenEntries.toSet
+    val listed = listNow()
+    val fresh = listed.filterNot(seen).sorted
     val admitted = limit match {
       case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         fresh.take(m.maxFiles())
       case _ => fresh
     }
     if (admitted.isEmpty) start
-    else XlsxOffset((seen ++ admitted).toSeq.sorted)
+    else {
+      // Opt-in offset compaction (see XlsxOffset's doc): entries whose PATH
+      // no longer exists drop out with the next admission. Prune only when
+      // a batch is being formed anyway — pruning on an otherwise-empty
+      // trigger would make every tick a (zero-partition) micro-batch.
+      val kept =
+        if (!pruneRemoved) seenEntries
+        else {
+          val live = listed.map(XlsxOffset.pathOf).toSet
+          seenEntries.filter(e => live.contains(XlsxOffset.pathOf(e)))
+        }
+      XlsxOffset((kept.toSet ++ admitted).toSeq.sorted)
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[XlsxOffset].entries.toSet
     end.asInstanceOf[XlsxOffset].entries.filterNot(seen).sorted
       .map(e => XlsxFilePartition(XlsxOffset.pathOf(e), sheet, header,
-        ignoreCorrupt): InputPartition)
+        ignoreCorrupt, ignoreMissing): InputPartition)
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val width = schema0.length
-    val c = conf
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new XlsxPartitionReader(partition.asInstanceOf[XlsxFilePartition], width, c)
-    }
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    XlsxReaderFactory(schema0.length, conf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -246,9 +280,22 @@ class XlsxPartitionReader(part: XlsxFilePartition, width: Int,
   // a FIXED overwrite of the file stats as a new version and is
   // re-admitted (the modify path doubling as the repair path).
   private def corrupt(stage: String): PartialFunction[Throwable, Iterator[Seq[(Int, String)]]] = {
+    // Clause order mirrors Spark's FileScanRDD: a FileNotFoundException is
+    // exclusively `ignoreMissingFiles` territory — a file DELETED between
+    // admission and the batch run is not corruption, and without its own
+    // flag the stream would replay the committed batch and crash on every
+    // restart with no repair path (the file is gone, so the fixed-overwrite
+    // escape can never fire). Conversely ignoreCorruptFiles must NOT
+    // swallow a missing file: the two flags answer different operational
+    // questions (junk content vs. racing deletes) and conflating them
+    // masks real corruption when only deletes were meant to be tolerated.
+    case e: java.io.FileNotFoundException if part.ignoreMissing =>
+      logWarning(s"skipping missing xlsx ${part.path} ($stage): $e")
+      Iterator.empty
     case e @ (_: java.io.IOException | _: RuntimeException |
               _: javax.xml.stream.XMLStreamException)
-        if part.ignoreCorrupt && !e.isInstanceOf[XlsxMissingSheetException] =>
+        if part.ignoreCorrupt && !e.isInstanceOf[XlsxMissingSheetException] &&
+          !e.isInstanceOf[java.io.FileNotFoundException] =>
       logWarning(s"skipping corrupt xlsx ${part.path} ($stage): $e")
       Iterator.empty
   }
@@ -301,6 +348,15 @@ object XlsxIO {
   def ignoreCorrupt(o: CaseInsensitiveStringMap): Boolean =
     Option(o.get("ignoreCorruptFiles")).map(_.toBoolean).getOrElse(
       SparkSession.active.sessionState.conf.ignoreCorruptFiles)
+
+  /** `ignoreMissingFiles` source option, defaulting to the session's
+    * `spark.sql.files.ignoreMissingFiles` — the deleted-between-admission-
+    * and-read escape, deliberately SEPARATE from ignoreCorruptFiles (same
+    * split as Spark's built-in file sources; see the reader's clause-order
+    * comment). */
+  def ignoreMissing(o: CaseInsensitiveStringMap): Boolean =
+    Option(o.get("ignoreMissingFiles")).map(_.toBoolean).getOrElse(
+      SparkSession.active.sessionState.conf.ignoreMissingFiles)
 
   /** Resolve the `path` option to concrete workbook files (a file, or every
     * `.xlsx` directly inside a directory, sorted for determinism). Uses the

@@ -12,10 +12,17 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   * STAGE real workbooks from inside executors (the reference emits `.xlsx`
   * by hand, `pro.py:96-108` just watches them appear — the writer here
   * exists for fixture staging and round-trip tests, not as a reference
-  * feature). One workbook is one in-memory sheet: bounded by Excel's own
-  * ~1M row cap by construction, so the builder's memory use is bounded the
-  * same way the reader's is. */
+  * feature). One workbook is one in-memory sheet, capped at
+  * [[MaxSheetRows]] (ENFORCED in writeTo, not just assumed), so the
+  * builder's memory use is bounded the same way the reader's is. */
 object XlsxWriter {
+
+  /** ECMA-376 / Excel sheet capacity (2^20 rows). Enforced, not just
+    * claimed: a sheet past it would open broken in Excel itself, and the
+    * staging path's memory bound is only as real as this check (review
+    * finding) — an oversized partition must fail LOUD ("split across more
+    * workbooks"), not emit an unopenable file. */
+  val MaxSheetRows: Int = 1048576
 
   /** Write `rows` (first row = header by convention) as one workbook to a
     * local filesystem path. */
@@ -28,6 +35,9 @@ object XlsxWriter {
     * executor-side staging path opens it via the Hadoop FileSystem so the
     * same code lands workbooks on a cluster store). */
   def writeTo(out: java.io.OutputStream, rows: Seq[Seq[Any]]): Unit = {
+    require(rows.size <= MaxSheetRows,
+      s"xlsx sheet cap is $MaxSheetRows rows, got ${rows.size} — split the " +
+        "corpus across more workbooks (e.g. a larger nFiles)")
     val shared = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     // ECMA-376 distinguishes count (total string-cell REFERENCES) from
     // uniqueCount (distinct <si> entries) — strict validators cross-check.

@@ -438,7 +438,8 @@ object Pipeline {
         .repartitionByRange(nFiles, col("c_custkey"))
         .foreachPartition { (it: Iterator[Row]) =>
           // one workbook per non-empty partition; rows buffered in memory —
-          // bounded by Excel's own sheet cap, the same bound the reader has
+          // XlsxWriter ENFORCES the Excel sheet cap, so an undersized
+          // nFiles fails loud here instead of emitting unopenable workbooks
           val rows = it.map(r =>
             Seq[Any](r.getString(0), r.getString(1), r.getString(2))).toSeq
           if (rows.nonEmpty) {

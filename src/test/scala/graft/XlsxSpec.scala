@@ -322,6 +322,83 @@ class XlsxSpec extends SparkSpec {
     assert(drain().sorted == Seq("first", "second")) // full re-read of the new version
   }
 
+  test("ignoreMissingFiles: a file deleted after admission skips with the flag, " +
+    "stays loud without it, and ignoreCorruptFiles alone does NOT cover it") {
+    // The deleted-between-admission-and-read race (review finding): the
+    // streaming WAL can hold an offset for a file an operator has since
+    // removed, and that batch replays on every restart. FNF is exclusively
+    // ignoreMissingFiles territory (Spark's FileScanRDD clause order):
+    // corrupt handles junk CONTENT, missing handles racing DELETES —
+    // conflating them would mask real corruption when only deletes were
+    // meant to be tolerated. Exercised at the reader level, where the race
+    // is deterministic.
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val gone = "/nonexistent/graft_xlsx_gone.xlsx"
+    def readerFor(ignoreCorrupt: Boolean, ignoreMissing: Boolean) =
+      new graft.sources.xlsx.XlsxPartitionReader(
+        graft.sources.xlsx.XlsxFilePartition(gone, 1, header = true,
+          ignoreCorrupt = ignoreCorrupt, ignoreMissing = ignoreMissing),
+        width = 1, conf)
+    intercept[java.io.FileNotFoundException] {
+      readerFor(ignoreCorrupt = false, ignoreMissing = false).next()
+    }
+    // corrupt flag alone must NOT swallow a missing file
+    intercept[java.io.FileNotFoundException] {
+      readerFor(ignoreCorrupt = true, ignoreMissing = false).next()
+    }
+    assert(!readerFor(ignoreCorrupt = false, ignoreMissing = true).next(),
+      "missing file should read as empty under ignoreMissingFiles")
+  }
+
+  test("pruneRemovedFiles: deleted paths drop from the offset at the next admission") {
+    // Opt-in offset compaction: without it the seen-file set grows with
+    // every workbook EVER seen; with it, entries for paths gone from the
+    // listing are dropped whenever a new batch forms — the offset is
+    // bounded by the directory's live population (review finding).
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val d = tmpDir()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    val a = new java.io.File(d, "a.xlsx")
+    XlsxTestFixture.write(a.getAbsolutePath, Seq(Seq("k"), Seq("va")))
+    def stream(prune: Boolean) = new graft.sources.xlsx.XlsxMicroBatchStream(
+      schema, new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", d.getAbsolutePath,
+          "pruneRemovedFiles", prune.toString)))
+    val s = stream(prune = true)
+    val o1 = s.latestOffset(s.initialOffset(), ReadLimit.allAvailable())
+      .asInstanceOf[graft.sources.xlsx.XlsxOffset]
+    assert(o1.entries.size == 1)
+    assert(a.delete())
+    XlsxTestFixture.write(new java.io.File(d, "b.xlsx").getAbsolutePath,
+      Seq(Seq("k"), Seq("vb")))
+    val o2 = s.latestOffset(o1, ReadLimit.allAvailable())
+      .asInstanceOf[graft.sources.xlsx.XlsxOffset]
+    assert(o2.entries.size == 1 &&
+      graft.sources.xlsx.XlsxOffset.pathOf(o2.entries.head).endsWith("b.xlsx"),
+      s"expected only b.xlsx to survive the prune, got ${o2.entries}")
+    // default posture (no prune): the dead entry is retained
+    val s2 = stream(prune = false)
+    val o3 = s2.latestOffset(o1, ReadLimit.allAvailable())
+      .asInstanceOf[graft.sources.xlsx.XlsxOffset]
+    assert(o3.entries.size == 2, s"default must retain dead entries: ${o3.entries}")
+  }
+
+  test("writer refuses a sheet past the Excel row cap") {
+    // The staging path's "bounded by Excel's cap" memory claim is only as
+    // real as this check: an oversized partition must fail loud, not emit
+    // a workbook Excel itself cannot open (review finding).
+    val row = Seq[Any]("x")
+    val tooMany = Seq.fill(graft.sources.xlsx.XlsxWriter.MaxSheetRows + 1)(row)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.xlsx.XlsxWriter.writeTo(
+        new java.io.ByteArrayOutputStream(), tooMany)
+    }
+    assert(e.getMessage.contains("sheet cap"), e.getMessage)
+  }
+
   test("header=false and sheet selection options") {
     val d = tmpDir()
     val f = new java.io.File(d, "wb.xlsx").getAbsolutePath

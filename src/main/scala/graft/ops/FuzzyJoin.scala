@@ -249,14 +249,17 @@ object FuzzyJoin {
 
   /** Audit for route mode: the variant buckets `editDistancePairs` would
     * treat as oversized at this cap — `(v, n)` with n = distinct keys in
-    * the bucket. Empty ⇒ route mode is exact (nothing shed). Same distinct
-    * + variant expansion as the join, so the census agrees with it
-    * bucket-for-bucket; cost is one scan + one shuffle over distinct keys,
-    * cheap to run ahead of a large route-mode job ("no silent caps"). */
+    * the bucket. Empty ⇒ route mode is exact (nothing shed). Same ROW
+    * admission (null ids and null keys dropped — a key that appears only
+    * under null ids never enters the join's variant index, so it must not
+    * count here either; review finding), same distinct + variant expansion
+    * as the join, so the census agrees with it bucket-for-bucket; cost is
+    * one scan + one shuffle over distinct keys, cheap to run ahead of a
+    * large route-mode job ("no silent caps"). */
   def oversizedBuckets(df: DataFrame, idCol: String, strCol: String,
                        maxBucket: Int = 64): DataFrame =
-    withVariants(df.select(col(strCol).as("key"))
-        .filter(col("key").isNotNull).distinct())
+    withVariants(df.filter(col(idCol).isNotNull && col(strCol).isNotNull)
+        .select(col(strCol).as("key")).distinct())
       .groupBy("v").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
 }

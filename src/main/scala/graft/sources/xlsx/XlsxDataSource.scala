@@ -51,9 +51,22 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
     require(files.nonEmpty, s"no .xlsx files at ${options.get("path")}")
     val header = XlsxIO.boolOpt(options, "header", default = true)
     val sheet = XlsxIO.intOpt(options, "sheet", default = 1)
-    val first = XlsxIO.readSheet(files.head, sheet).take(1).toSeq.headOption
-      .getOrElse(Seq.empty)
-    val width = if (first.isEmpty) 0 else first.map(_._1).max + 1
+    // The first file whose sheet STARTS non-empty defines the schema (the
+    // CSV header-from-first-file convention: later, wider files truncate to
+    // this width). Skipping empty-starting files matters: an empty first
+    // workbook would otherwise infer a ZERO-column schema and the whole
+    // directory would read as data-less rows with no error — the silent
+    // zero-information mode the missing-path check exists to prevent
+    // (review finding). `maxRows = 1` stops each probe after one row —
+    // inference never pays a full-sheet parse.
+    val first = files.iterator
+      .map(f => XlsxIO.readSheet(f, sheet, maxRows = 1)
+        .take(1).toSeq.headOption.getOrElse(Seq.empty))
+      .find(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot infer schema at ${options.get("path")}: sheet $sheet of " +
+          "every workbook starts with an empty row — pass an explicit schema"))
+    val width = first.map(_._1).max + 1
     val names =
       if (header) {
         val byIdx = first.toMap
@@ -76,10 +89,20 @@ class XlsxTable(schema0: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // Honor the SCAN-time options Spark hands us (per-query read options on
+    // a catalog-registered table), falling back to the table-construction
+    // properties for keys the scan doesn't set — discarding the parameter
+    // silently ignored every per-query option (review finding). The
+    // format(...).load(...) path passes the same map twice, so this merge
+    // is the identity there.
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    val scanOptions = new CaseInsensitiveStringMap(merged)
     new ScanBuilder {
-      override def build(): Scan = new XlsxScan(schema0, options)
+      override def build(): Scan = new XlsxScan(schema0, scanOptions)
     }
+  }
 }
 
 class XlsxScan(schema0: StructType, options: CaseInsensitiveStringMap) extends Scan with Batch {
@@ -398,59 +421,100 @@ object XlsxIO {
       throw new IllegalArgumentException("xlsx source requires a path"))
     val p = new org.apache.hadoop.fs.Path(raw)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Nil
-    else {
-      val sts =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).toSeq
-            .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))
-        else Seq(fs.getFileStatus(p))
-      sts.map(s => XlsxOffset.entry(
-        s.getPath.toString, s.getModificationTime, s.getLen)).sorted
+    try {
+      if (!fs.exists(p)) Nil
+      else {
+        val sts =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).toSeq
+              .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))
+          else Seq(fs.getFileStatus(p))
+        sts.map(s => XlsxOffset.entry(
+          s.getPath.toString, s.getModificationTime, s.getLen)).sorted
+      }
+    } catch {
+      // exists()→getFileStatus()/listStatus() TOCTOU: a path deleted
+      // mid-listing serializes to "absent at this trigger" — the same Nil
+      // the exists() check returns — instead of crashing discovery every
+      // trigger (review finding: reader-side ignoreMissingFiles cannot
+      // cover the DRIVER-side listing). The next trigger re-lists.
+      case _: java.io.FileNotFoundException => Nil
     }
   }
 
   /** Parse one sheet of one workbook into rows of (0-based column index,
     * string value). Streams the zip entries once, keeping only the shared
     * string table and the target sheet in memory (sheets are bounded by
-    * Excel's own row limit). Cell types handled: shared string (`t="s"`),
-    * inline string (`t="inlineStr"`), formula string (`t="str"`), boolean
-    * (`t="b"`), and plain numeric (no `t`). */
+    * Excel's own row limit); only when the workbook's declared tab order
+    * maps the index to a differently-named part (see below) is the zip
+    * streamed a second time for that one entry. Cell types handled: shared
+    * string (`t="s"`), inline string (`t="inlineStr"`), formula string
+    * (`t="str"`), boolean (`t="b"`), and plain numeric (no `t`).
+    * `maxRows` stops the sheet parse after that many rows (schema
+    * inference passes 1 — it never pays a full-sheet parse). */
   def readSheet(path: String, sheet: Int,
-                conf0: org.apache.hadoop.conf.Configuration = null): Iterator[Seq[(Int, String)]] = {
+                conf0: org.apache.hadoop.conf.Configuration = null,
+                maxRows: Int = Int.MaxValue): Iterator[Seq[(Int, String)]] = {
     val conf = if (conf0 != null) conf0 else SparkSession.active.sessionState.newHadoopConf()
     val hp = new org.apache.hadoop.fs.Path(path)
-    val in = hp.getFileSystem(conf).open(hp)
-    val zip = new ZipInputStream(new java.io.BufferedInputStream(in))
-    val target = s"xl/worksheets/sheet$sheet.xml"
+    val fs = hp.getFileSystem(conf)
+    def openZip() = new ZipInputStream(new java.io.BufferedInputStream(fs.open(hp)))
+    // The sheetN.xml naming CONVENTION is only the fallback: Excel does not
+    // renumber worksheet parts on delete/reorder (delete Sheet1 from a
+    // 3-sheet workbook and the parts are sheet2/sheet3.xml; reorder tabs
+    // and part numbers stay put), so the authoritative index→part mapping
+    // is the workbook's declared tab order (xl/workbook.xml <sheets>)
+    // resolved through the workbook rels — reading by part NAME alone
+    // could silently return the wrong sheet's data (review finding).
+    val fallback = s"xl/worksheets/sheet$sheet.xml"
     var sheetBytes: Array[Byte] = null
     var sharedBytes: Array[Byte] = null
+    var wbBytes: Array[Byte] = null
+    var relsBytes: Array[Byte] = null
     var sawWorksheet = false
-    // Matches exactly the parts THIS reader can read (sheetN.xml under
-    // xl/worksheets/) — not _rels sidecars, directory entries, or
-    // spec-legal-but-differently-named worksheet parts, all of which leave
-    // the file unreadable by this source and so in the skippable class.
-    val sheetNameRe = "xl/worksheets/sheet[0-9]+\\.xml".r
+    def isWorksheetPart(name: String): Boolean =
+      name.startsWith("xl/worksheets/") && name.endsWith(".xml")
+    val zip = openZip()
     try {
       var e = zip.getNextEntry
-      while (e != null && (sheetBytes == null || sharedBytes == null)) {
-        if (sheetNameRe.matches(e.getName)) sawWorksheet = true
-        if (e.getName == target) sheetBytes = zip.readAllBytes()
-        else if (e.getName == "xl/sharedStrings.xml") sharedBytes = zip.readAllBytes()
+      while (e != null && (sheetBytes == null || sharedBytes == null ||
+                           wbBytes == null || relsBytes == null)) {
+        val n = e.getName
+        if (isWorksheetPart(n)) sawWorksheet = true
+        if (n == fallback) sheetBytes = zip.readAllBytes()
+        else if (n == "xl/sharedStrings.xml") sharedBytes = zip.readAllBytes()
+        else if (n == "xl/workbook.xml") wbBytes = zip.readAllBytes()
+        else if (n == "xl/_rels/workbook.xml.rels") relsBytes = zip.readAllBytes()
         e = zip.getNextEntry
       }
     } finally zip.close()
+    // Throws XlsxMissingSheetException when the workbook declares its
+    // sheets and the index is out of range; None when workbook/rels are
+    // absent or unparsable (fall back to the naming convention).
+    val target = resolveSheetPart(wbBytes, relsBytes, sheet).getOrElse(fallback)
+    if (target != fallback) {
+      // Mapped to a differently-named part: one more (cheap — skipped
+      // entries are not inflated) pass for that single entry. The common
+      // Excel file maps index i to sheet{i}.xml and never takes this branch.
+      sheetBytes = null
+      val zip2 = openZip()
+      try {
+        var e = zip2.getNextEntry
+        while (e != null && sheetBytes == null) {
+          if (e.getName == target) sheetBytes = zip2.readAllBytes()
+          e = zip2.getNextEntry
+        }
+      } finally zip2.close()
+    }
     // Two distinct failure classes (review findings, several passes): the
-    // split keys on whether the archive holds worksheets THIS READER CAN
-    // SEE (sheetN.xml parts), not on the requested index. A zip with none
-    // — junk bytes, a renamed .jar/.docx, a workbook with non-standard
-    // part names — is the corrupt-file class, skippable under
-    // ignoreCorruptFiles at ANY requested sheet (a poison file must not
-    // wedge a sheet=2 stream either). A readable workbook that lacks the
-    // requested sheet is a misconfigured `sheet` option, which must stay
-    // loud even under the flag: silently reading a whole directory as
-    // zero rows is the failure mode this source's missing-path check
-    // exists to prevent.
+    // split keys on whether the archive holds worksheet parts AT ALL. A
+    // zip with none — junk bytes, a renamed .jar/.docx — is the
+    // corrupt-file class, skippable under ignoreCorruptFiles at ANY
+    // requested sheet (a poison file must not wedge a sheet=2 stream
+    // either). A readable workbook that lacks the requested sheet is a
+    // misconfigured `sheet` option, which must stay loud even under the
+    // flag: silently reading a whole directory as zero rows is the
+    // failure mode this source's missing-path check exists to prevent.
     if (sheetBytes == null) {
       if (!sawWorksheet)
         throw new java.io.IOException(
@@ -461,7 +525,73 @@ object XlsxIO {
             "a misconfigured `sheet` option, not file corruption")
     }
     val shared = if (sharedBytes == null) IndexedSeq.empty else parseSharedStrings(sharedBytes)
-    parseSheet(sheetBytes, shared)
+    parseSheet(sheetBytes, shared, maxRows)
+  }
+
+  /** Resolve a 1-based sheet index to its zip part name through the
+    * workbook's declared tab order: the n-th `<sheet>` element of
+    * `xl/workbook.xml` names a relationship id, and the workbook rels map
+    * that id to the part. Returns None when either part is absent,
+    * unparsable, or the rels lack the id (callers fall back to the
+    * sheetN.xml naming convention); throws [[XlsxMissingSheetException]]
+    * when the workbook DOES declare its sheets and the requested index is
+    * out of range or resolves to a non-worksheet part (a chartsheet) —
+    * both are `sheet`-option misconfigurations, loud by the same rule as
+    * a missing sheetN.xml part. */
+  private[xlsx] def resolveSheetPart(wbBytes: Array[Byte], relsBytes: Array[Byte],
+                                     sheet: Int): Option[String] = {
+    if (wbBytes == null || relsBytes == null) return None
+    val rIds = try {
+      val r = xmlReader(wbBytes)
+      val ids = mutable.ArrayBuffer.empty[String]
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "sheet") {
+          // r:id is namespace-qualified — match the attribute LOCAL name
+          // (getAttributeValue(null, "id") only finds unqualified attrs).
+          var found: String = null
+          var i = 0
+          while (i < r.getAttributeCount && found == null) {
+            if (r.getAttributeLocalName(i) == "id") found = r.getAttributeValue(i)
+            i += 1
+          }
+          if (found != null) ids += found
+        }
+      }
+      r.close()
+      ids.toSeq
+    } catch { case _: javax.xml.stream.XMLStreamException => return None }
+    if (rIds.isEmpty) return None
+    val targets = try {
+      val r = xmlReader(relsBytes)
+      val m = mutable.Map.empty[String, String]
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship") {
+          val id = r.getAttributeValue(null, "Id")
+          val tgt = r.getAttributeValue(null, "Target")
+          if (id != null && tgt != null) m(id) = tgt
+        }
+      }
+      r.close()
+      m
+    } catch { case _: javax.xml.stream.XMLStreamException => return None }
+    if (sheet < 1 || sheet > rIds.size)
+      throw new XlsxMissingSheetException(
+        s"workbook declares ${rIds.size} sheet(s); requested sheet=$sheet " +
+          "is out of range — a misconfigured `sheet` option, not file corruption")
+    targets.get(rIds(sheet - 1)).map { t =>
+      // Rels targets are relative to xl/ ("worksheets/sheet2.xml",
+      // sometimes "./"-prefixed) or package-absolute ("/xl/...").
+      val norm =
+        if (t.startsWith("/")) t.drop(1)
+        else "xl/" + (if (t.startsWith("./")) t.drop(2) else t)
+      if (!norm.startsWith("xl/worksheets/"))
+        throw new XlsxMissingSheetException(
+          s"sheet $sheet resolves to non-worksheet part '$t' (a chartsheet?) " +
+            "— not readable by this source; a misconfigured `sheet` option")
+      norm
+    }
   }
 
   private def xmlReader(bytes: Array[Byte]): javax.xml.stream.XMLStreamReader = {
@@ -472,19 +602,26 @@ object XlsxIO {
   }
 
   /** sharedStrings.xml: <sst><si><t>text</t></si>...</sst> (rich-text runs
-    * <si><r><t>a</t></r><r><t>b</t></r></si> concatenate). */
+    * <si><r><t>a</t></r><r><t>b</t></r></si> concatenate). Phonetic runs
+    * (`<rPh><t>…</t></rPh>`, the furigana annotations East-Asian Excel
+    * saves alongside the text) are EXCLUDED: their <t> is a reading aid,
+    * not cell content, and concatenating it corrupts the value — "漢字"
+    * would read back as "漢字カンジ" (review finding; POI and openpyxl
+    * skip rPh the same way). */
   def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
     val r = xmlReader(bytes)
     val out = mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inSi = false
+    var inRPh = false
     var inT = false
     while (r.hasNext) {
       r.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "si" => inSi = true; sb.clear()
-            case "t" if inSi => inT = true
+            case "rPh" => inRPh = true
+            case "t" if inSi && !inRPh => inT = true
             case _ => ()
           }
         case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
@@ -492,6 +629,7 @@ object XlsxIO {
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "t" => inT = false
+            case "rPh" => inRPh = false
             case "si" => inSi = false; out += sb.toString
             case _ => ()
           }
@@ -513,8 +651,10 @@ object XlsxIO {
     acc - 1
   }
 
-  /** worksheet XML: <sheetData><row><c r="A1" t="s"><v>0</v></c>...</row>. */
-  def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String])
+  /** worksheet XML: <sheetData><row><c r="A1" t="s"><v>0</v></c>...</row>.
+    * Stops after `maxRows` rows (schema inference reads one). */
+  def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String],
+                 maxRows: Int = Int.MaxValue)
       : Iterator[Seq[(Int, String)]] = {
     val r = xmlReader(bytes)
     val rows = mutable.ArrayBuffer.empty[Seq[(Int, String)]]
@@ -555,12 +695,21 @@ object XlsxIO {
                   raw.trim.toIntOption
                     .filter(i => i >= 0 && i < shared.length)
                     .map(shared).orNull
-                case "b" => if (raw.trim == "1") "true" else "false"
+                // A typed-empty boolean (<c t="b"/> with no <v>) is a null
+                // cell like its shared-string twin above — fabricating
+                // "false" from an empty cell invents data (review finding).
+                case "b" => raw.trim match {
+                  case "1" => "true"
+                  case ""  => null
+                  case _   => "false"
+                }
                 case _ => raw // inlineStr text, formula str, or numeric literal
               }
               if (value != null && value.nonEmpty) row += ((cellIdx, value))
               nextIdx = cellIdx + 1
-            case "row" => rows += row.toSeq
+            case "row" =>
+              rows += row.toSeq
+              if (rows.size >= maxRows) { r.close(); return rows.iterator }
             case _ => ()
           }
         case _ => ()

@@ -51,7 +51,14 @@ object XlsxWriter {
       case null => ""
       case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
       case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
-      case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: Double =>
+        // NaN/Infinity are not valid OOXML numbers — Excel reports the file
+        // as corrupt on open. Same fail-loud rule as the row cap and the
+        // `other` arm: never emit an unopenable workbook (review finding).
+        if (n.isNaN || n.isInfinite)
+          sys.error(s"xlsx numeric cell cannot hold $n (not a valid OOXML " +
+            "number) — write a string representation instead")
+        s"""<c r="$ref"><v>$n</v></c>"""
       case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
       case s: String => s"""<c r="$ref" t="s"><v>${sharedIdx(s)}</v></c>"""
       case other => sys.error(s"unsupported xlsx cell value: $other")

@@ -278,6 +278,23 @@ class FunnelFuzzySpec extends SparkSpec {
     assert(FuzzyJoin.oversizedBuckets(df, "id", "name").isEmpty)
   }
 
+  test("oversizedBuckets applies the join's row admission: null-id keys don't count") {
+    // The join drops rows with a null id BEFORE building its variant index,
+    // so a key that appears ONLY under null ids never enters any bucket —
+    // the audit must not count it either, or the census disagrees with the
+    // join it claims to preflight (review finding). "ab" and "ac" share
+    // variant "a"; with "ac" admitted the bucket oversizes at cap 1, with
+    // "ac" null-id-only it must not.
+    val dirty = Seq((Some(1L), "ab"), (Option.empty[Long], "ac"))
+      .toDF("id", "name")
+    assert(FuzzyJoin.oversizedBuckets(dirty, "id", "name", maxBucket = 1).isEmpty,
+      "a null-id-only key was counted into the census")
+    val clean = Seq((Some(1L), "ab"), (Some(2L), "ac")).toDF("id", "name")
+    val over = FuzzyJoin.oversizedBuckets(clean, "id", "name", maxBucket = 1)
+      .as[(String, Long)].collect().toMap
+    assert(over.get("a").contains(2L), s"census: $over")
+  }
+
   test("tfidf top terms: rarer term outranks equally-frequent common term") {
     val docs = Seq(
       (1L, "zebra zebra common common"),

@@ -407,4 +407,134 @@ class XlsxSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("_c0", "_c1"))
     assert(df.count() == 2)
   }
+
+  /** Raw-zip fixture for workbook shapes the writer never produces
+    * (renumbered parts, phonetic runs, typed-empty cells). */
+  private def rawZip(f: java.io.File, entries: (String, String)*): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    entries.foreach { case (n, body) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(body.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+  }
+  private def inlineSheet(text: String): String =
+    s"""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+       |<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>$text</t></is></c></row></sheetData>
+       |</worksheet>""".stripMargin
+
+  test("sheet index follows the workbook's declared tab order, not part numbering") {
+    // Excel does not renumber worksheet parts: delete the original Sheet1
+    // from a 3-sheet workbook and the surviving parts are sheet2/sheet3.xml;
+    // reorder tabs and part numbers stay put. The index must resolve
+    // through xl/workbook.xml <sheets> + the workbook rels — reading by
+    // part NAME silently returns the wrong sheet (review finding). This
+    // workbook has parts sheet2/sheet3.xml (no sheet1.xml) with tab order
+    // [sheet3, sheet2].
+    val d = tmpDir()
+    val f = new java.io.File(d, "renum.xlsx")
+    rawZip(f,
+      "xl/workbook.xml" ->
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="Third" sheetId="3" r:id="rId7"/><sheet name="Second" sheetId="2" r:id="rId9"/></sheets>
+          |</workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet3.xml"/>
+          |<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/worksheets/sheet2.xml" -> inlineSheet("second-tab"),
+      "xl/worksheets/sheet3.xml" -> inlineSheet("first-tab"))
+    def cell(sheet: Int): String =
+      graft.sources.xlsx.XlsxIO.readSheet(f.getAbsolutePath, sheet,
+        spark.sessionState.newHadoopConf()).next().head._2
+    assert(cell(1) == "first-tab")  // tab 1 = part sheet3.xml
+    assert(cell(2) == "second-tab") // tab 2 = part sheet2.xml
+    val e = intercept[graft.sources.xlsx.XlsxMissingSheetException] { cell(3) }
+    assert(e.getMessage.contains("out of range"), e.getMessage)
+  }
+
+  test("phonetic rPh runs are excluded from shared strings") {
+    // Furigana annotations (<rPh><t>…</t></rPh>) are reading aids, not
+    // cell content — concatenating them corrupts the value (review
+    // finding; POI and openpyxl skip rPh the same way). Rich-text runs
+    // (<r><t>) still concatenate.
+    val sst =
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">
+        |<si><t>漢字</t><rPh sqref="A1"><t>カンジ</t></rPh></si>
+        |<si><r><t>a</t></r><r><t>b</t></r><rPh><t>ignored</t></rPh></si>
+        |</sst>""".stripMargin
+    val parsed = graft.sources.xlsx.XlsxIO.parseSharedStrings(sst.getBytes("UTF-8"))
+    assert(parsed == IndexedSeq("漢字", "ab"), parsed)
+  }
+
+  test("schema inference skips empty-starting workbooks and refuses an all-empty corpus") {
+    // An empty first workbook must not infer a ZERO-column schema (the
+    // whole directory would read as data-less rows with no error — review
+    // finding); inference probes files in order until one starts non-empty.
+    val d = tmpDir()
+    XlsxTestFixture.write(new java.io.File(d, "a.xlsx").getAbsolutePath, Seq.empty)
+    XlsxTestFixture.write(new java.io.File(d, "b.xlsx").getAbsolutePath,
+      Seq(Seq("k", "v"), Seq("x", 1)))
+    val df = spark.read.format("xlsx").load(d.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("k", "v"))
+    assert(df.as[(String, String)].collect().toSeq == Seq(("x", "1")))
+    val empty = tmpDir()
+    XlsxTestFixture.write(new java.io.File(empty, "a.xlsx").getAbsolutePath, Seq.empty)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("xlsx").load(empty.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("explicit schema"), e.getMessage)
+  }
+
+  test("typed-empty boolean cells are null, not 'false'; maxRows stops the parse") {
+    val sheet =
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="b"/><c r="B1" t="b"><v>1</v></c><c r="C1" t="b"><v>0</v></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>second row</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin.getBytes("UTF-8")
+    val all = graft.sources.xlsx.XlsxIO.parseSheet(sheet, IndexedSeq.empty).toSeq
+    // A1 (<c t="b"/> with no <v>) must be ABSENT — an empty cell reading
+    // back as the string "false" invents data (review finding).
+    assert(all.head == Seq((1, "true"), (2, "false")), all.head)
+    assert(all.size == 2)
+    val one = graft.sources.xlsx.XlsxIO.parseSheet(sheet, IndexedSeq.empty,
+      maxRows = 1).toSeq
+    assert(one.size == 1, s"maxRows=1 must stop after one row, got $one")
+  }
+
+  test("scan-time options override table-construction options") {
+    // newScanBuilder must honor the per-query options Spark passes it (a
+    // catalog-registered xlsx table read with sheet=2), not silently reuse
+    // the construction properties (review finding).
+    val d = tmpDir()
+    val f = new java.io.File(d, "wb.xlsx").getAbsolutePath
+    XlsxTestFixture.write(f, Seq(Seq("k"), Seq("v")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    val tbl = new graft.sources.xlsx.XlsxTable(schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", f, "sheet", "1")))
+    val scan = tbl.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("sheet", "2"))).build()
+    val parts = scan.toBatch.planInputPartitions()
+    val part = parts.head.asInstanceOf[graft.sources.xlsx.XlsxFilePartition]
+    assert(part.sheet == 2, s"scan-time sheet=2 ignored: $part")
+    assert(part.path == f, "path must fall back to the construction options")
+  }
+
+  test("writer refuses NaN and Infinity numeric cells") {
+    // Not valid OOXML numbers — Excel reports the file corrupt on open;
+    // same fail-loud rule as the row cap (review finding).
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)) {
+      val e = intercept[RuntimeException] {
+        graft.sources.xlsx.XlsxWriter.writeTo(
+          new java.io.ByteArrayOutputStream(), Seq(Seq[Any]("h"), Seq[Any](bad)))
+      }
+      assert(e.getMessage.contains("OOXML number"), e.getMessage)
+    }
+  }
 }

@@ -60,7 +60,11 @@ object Ingest {
   /** T3: the producer deletes None/'' values (`pro.py:76`) so downstream
     * `'k' in doc` guards treat '' as absent. Columnar twin: '' -> null. */
   def normalizeEmpty(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.foldLeft(df)((d, c) => d.withColumn(c, nullif(col(c), lit(""))))
+    // qcol, not col: callers pass raw header names (Tabular.normalize feeds
+    // every string column of an arbitrary CSV/JSON schema), and an
+    // unquoted col("user.name") parses as nested-field access —
+    // dropBlankRows was already hardened for exactly this (review finding).
+    cols.foldLeft(df)((d, c) => d.withColumn(c, nullif(qcol(c), lit(""))))
 
   /** T2: strictly monotone ingest timestamp. The reference fakes uniqueness
     * with a +0.0001 s counter (`pro.py:27,70-73`) — a ~10k rec/s design

@@ -45,9 +45,12 @@ object Tabular {
     * interchange format of LLM data pipelines (and the file twin of the
     * reference's Kafka JSON lines, `con.py:30-40`); this certifies the
     * escaping round trip — embedded quotes/newlines/unicode in document
-    * text must survive write→read byte-exactly. Scale: the write is one
-    * map-only pass, the read is a planned file scan with pruning, same as
-    * any lake format. */
+    * text must survive write→read byte-exactly. Byte-exact applies to
+    * CONTENT: the read-back deliberately goes through [[scan]], so the S1
+    * normalize applies like on any ingest — an empty-STRING field comes
+    * back null and an all-blank row drops (that is the ''-is-absent
+    * contract, not loss). Scale: the write is one map-only pass, the read
+    * is a planned file scan with pruning, same as any lake format. */
   def jsonlRoundtrip(spark: SparkSession, df: DataFrame): DataFrame = {
     // Registered for exit-time deletion (review finding: a driver looping
     // the gate/bench rewrites the corpus as JSON per pass; un-registered
@@ -79,7 +82,16 @@ object Tabular {
     * ONE definition for both corrupt legs (batch audit here, streaming
     * dead-letter split in `Pipeline.dlqParsedStream`): a one-sided schema
     * or parser-option edit would otherwise silently decouple what the two
-    * legs certify. Works on batch AND streaming frames (pure select). */
+    * legs certify. Works on batch AND streaming frames (pure select).
+    *
+    * Null-STRUCT family (same posture as `Pipeline.kafkaValueParse`, which
+    * this parse is documented to mirror): `from_json` returns a null struct
+    * for the JSON literal `null`, an empty line, or bare whitespace —
+    * PERMISSIVE only fills `_corrupt_record` for junk it can tokenize. An
+    * all-null row with a null payload would route to the STORE table as
+    * phantom data and never reach the dead-letter table (review finding);
+    * these lines are tagged corrupt with the raw line retained, exactly
+    * like any junk payload. */
   private[graft] def corruptParsed(lines: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val schema = new StructType()
@@ -87,11 +99,12 @@ object Tabular {
       .add("n_chars", org.apache.spark.sql.types.LongType)
       .add("_corrupt_record", org.apache.spark.sql.types.StringType)
     lines
-      .select(from_json(col("value"), schema,
+      .select(col("value"), from_json(col("value"), schema,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
       .select(col("rec.doc_id").as("doc_id"), col("rec.n_chars").as("n_chars"),
-        col("rec._corrupt_record").as("corrupt_payload"))
+        when(col("rec").isNull, col("value"))
+          .otherwise(col("rec._corrupt_record")).as("corrupt_payload"))
   }
 
   /** S4 malformed-JSON audit, batch-certified (r13 verdict #3): stage the
@@ -122,23 +135,13 @@ object Tabular {
       corruptJsonlLines(docs).write.mode("overwrite").text(dir)
       dir
     }
-    val dir = stageKey match {
-      case None => stage()
-      case Some(k) =>
-        // The memo key folds in the semantic hash of the docs plan: the
-        // caller's stageKey names the CORPUS (sf dir), but two callers
-        // passing the same key with different frames (e.g. a filtered
-        // slice) must not silently reuse each other's staging (r14
-        // advice). The hash is plan-level — cheap, deterministic within
-        // the JVM, and exactly as stable as the staging's premise (a pure
-        // function of the input plan).
-        corruptStageMemo.computeIfAbsent(
-          s"$k|${docs.queryExecution.analyzed.semanticHash()}", _ => stage())
-    }
+    // graft.util.StageMemo carries the key invariants (shape params in the
+    // tag, the docs plan's semantic hash in the key — r14 advice) in ONE
+    // shared definition with Pipeline's replay stagings (review finding:
+    // two hand-rolled memo copies had to apply each fix twice).
+    val dir = graft.util.StageMemo(stageKey, "corrupt_jsonl", docs)(stage())
     corruptParsed(spark.read.text(dir))
   }
-  private val corruptStageMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** DLQ SALVAGE — replay-after-fix, the step a dead-letter table exists
     * for: once the junk pattern is understood, a fixed parser recovers

@@ -50,19 +50,14 @@ object Pipeline {
     * must ride in the tag — two same-key calls with different shapes would
     * otherwise silently reuse the first call's staging (r10 advice), and
     * the staged FRAME's plan identity rides in the key as a semantic hash
-    * (same rationale as Tabular's corrupt-stage memo, r14 advice: the
-    * stageKey names the corpus, but a same-key caller staging a DIFFERENT
-    * frame — e.g. a filtered slice — must stage independently). */
-  private val stagedMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    * (r14 advice: the stageKey names the corpus, but a same-key caller
+    * staging a DIFFERENT frame — e.g. a filtered slice — must stage
+    * independently). The implementation is [[graft.util.StageMemo]] — ONE
+    * definition shared with Tabular's corrupt-JSONL staging, so the key
+    * invariants can't drift between the two sites (review finding). */
   private def memoStage[T <: AnyRef](stageKey: Option[String], tag: String,
                                      staged: DataFrame*)(build: => T): T =
-    stageKey match {
-      case None => build
-      case Some(k) =>
-        val ident = staged.map(_.queryExecution.analyzed.semanticHash()).mkString(",")
-        stagedMemo.computeIfAbsent(s"$tag|$ident|$k", _ => build).asInstanceOf[T]
-    }
+    graft.util.StageMemo(stageKey, tag, staged: _*)(build)
 
   /** Shared crash-detection for the restart legs: run the drain, demand the
     * injected failure, and re-throw anything that is NOT the injected crash.
@@ -164,18 +159,27 @@ object Pipeline {
     * discovers *new* files; the reference's modified-file re-processing is
     * recovered by the T1 content-hash dedup downstream (the actual semantic
     * contract — each distinct row version flows through exactly once). */
-  def watchedDirSource(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
-    spark.readStream
+  def watchedDirSource(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame = {
+    var reader = spark.readStream
       .schema(Schemas.enrollment)
       .option("maxFilesPerTrigger", 16)
       .format(format)
-      .load(dir)
+    // Same header posture as Tabular.scanStream: without it the csv reader
+    // parses each watched file's HEADER LINE as a data row — one phantom
+    // record per file, with the key column literally "F_MASV" (review
+    // finding).
+    if (format == "csv") reader = reader.option("header", "true")
+    reader.load(dir)
+  }
 
-  /** T1 (streaming): content-hash dedup with watermark-bounded state. */
+  /** T1 (streaming): content-hash dedup with watermark-bounded state. The
+    * hash is [[Ingest.rowHash]] — the ONE canonical content-hash
+    * definition; an inline copy here would let the batch and streaming
+    * dedup legs silently certify different canonical forms (review
+    * finding). */
   def dedupStream(df: DataFrame, watermarkCol: String = "@timestamp",
                   horizon: String = "1 hour"): DataFrame = {
-    val hashed = df.withColumn("row_hash",
-      md5(to_json(struct(df.columns.sorted.map(col).toIndexedSeq: _*))))
+    val hashed = df.withColumn("row_hash", Ingest.rowHash(df))
     hashed
       .withWatermark(s"`$watermarkCol`", horizon) // backquoted: '@timestamp'
       .dropDuplicatesWithinWatermark("row_hash")
@@ -209,15 +213,41 @@ object Pipeline {
       joinType)
   }
 
-  /** S3: publish records to Kafka as UTF-8 JSON (`pro.py:21-24,85`). */
+  /** S3: publish records to Kafka as UTF-8 JSON (`pro.py:21-24,85`).
+    *
+    * `keyCol` sets the Kafka MESSAGE key (stringified). Publishing
+    * upsertable records MUST key by the record id: [[kafkaValueParse]]'s
+    * `kafka_offset` tie-break and the upsert sink's last-write-wins
+    * arbitration are only correct when all versions of one doc share a
+    * partition ("key = doc_id, the production layout" in the parse doc) —
+    * an unkeyed producer spreads versions round-robin across partitions,
+    * and same-millisecond ties then compare offsets from unrelated logs,
+    * letting a stale version win (review finding: this sink previously
+    * emitted no key at all, contradicting the premise the parse documents).
+    * None remains for genuinely keyless telemetry where ordering is
+    * per-record irrelevant. */
   def kafkaJsonSink(df: DataFrame, servers: String, topic: String,
-                    checkpoint: String): DataStreamWriter[Row] =
-    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+                    checkpoint: String,
+                    keyCol: Option[String] = None): DataStreamWriter[Row] =
+    kafkaSinkProjection(df, keyCol)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
+
+  /** The S3 wire projection, factored off `format("kafka")` so the
+    * key/value contract is unit-testable without a broker (the
+    * [[kafkaValueParse]] convention). Pure select: works on batch and
+    * streaming frames. */
+  private[graft] def kafkaSinkProjection(df: DataFrame,
+                                         keyCol: Option[String]): DataFrame = {
+    val value = to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value")
+    keyCol match {
+      case Some(k) => df.select(col(k).cast("string").as("key"), value)
+      case None => df.select(value)
+    }
+  }
 
   /** S4: Kafka JSON source (`con.py:14-21`). `startingOffsets=earliest` like
     * the reference; offset tracking via checkpoint (≙ manual commit, but
@@ -496,7 +526,12 @@ object Pipeline {
   private def xlsxBatchSink(store: String)(b: DataFrame, id: Long): Unit =
     b.write.mode("overwrite").parquet(s"$store/batch=$id")
   private def xlsxSettled(spark: SparkSession, store: String): DataFrame =
-    spark.read.parquet(store).select(XlsxReplayCols.map(col): _*)
+    // Pinned schema (the dlqSettled convention): a legitimately-empty
+    // corpus stages zero workbooks → zero batches → no parquet to infer
+    // from; without the pin the settle crashes instead of returning an
+    // empty frame (review finding).
+    spark.read.schema(xlsxReplaySchema).parquet(store)
+      .select(XlsxReplayCols.map(col): _*)
 
   /** Crash-recovery twin of [[replayXlsxStream]] (8th member of the restart
     * family): the first query crashes inside foreachBatch after the k-th
@@ -1050,8 +1085,6 @@ object Pipeline {
                                 gapMs: Long, nFiles: Int,
                                 stageKey: Option[String],
                                 killAfterBatches: Int): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    import java.nio.file.attribute.FileTime
     val (staged, src) = memoStage(stageKey, s"sess|$gapMs|$nFiles", events) {
       val root = replayTempRoot("graft_sess_replay_")
       val stagedD = s"$root/staged"; val sent = s"$root/sent"
@@ -1179,7 +1212,13 @@ object Pipeline {
       events.filter(col("event_type") === "purchase")
         .select(cols: _*).repartitionByRange(nFiles, col("ts"))
         .write.mode("overwrite").parquet(s"$root/r")
-      val span = events
+      // Premise scalar from the JUST-WRITTEN staging, not the upstream plan
+      // (the sess-leg convention — aggregating `events` here re-executed
+      // the whole source load a third time; review finding). The staged
+      // union's span is also the tighter correct bound: only staged rows
+      // replay, so the no-eviction-before-drain invariant needs exactly
+      // their span.
+      val span = spark.read.parquet(s"$root/l", s"$root/r")
         .agg(max(unix_millis(col("ts"))) - min(unix_millis(col("ts"))))
         .head().getLong(0)
       (s"$root/l", s"$root/r",
@@ -1339,23 +1378,29 @@ object Pipeline {
                                   withinMs: Long, nFiles: Int,
                                   stageKey: Option[String],
                                   killAfterBatches: Int): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    import java.nio.file.attribute.FileTime
     val within = s"$withinMs milliseconds"
     val (lsrc, rsrc, delaySec) = memoStage(stageKey, s"ssjoin_outer|$withinMs|$nFiles", events) {
       val root = replayTempRoot("graft_ssjo_replay_")
       val cols = Seq(col("event_id"), col("user_id"), col("ts"))
-      // Span and max in ONE aggregation pass (two separate .head()s each
-      // re-executed the full events plan — review finding).
-      val bounds = events.agg(
+      def stageTmp(tmp: String, side: DataFrame): Unit =
+        side.select(cols: _*).repartitionByRange(nFiles, col("ts"))
+          .write.mode("overwrite").parquet(tmp)
+      stageTmp(s"$root/l.tmp",
+        events.filter(col("event_type").isin("view", "click")))
+      stageTmp(s"$root/r.tmp", events.filter(col("event_type") === "purchase"))
+      // Premise scalars from the JUST-WRITTEN staging in ONE aggregation
+      // pass — aggregating `events` here re-executed the full source plan a
+      // third time after the two staging writes (review finding; the
+      // sess-leg convention). The staged union's bounds are also the
+      // tighter correct ones: only staged rows replay, so the sentinel
+      // horizon and eviction bound need exactly their span and max.
+      val bounds = spark.read.parquet(s"$root/l.tmp", s"$root/r.tmp").agg(
         (max(unix_millis(col("ts"))) - min(unix_millis(col("ts")))).as("span"),
         max(unix_millis(col("ts"))).as("mx")).head()
       val span = bounds.getLong(0); val maxMs = bounds.getLong(1)
       val delayMs = span + 86400000L
-      def stage(dir: String, side: DataFrame, sentinelUser: Long): String = {
+      def layWithSentinels(dir: String, sentinelUser: Long): String = {
         val tmp = s"$dir.tmp"; val sentTmp = s"$dir.sent"
-        side.select(cols: _*).repartitionByRange(nFiles, col("ts"))
-          .write.mode("overwrite").parquet(tmp)
         // Two sentinel files, each its own micro-batch: the first advances
         // the watermark past every real left's eviction bound, the second
         // drives the extra trigger in which eviction actually emits.
@@ -1369,10 +1414,8 @@ object Pipeline {
         layOrdered(Seq(tmp, s"${sentTmp}0", s"${sentTmp}1"), dir)
         dir
       }
-      (stage(s"$root/l",
-         events.filter(col("event_type").isin("view", "click")), -1L),
-       stage(s"$root/r",
-         events.filter(col("event_type") === "purchase"), -2L),
+      (layWithSentinels(s"$root/l", -1L),
+       layWithSentinels(s"$root/r", -2L),
        java.lang.Long.valueOf(delayMs / 1000L))
     }
     if (killAfterBatches > 0)

@@ -28,7 +28,9 @@ class KafkaLiveSpec extends SparkSpec {
     val input = MemoryStream[(Long, String, Double)]
     val df = input.toDF.toDF("event_id", "event_type", "value")
     val q = graft.streaming.Pipeline
-      .kafkaJsonSink(df, servers, topic, ckpt)
+      // Keyed publish — the production layout the S4 parse's offset
+      // tie-break depends on (all versions of one id share a partition).
+      .kafkaJsonSink(df, servers, topic, ckpt, keyCol = Some("event_id"))
       .start()
     try {
       input.addData(Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
@@ -40,9 +42,10 @@ class KafkaLiveSpec extends SparkSpec {
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .load()
-      .select(from_json(col("value").cast("string"), df.schema).as("rec"))
-      .select(col("rec.*"))
-    assert(back.orderBy("event_id").as[(Long, String, Double)].collect().toSeq ==
-      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+      .select(col("key").cast("string").as("key"),
+        from_json(col("value").cast("string"), df.schema).as("rec"))
+      .select(col("key"), col("rec.*"))
+    assert(back.orderBy("event_id").as[(String, Long, String, Double)].collect().toSeq ==
+      Seq(("1", 1L, "a", 1.5), ("2", 2L, "b", 2.5), ("3", 3L, "c", 3.5)))
   }
 }

@@ -116,4 +116,38 @@ class ScaleOpsSpec extends SparkSpec {
       .select("doc_id", "n_chars").as[(Long, Long)].collect().toSet
     assert(parsed == (0L until 25L).filter(_ % 10 != 3).map(i => (i, 7L + i)).toSet)
   }
+
+  test("corruptParsed routes the null-struct family to the corrupt path") {
+    // from_json returns a NULL STRUCT for the JSON literal `null`, an empty
+    // line, or bare whitespace — PERMISSIVE fills _corrupt_record only for
+    // junk it can tokenize, so without the null-struct arm these lines
+    // were all-null PARSED rows: phantom data in the store table, invisible
+    // to the dead-letter split (review finding; kafkaValueParse was fixed
+    // for the same family in r14 — this pins the batch leg to the same
+    // posture, the "one definition for both corrupt legs" contract).
+    val lines = Seq("""{"doc_id":7,"n_chars":42}""", "JUNK 3", "null", "", "  ")
+      .toDF("value")
+    val out = graft.sources.Tabular.corruptParsed(lines)
+      .as[(Option[Long], Option[Long], Option[String])].collect().toSet
+    assert(out == Set(
+      (Some(7L), Some(42L), None),          // parsed
+      (None, None, Some("JUNK 3")),         // tokenizable junk
+      (None, None, Some("null")),           // JSON literal null
+      (None, None, Some("")),               // empty line
+      (None, None, Some("  "))), out)       // whitespace line
+  }
+
+  test("Tabular.scan survives dotted and backticked csv headers") {
+    // normalize() feeds raw header names to normalizeEmpty; an unquoted
+    // col("user.name") parses as nested-field access and crashes the scan
+    // (review finding — dropBlankRows was already hardened with qcol, but
+    // normalizeEmpty runs first).
+    val dir = java.nio.file.Files.createTempDirectory("tabdot").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/h.csv"),
+      "user.name,sc`ore\nalice,8.5\n,\nbob,\n")
+    val df = Tabular.scan(spark, s"$dir/h.csv")
+    assert(df.columns.toSeq == Seq("user.name", "sc`ore"))
+    assert(df.count() == 2) // all-blank row dropped
+    assert(df.filter(col("`sc``ore`").isNull).count() == 1) // '' -> null
+  }
 }

@@ -771,4 +771,44 @@ class StreamingSpec extends SparkSpec {
     // the junk line, the tombstone, and the null literal all carry payloads
     assert(out.count(_._2.isDefined) == 3)
   }
+
+  test("kafka sink projection keys messages by the record id when asked") {
+    // The S3 wire contract without a broker (kafkaSinkProjection is the
+    // factored projection of kafkaJsonSink): the parse's kafka_offset
+    // tie-break and the upsert's last-write-wins are only correct when all
+    // versions of one doc share a partition, which needs the producer to
+    // SET the message key (review finding: the sink emitted no key at all
+    // while the parse documented key-partitioning as the premise).
+    val df = Seq((7L, "a"), (8L, "b")).toDF("doc_id", "payload")
+    val keyed = Pipeline.kafkaSinkProjection(df, Some("doc_id"))
+    assert(keyed.columns.toSeq == Seq("key", "value"))
+    val rows = keyed.as[(String, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("7", "8"))
+    assert(rows.head._2 == """{"doc_id":7,"payload":"a"}""")
+    val unkeyed = Pipeline.kafkaSinkProjection(df, None)
+    assert(unkeyed.columns.toSeq == Seq("value"))
+  }
+
+  test("watchedDirSource csv does not ingest header lines as data rows") {
+    // Without the header option the csv file source parses each watched
+    // file's header line as a data row — one phantom record per file with
+    // F_MASV literally "F_MASV" (review finding).
+    val dir = java.nio.file.Files.createTempDirectory("watchcsv").toString
+    val cols = graft.model.Schemas.enrollment.fieldNames
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"),
+      cols.mkString(",") + "\n" +
+        cols.map(c => if (c == "F_MASV") "B2000001" else "x").mkString(",") + "\n")
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = Pipeline.watchedDirSource(spark, dir, format = "csv")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= b.select("F_MASV").as[String].collect() }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("watchcsv_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    assert(got.toSeq == Seq("B2000001"), s"phantom header row? got $got")
+  }
 }

@@ -526,6 +526,18 @@ class XlsxSpec extends SparkSpec {
     assert(part.path == f, "path must fall back to the construction options")
   }
 
+  test("xlsx replay of an empty corpus settles to an empty frame, not a crash") {
+    // Zero rows → zero staged workbooks → zero micro-batches → no parquet
+    // in the store; the settle must return an empty frame under the pinned
+    // schema instead of dying on parquet schema inference (review finding;
+    // the dlqSettled convention).
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    val got = graft.streaming.Pipeline.replayXlsxStream(spark, empty)
+    assert(got.columns.toSeq == Seq("c_custkey", "c_name", "c_mktsegment"))
+    assert(got.count() == 0)
+  }
+
   test("writer refuses NaN and Infinity numeric cells") {
     // Not valid OOXML numbers — Excel reports the file corrupt on open;
     // same fail-loud rule as the row cap (review finding).

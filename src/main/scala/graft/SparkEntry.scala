@@ -1074,12 +1074,13 @@ object SparkEntry {
         "ts", "event_id"),
       Some("""WITH ch AS (
         |  SELECT user_id, event_type, ts, event_id,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |                          ORDER BY ts, event_id) AS prev
-        |  FROM events),
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |v AS (
         |  SELECT user_id, event_type, ts, event_id FROM ch
-        |  WHERE prev IS DISTINCT FROM event_type)
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type, ts AS valid_from,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -2449,8 +2450,8 @@ object SparkEntry {
     """WITH base AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       |  WHERE len(embedding) = 64),
-      |cb AS (SELECT CAST(vec_id AS INT) AS code, emb AS cemb FROM base
-      |       WHERE vec_id < 4),
+      |cb AS (SELECT vec_id AS code, emb AS cemb FROM base
+      |       ORDER BY vec_id LIMIT 4),
       |ms AS (SELECT CAST(unnest(range(4)) AS INT) AS m),
       |encd AS (
       |  SELECT v.vec_id AS nbr_id, ms.m, cb.code,

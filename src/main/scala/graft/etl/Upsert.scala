@@ -86,8 +86,25 @@ object Upsert {
     val existing = knownSchema match {
       case Some(sc) => spark.read.schema(sc).parquet(path)
       case None =>
-        try spark.read.option("mergeSchema", "true").parquet(path)
-        catch { case _: org.apache.spark.sql.AnalysisException => null }
+        // Bootstrap test by EXPLICIT existence probe, not by swallowing
+        // AnalysisException: a store that exists and holds parquet but
+        // fails to read (merge-incompatible footers, a torn write) must
+        // surface LOUDLY — treating any read failure as "store absent"
+        // would rewrite every touched partition with batch-only rows, the
+        // silent partition data loss the schema-drift refusal below exists
+        // to prevent (review finding). A present-but-dataless dir (a
+        // pre-created store root) still counts as absent.
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val hasData = fs.exists(p) && {
+          val it = fs.listFiles(p, true)
+          var found = false
+          while (!found && it.hasNext)
+            found = it.next().getPath.getName.endsWith(".parquet")
+          found
+        }
+        if (!hasData) null
+        else spark.read.option("mergeSchema", "true").parquet(path)
     }
 
     val merged =
@@ -145,7 +162,12 @@ object Upsert {
     val staging = s"$path.__staging"
     merged.write.mode("overwrite").parquet(staging)
     try {
-      spark.read.parquet(staging).write
+      // schema-pinned: an EMPTY merged frame (empty batch against an
+      // existing store — e.g. an evolution replay whose evolved half
+      // matched no rows) writes zero part files, and an unpinned read-back
+      // would die on parquet schema inference instead of no-op'ing the
+      // dynamic overwrite (review finding)
+      spark.read.schema(merged.schema).parquet(staging).write
         .mode("overwrite")
         .partitionBy(partitionCol)
         .option("partitionOverwriteMode", "dynamic")
@@ -175,9 +197,15 @@ object Upsert {
     val keyW = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col(tieCol).asc)
     val changed = df
+      .withColumn("__rn", row_number().over(keyW))
       .withColumn("__prev", lag(col(valueCol), 1).over(keyW))
-      // null-safe inequality: a NULL value is a tracked state of its own
-      .filter(!(col(valueCol) <=> col("__prev")))
+      // null-safe inequality: a NULL value is a tracked state of its own.
+      // The rn=1 arm is load-bearing for exactly that contract: lag() is
+      // null BOTH for "no previous row" and "previous value was NULL", so
+      // without it a key whose FIRST tracked value is NULL never opens its
+      // initial interval (null <=> null is true) — the first version always
+      // opens one (review finding; oracle carries the same rn=1 arm).
+      .filter(col("__rn") === 1 || !(col(valueCol) <=> col("__prev")))
     val out = changed
       .withColumn("valid_to", lead(col(tsCol), 1).over(keyW))
       .withColumn("is_current", col("valid_to").isNull)
@@ -245,7 +273,14 @@ object Upsert {
       base.filter(odd).withColumn("src", lit("b2")), dir,
       Seq("user_id", "ingest_date"), "ts", "event_id", "ingest_date",
       allowSchemaEvolution = true)
-    spark.read.option("mergeSchema", "true").parquet(dir)
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    // An input with no odd ids merges an EMPTY evolved batch: the store
+    // never gains `src`, and selecting it would throw UNRESOLVED_COLUMN —
+    // the all-null src frame is the correct answer there (review finding).
+    val withSrc =
+      if (back.columns.contains("src")) back
+      else back.withColumn("src", lit(null).cast("string"))
+    withSrc
       .select(col("user_id"), col("ingest_date"), col("event_id"),
         col("event_type"), col("value"), col("ts"), col("src"))
   }

@@ -29,9 +29,14 @@ import graft.Materialize.DatasetPin
 object Retrieval {
 
   /** Top-k documents by BM25 over `terms`. Output: (doc_id, n_terms, score)
-    * with score = quantized-sum / 1e6; ties broken by doc_id ascending. */
-  def bm25TopK(docs: DataFrame, textCol: String, terms: Seq[String], k: Int,
+    * with score = quantized-sum / 1e6; ties broken by doc_id ascending.
+    * `terms` is treated as a SET (deduplicated on entry): the SQL oracle's
+    * IN-list has set semantics, and a duplicated term would otherwise
+    * double its contribution and inflate n_terms on the Spark side only
+    * (review finding). */
+  def bm25TopK(docs: DataFrame, textCol: String, terms0: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = terms0.distinct
     require(terms.nonEmpty && k > 0)
     // One tokenization pass over the corpus, total. The Generate barrier
     // (explode of a 1-element array) pins the token array to an attribute so
@@ -239,8 +244,6 @@ object Retrieval {
        |ORDER BY n_hits DESC, doc_id LIMIT $k""".stripMargin
   }
 
-  /** The identical computation as DuckDB SQL (oracle), sharing the token
-    * regex and constants. */
   /** Pseudo-relevance-feedback retrieval (Rocchio-style query expansion):
     * run the seed query, mine the top `fbTerms` characteristic terms from
     * the `fbDocs` best seed hits (tf-in-feedback DESC, corpus df ASC —
@@ -257,11 +260,13 @@ object Retrieval {
     * over the feedback docs' vocabulary only (bounded by fbDocs × doc
     * length). Determinism: the same 1e-6 quantization as [[bm25TopK]];
     * every ordering key is an integer or fixed-point long. */
-  def prfTopK(docs: DataFrame, textCol: String, seeds: Seq[String], k: Int,
+  def prfTopK(docs: DataFrame, textCol: String, seeds0: Seq[String], k: Int,
               fbDocs: Int = 3, fbTerms: Int = 3,
               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // set semantics, same rationale as bm25TopK (the oracle's IN-list and
+    // VALUES rows would otherwise disagree with a duplicated seed)
+    val seeds = seeds0.distinct
     require(seeds.nonEmpty && k > 0 && fbDocs > 0 && fbTerms >= 0)
-    import org.apache.spark.sql.DataFrame
     val spark = docs.sparkSession
     import spark.implicits._
 

@@ -16,6 +16,14 @@ import graft.Materialize
   *
   * Dot products run on `double` (floats cast first) with a sequential fold —
   * the exact arithmetic the DuckDB oracle reproduces.
+  *
+  * Zero-norm vectors (all-zero embeddings — failed or padded rows) are
+  * EXCLUDED from every cosine path: their cosine is 0/0 = NaN, and both
+  * Spark and DuckDB order NaN above every real double, so one zero vector
+  * in the corpus would otherwise rank as the #1 "neighbor" of every query
+  * and pair as a "near-dup" of every cell-mate (review finding;
+  * [[quantizedTopK]] already guarded this via its max|x| > 0 scalar — the
+  * other paths now filter where norms are computed).
   */
 object Similarity {
 
@@ -44,15 +52,38 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("nbr_emb"),
       l2norm(col("embedding")).as("nbr_nrm"))
+      .filter(col("nbr_nrm") > 0)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("q_emb"), l2norm(col("embedding")).as("q_nrm")))
+      asDouble(col("embedding")).as("q_emb"), l2norm(col("embedding")).as("q_nrm"))
+      .filter(col("q_nrm") > 0))
     val scored = c.join(q, col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (dot(col("q_emb"), col("nbr_emb")) / (col("q_nrm") * col("nbr_nrm"))).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+    rankTopK(scored, k, "cos")
       .select(col("query_id"), col("nbr_id"), col("cos"), col("__rn").as("rank"))
+  }
+
+  /** Per-query rank over `scoreCol` desc (ties: nbr_id asc), top `k` kept —
+    * ONE definition for the four top-k tails (review finding: a
+    * ranking-rule or guard change previously had to be re-applied in four
+    * places). Callers project their own output columns off `__rn`. */
+  private def rankTopK(scored: DataFrame, k: Int, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col(scoreCol).desc, col("nbr_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+  }
+
+  /** Keyed pair-cosine core: self-join rows sharing `key`, ordered a < b,
+    * exact cosine — ONE definition for the three near-dup ops (review
+    * finding). Input shape: (key, vec_id, emb double[], nrm) with zero
+    * norms already excluded. */
+  private def pairCosine(keyed: DataFrame, key: String): DataFrame = {
+    val l = keyed.select(col(key), col("vec_id").as("a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = keyed.select(col(key), col("vec_id").as("b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    l.join(r, Seq(key)).filter(col("a") < col("b"))
+      .select(col(key), col("a"), col("b"),
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
   }
 
   /** Deterministic ±1 hyperplane weights: plane p, dimension d -> sign from
@@ -86,30 +117,43 @@ object Similarity {
   }
 
   /** LSH-accelerated ANN with multi-probe: each query searches its own SRP
-    * bucket plus every bucket one plane-flip away (`multiProbe = 1`), the
-    * standard recall fix for SRP's hard bucket boundaries — a near neighbor
-    * that lands one sign-bit off is still found. The query side explodes to
-    * planes+1 probe rows and stays broadcast; the corpus keeps ONE bucket
-    * per vector, so the probe join is still a plain equi-join and each
-    * (query, candidate) pair is produced at most once. */
+    * bucket plus every bucket within Hamming radius `multiProbe` of it —
+    * the standard recall fix for SRP's hard bucket boundaries (a near
+    * neighbor that lands one sign-bit off is still found). `multiProbe` is
+    * the PROBE RADIUS: 0 = own bucket only, 1 adds the `planes` single-flip
+    * buckets, 2 adds the planes-choose-2 double flips (review finding: the
+    * old code treated every value ≥ 1 as radius 1, so tuning it up silently
+    * did nothing). Radius > 2 is refused — the probe count explodes
+    * combinatorially; narrow with IVF composition instead. The query side
+    * explodes to the probe count and stays broadcast; the corpus keeps ONE
+    * bucket per vector, so the probe join is still a plain equi-join and
+    * each (query, candidate) pair is produced at most once. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 12, dims: Int = 64, multiProbe: Int = 1): DataFrame = {
+    require(multiProbe <= 2,
+      s"multiProbe is the Hamming probe radius (0, 1, or 2); got $multiProbe — " +
+        "radius > 2 explodes as planes-choose-r, compose with IVF instead")
     val cb = srpBucket(corpus, planes, dims)
       .select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("nbr_emb"),
         l2norm(col("embedding")).as("nbr_nrm"), col("bucket"))
+      .filter(col("nbr_nrm") > 0)
+    val flips1 = (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+    val flips2 =
+      if (multiProbe < 2) Nil
+      else for { p <- 0 until planes; p2 <- p + 1 until planes }
+        yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << p2)))
     val probes =
       if (multiProbe <= 0) Seq(col("bucket"))
-      else col("bucket") +: (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+      else col("bucket") +: (flips1 ++ flips2)
     val qb = broadcast(srpBucket(queries, planes, dims)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"),
-        l2norm(col("embedding")).as("q_nrm"), explode(array(probes: _*)).as("bucket")))
+        l2norm(col("embedding")).as("q_nrm"), explode(array(probes: _*)).as("bucket"))
+      .filter(col("q_nrm") > 0))
     val scored = cb.join(qb, Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (dot(col("q_emb"), col("nbr_emb")) / (col("q_nrm") * col("nbr_nrm"))).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+    rankTopK(scored, k, "cos")
       .select(col("query_id"), col("nbr_id"), col("cos"), col("__rn").as("rank"))
   }
 
@@ -122,9 +166,16 @@ object Similarity {
     *
     * Scale: each leg is its own bounded top-k (one corpus scan each); the
     * comparison join touches ≤ |queries|·k rows. Run it on a sampled query
-    * set — the corpus cost is the two scans, not the comparison. */
-  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
-    recallVsExact(bruteForceTopK(corpus, queries, k), lshTopK(corpus, queries, k))
+    * set — the corpus cost is the two scans, not the comparison.
+    *
+    * `planes`/`dims`/`multiProbe` parameterize the LSH leg (review finding:
+    * hardcoded defaults meant a non-64-dim corpus reported recall 0 for
+    * every query — the exact leg scanned everything while srpBucket's
+    * dims guard emptied the approximate leg). */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                planes: Int = 12, dims: Int = 64, multiProbe: Int = 1): DataFrame =
+    recallVsExact(bruteForceTopK(corpus, queries, k),
+      lshTopK(corpus, queries, k, planes, dims, multiProbe))
 
   /** The harness itself, index-agnostic: per-query overlap of ANY
     * approximate (query_id, nbr_id) ranking with the exact one — plug in
@@ -154,6 +205,7 @@ object Similarity {
                keep: Int): DataFrame = {
       val base = df.select(col("vec_id").as(idAs), asDouble(col("embedding")).as(embAs),
         l2norm(col("embedding")).as(nrmAs))
+        .filter(col(nrmAs) > 0)
       val scored = base.join(cent)
         .select(col(idAs), col(embAs), col(nrmAs), col("cent_id"),
           (dot(col(embAs), col("cent_emb")) / (col(nrmAs) * col("cent_nrm"))).as("__ccos"))
@@ -169,9 +221,7 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (dot(col("q_emb"), col("nbr_emb")) / (col("q_nrm") * col("nbr_nrm"))).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+    rankTopK(scored, k, "cos")
       .select(col("query_id"), col("nbr_id"), col("cos"), col("__rn").as("rank"))
   }
 
@@ -186,15 +236,11 @@ object Similarity {
     val b0 = srpBucket(df, planes, dims)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         l2norm(col("embedding")).as("nrm"), col("bucket"))
+      .filter(col("nrm") > 0)
     // consumed by both sides of the self-join
     val b = Materialize.pin(b0)
-    val l = b.select(col("bucket"), col("vec_id").as("a"),
-      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val r = b.select(col("bucket"), col("vec_id").as("b"),
-      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
+    pairCosine(b, "bucket")
+      .select(col("a"), col("b"), col("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -367,9 +413,7 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"),
         col("__d").cast("long").as("qdot"),
         (col("__d") / (col("q_nrm") * col("nbr_nrm"))).as("approx_cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("nbr_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+    rankTopK(scored, k, "approx_cos")
       .select(col("query_id"), col("nbr_id"), col("qdot"), col("approx_cos"),
         col("__rn").cast("int").as("rank"))
   }
@@ -418,16 +462,13 @@ object Similarity {
     val base = df.filter(size(col("embedding")) === dims)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         l2norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
     val assigned0 = assignCells(base, centF)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
     // consumed by both pair-join sides and the final output
     val assigned = Materialize.pin(assigned0)
-    val l = assigned.select(col("cell"), col("vec_id").as("a"),
-      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val r = assigned.select(col("cell"), col("vec_id").as("b"),
-      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
-    val dropped = l.join(r, Seq("cell")).filter(col("a") < col("b"))
-      .filter(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) >= threshold)
+    val dropped = pairCosine(assigned, "cell")
+      .filter(col("cos") >= threshold)
       .select(col("b").as("vec_id")).distinct()
     assigned.select(col("vec_id"), col("cell"))
       .join(dropped.withColumn("__d", lit(true)), Seq("vec_id"), "left")
@@ -443,15 +484,9 @@ object Similarity {
     * arithmetic than naive cosine-per-pair, same values. */
   def embeddingNearDup(df: DataFrame, threshold: Double): DataFrame = {
     val normed = df.select(col("label"), col("vec_id"),
-      asDouble(col("embedding")).as("embedding"), l2norm(col("embedding")).as("nrm"))
-    val l = normed.select(col("label"), col("vec_id").as("a"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val r = normed.select(col("label"), col("vec_id").as("b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    l.join(r, Seq("label")).filter(col("a") < col("b"))
-      .select(col("label"), col("a"), col("b"),
-        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
-      .filter(col("cos") >= threshold)
+      asDouble(col("embedding")).as("emb"), l2norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    pairCosine(normed, "label").filter(col("cos") >= threshold)
   }
 
   /** Product-quantization ANN top-k (asymmetric distance computation): the
@@ -464,7 +499,10 @@ object Similarity {
     * Codebook: the `codes` lowest-vec_id corpus vectors stand in for the
     * per-subspace k-means codebooks ([[kmeansAssign]] trains real ones at
     * production — the encode/scan machinery is identical and that is what
-    * this operator demonstrates).
+    * this operator demonstrates). Selected by RANK (orderBy + limit), not
+    * `vec_id < codes`: with sparse or offset id spaces the literal
+    * comparison yields an undersized or empty codebook and a silently
+    * empty result (review finding).
     *
     * Determinism: subspace distances use the 3-dot expansion
     * `‖v‖² − 2·v·c + ‖c‖²` via the sequential-fold [[dot]] (bit-identical in
@@ -482,10 +520,13 @@ object Similarity {
     require(m > 0 && dims % m == 0 && codes > 0)
     val sub = dims / m
     // same dims guard as the corpus/query sides (and the oracle's base CTE):
-    // a wrong-length vector with a low vec_id must not enter the codebook
-    val cb = corpus.filter(col("vec_id") < codes && size(col("embedding")) === dims)
-      .select(col("vec_id").cast("int").as("code"),
-        asDouble(col("embedding")).as("cb_emb"))
+    // a wrong-length vector with a low vec_id must not enter the codebook.
+    // orderBy+limit, not `vec_id < codes` (doc above); the code value stays
+    // the vec_id itself — it is an identifier, joins and tie-breaks only.
+    val cb = corpus.filter(size(col("embedding")) === dims)
+      .select(col("vec_id"), asDouble(col("embedding")).as("cb_emb"))
+      .orderBy(col("vec_id").asc).limit(codes)
+      .select(col("vec_id").as("code"), col("cb_emb"))
 
     def subv(e: Column, mi: Int): Column = slice(e, mi * sub + 1, sub)
     def subDists(e: Column): Column = explode(array((0 until m).map { mi =>

@@ -102,6 +102,62 @@ class EtlSpec extends SparkSpec {
     assert(u2.length == 1 && u2.head._4.isEmpty && u2.head._5)
   }
 
+  test("S8: a key whose first tracked value is NULL still opens its interval") {
+    // lag() is null both for "no previous row" and "previous value NULL",
+    // so the null-safe inequality alone dropped a key's first version when
+    // its value was NULL — the rn=1 arm keeps it (review finding).
+    val df = Seq(
+      ("u1", Option.empty[String], ts("2024-01-01 00:00:00"), 1L),
+      ("u1", Some("active"), ts("2024-01-02 00:00:00"), 2L),
+      ("u2", Option.empty[String], ts("2024-01-01 00:00:00"), 3L) // never changes
+    ).toDF("k", "v", "t", "seq")
+    val out = Upsert.scd2History(df, Seq("k"), "v", "t", "seq")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        r.getTimestamp(2), r.getBoolean(4)))
+    val u1 = out.filter(_._1 == "u1").sortBy(_._3.getTime)
+    assert(u1.map(_._2).toSeq == Seq(None, Some("active")),
+      s"initial NULL interval lost: ${u1.toSeq}")
+    assert(!u1(0)._4 && u1(1)._4)
+    val u2 = out.filter(_._1 == "u2")
+    assert(u2.length == 1 && u2.head._2.isEmpty && u2.head._4,
+      s"all-NULL key vanished from history: ${u2.toSeq}")
+  }
+
+  test("S5: mergeBatch bootstrap probes existence; unreadable stores stay loud") {
+    // Bootstrap must key on "no parquet data present", not on swallowing
+    // AnalysisException: a store that EXISTS but fails to read would
+    // otherwise be treated as absent and every touched partition rewritten
+    // with batch-only rows — silent partition data loss (review finding).
+    val b = Seq(("k1", ts("2024-01-01 10:00:00"), 1L, 1.0))
+      .toDF("k", "t", "seq", "v").withColumn("day", to_date(col("t")))
+    // pre-created EMPTY dir: still a bootstrap
+    val emptyDir = java.nio.file.Files.createTempDirectory("upsert_pre").toString
+    Upsert.mergeBatch(spark, b, emptyDir, Seq("k"), "t", "seq", "day")
+    assert(spark.read.parquet(emptyDir).count() == 1)
+    // a dir holding junk bytes under a .parquet name: LOUD, store untouched
+    val junkDir = java.nio.file.Files.createTempDirectory("upsert_junk").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$junkDir/part-00000.parquet"), "not parquet")
+    intercept[Exception] {
+      Upsert.mergeBatch(spark, b, junkDir, Seq("k"), "t", "seq", "day")
+    }
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$junkDir/part-00000.parquet")) == "not parquet",
+      "failed merge must not rewrite the store")
+  }
+
+  test("S5: an empty batch against an existing store is a no-op, not a crash") {
+    // An empty merged frame writes zero staging part files; the read-back
+    // is schema-pinned so the dynamic overwrite no-ops instead of dying on
+    // parquet inference (review finding).
+    val dir = java.nio.file.Files.createTempDirectory("upsert_empty").toString
+    val b1 = Seq(("k1", ts("2024-01-01 10:00:00"), 1L, 1.0))
+      .toDF("k", "t", "seq", "v").withColumn("day", to_date(col("t")))
+    Upsert.mergeBatch(spark, b1, dir, Seq("k"), "t", "seq", "day")
+    Upsert.mergeBatch(spark, b1.limit(0), dir, Seq("k"), "t", "seq", "day")
+    assert(spark.read.parquet(dir).count() == 1, "store must survive the no-op")
+  }
+
   test("S5: mergeBatch upsert is idempotent under re-delivery") {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString
     val b1 = Seq(("k1", ts("2024-01-01 10:00:00"), 1L, 1.0),

@@ -331,6 +331,68 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(res.head.getAs[Double]("cos") - 1.0) < 1e-6)
   }
 
+  test("zero-norm vectors never rank as neighbors or pair as near-dups") {
+    // cos(zero, anything) = 0/0 = NaN, and both engines order NaN above
+    // every real double — one all-zero embedding (a failed or padded row)
+    // would otherwise be the #1 "neighbor" of every query and a "near-dup"
+    // of every cell-mate (review finding).
+    val good = (0 until 4).map(i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat), 0))
+    val zero = (9L, Array.fill(64)(0f), 0)
+    val all = (good :+ zero).toDF("vec_id", "embedding", "label")
+    val brute = Similarity.bruteForceTopK(all, all.filter(col("vec_id") === 0), 2)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(!brute.contains(9L), s"zero vector ranked as a neighbor: $brute")
+    val lsh = Similarity.lshTopK(all, all.filter(col("vec_id") === 0), 4)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(!lsh.contains(9L))
+    // zero-norm QUERY returns no rows rather than an arbitrary NaN ranking
+    assert(Similarity.bruteForceTopK(all, all.filter(col("vec_id") === 9), 2).isEmpty)
+    val pairs = Similarity.embeddingNearDup(all, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.forall(p => p._1 != 9L && p._2 != 9L),
+      s"zero vector paired as near-dup: $pairs")
+  }
+
+  test("multiProbe is the Hamming probe radius: 2 reaches a two-bit-flipped bucket") {
+    // Find a real pair of vectors whose SRP buckets differ in EXACTLY two
+    // sign bits, then show radius 1 misses it and radius 2 finds it
+    // (review finding: every value >= 1 used to behave as radius 1).
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 997 + d * 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val buckets = Similarity.srpBucket(vecs)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val pair = (for {
+      (a, ba) <- buckets.toSeq; (b, bb) <- buckets.toSeq
+      if a < b && java.lang.Long.bitCount(ba ^ bb) == 2
+    } yield (a, b)).headOption
+    assume(pair.isDefined, "no bucket pair at Hamming distance 2 in this fixture")
+    val (qa, nb) = pair.get
+    val corpus = vecs.filter(col("vec_id") === nb)
+    val qdf = vecs.filter(col("vec_id") === qa)
+    assert(Similarity.lshTopK(corpus, qdf, 1, multiProbe = 1).isEmpty,
+      "radius 1 must not see a bucket two flips away")
+    assert(Similarity.lshTopK(corpus, qdf, 1, multiProbe = 2)
+      .select("nbr_id").as[Long].collect().toSeq == Seq(nb),
+      "radius 2 must reach the two-flip bucket")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(corpus, qdf, 1, multiProbe = 3)
+    }
+    assert(e.getMessage.contains("radius"), e.getMessage)
+  }
+
+  test("PQ codebook is the k lowest ids by rank: offset id spaces still work") {
+    // `vec_id < codes` yielded an EMPTY codebook (and silently zero
+    // results) for any corpus whose ids don't start at 0 (review finding).
+    def v(seed: Int): Seq[Float] = (0 until 8).map(j => (seed * 8 + j).toFloat * (seed + 1))
+    val rows = (0 until 6).map(i => ((1000 + i).toLong, v(i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(emb, emb.filter(col("vec_id") === 1004), k = 2,
+      m = 4, codes = 4, dims = 8)
+    assert(got.count() == 2, "offset-id corpus must still produce neighbors")
+  }
+
   test("deterministic split: partition-invariant, proportions near 80/10/10") {
     import graft.ops.Sampling
     val ids = (1L to 2000L).toDF("doc_id")

@@ -68,6 +68,18 @@ class RetrievalSpec extends SparkSpec {
     assert(byId(1L) == 2 && byId(2L) == 1)
   }
 
+  test("terms are a set: a duplicated query term scores once, like the oracle's IN-list") {
+    // The SQL oracle's `term IN (...)` has set semantics; the Spark side
+    // computed one contribution per LIST INDEX, doubling the score and
+    // n_terms for a duplicated term (review finding) — dedupe on entry.
+    val df = frame(1L -> "cat dog fish", 2L -> "dog dog dog")
+    val dup = graft.ops.Retrieval.bm25TopK(df, "text", Seq("cat", "cat", "dog"), 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val set = graft.ops.Retrieval.bm25TopK(df, "text", Seq("cat", "dog"), 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(dup.toSeq == set.toSeq, s"dup-term run diverged: ${dup.toSeq} vs ${set.toSeq}")
+  }
+
   test("phrase top-k: counts occurrences incl. back-to-back repeats, orders by count") {
     val df = frame(
       1L -> "the cat sat",                       // 1 hit

@@ -75,11 +75,17 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Decode any ImageIO-supported payload (PNG/GIF/BMP/JPEG). Null when
+    /** Decode any ImageIO-supported payload (PNG/GIF/BMP/JPEG). None when
       * the bytes are not a recognized image — callers surface that as a
-      * decode failure, never a crash. */
+      * decode failure, never a crash. The try matters: ImageIO.read returns
+      * null only when NO reader claims the bytes; a payload with a valid
+      * magic but a truncated/corrupt body makes the claiming reader THROW
+      * (IIOException), which must degrade like any other junk (review
+      * finding — the audio and video codecs already caught their parsers'
+      * exceptions, this one didn't). */
     def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
 
     /** Real pixel-statistic features from a decoded image: per-channel means,
       * luminance mean/min/max, aspect ratio — integer sums, one divide each,
@@ -151,8 +157,19 @@ object Multimodal {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
         val fmt = ais.getFormat
-        val pcm = ais.readAllBytes()
-        Some(Clip(fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength, pcm))
+        // pcmStats interprets the bytes as SIGNED 16-bit LITTLE-ENDIAN PCM;
+        // AudioSystem also parses AIFF (big-endian), 8-bit, and u-law
+        // streams "successfully", which would yield silently wrong
+        // features — and a crafted header with sample rate 0 would divide
+        // the duration by zero downstream. Reject anything that is not the
+        // layout the feature extractor reads (review finding).
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getSampleRate <= 0) None
+        else {
+          val pcm = ais.readAllBytes()
+          Some(Clip(fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength, pcm))
+        }
       } catch { case _: javax.sound.sampled.UnsupportedAudioFileException |
                      _: java.io.IOException => None }
 
@@ -295,12 +312,20 @@ object Multimodal {
         if (fcc() != "AVI ") return None
         var w = -1; var h = -1; var us = -1; var rgb24 = false
         val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-        def walk(end: Int): Unit =
+        def walk(end: Int, depth: Int): Unit =
           while (bb.position() + 8 <= end) {
             val id = fcc(); val sz = bb.getInt()
-            if (sz < 0 || bb.position() + sz > end) return
+            // LONG arithmetic: position + sz overflows Int for a crafted
+            // sz near 2^31, bypassing the bound and allocating gigabytes —
+            // and the resulting OutOfMemoryError is fatal, escaping the
+            // NonFatal catch below (review finding)
+            if (sz < 0 || bb.position().toLong + sz > end) return
             val next = bb.position() + sz + (sz & 1) // chunks are word-aligned
-            if (id == "LIST") { fcc(); walk(bb.position() + sz - 4) }
+            // depth cap: real AVIs nest LISTs ~3 deep; a crafted chain of
+            // nested LIST headers would otherwise recurse once per 12
+            // bytes of payload into a fatal StackOverflowError (review
+            // finding). Beyond the cap the subtree is skipped, not parsed.
+            if (id == "LIST") { fcc(); if (depth < 32) walk(bb.position() + sz - 4, depth + 1) }
             else if (id == "avih" && sz >= 40) {
               val p = bb.position()
               us = bb.getInt(p); w = bb.getInt(p + 32); h = bb.getInt(p + 36)
@@ -312,7 +337,7 @@ object Multimodal {
             }
             bb.position(math.min(next, end))
           }
-        walk(payload.length)
+        walk(payload.length, depth = 0)
         if (w <= 0 || h <= 0 || us <= 0 || !rgb24) None
         else if (frames.isEmpty || frames.exists(_.length != stride(w) * h)) None
         else Some(Vid(w, h, us, frames.toVector))
@@ -398,16 +423,19 @@ object Multimodal {
     // nulls exist in the generator contract; if one ever appears the
     // SQL-side NULL propagation turns the m-queries red LOUDLY, pointing
     // here).
+    // `text` itself stays OUT of the typed projection: only its engine-side
+    // length feeds the generators, and carrying the full document through
+    // the encoder would serialize/deserialize every byte per row for
+    // nothing (review finding).
     docs.select(
         col("doc_id").as("media_id"),
         element_at(typedLit(Seq("image", "audio", "video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        col("text"),
         coalesce(length(col("text")), lit(0)).as("len"),
         col("source"))
-      .as[(Long, String, String, Int, String)]
+      .as[(Long, String, Int, String)]
       .mapPartitions { rows =>
-        rows.map { case (id, mtype, _, len, src) =>
+        rows.map { case (id, mtype, len, src) =>
           val (content, w, h, durMs) = mtype match {
             case "image" =>
               (ImageCodec.encodePng(imgW(len), imgH(len), id),

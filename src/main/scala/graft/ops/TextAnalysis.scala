@@ -415,7 +415,9 @@ object TextAnalysis {
       tok.groupBy("src", "b").agg(count(lit(1)).as("c_sb")))
     val cb = csb.groupBy("b").agg(sum(col("c_sb")).as("c_b"))
     val ts = csb.groupBy("src").agg(sum(col("c_sb")).as("t_s"))
-    val total = csb.agg(sum(col("c_sb"))).head().getLong(0)
+    // coalesce: sum over an EMPTY frame is null, and Row.getLong on a null
+    // throws — an empty corpus must return an empty result (review finding)
+    val total = csb.agg(coalesce(sum(col("c_sb")), lit(0L))).head().getLong(0)
     val grid = ts.crossJoin(broadcast(cb))
       .join(csb, Seq("src", "b"), "left")
       .withColumn("c_sb", coalesce(col("c_sb"), lit(0L)))
@@ -480,6 +482,13 @@ object TextAnalysis {
     graft.model.Tables
       .spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
       .select(col("doc_id"), explode(Dedup.wordShingles(col(textCol), n)).as("ngram"))
+      // wordShingles emits a PARTIAL (or empty) shingle for docs shorter
+      // than n tokens — deliberate for MinHash (every doc needs a
+      // signature), wrong here: a partial gram is not an n-gram, and the
+      // SQL oracle's range() emits zero grams for short docs (review
+      // finding). Grams are space-joined tokens and tokens cannot be empty
+      // or contain spaces, so the token count of a gram is exact.
+      .filter(size(split(col("ngram"), " ")) === n)
       .groupBy("ngram")
       .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("occurrences").desc, col("ngram").asc)
@@ -539,8 +548,9 @@ object TextAnalysis {
   def lmCrossEntropy(df: DataFrame, textCol: String): DataFrame = {
     val tf = pinnedTermFreq(df, textCol)
     val lm = tf.groupBy("term").agg(sum(col("tf")).as("c"))
-    // T summed off the vocab-sized lm frame, not the posting-sized tf
-    val total = lm.agg(sum(col("c"))).head().getLong(0)
+    // T summed off the vocab-sized lm frame, not the posting-sized tf;
+    // coalesce for the empty-corpus case (null sum → getLong throws)
+    val total = lm.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     val wfx = floor(log(lit(total.toDouble) / col("c")) * lit(65536.0) + lit(0.5))
       .cast("long")
     tf.join(lm.select(col("term"), wfx.as("w_fx")), "term")

@@ -71,9 +71,17 @@ object Dashboards {
     val bounds = df.groupBy(groupCols.map(col): _*).agg(
       percentile(col(valueCol), lit(lo)).as("__lo"),
       percentile(col(valueCol), lit(hi)).as("__hi"))
-    df.join(broadcast(bounds), groupCols)
+    // Null-safe re-join (the percentilesApproxGated pattern): a plain
+    // using-column join drops every row whose group key is null — a
+    // CLIPPING transform that silently loses data (review finding). The
+    // bounds side's keys are renamed so <=> can't collapse ambiguously.
+    val renamed = groupCols.foldLeft(bounds)(
+      (b, c) => b.withColumnRenamed(c, s"__g_$c"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(renamed), cond)
       .withColumn(valueCol + "_w",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop(groupCols.map(c => s"__g_$c"): _*)
       .drop("__lo", "__hi")
   }
 
@@ -95,7 +103,12 @@ object Dashboards {
                   zThreshold: Double = 2.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(window >= 2)
-    val w = Window.orderBy(col("day")).rowsBetween(-(window - 1), 0)
+    // asc_nulls_last: Spark's default window ordering is NULLS FIRST while
+    // DuckDB's ORDER BY defaults NULLS LAST — one null day (a null ts in
+    // the source) would otherwise sit inside the FIRST trailing windows on
+    // the Spark side and the LAST on the oracle side, shifting every
+    // nearby z-score between engines (review finding).
+    val w = Window.orderBy(col("day").asc_nulls_last).rowsBetween(-(window - 1), 0)
     val daily = df.groupBy(to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n_events"))
     val c = col("n_events")
@@ -213,7 +226,12 @@ object Dashboards {
       } ++
       qs.zipWithIndex.map { case (_, i) =>
         sum(when(col(valueCol) <= col(s"__a$i"), 1L).otherwise(0L)).as(s"__le$i")
-      } :+ count(lit(1)).as("__n")
+      // count(valueCol), not count(*): percentile/approx_percentile and the
+      // __lt/__le rank counts all ignore null VALUES, so the rank target
+      // must be calibrated on the non-null count — a half-null group would
+      // otherwise flip approx_ok on a perfectly healthy sketch (review
+      // finding)
+      } :+ count(col(valueCol)).as("__n")
     val eps = 1.0 / accuracy
     val ok = qs.zipWithIndex.map { case (q, i) =>
       val target = col("__n") * q

@@ -79,6 +79,22 @@ class ApproxBoundSpec extends SparkSpec {
     assert(got.filter(_._1 == "h").head._3 == 1e9)   // other group's bounds unused
   }
 
+  test("winsorize keeps null-keyed groups: clipping must not lose rows") {
+    import spark.implicits._
+    // A transform that drops rows is data loss (review finding: the plain
+    // using-column re-join silently discarded every null-keyed row —
+    // percentilesApproxGated's null-safe join pattern applies here too).
+    val df = ((1 to 10).map(i => (Option("g"), i.toDouble)) ++
+      (1 to 10).map(i => (Option.empty[String], i * 100.0)))
+      .toDF("k", "value")
+    val got = graft.query.Dashboards.winsorize(df, Seq("k"), "value", 0.1, 0.9)
+    assert(got.count() == 20, "null-keyed rows vanished from the winsorize output")
+    // the null group clips against ITS OWN bounds, not g's
+    val nulls = got.filter(col("k").isNull)
+      .select("value_w").as[Double].collect()
+    assert(nulls.max <= 1000.0 && nulls.min >= 100.0)
+  }
+
   test("anomalyDays flags a spike against its trailing window, warms up quietly") {
     import spark.implicits._
     // 10 days of 4 events, then one day with 40

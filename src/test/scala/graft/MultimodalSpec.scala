@@ -183,4 +183,63 @@ class MultimodalSpec extends SparkSpec {
     assert(f.dec_width == -1 && f.dec_height == -1)
     assert(f.features.forall(_ == 0f))
   }
+
+  test("corrupt payloads with VALID magics degrade, never crash the task") {
+    // The degrade-never-crash contract under adversarial bytes (review
+    // findings): a truncated PNG body makes the claiming ImageIO reader
+    // THROW rather than return null; an AVI chunk size near 2^31 overflowed
+    // the Int bounds check into a fatal 2GB allocation; a chain of nested
+    // LIST headers recursed into StackOverflowError. All three must read
+    // as decode failures.
+    val png = graft.ops.Multimodal.ImageCodec.encodePng(8, 8, seed = 1L)
+    val truncated = png.take(png.length / 2) // valid magic, torn body
+    assert(graft.ops.Multimodal.ImageCodec.decode(truncated).isEmpty)
+
+    def avi(chunks: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + chunks.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + chunks.length)
+        .put("AVI ".getBytes("US-ASCII")).put(chunks)
+      bb.array()
+    }
+    // one frame chunk claiming ~2^31 bytes
+    val bomb = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("00db".getBytes("US-ASCII")).putInt(0x7FFFFFF0).array()
+    assert(graft.ops.Multimodal.VideoCodec.decode(avi(bomb)).isEmpty)
+    // 50k nested LIST headers (each: 'LIST' + size + 4cc)
+    val depth = 50000
+    val nest = java.nio.ByteBuffer.allocate(12 * depth)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until depth).foreach { i =>
+      nest.put("LIST".getBytes("US-ASCII"))
+        .putInt((depth - i) * 12 - 8).put("xxxx".getBytes("US-ASCII"))
+    }
+    assert(graft.ops.Multimodal.VideoCodec.decode(avi(nest.array())).isEmpty)
+  }
+
+  test("audio decode rejects layouts pcmStats cannot read (8-bit, big-endian, rate 0)") {
+    // AudioSystem parses AIFF (big-endian) and 8-bit WAVs "successfully",
+    // but pcmStats reads 16-bit LE — silently wrong features; a rate-0
+    // header would divide the duration by zero (review finding).
+    def wav(bits: Short, rate: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate)
+        .putInt(rate * (bits / 8)).putShort((bits / 8).toShort).putShort(bits)
+        .put("data".getBytes("US-ASCII")).putInt(4)
+        .putInt(0)
+      bb.array()
+    }
+    assert(graft.ops.Multimodal.AudioCodec.decode(wav(8, 8000)).isEmpty,
+      "8-bit PCM must be rejected, not misread as 16-bit")
+    assert(graft.ops.Multimodal.AudioCodec.decode(wav(16, 0)).isEmpty,
+      "sample rate 0 must be rejected, not divide the duration by zero")
+    // the leg's own 16-bit LE encoding still decodes
+    val good = graft.ops.Multimodal.AudioCodec.encodeWav(16, 8000, seed = 2L)
+    assert(graft.ops.Multimodal.AudioCodec.decode(good).isDefined)
+  }
 }

@@ -837,6 +837,25 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a b c", 3L, 2L), ("z z z", 2L, 1L), ("b c a", 1L, 1L)))
   }
 
+  test("ngram top-k: docs shorter than n emit no grams, like the oracle") {
+    // wordShingles' min-one-shingle contract is for MinHash signatures; a
+    // PARTIAL gram is not an n-gram, and the SQL oracle emits zero grams
+    // for short docs — the Spark side must agree (review finding).
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramTopK(df, "text", n = 3, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("x y z", 1L)),
+      s"partial/empty grams leaked into the frequency table: ${got.toSeq}")
+  }
+
+  test("lm cross-entropy and source drift return empty on an empty corpus") {
+    // sum over an empty frame is null; getLong on it threw instead of
+    // yielding the empty result (review finding)
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TextAnalysis.lmCrossEntropy(empty, "text").isEmpty)
+    assert(TextAnalysis.sourceDrift(empty, "text").isEmpty)
+  }
+
   test("chunk dedup: first occurrence kept corpus-wide, docs reassembled in order") {
     import graft.ops.Dedup
     val docs = Seq(

@@ -95,7 +95,13 @@ object Compact {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val dirs = f.listStatus(rootP).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      // exclude hidden/metadata dirs (the dataFileCount convention): a
+      // crashed prior compact can leave .k=v__compact_staging /
+      // .k=v__compact_old behind, and "contains('=')" alone would compact
+      // that stale pre-crash data as if it were a live partition (review
+      // finding)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
       .sortBy(_.getPath.getName)
     val pool = Executors.newFixedThreadPool(math.min(parallelism, math.max(1, dirs.size)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
@@ -229,12 +235,22 @@ object Compact {
 
   /** Windowless compaction of a versioned store: rewrite the live version
     * into ~`targetBytes` files under the NEXT version directory, flip the
-    * pointer atomically, vacuum versions older than `keepVersions`
-    * generations. Returns (filesBefore, filesAfter). */
+    * pointer atomically, vacuum old versions. Returns (filesBefore,
+    * filesAfter).
+    *
+    * `keepVersions` retains the NEWEST keepVersions version dirs, current
+    * included — a just-superseded version therefore survives
+    * keepVersions − 1 further compactions. The floor is 2, not 1 (review
+    * finding): keepVersions = 1 would delete the just-superseded version
+    * milliseconds after the flip, yanking files out from under any
+    * in-flight reader that resolved the pointer before it — the exact
+    * absence window the versioned store exists to remove. */
   def compactVersioned(spark: SparkSession, root: String,
                        targetBytes: Long = 128L << 20,
                        keepVersions: Int = 2): (Int, Int) = {
-    require(targetBytes > 0 && keepVersions >= 1)
+    require(targetBytes > 0 && keepVersions >= 2,
+      s"keepVersions=$keepVersions would vacuum the just-superseded version " +
+        "under in-flight readers; the minimum is 2 (current + its predecessor)")
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val cur = readPointer(spark, rootP)

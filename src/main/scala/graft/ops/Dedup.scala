@@ -280,15 +280,7 @@ object Dedup {
       .join(cSigs.select(col("doc_id").as("corpus_doc_id"), col("sh").as("sh_corpus")),
         col("doc_id") === col("corpus_doc_id")).drop("doc_id")
     val nSigs = rowMinhashSignatures(newDocs, textCol, n)
-    val banded = nSigs.select(col("doc_id"), col("sh"),
-        explode(array(bandStructs(rowsPerBand): _*)).as("band"))
-      .select(col("doc_id"), col("sh"),
-        col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
-    val hits = banded
-      .join(index, Seq("band_id", "band_key"))
-      .select(col("doc_id"), col("corpus_doc_id"),
-        jaccardExpr(col("sh"), col("sh_corpus")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val hits = probeIndex(nSigs, index, rowsPerBand, threshold)
       .distinct() // multi-band pair copies carry the identical jaccard
     val summary = hits.groupBy("doc_id").agg(
       count(lit(1)).cast("int").as("n_matches"),
@@ -300,6 +292,27 @@ object Dedup {
         (-col("__best.ni")).as("best_match_id"),
         col("__best.jaccard").as("best_jaccard"),
         col("n_matches").isNull.as("keep"))
+  }
+
+  /** The LSH probe leg shared by the batch [[crossDedup]] and the streaming
+    * `StreamDedup.nearDupAgainst`: explode a row-signature frame
+    * (doc_id, sh) into band rows and equi-join an index of
+    * (band_id, band_key, corpus_doc_id, sh_corpus), verifying with the
+    * exact Jaccard. ONE definition (review finding: the two sites were
+    * structurally-identical inline copies — a banding or verification
+    * change to one would silently miss the other). Output rows may repeat
+    * per shared band; callers dedupe per their own contract. */
+  def probeIndex(sigs: DataFrame, index: DataFrame, rowsPerBand: Int,
+                 threshold: Double): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("sh"),
+        explode(array(bandStructs(rowsPerBand): _*)).as("band"))
+      .select(col("doc_id"), col("sh"),
+        col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
+    banded
+      .join(index, Seq("band_id", "band_key"))
+      .select(col("doc_id"), col("corpus_doc_id"),
+        jaccardExpr(col("sh"), col("sh_corpus")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Near-dup clustering: connected components over candidate pairs by

@@ -155,7 +155,11 @@ object Sampling {
     val counts = feats.groupBy("b").agg(
       count(lit(1)).as("cr"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
-    val totals = counts.agg(sum(col("cr")), sum(col("ct"))).head()
+    // coalesce: sums over an EMPTY feature frame are null and getLong
+    // throws — an empty corpus must return an empty weights frame, not a
+    // driver NPE (review finding)
+    val totals = counts.agg(coalesce(sum(col("cr")), lit(0L)),
+      coalesce(sum(col("ct")), lit(0L))).head()
     val k1 = totals.getLong(0) + buckets // Tr + B
     val k2 = totals.getLong(1) + buckets // Tt + B
     val wFx = floor(log(

@@ -53,7 +53,13 @@ object Sessionize {
             rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
               cur = cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  Some(SessState(s.start, math.max(s.end, t), s.n + 1))
+                  // math.min on start: a late CROSS-BATCH event (above the
+                  // watermark, earlier than the open session's start) merges
+                  // in and must extend the span BACKWARD — without it the
+                  // event is counted in n but excluded from the emitted
+                  // span (review finding; SessionTimeout.scala handles the
+                  // same case with the same min).
+                  Some(SessState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
                 case Some(s) => // gap exceeded within the batch: session final
                   closed ::= SessionOut(uid, new Timestamp(s.start), new Timestamp(s.end), s.n)
                   Some(SessState(t, t, 1))

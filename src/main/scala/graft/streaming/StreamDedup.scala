@@ -28,11 +28,18 @@ import graft.ops.Dedup
 object StreamDedup {
 
   /** Build the static corpus index: (doc_id, band_id, band_key, sh).
-    * At scale: write bucketed by band_key; rebuild as the corpus grows. */
+    * At scale: write bucketed by band_key; rebuild as the corpus grows.
+    * `maxBucket` is the same LSH skew guard [[Dedup.crossDedup]] applies to
+    * its index (review finding: this builder omitted it, so one boilerplate
+    * band key shared by a large corpus fraction made every streaming probe
+    * join quadratic on that key) — over-full buckets carry no near-dup
+    * signal and are dropped. For [[dedupIngest]] the cap is per BATCH
+    * build: a hot key accumulates ≤ maxBucket rows per admitted batch, so
+    * periodic compaction should re-apply the cap corpus-wide. */
   def corpusIndex(docs: DataFrame, textCol: String, n: Int = 3,
-                  rowsPerBand: Int = 2): DataFrame = {
+                  rowsPerBand: Int = 2, maxBucket: Int = 64): DataFrame = {
     val sigs = Dedup.minhashSignaturesWithSets(docs, textCol, n)
-    Dedup.lshBands(sigs, rowsPerBand)
+    Dedup.capBuckets(Dedup.lshBands(sigs, rowsPerBand), maxBucket)
       .join(sigs.select(col("doc_id"), col("sh")), "doc_id")
   }
 
@@ -49,28 +56,51 @@ object StreamDedup {
     * batch [[Dedup.nearDupPairs]] on `freshPath` afterwards if intra-batch
     * pairs matter). At scale, write `indexPath` bucketed by band_key and
     * compact periodically ([[graft.etl.Compact]]).
-    */
+    *
+    * Idempotence (review finding: two blind appends made a crash between
+    * them re-admit — or double-write — the replayed batch): both sinks are
+    * the per-batchId deterministic-path pattern (OVERWRITE of
+    * `<table>/batch=<id>`), so a batch whose writes landed but whose offset
+    * never committed replaces its own output on replay. The dup probe
+    * excludes the replayed batch's OWN index partition — otherwise every
+    * replayed doc would self-match as a duplicate and the batch would
+    * settle empty. */
   def dedupIngest(indexPath: String, freshPath: String, textCol: String = "text",
                   n: Int = 3, rowsPerBand: Int = 2, threshold: Double = 0.5)
-      : (DataFrame, Long) => Unit = (batch: DataFrame, _: Long) => {
+      : (DataFrame, Long) => Unit = (batch: DataFrame, id: Long) => {
     val spark = batch.sparkSession
     val newIdx = corpusIndex(batch, textCol, n, rowsPerBand).pinned
-    val existing =
-      try Some(spark.read.parquet(indexPath))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val dupIds = existing match {
-      case None => spark.range(0).select(col("id").as("doc_id"))
-      case Some(idx) =>
+    // Existence by explicit probe, not by swallowing AnalysisException: an
+    // index that EXISTS but fails to read must stay loud — mapping it to
+    // "no index yet" would admit the whole batch with zero dedup and
+    // append on top of the broken index (review finding; the same fix as
+    // Upsert.mergeBatch's bootstrap).
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasIndex = fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    val dupIds =
+      if (!hasIndex) spark.range(0).select(col("id").as("doc_id"))
+      else
         newIdx.select(col("doc_id"), col("band_id"), col("band_key"), col("sh").as("sh_new"))
-          .join(idx.select(col("band_id"), col("band_key"), col("sh").as("sh_old")),
+          .join(spark.read.parquet(indexPath)
+              .filter(col("batch") =!= id) // self-exclusion on replay
+              .select(col("band_id"), col("band_key"), col("sh").as("sh_old")),
             Seq("band_id", "band_key"))
           .filter(Dedup.jaccardExpr(col("sh_new"), col("sh_old")) >= threshold)
           .select("doc_id").distinct()
-    }
     val freshIdx = newIdx.join(dupIds, Seq("doc_id"), "left_anti").pinned
+    // distinct() before the semi join: semantically redundant (left_semi
+    // ignores right-side multiplicity) but it shrinks the broadcast side
+    // from bands-per-doc rows to one per doc — kept deliberately.
     batch.join(freshIdx.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-      .write.mode("append").parquet(freshPath)
-    freshIdx.write.mode("append").parquet(indexPath)
+      .write.mode("overwrite").parquet(s"$freshPath/batch=$id")
+    freshIdx.write.mode("overwrite").parquet(s"$indexPath/batch=$id")
   }
 
   /** EXACT streaming dedup against a static seen-set via a Bloom probe:
@@ -111,22 +141,15 @@ object StreamDedup {
     * per-batch dedup contract. */
   def nearDupAgainst(stream: DataFrame, index: DataFrame, textCol: String,
                      n: Int = 3, rowsPerBand: Int = 2,
-                     threshold: Double = 0.5): DataFrame = {
-    val sigs = Dedup.rowMinhashSignatures(stream, textCol, n)
-    // band keys and the jaccard formula come from the SAME definitions the
-    // batch index uses (Dedup.bandStructs / Dedup.jaccardExpr) — any future
-    // change to the banding scheme changes both sides together
-    val banded = sigs.select(col("doc_id").as("new_doc_id"), col("sh").as("sh_new"),
-        explode(array(Dedup.bandStructs(rowsPerBand): _*)).as("band"))
-      .select(col("new_doc_id"), col("sh_new"),
-        col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
-    banded
-      .join(index.select(col("band_id"), col("band_key"),
+                     threshold: Double = 0.5): DataFrame =
+    // the probe leg IS Dedup.probeIndex — the batch crossDedup's, one
+    // definition (review finding: this was an inline copy that could
+    // silently drift from the banding/verification scheme)
+    Dedup.probeIndex(
+        Dedup.rowMinhashSignatures(stream, textCol, n),
+        index.select(col("band_id"), col("band_key"),
           col("doc_id").as("corpus_doc_id"), col("sh").as("sh_corpus")),
-        Seq("band_id", "band_key"))
-      .filter(col("new_doc_id") =!= col("corpus_doc_id"))
-      .select(col("new_doc_id"), col("corpus_doc_id"),
-        Dedup.jaccardExpr(col("sh_new"), col("sh_corpus")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+        rowsPerBand, threshold)
+      .filter(col("doc_id") =!= col("corpus_doc_id"))
+      .select(col("doc_id").as("new_doc_id"), col("corpus_doc_id"), col("jaccard"))
 }

@@ -142,6 +142,36 @@ class CompactSpec extends SparkSpec {
       == 20000L * 20001L / 2)
   }
 
+  test("versioned vacuum floor: keepVersions=1 is refused (just-superseded stays readable)") {
+    // keepVersions=1 would delete the just-superseded version milliseconds
+    // after the pointer flip, under any in-flight reader (review finding).
+    val root = java.nio.file.Files.createTempDirectory("vfloor").toString
+    (1L to 10L).toDF("id").coalesce(1).write.mode("overwrite").parquet(root)
+    Compact.adopt(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      Compact.compactVersioned(spark, root, keepVersions = 1)
+    }
+    assert(e.getMessage.contains("in-flight"), e.getMessage)
+  }
+
+  test("partitioned compaction skips leftover hidden staging dirs from a crashed run") {
+    // A killed prior compact can leave .k=v__compact_staging behind;
+    // "contains('=')" alone treated it as a live partition and compacted
+    // stale pre-crash data (review finding).
+    val root = java.nio.file.Files.createTempDirectory("pstale").toString
+    (1L to 20L).toDF("id").repartition(6)
+      .write.mode("overwrite").parquet(s"$root/day=a")
+    // simulate crash residue: a hidden staging copy with stale data
+    (1L to 5L).toDF("id").repartition(6)
+      .write.mode("overwrite").parquet(s"$root/.day=a__compact_staging")
+    val done = Compact.compactPartitioned(spark, root, maxFiles = 2)
+    assert(done.map(_._1).toSet == Set("day=a"),
+      s"hidden staging dir treated as a partition: $done")
+    // the live partition's content is intact (the residue is recycled by
+    // day=a's own compaction, never compacted AS a partition)
+    assert(spark.read.parquet(s"$root/day=a").count() == 20)
+  }
+
   test("partitioned compaction runs partitions concurrently") {
     def stage(): String = {
       val root = java.nio.file.Files.createTempDirectory("cptpar").toString + "/t"

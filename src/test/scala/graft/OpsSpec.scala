@@ -848,12 +848,14 @@ class OpsSpec extends SparkSpec {
       s"partial/empty grams leaked into the frequency table: ${got.toSeq}")
   }
 
-  test("lm cross-entropy and source drift return empty on an empty corpus") {
+  test("lm cross-entropy, source drift, and dsir weights return empty on an empty corpus") {
     // sum over an empty frame is null; getLong on it threw instead of
     // yielding the empty result (review finding)
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
     assert(TextAnalysis.lmCrossEntropy(empty, "text").isEmpty)
     assert(TextAnalysis.sourceDrift(empty, "text").isEmpty)
+    assert(graft.ops.Sampling.dsirWeights(empty, "text",
+      col("source") === "x").isEmpty)
   }
 
   test("chunk dedup: first occurrence kept corpus-wide, docs reassembled in order") {

@@ -125,6 +125,45 @@ class StreamDedupSpec extends SparkSpec {
     assert(idxDocs == Set(1L, 2L, 4L, 6L))
   }
 
+  test("dedup ingest is idempotent per batchId: a crash-replayed batch changes nothing") {
+    // The sink's writes are per-batchId OVERWRITES, and the dup probe
+    // excludes the replayed batch's own index partition — a crash between
+    // the sink write and the offset commit re-runs the batch, which must
+    // neither re-admit duplicates nor mark its own docs as self-dups
+    // (review finding: two blind appends did both).
+    val dir = java.nio.file.Files.createTempDirectory("ingest_replay").toString
+    val idxPath = s"$dir/index"; val freshPath = s"$dir/fresh"
+    val sink = StreamDedup.dedupIngest(idxPath, freshPath, threshold = 0.3)
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "a completely different document about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    sink(b0, 0L)
+    sink(b0, 0L) // crash replay of the SAME batchId
+    val b1 = Seq( // near-dup of doc 1 must still be rejected afterwards
+      (3L, "the quick brown fox jumps over the lazy cat near the river bank today"))
+      .toDF("doc_id", "text")
+    sink(b1, 1L)
+    val fresh = spark.read.parquet(freshPath).select("doc_id").as[Long].collect().toSeq
+    assert(fresh.sorted == Seq(1L, 2L), s"replay changed the admitted set: $fresh")
+    val idxDocs = spark.read.parquet(idxPath).select("doc_id").as[Long].collect().toSet
+    assert(idxDocs == Set(1L, 2L))
+  }
+
+  test("dedup ingest: an index that exists but cannot be read stays loud") {
+    // Swallowing every AnalysisException as "no index yet" would admit the
+    // whole batch with ZERO dedup on a broken index (review finding).
+    val dir = java.nio.file.Files.createTempDirectory("ingest_broken").toString
+    val idxPath = s"$dir/index"; val freshPath = s"$dir/fresh"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idxPath))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idxPath/part-00000.parquet"), "not parquet")
+    val sink = StreamDedup.dedupIngest(idxPath, freshPath, threshold = 0.3)
+    intercept[Exception] {
+      sink(Seq((1L, "some document text here")).toDF("doc_id", "text"), 0L)
+    }
+  }
+
   test("row signatures match aggregate signatures exactly") {
     val byRow = Dedup.rowMinhashSignatures(corpus, "text").drop("sh")
     val byAgg = Dedup.minhashSignatures(corpus, "text")

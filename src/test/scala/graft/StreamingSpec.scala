@@ -670,6 +670,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a late cross-batch event extends the open session BACKWARD") {
+    import graft.streaming.Sessionize
+    val input = MemoryStream[(Long, Timestamp)]
+    val out = Sessionize.sessions(
+      input.toDF().toDF("user_id", "ts"), gapMs = 10L * 60 * 1000, watermark = "30 minutes")
+    val q = out.toDF().writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // LATE but above the watermark: merges into the open session and must
+      // extend session_start backward — the old code counted it in n_events
+      // while excluding it from the span (review finding)
+      input.addData((1L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // close by in-batch gap so the session emits deterministically
+      input.addData((1L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_late_out")
+        .select("session_start", "session_end", "n_events")
+        .as[(Timestamp, Timestamp, Long)].collect()
+        .filter(_._3 == 2L)
+      assert(got.nonEmpty, "merged session never emitted")
+      assert(got.head._1 == ts("2024-01-01 10:00:00"),
+        s"late event missing from the span: ${got.toSeq}")
+      assert(got.head._2 == ts("2024-01-01 10:05:00"))
+    } finally q.stop()
+  }
+
   test("consumer transform chain runs on a stream (enrich + key + route)") {
     val input = MemoryStream[(Timestamp, String, String, String, String, String, Int, String, Double, Double)]
     val df = input.toDF().toDF("@timestamp", "F_MASV", "F_MAMH", "F_TENMHVN",

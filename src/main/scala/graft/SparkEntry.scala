@@ -2381,7 +2381,8 @@ object SparkEntry {
        |    CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % ${Dedup.P} AS h
        |  FROM (SELECT doc_id, unnest(list_transform(
        |      generate_series(1, greatest(1, len(t) - 4)),
-       |      i -> array_to_string(t[i:i+4], ' '))) AS s FROM toks)),
+       |      i -> array_to_string(t[i:i+4], ' '))) AS s FROM toks)
+       |  WHERE s <> ''),
        |per AS (SELECT doc_id, h, count(*) AS c FROM sp GROUP BY doc_id, h),
        |shared AS (SELECT h FROM per GROUP BY h HAVING count(*) >= 2)
        |SELECT per.doc_id,
@@ -2403,7 +2404,8 @@ object SparkEntry {
        |    CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % ${Dedup.P} AS h
        |  FROM (SELECT source, unnest(list_transform(
        |      generate_series(1, greatest(1, len(t) - 4)),
-       |      i -> array_to_string(t[i:i+4], ' '))) AS s FROM toks)),
+       |      i -> array_to_string(t[i:i+4], ' '))) AS s FROM toks)
+       |  WHERE s <> ''),
        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY source),
        |pr AS (
        |  SELECT l.source AS src_a, r.source AS src_b, CAST(count(*) AS BIGINT) AS shared
@@ -2805,9 +2807,10 @@ object SparkEntry {
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '$tokenRe') AS t FROM documents),
        |sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(
+       |  SELECT doc_id, list_filter(list_distinct(list_transform(
        |    generate_series(1, greatest(1, len(t) - 2)),
-       |    i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks),
+       |    i -> array_to_string(t[i:i+2], ' '))), s -> s <> '') AS shingles
+       |  FROM toks),
        |hs AS (
        |  SELECT doc_id, list_distinct(list_transform(shingles,
        |    s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % ${Dedup.P})) AS hashes FROM sh),

@@ -31,6 +31,12 @@ case class TopKSketch(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
+  // Fail at construction, not mid-task: capacity=0 would reach
+  // buf.valuesIterator.min on an empty buffer at the first insert — an
+  // opaque executor-side 'empty.min' retried by Spark before the query dies
+  // (review finding).
+  require(capacity >= 1, s"topk_sketch capacity must be >= 1, got $capacity")
+
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
@@ -123,8 +129,20 @@ object TopKSketch {
         exprs(1).eval(null).asInstanceOf[Number].intValue()),
       "scala_udf")
 
-  def topkSketch(spark: org.apache.spark.sql.SparkSession, c: Column, capacity: Int): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.expr(s"topk_sketch(${c.toString}, $capacity)")
+  /** Column-level form via the catalyst bridge — NOT by string-rendering
+    * the Column through the SQL parser: `expr(c.toString)` breaks for any
+    * name needing quoting or any derived column whose rendering doesn't
+    * re-parse (review finding; the bridge is the same pattern the other
+    * custom expressions use, which made the parser round-trip obsolete). */
+  def topkSketch(c: Column, capacity: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(
+      TopKSketch(Bridge.expression(c), capacity).toAggregateExpression())
   }
+
+  /** Back-compat overload (the SparkSession was only used to register the
+    * SQL function, which the bridge form no longer needs). */
+  def topkSketch(spark: org.apache.spark.sql.SparkSession, c: Column,
+                 capacity: Int): Column =
+    topkSketch(c, capacity)
 }

@@ -57,11 +57,21 @@ object Dedup {
     * [[wordShingles]] is a native expression (its token child evaluates once,
     * no interpreted lambdas — the old HOF form needed an explode barrier to
     * avoid re-running the token regexp per element), so a single Generate
-    * explodes shingles straight into the codegen'd md5 hash. */
-  def shingleHashRows(docs: DataFrame, textCol: String, n: Int): DataFrame =
-    graft.model.Tables.spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
+    * explodes shingles straight into the codegen'd md5 hash.
+    * `dropEmpty` excludes WordShingles' zero-token fallback shingle ("") —
+    * the FREE form of the zero-token exclusion (a post-explode filter on an
+    * already-computed attribute, vs the old pre-filter that re-ran the full
+    * tokenization regex per document just to count tokens; review finding).
+    * Real shingles are space-joined non-empty tokens and can never be "",
+    * so the filter touches exactly the zero-token docs. */
+  def shingleHashRows(docs: DataFrame, textCol: String, n: Int,
+                      dropEmpty: Boolean = false): DataFrame = {
+    val rows = graft.model.Tables
+      .spread(docs.select(col("doc_id"), col(textCol)), col("doc_id"))
       .select(col("doc_id"), explode(wordShingles(col(textCol), n)).as("__shingle"))
-      .select(col("doc_id"), strHash31(col("__shingle")).as("h"))
+    val kept = if (dropEmpty) rows.filter(col("__shingle") =!= "") else rows
+    kept.select(col("doc_id"), strHash31(col("__shingle")).as("h"))
+  }
 
   /** Per-document MinHash signatures (flat columns, shuffle-friendly).
     *
@@ -80,11 +90,15 @@ object Dedup {
     // docs would all share one signature and cross-join as jaccard-1.0
     // fake near-dups (review finding). A doc with no lexical tokens has
     // nothing to lexically near-dup; exact dedup (t1) still covers it.
+    // The exclusion is dropEmpty's post-explode filter — the old
+    // size(tokens(text)) >= 1 pre-filter re-ran the whole tokenization
+    // regex per document, doubling the stage's dominant CPU (review
+    // finding). A zero-token doc emits exactly the one "" shingle, so
+    // dropping it removes the doc from the groupBy identically.
     val aggs = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"mh$i")
     }
-    shingleHashRows(df.filter(size(TextAnalysis.tokens(col(textCol))) >= 1),
-        textCol, n)
+    shingleHashRows(df, textCol, n, dropEmpty = true)
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -123,10 +137,14 @@ object Dedup {
     // Null-text AND zero-token docs are DROPPED, matching the aggregate
     // form — otherwise they'd all share the md5('') band key downstream
     // (WordShingles' zero-token fallback is the single empty shingle) and
-    // cross-join as fake jaccard-1.0 near-dups (review finding).
+    // cross-join as fake jaccard-1.0 near-dups (review finding). rlike,
+    // not size(tokens(...)) >= 1: the predicate only needs "at least one
+    // token EXISTS", and rlike short-circuits at the first match while
+    // extract-all scans the whole document — the old filter doubled the
+    // stage's dominant regex CPU (review finding).
     val base0 = df.select(col("doc_id"), col(textCol))
       .filter(col(textCol).isNotNull &&
-        size(TextAnalysis.tokens(col(textCol))) >= 1)
+        lower(col(textCol)).rlike(TextAnalysis.TokenRegex))
     val base =
       if (df.isStreaming) base0
       else graft.model.Tables.spread(base0, col("doc_id"))
@@ -487,7 +505,12 @@ object Dedup {
     // (review finding). One light column-pruned scan of docs; the shingle
     // scan still happens once, split by a semi/anti join on doc_id.
     val benchIds = docs.filter(benchmarkFilter).select(col("doc_id"))
-    val sh = shingleHashRows(docs, textCol, n).dropDuplicates("doc_id", "h")
+    // dropEmpty: a zero-token benchmark doc would otherwise mark every
+    // zero-token target doc contamination=1.0 through the shared ""
+    // fallback shingle — no lexical content, no contamination signal
+    // (review finding; the oracle filters the same shingle)
+    val sh = shingleHashRows(docs, textCol, n, dropEmpty = true)
+      .dropDuplicates("doc_id", "h")
     val bench = sh.join(benchIds, Seq("doc_id"), "left_semi")
       .select(col("h")).distinct()
     val target = sh.join(benchIds, Seq("doc_id"), "left_anti")
@@ -517,7 +540,11 @@ object Dedup {
     * over-count shared spans at ~2^-31 per pair; the oracle shares the hash
     * family, so results stay engine-identical). */
   def dupSpanStats(docs: DataFrame, textCol: String, n: Int = 5): DataFrame = {
-    val per0 = shingleHashRows(docs, textCol, n)
+    // dropEmpty: two zero-token docs would otherwise read dup_fraction=1.0
+    // against each other via the shared "" fallback shingle — fake
+    // duplication signal, the same class the minhash paths exclude
+    // (review finding; the oracle filters the same shingle)
+    val per0 = shingleHashRows(docs, textCol, n, dropEmpty = true)
       .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
     val per = Materialize.pin(per0)
     // distinct docs per span == count(*): `per` is already (doc, h)-distinct
@@ -634,6 +661,11 @@ object Dedup {
       .spread(docs.select(col("doc_id"), col(srcCol).as("src"), col(textCol)),
         col("doc_id"))
       .select(col("src"), explode(wordShingles(col(textCol), n)).as("__shingle"))
+      // zero-token fallback excluded: one empty/punctuation-only doc per
+      // source would otherwise inflate every pairwise shared count and
+      // jaccard through the common "" shingle (review finding; the oracle
+      // filters the same shingle)
+      .filter(col("__shingle") =!= "")
       .select(col("src"), strHash31(col("__shingle")).as("h"))
       .distinct()
     val shM = Materialize.pin(sh)
@@ -652,8 +684,14 @@ object Dedup {
 
   /** 32-bit SimHash over the token multiset: per-bit majority vote of
     * md5-derived token hashes, computed as `bits` flat conditional sums in
-    * one aggregation pass. */
+    * one aggregation pass. Capped at 32 bits: the underlying token hash is
+    * 8 md5 hex chars (32 bits), so votes for bits 32+ would be constant −1
+    * and the signature's high bits constant 0 — downstream banding over
+    * those bits degenerates to all-pairs, the exact blowup the even-width
+    * band fix removed (review finding). */
   def simhash(df: DataFrame, textCol: String, bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 32,
+      s"simhash bits must be in [1, 32] (token hashes carry 32 bits); got $bits")
     // Materialize the token hash once; the vote columns then reference the
     // column instead of each recomputing md5 (bits-times less hashing).
     val tok = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
@@ -682,6 +720,10 @@ object Dedup {
     * 100 TB pick `bits`/`maxHamming` so width >= ~16 bits. */
   def simhashNearDup(sigs: DataFrame, maxHamming: Int = 3, bits: Int = 32): DataFrame = {
     val nBands = maxHamming + 1
+    require(bits >= 1 && bits <= 32,
+      s"simhash signatures carry at most 32 meaningful bits; got bits=$bits — " +
+        "bands over constant-zero high bits would put every doc in one " +
+        "bucket and go all-pairs (review finding)")
     require(nBands <= bits,
       s"maxHamming=$maxHamming needs ${nBands} bands over only $bits bits")
     // EVEN bit distribution: band b covers [b·bits/B, (b+1)·bits/B) — widths
@@ -760,7 +802,7 @@ object Dedup {
                      maxPrunedEmptyFrac: Double = 1.0,
                      maxPrunedMassFrac: Double = 1.0): DataFrame = {
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
-    val (tf, posts) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
+    val (tf, posts, _) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
     assertRecallGuard(tf, posts, maxPrunedEmptyFrac, maxPrunedMassFrac,
       "lexicalNearDup")
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
@@ -864,21 +906,27 @@ object Dedup {
                              maxDfFrac: Double, maxDfCap: Int): DataFrame =
     cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)._2
 
-  /** [[cappedPostings]] that ALSO returns the pinned pre-cap tf frame, so
+  /** [[cappedPostings]] that ALSO returns the pinned pre-cap tf frame (so
     * the recall guard can compare tokenized vs surviving documents without
-    * a second tokenization scan. */
+    * a second tokenization scan) and the corpus doc count. N is counted
+    * ONCE here, driver-side, and embedded as a literal in the cap
+    * predicate — the idf path previously re-ran its own full
+    * countDistinct scan of the corpus for the same scalar the cap's
+    * broadcast subplan had already computed (review finding; the
+    * one-scalar-to-the-driver contract bloomDedup and kmeans already use,
+    * same math.ceil arithmetic as dfCapReport). */
   private[graft] def cappedPostingsWithTf(docs: DataFrame, textCol: String,
                              n: Int, maxDfFrac: Double,
-                             maxDfCap: Int): (DataFrame, DataFrame) = {
+                             maxDfCap: Int): (DataFrame, DataFrame, Long) = {
     val tf = postingTf(docs, textCol, n)
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("__n"))
+    val nDocs = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val capVal = math.min(maxDfCap.toLong,
+      math.max(2L, math.ceil(nDocs * maxDfFrac).toLong))
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= least(lit(maxDfCap.toLong),
-        greatest(lit(2L), ceil(col("__n") * maxDfFrac).cast("long"))))
+      .filter(col("df") <= capVal)
       .select("term", "df")
     val posts0 = tf.join(dfs, Seq("term"))
-    (tf, Materialize.pin(posts0))
+    (tf, Materialize.pin(posts0), nDocs)
   }
 
   /** The d18 zero-recall canary as an OPT-IN loud guard on the scoring ops
@@ -1024,15 +1072,14 @@ object Dedup {
                         maxPrunedEmptyFrac: Double = 1.0,
                         maxPrunedMassFrac: Double = 1.0): DataFrame = {
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
-    val (tf, posts) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
+    val (tf, posts, nDocs) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
     assertRecallGuard(tf, posts, maxPrunedEmptyFrac, maxPrunedMassFrac,
       "lexicalNearDupIdf")
-    // One scalar to the driver (the bounded-sketch contract bloomDedup and
-    // kmeans already use): embedding N as a literal lets every consumer
-    // derive the weighted values MAP-SIDE from the already-checkpointed
-    // posting frame — no second posting-sized materialization, no per-
-    // consumer re-count of the corpus.
-    val nDocs = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
+    // N rides from cappedPostingsWithTf's one driver-side count — embedding
+    // it as a literal lets every consumer derive the weighted values
+    // MAP-SIDE from the already-checkpointed posting frame (no second
+    // posting-sized materialization; review finding: this path used to
+    // re-run its own full countDistinct scan for the same scalar).
     val wfx = floor(log(lit(nDocs.toDouble) / col("df")) * lit(65536.0) + lit(0.5))
       .cast("long")
     // The weighted value stays a MAP-SIDE derivation on the pinned posting
@@ -1158,7 +1205,7 @@ object Dedup {
                     maxPrunedMassFrac: Double = 1.0): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
-    val (tf, posts) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
+    val (tf, posts, _) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
     assertRecallGuard(tf, posts, maxPrunedEmptyFrac, maxPrunedMassFrac,
       "prefixNearDup")
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))

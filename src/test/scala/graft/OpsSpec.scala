@@ -243,7 +243,7 @@ class OpsSpec extends SparkSpec {
   test("pair-join width derives from candidate volume, floored at session width") {
     val conf = spark.sessionState.conf.numShufflePartitions
     // tiny volume: stays at the configured width
-    val (_, posts) = Dedup.cappedPostingsWithTf(docs, "text", 2, 1.0, 1000)
+    val (_, posts, _) = Dedup.cappedPostingsWithTf(docs, "text", 2, 1.0, 1000)
     assert(Dedup.pairJoinWidth(posts) == conf)
     // synthetic posting frame with sum(df) = 9e9 -> ceil(9e9/4e6) = 2250
     val fat = Seq(("t", 0L, 3L, 3000000000L), ("u", 1L, 2L, 6000000000L))
@@ -789,6 +789,39 @@ class OpsSpec extends SparkSpec {
     assert(na == 2L && nb == 2L && shared == 1L)
     assert(math.abs(jac - 1.0 / 3.0) < 1e-15)
     assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
+  }
+
+  test("zero-token docs carry no duplication signal in span/contamination/overlap") {
+    // WordShingles' zero-token fallback is the single "" shingle — two
+    // punctuation-only docs would otherwise read as 100% mutual duplicates,
+    // a zero-token benchmark doc would mark every zero-token target
+    // contaminated, and two sources would share the "" hash (review
+    // finding: the minhash family excluded this; these consumers did not).
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "!!!", "a"), (2L, "???", "b"), (3L, "real shared words here", "a"),
+      (4L, "real shared words here", "b")).toDF("doc_id", "text", "source")
+    val spans = Dedup.dupSpanStats(docs, "text", n = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!spans.contains(1L) && !spans.contains(2L),
+      s"zero-token docs entered the span stats: $spans")
+    assert(spans(3L) == 2L && spans(4L) == 2L) // both real spans shared 3<->4
+    val cont = Dedup.contaminationScore(docs, col("doc_id") === 1L, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!cont.contains(2L), "zero-token target scored against a zero-token benchmark")
+    assert(cont(3L) == 0L && cont(4L) == 0L)
+    val over = Dedup.sourceOverlap(docs, "source", "text", n = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(over(("a", "b")) == 1L,
+      s"the '' shingle inflated the shared count: $over")
+  }
+
+  test("simhash refuses bits outside [1, 32] (token hashes carry 32 bits)") {
+    val docs = Seq((1L, "some words")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { Dedup.simhash(docs, "text", bits = 64) }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(Seq((1L, 0L)).toDF("doc_id", "simhash"), 3, bits = 33)
+    }
   }
 
   test("ANN recall: identical rankings give recall 1, degraded ANN below 1") {

@@ -43,6 +43,20 @@ class TopKSketchSpec extends SparkSpec {
     assert(got("B") >= 600L - 400L && got("B") <= 600L)
   }
 
+  test("column form survives names the SQL parser cannot round-trip; capacity >= 1") {
+    // topkSketch used to string-render the Column through expr(), which
+    // breaks for any name needing quoting (review finding) — the bridge
+    // form takes the expression directly.
+    val df = Seq("a", "a", "b").toDF("event type") // space in the name
+    val m = df.agg(graft.functions.TopKSketch
+        .topkSketch(col("`event type`"), 4).as("top"))
+      .collect().head.getMap[String, Long](0)
+    assert(m("a") == 2L && m("b") == 1L)
+    intercept[IllegalArgumentException] {
+      graft.functions.TopKSketch.topkSketch(col("x"), 0)
+    }
+  }
+
   test("null inputs are ignored") {
     TopKSketch.register(spark)
     val got = Seq(Some("x"), None, Some("x"), None).toDF("v")

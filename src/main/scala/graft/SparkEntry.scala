@@ -3035,7 +3035,10 @@ object SparkEntry {
        |  c.completed_credits / d.total_credits * 100 AS progress_pct,
        |  CASE WHEN c.credits_earned > 0 THEN c.total_points / c.credits_earned
        |       ELSE 0.0 END AS dtbctl,
-       |  CASE WHEN d.total_credits - c.completed_credits <= 0 THEN 'Hoàn thành'
+       |  -- unknown requirements (no dim row) => NULL status, not a verdict —
+       |  -- mirrors Progress.report's null arm (review finding)
+       |  CASE WHEN d.total_credits IS NULL THEN NULL
+       |       WHEN d.total_credits - c.completed_credits <= 0 THEN 'Hoàn thành'
        |       WHEN d.total_credits - c.completed_credits <=
        |            (d.total_semesters - (2024 - (2020 + c.khoa - 46)) * 3) * 20
        |         THEN 'Đúng tiến độ'

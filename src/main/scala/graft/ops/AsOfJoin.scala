@@ -30,8 +30,8 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(rightVals.toSet.intersect(leftCols.toSet).isEmpty,
       s"rightVals ${rightVals.toSet.intersect(leftCols.toSet)} collide with left columns")
-    require(!(leftCols ++ right.columns).exists(Set("__t", "__side")),
-      "__t/__side are reserved by asOf")
+    require(!(leftCols ++ right.columns).exists(Set("__t", "__side", "__rv", "__last")),
+      "__t/__side/__rv/__last are reserved by asOf")
     // Common shape: keys ++ __t ++ __side ++ leftCols' ++ rightVals
     // (left-only columns null on right rows and vice versa).
     val lPart = left
@@ -55,9 +55,22 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(lAll.unionByName(rAll)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+    // ONE struct carry, not one last() per value column: the per-column
+    // form picked each column's latest NON-NULL value independently, so a
+    // right row carrying a null skipped backward to an older row for that
+    // column — returning a stale value instead of the latest row's null,
+    // and with several rightVals a franken-row mixing fields of different
+    // right rows (review finding). The struct is non-null for every RIGHT
+    // row (a struct of null fields is not itself null), null on left rows,
+    // so ignoreNulls still skips exactly the left rows and the whole
+    // latest right ROW is carried — including its nulls.
+    val packed = lAll.unionByName(rAll)
+      .withColumn("__rv",
+        when(col("__side") === 0, struct(rightVals.map(col): _*)))
+      .withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))
+    packed.filter(col("__side") === 1)
+      .select(
+        (keys.map(col) ++ leftCols.filterNot(keys.contains).map(col) ++
+          rightVals.map(c => col(s"__last.$c").as(c))): _*)
   }
 }

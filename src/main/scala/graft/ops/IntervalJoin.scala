@@ -30,12 +30,28 @@ object IntervalJoin {
     val p = points.select((Seq(col(keyCol).as("__k"), col(tCol).as("__t")) ++
         points.columns.map(c => col(c).as(s"p_$c"))): _*)
       .withColumn("__bucket", floor(col("__t") / bucketMicros))
+    // Clamp interval explosion to the points' observed bucket range — one
+    // tiny column-pruned aggregate to the driver buys a PROVABLE bound on
+    // the blowup: buckets outside the range cannot contain any point, so
+    // the clamp is exact, and an open-ended interval (an SCD2 current row
+    // ending 9999-12-31) no longer explodes to ~10^8 bucket rows or past
+    // sequence()'s 2.1B element cap (review finding).
+    val bounds = p.agg(min(col("__bucket")), max(col("__bucket"))).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 0L) // no points: any clamp yields 0 pairs
+      else (bounds.getLong(0), bounds.getLong(1))
     val i = intervals.select((Seq(col(keyCol).as("__k"), col(startCol).as("__s"),
         col(endCol).as("__e")) ++
         intervals.columns.map(c => col(c).as(s"i_$c"))): _*)
       .filter(col("__s") <= col("__e"))
+      // drop intervals entirely outside the point range BEFORE clamping —
+      // a clamped sequence(start > stop) would count DOWN, not empty out
+      .filter(floor(col("__e") / bucketMicros) >= lo &&
+        floor(col("__s") / bucketMicros) <= hi)
       .withColumn("__bucket",
-        explode(sequence(floor(col("__s") / bucketMicros), floor(col("__e") / bucketMicros))))
+        explode(sequence(
+          greatest(floor(col("__s") / bucketMicros), lit(lo)),
+          least(floor(col("__e") / bucketMicros), lit(hi)))))
     p.join(i, Seq("__k", "__bucket"))
       .filter(col("__t") >= col("__s") && col("__t") <= col("__e"))
       .drop("__k", "__bucket", "__t", "__s", "__e")

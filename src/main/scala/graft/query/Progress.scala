@@ -89,9 +89,16 @@ object Progress {
         when(col("credits_earned") > 0, col("total_points") / col("credits_earned"))
           .otherwise(0.0))
 
-    // T20: tri-state status (app.py:154-178).
+    // T20: tri-state status (app.py:154-178). A student whose requirement
+    // dims are UNKNOWN (major 'Chưa xác định' — no creditReq/duration row)
+    // gets a NULL status, not a verdict: the null remaining_credits made
+    // both when() arms null-false and the otherwise asserted a definite
+    // 'Chậm tiến độ' over unknown requirements (review finding). The
+    // reference raises KeyError here; a null verdict is the documented
+    // sane deviation (same class as the left-join deviation itself).
     arith.withColumn("status",
-      when(col("remaining_credits") <= 0, "Hoàn thành")
+      when(col("remaining_credits").isNull, lit(null).cast("string"))
+        .when(col("remaining_credits") <= 0, "Hoàn thành")
         .when(col("remaining_credits") <= col("max_credits_remaining_in_time"), "Đúng tiến độ")
         .otherwise("Chậm tiến độ"))
       .drop("any_di", "any_fl")
@@ -102,11 +109,18 @@ object Progress {
   def transcript(enrollment: DataFrame, masv: String): DataFrame =
     enrollment
       .filter(col("F_MASV") === masv)                                      // T10
-      .limit(1000)                                                         // T11
       .select("F_MAMH", "F_TENMHVN", "F_DVHT", "F_MASV", "F_TENLOP",
         "NHHK", "F_DIEM2", "F_TCDTTL")                                     // T12
       .withColumn("nam_hoc", substring(col("NHHK").cast("string"), 1, 4).cast("int")) // T17
       .withColumn("hoc_ky", substring(col("NHHK").cast("string"), 5, 1).cast("int"))
-      .orderBy(col("NHHK"))                                                // sort
+      // T11 cap applied ON the sort order, ties broken by course code for
+      // a total order: the reference's ES size=1000 cap returns an
+      // arbitrary subset, and a limit BEFORE any sort reproduces that
+      // nondeterminism in Spark — a >1000-record student's transcript
+      // would differ run to run (review finding). Deterministic-cap is the
+      // same documented pinning T2/A3 apply to the reference's other
+      // arbitrary orders.
+      .orderBy(col("NHHK"), col("F_MAMH"))                                 // sort
+      .limit(1000)                                                         // T11
       .drop("nam_hoc", "hoc_ky")                                           // T21
 }

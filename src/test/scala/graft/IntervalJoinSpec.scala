@@ -35,6 +35,25 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("open-ended intervals are clamped to the points' bucket range, exactly") {
+    // An SCD2-style 'current' interval ending at a sentinel far future
+    // would explode to ~10^14 bucket rows at w=1 (or exceed sequence()'s
+    // element cap outright) — the clamp bounds the explosion to the
+    // points' observed range, which is exact: buckets with no points
+    // cannot produce pairs (review finding).
+    val open = Seq(
+      (20L, 1L, 200L, Long.MaxValue / 2),  // catches points 2,3,4
+      (21L, 2L, 0L, 9_999_999_999_999L))   // catches 5,6
+      .toDF("iid", "k", "s", "e")
+    val got = IntervalJoin.bucketed(points, open, "k", "t", "s", "e", 1L)
+      .select(col("p_pid").as("pid"), col("i_iid").as("iid"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 20L), (3L, 20L), (4L, 20L), (5L, 21L), (6L, 21L)))
+    // no points at all: empty result, no explosion
+    val noPts = points.filter(col("k") === 99L)
+    assert(IntervalJoin.bucketed(noPts, open, "k", "t", "s", "e", 1L).isEmpty)
+  }
+
   test("carries all prefixed point and interval columns") {
     val out = IntervalJoin.bucketed(points, intervals, "k", "t", "s", "e", 100L)
     assert(out.columns.toSet ==

@@ -522,6 +522,25 @@ class OpsSpec extends SparkSpec {
       3L -> None))        // nothing at or before t=5
   }
 
+  test("as-of join carries the latest right ROW wholesale, nulls included") {
+    // The old per-column last(ignoreNulls) skipped a right row's null
+    // backward to a STALE value, and with several rightVals stitched a
+    // franken-row from different right rows (review finding): the latest
+    // right row must arrive intact, its nulls included.
+    import graft.ops.AsOfJoin
+    val left = Seq((1L, "u1", 30L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", 10L, Some(5L), Some(9L)),
+      ("u1", 20L, Some(7L), Option.empty[Long]),   // latest: b is NULL here
+      ("u1", 40L, Some(99L), Some(99L)))           // after the left row
+      .toDF("k", "rt", "a", "b")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("a", "b"))
+      .select("id", "a", "b").as[(Long, Option[Long], Option[Long])]
+      .collect().head
+    assert(got == ((1L, Some(7L), None)),
+      s"expected the t=20 row intact (a=7, b=null), got $got")
+  }
+
   test("token stats and quality on a known string") {
     val d = Seq((1L, "The quick brown fox! It runs.")).toDF("doc_id", "text")
     val ts = TextAnalysis.tokenStats(d, "text").collect().head

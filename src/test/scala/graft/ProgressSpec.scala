@@ -45,6 +45,21 @@ class ProgressSpec extends SparkSpec {
     assert(row.getAs[String]("status") == "Đúng tiến độ")
   }
 
+  test("unknown major (no requirement dims) gets NULL status, not a verdict") {
+    // Classes with neither DI- nor FL-prefixes give major 'Chưa xác định';
+    // the credit/duration dims have no row for it, so remaining_credits is
+    // null — the old otherwise() asserted a definite 'Chậm tiến độ' over
+    // unknown requirements (review finding; the reference KeyErrors here).
+    val unknown = Seq(
+      (t0, "B2100099", "C1", "Toán", "XX01", "47", Some(20241), "8.0", 3.0, 30.0)
+    ).toDF("@timestamp", "F_MASV", "F_MAMH", "F_TENMHVN", "F_TENLOP",
+      "F_KHOAHOC", "NHHK", "F_DIEM2", "F_DVHT", "F_TCDTTL")
+    val r = Progress.report(spark, unknown).collect().head
+    assert(r.getAs[String]("major") == "Chưa xác định")
+    assert(r.getAs[String]("status") == null,
+      s"unknown requirements must not yield a verdict: ${r.getAs[String]("status")}")
+  }
+
   test("zero eligible credits -> GPA 0.0 (app.py:143-144 guard)") {
     val failing = Seq(
       (t0, "B2000009", "C1", "Toán", "FL02", "46", Some(20231), "2.0", 3.0, 10.0)

@@ -30,6 +30,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salts are deterministic expressions (no mono-id feeding a shuffle)") {
+    // monotonically_increasing_id in a shuffle key is the SPARK-23207
+    // hazard: a partial stage retry re-assigns different salts and rows
+    // are double-counted or dropped (review finding). Pin structurally:
+    // the analyzed plans carry no nondeterministic id expression.
+    val df = Seq(("k", 1.0)).toDF("k", "v")
+    val agg = Skew.saltedSum(df, Seq("k"), "v").queryExecution.analyzed.toString
+    assert(!agg.contains("monotonically_increasing_id"), agg)
+    val j = Skew.saltedJoin(df, Seq(("k", "r")).toDF("k", "rv"), "k")
+      .queryExecution.analyzed.toString
+    assert(!j.contains("monotonically_increasing_id"), j)
+  }
+
   test("saltedJoin equals plain join") {
     val left = (1 to 5000).map(i => (s"k${i % 4}", i)).toDF("k", "lv")
     val right = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("k3", "d")).toDF("k", "rv")

@@ -251,6 +251,62 @@ class PropertySpec extends SparkSpec {
     assert(a == b, "fixed-point sums must make k-means order-independent")
   }
 
+  test("as-of join equals the brute-force latest-row pick, nulls carried intact") {
+    // Differential net under the struct-carry fix: for every left row the op
+    // must return THE latest right row at-or-before t wholesale — each value
+    // column exactly as that row carries it, nulls included, never a blend
+    // of different right rows. Right (k, rt) pairs are unique per the op's
+    // pre-arbitration contract (ties between right rows are otherwise
+    // arbitrary on both sides of the comparison).
+    val rightRows = Gen.mapOf(Gen.zip(
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 60L)),
+      Gen.zip(Gen.option(Gen.choose(0L, 9L)), Gen.option(Gen.choose(10L, 19L)))))
+    val leftRows = Gen.listOfN(20, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 60L)))
+    check("asof-brute", 8)(Prop.forAll(leftRows, rightRows) { (ls, rm) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("id", "k", "t")
+      val rs = rm.toSeq.map { case ((k, rt), (a, b)) => (k, rt, a, b) }
+      val right = rs.toDF("k", "rt", "a", "b")
+      val got = graft.ops.AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("a", "b"))
+        .select("id", "a", "b")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      val expect = ls.zipWithIndex.map { case ((k, t), i) =>
+        val m = rs.filter(r => r._1 == k && r._2 <= t)
+        if (m.isEmpty) (i.toLong, None, None)
+        else { val w = m.maxBy(_._2); (i.toLong, w._3, w._4) }
+      }.toSet
+      got == expect
+    })
+  }
+
+  test("interval join equals the naive range join on random spans incl. sentinels") {
+    // Differential net under the bucket-range clamp: any mix of tiny,
+    // negative-timestamp, and open-ended (far-future sentinel) intervals
+    // must produce exactly the naive key-equi + bounds-filter pairs at any
+    // bucket width — the clamp is a pure cost bound, never a semantics one.
+    val pointRows = Gen.listOfN(15, Gen.zip(Gen.choose(0L, 2L), Gen.choose(-50L, 120L)))
+    val span = for {
+      k <- Gen.choose(0L, 2L)
+      s <- Gen.choose(-60L, 110L)
+      len <- Gen.oneOf(Gen.choose(0L, 30L), Gen.const(9_999_999_999_999L))
+    } yield (k, s, s + len)
+    check("interval-brute", 6)(Prop.forAll(pointRows, Gen.listOfN(8, span),
+        Gen.oneOf(1L, 7L, 100L)) { (ps, is, w) =>
+      val points = ps.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("pid", "k", "t")
+      val intervals = is.zipWithIndex.map { case ((k, s, e), i) => (i.toLong, k, s, e) }
+        .toDF("iid", "k", "s", "e")
+      val got = graft.ops.IntervalJoin.bucketed(points, intervals, "k", "t", "s", "e", w)
+        .select(col("p_pid"), col("i_iid")).as[(Long, Long)].collect().toSet
+      val naive = ps.zipWithIndex.flatMap { case ((pk, t), pi) =>
+        is.zipWithIndex.collect {
+          case ((ik, s, e), ii) if ik == pk && t >= s && t <= e => (pi.toLong, ii.toLong)
+        }
+      }.toSet
+      got == naive
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

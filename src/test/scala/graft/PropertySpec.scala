@@ -307,6 +307,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("funnel equals the brute-force greedy walk on random event streams") {
+    // Differential net over the aggregate-fold funnel: per user, walk
+    // events sorted by (ts, type) — the exact sort_array(struct) order —
+    // and advance on the next wanted type only at a STRICTLY later ts than
+    // the previous advance. Tiny key/ts spaces force ties and collisions.
+    val evGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(0L, 4L), Gen.choose(0L, 8L), Gen.oneOf("a", "b", "c", "z")))
+    val stepsGen = Gen.oneOf(Seq("a", "b"), Seq("a", "b", "c"), Seq("b", "a"),
+      Seq("a", "a"), Seq("c"))
+    check("funnel-brute", 8)(Prop.forAll(evGen, stepsGen) { (evs, steps) =>
+      val df = evs.map { case (u, t, et) =>
+        (u, new java.sql.Timestamp(t * 1000L), et) }.toDF("user_id", "ts", "event_type")
+      val got = graft.ops.Funnels.funnel(df, steps)
+        .select("step", "users").as[(Int, Long)].collect().toMap
+      val expect = steps.indices.map { k =>
+        val users = evs.groupBy(_._1).count { case (_, uevs) =>
+          val sorted = uevs.filter(e => steps.contains(e._3))
+            .map(e => (e._2, e._3)).sorted
+          var step = 0; var last = Option.empty[Long]
+          for ((t, et) <- sorted)
+            if (step < steps.size && et == steps(step) && last.forall(t > _)) {
+              step += 1; last = Some(t)
+            }
+          step >= k + 1
+        }
+        (k + 1) -> users.toLong
+      }.toMap
+      got == expect
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

@@ -338,6 +338,28 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("prefix-filtered near-dup equals the plain capped join on random corpora") {
+    // The Bayardo prefix filter is a pure candidate-pruning optimization:
+    // on ANY corpus (zero-token and punctuation-only docs included) its
+    // surviving pairs and exact cosines must be identical to d13's plain
+    // capped join at any threshold/shingle width.
+    val word = Gen.oneOf("data", "spark", "query", "engine", "alpha", "beta",
+      "gamma", "delta", "x9", "học", "!!", "??")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    check("d14-vs-d13", 5)(Prop.forAll(
+        Gen.listOfN(8, doc), Gen.oneOf(0.3, 0.6, 0.9), Gen.oneOf(2, 3)) { (texts, th, n) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def canon(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          math.rint(r.getDouble(4) * 1e12))
+      val a = Dedup.lexicalNearDup(df, "text", threshold = th,
+        maxDfFrac = 1.0, minShared = 1, n = n).collect().map(canon).sorted.toSeq
+      val b = Dedup.prefixNearDup(df, "text", threshold = th,
+        maxDfFrac = 1.0, minShared = 1, n = n).collect().map(canon).sorted.toSeq
+      a == b
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

@@ -360,6 +360,36 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("scd2 history equals the brute-force change fold, null states included") {
+    // Differential net under the rn=1 fix: per key, versions open exactly
+    // at the first row and at every null-safe value CHANGE; valid_to is the
+    // next version's ts; only the last version is current. NULL is a
+    // tracked state of its own — chains like 3 -> null -> 3 must emit
+    // three versions.
+    val rowGen = Gen.listOfN(24, Gen.zip(
+      Gen.choose(0L, 2L), Gen.choose(0L, 6L), Gen.option(Gen.choose(0L, 2L))))
+    check("scd2-brute", 8)(Prop.forAll(rowGen) { rows0 =>
+      // unique (k, ts, tie) via the index as tie — the documented contract
+      val rows = rows0.zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val df = rows.toDF("k", "t", "seq", "v")
+      val got = Upsert.scd2History(df, Seq("k"), "v", "t", "seq")
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .as[(Long, Option[Long], Long, Option[Long], Boolean)].collect().toSet
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (k, krs) =>
+        val sorted = krs.sortBy(r => (r._2, r._3))
+        val kept = sorted.foldLeft(Vector.empty[(Long, Option[Long])]) {
+          case (acc, (_, t, _, v)) =>
+            if (acc.isEmpty || acc.last._2 != v) acc :+ (t -> v) else acc
+        }
+        kept.zipWithIndex.map { case ((t, v), i) =>
+          val to = if (i + 1 < kept.size) Some(kept(i + 1)._1) else None
+          (k, v, t, to, to.isEmpty)
+        }
+      }.toSet
+      got == expect
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

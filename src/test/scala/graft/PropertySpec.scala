@@ -390,6 +390,32 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("connected components equal union-find min-labels on random graphs") {
+    // Random edge soups (self-loops and duplicates included): every node in
+    // the edge list must label to its component's MINIMUM id — verified
+    // against a driver-side union-find.
+    val edgeGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    check("cc-brute", 6)(Prop.forAll(edgeGen) { es =>
+      val pairs = es.toDF("a", "b")
+      val got = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // union-by-min keeps each root the component minimum, so find IS the
+      // expected label
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.map(n => n -> find(n)).toMap
+      got == expect
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

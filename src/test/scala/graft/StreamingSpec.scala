@@ -366,6 +366,37 @@ class StreamingSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("session summaries are invariant to the micro-batch cut count") {
+    // The documented contract: session boundaries depend only on EVENT
+    // time, never on where a replay cuts micro-batches. Same corpus at one,
+    // three, and five file cuts must emit byte-identical summaries, equal
+    // to the driver-side gap-island fold.
+    val rnd = new scala.util.Random(42)
+    val gapMs = 1800000L
+    val events = (for {
+      u <- 1L to 3L
+      t0 = ts("2024-01-01 08:00:00").getTime
+      ts0 = Iterator.iterate(t0)(_ + (rnd.nextInt(50) + 1) * 60000L).take(12).toSeq
+      t <- ts0
+    } yield (new java.sql.Timestamp(t), u, (rnd.nextInt(900) + 1) / 100.0)).toSeq
+    val df = events.toDF("ts", "user_id", "value")
+    def run(nFiles: Int) =
+      Pipeline.replaySessionSummaries(spark, df, gapMs = gapMs, nFiles = nFiles)
+        .select("user_id", "n_events", "total_cents", "start_ms", "end_ms")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expect = events.groupBy(_._2).toSeq.flatMap { case (u, evs) =>
+      val sorted = evs.map(e => (e._1.getTime, math.round(e._3 * 100))).sortBy(_._1)
+      sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+        if (e._1 - acc.last.last._1 > gapMs) acc :+ Vector(e)
+        else acc.init :+ (acc.last :+ e)
+      }.map(s => (u, s.size.toLong, s.map(_._2).sum, s.head._1, s.last._1))
+    }.toSet
+    val cuts = Seq(1, 3, 5).map(run)
+    assert(cuts.forall(_ == expect),
+      s"cut-dependent sessions: ${cuts.map(_.size)} vs expected ${expect.size}")
+    assert(expect.size > 6, s"corpus too tame to bite: ${expect.size} sessions")
+  }
+
   test("crash-restart replay recovers from the checkpoint to the exact latest-wins table") {
     // The s2_restart_replay promotion on a hand-checkable corpus: the crash
     // is injected after batch 2's sink write and before its offset commit,

@@ -416,6 +416,51 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("sequence packing equals the per-bucket running-sum fold") {
+    // Contiguous-fill contract on random corpora: per md5-derived bucket,
+    // docs ordered by doc_id lay head-to-tail; each doc's first token lands
+    // at (Σ preceding tokens) — pack id and offset are pure integer
+    // arithmetic off that running sum.
+    def h31(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2147483647L
+    }
+    val word = Gen.oneOf("data", "spark", "pack", "học", "x1")
+    val doc = Gen.chooseNum(0, 9).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    check("pack-brute", 6)(Prop.forAll(Gen.listOfN(12, doc), Gen.oneOf(4, 16)) {
+      (texts, cap) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ops.Packing.packSequences(df, "text", capacity = cap, buckets = 3)
+        .select("doc_id", "bucket", "n_tokens", "pack_id", "pack_offset")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val toks = texts.map(t => t.split(" ").count(_.nonEmpty).toLong)
+      val expect = texts.indices
+        .map(i => (i.toLong, h31(s"${i}_pack") % 3, toks(i)))
+        .groupBy(_._2).toSeq.flatMap { case (b, ds) =>
+          ds.sortBy(_._1).foldLeft((0L, Vector.empty[(Long, Long, Long, Long, Long)])) {
+            case ((start, acc), (id, _, n)) =>
+              (start + n, acc :+ ((id, b, n, start / cap, start % cap)))
+          }._2
+        }.toSet
+      got == expect
+    })
+  }
+
+  test("compaction preserves content exactly on random fragmentations") {
+    // The maintenance path must be a pure file-layout rewrite: random rows
+    // written at a random fragmentation compact to fewer files with the
+    // multiset of rows unchanged.
+    val rowsGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 9L), Gen.option(Gen.alphaStr.map(_.take(4)))))
+    check("compact-brute", 4)(Prop.forAll(rowsGen, Gen.choose(5, 24)) { (rows, frags) =>
+      val dir = graft.util.TempRoots.create("prop_compact_").toString + "/t"
+      rows.toDF("k", "s").repartition(frags).write.mode("overwrite").parquet(dir)
+      val (before, after) = graft.etl.Compact.compact(spark, dir, targetBytes = 512L << 20)
+      val back = spark.read.parquet(dir).as[(Long, Option[String])]
+        .collect().toSeq.sorted
+      after <= before && back == rows.map(r => (r._1, r._2)).sorted
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

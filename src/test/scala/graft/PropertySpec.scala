@@ -461,6 +461,44 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("bm25 top-k equals a from-scratch reference on random corpora and queries") {
+    // Independent reimplementation of the whole scoring path: Robertson
+    // idf ln(1+(N-df+0.5)/(df+0.5)), tf normalization with k1/b and
+    // dl/avgdl, 1e-6 fixed-point quantization per (doc, term), matched-term
+    // filter, (score desc, doc_id asc) top-k. Query terms may repeat — the
+    // op must dedup them (set semantics).
+    val vocab = Vector("data", "spark", "query", "plan", "học", "x1")
+    val word = Gen.oneOf(vocab)
+    val doc = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val queryGen = Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, word))
+    check("bm25-brute", 6)(Prop.forAll(Gen.listOfN(10, doc), queryGen) { (texts, q) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ops.Retrieval.bm25TopK(df, "text", q, k = 5)
+        .as[(Long, Int, Double)].collect().toSeq
+        .map { case (id, nt, s) => (id, nt, math.round(s * 1e6)) }
+      val (k1, b) = (1.2, 0.75)
+      val toks = texts.map(_.split(" ").filter(_.nonEmpty).toSeq)
+      val n = toks.size.toDouble
+      val avgdl = toks.map(_.size).sum.toDouble / n
+      val terms = q.distinct
+      val dfs = terms.map(t => t -> toks.count(_.contains(t))).toMap
+      val expect = toks.zipWithIndex.flatMap { case (ts, i) =>
+        val hits = terms.filter(ts.contains)
+        if (hits.isEmpty) None
+        else {
+          val fp = hits.map { t =>
+            val tf = ts.count(_ == t).toDouble
+            val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+            val tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * ts.size / avgdl))
+            math.round(idf * tfn * 1e6)
+          }.sum
+          Some((i.toLong, hits.size, fp))
+        }
+      }.sortBy(r => (-r._3, r._1)).take(5)
+      got == expect
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

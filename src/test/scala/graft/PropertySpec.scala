@@ -499,6 +499,19 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("latest-by-key picks the (ts, tie) maximum on random version streams") {
+    // Duplicate timestamps are the point: arbitration must fall through to
+    // the tie column, per key, on any input order.
+    val rowGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 4L)))
+    check("lww-brute", 8)(Prop.forAll(rowGen) { rs0 =>
+      val rs = rs0.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val got = Upsert.latestByKey(rs.toDF("k", "t", "seq"), Seq("k"), "t", "seq")
+        .as[(Long, Long, Long)].collect().toSet
+      val expect = rs.groupBy(_._1).values.map(_.maxBy(r => (r._2, r._3))).toSet
+      got == expect
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

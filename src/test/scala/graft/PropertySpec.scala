@@ -512,6 +512,38 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("simhash banding equals the all-pairs hamming filter at random shapes") {
+    // The pigeonhole guarantee under the even-band-width arithmetic: at any
+    // (bits, maxHamming) shape, banding must find EXACTLY the pairs within
+    // the radius — widths differing by ≤1 make the guarantee hold at
+    // non-divisible splits too, which is where the arithmetic can silently
+    // break. Signatures cluster near a few seeds so near-pairs exist.
+    val shapeGen = for {
+      bits <- Gen.oneOf(7, 16, 31, 32)
+      maxH <- Gen.choose(0, 5)
+    } yield (bits, maxH)
+    val sigGen = (bits: Int) => {
+      val mask = if (bits == 64) -1L else (1L << bits) - 1
+      val seed = Gen.oneOf(0L, 0x5a5a5a5aL, 0x7fffffffL)
+      Gen.listOfN(16, Gen.zip(seed, Gen.choose(0, 5), Gen.choose(0, bits - 1))
+        .map { case (s, flips, at) =>
+          (0 until flips).foldLeft(s)((v, i) => v ^ (1L << ((at + i * 7) % bits))) & mask
+        })
+    }
+    check("simhash-brute", 8)(Prop.forAll(shapeGen.flatMap { case (bits, maxH) =>
+      sigGen(bits).map(sigs => (bits, maxH, sigs)) }) { case (bits, maxH, sigList) =>
+      val sigs = sigList.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "simhash")
+      val got = Dedup.simhashNearDup(sigs, maxHamming = maxH, bits = bits)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        a <- sigList.indices; b <- sigList.indices if a < b
+        if java.lang.Long.bitCount(sigList(a) ^ sigList(b)) <= maxH
+      } yield (a.toLong, b.toLong)).toSet
+      got == want
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

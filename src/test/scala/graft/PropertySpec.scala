@@ -544,6 +544,55 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("LSH near-dup pairs equal a from-scratch minhash pipeline reference") {
+    // Independent end-to-end reimplementation of d3: regex tokens, word
+    // trigram shingles (truncated shingle for short docs, zero-token docs
+    // dropped), md5-derived 31-bit shingle hashes, k=8 (a·h+b) mod P
+    // minima, 4 bands of 2 rows, candidates = pairs sharing any band
+    // SLICE, exact Jaccard over the distinct hash sets, threshold 0.5.
+    // Corpora mix near-copies (mutated suffixes) with unrelated docs so
+    // both banding recall and the jaccard verify bite.
+    def h31(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % Dedup.P
+    }
+    val bases = Vector(
+      "the quick brown fox jumps over the lazy dog tonight",
+      "spark shuffles partition data across the cluster nodes fast",
+      "một văn bản tiếng việt có dấu đầy đủ ở đây")
+    val word = Gen.oneOf("extra", "tail", "mut", "x7")
+    val doc = for {
+      b <- Gen.oneOf(bases); k <- Gen.chooseNum(0, 2)
+      ws <- Gen.listOfN(k, word)
+    } yield (b +: ws).mkString(" ")
+    check("d3-brute", 5)(Prop.forAll(Gen.listOfN(10, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.nearDupPairs(df, "text", n = 3, threshold = 0.5)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b, math.rint(j * 1e12)) }.toSet
+      val tokRe = graft.ops.TextAnalysis.TokenRegex.r
+      val hashSets = texts.map { t =>
+        val ts = tokRe.findAllIn(t.toLowerCase).toVector
+        if (ts.isEmpty) Set.empty[Long]
+        else (0 until math.max(1, ts.size - 2))
+          .map(i => ts.slice(i, i + 3).mkString(" ")).distinct
+          .map(h31).toSet
+      }
+      val sigs = hashSets.map(hs =>
+        if (hs.isEmpty) Vector.empty[Long]
+        else Dedup.minhashSeeds.map { case (a, b) => hs.map(h => (a * h + b) % Dedup.P).min }.toVector)
+      val expect = (for {
+        a <- texts.indices; b <- texts.indices
+        if a < b && sigs(a).nonEmpty && sigs(b).nonEmpty
+        if sigs(a).grouped(2).zip(sigs(b).grouped(2)).exists { case (x, y) => x == y }
+        inter = (hashSets(a) & hashSets(b)).size.toDouble
+        j = inter / (hashSets(a).size + hashSets(b).size - inter)
+        if j >= 0.5
+      } yield (a.toLong, b.toLong, math.rint(j * 1e12))).toSet
+      got == expect
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

@@ -277,6 +277,33 @@ class PlanChecksSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in scoring plan:\n$plan")
   }
 
+  test("as-of join is join-free: one keyed exchange, one window, no join operator") {
+    // The whole point of the union+window as-of design: the big side
+    // exchanges ONCE on the keys and there is NO join operator at all — a
+    // regression to a range join or an extra exchange is a scale regression
+    // even while results stay correct.
+    val left = (1 to 50).map(i => (i.toLong, s"u${i % 5}", i.toLong * 10)).toDF("id", "k", "t")
+    val right = (1 to 20).map(i => (s"u${i % 5}", i.toLong * 25, i.toLong)).toDF("k", "rt", "v")
+    val plan = finalPlanString(graft.ops.AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v")))
+    assert(countOf(plan, "Window") == 1, s"expected exactly one Window in:\n$plan")
+    assert(countOf(plan, "Exchange") == 1, s"expected exactly one Exchange in:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
+  test("interval join stays an equi-join under open-ended intervals") {
+    // The bucket-range clamp must leave the join an equi-join on
+    // (key, bucket) — never a cartesian/nested-loop fallback — including
+    // when every interval is an open-ended sentinel.
+    val pts = (1 to 40).map(i => (i.toLong, i.toLong % 3, i.toLong * 1000)).toDF("pid", "k", "t")
+    val ivs = (1 to 5).map(i => (i.toLong, i.toLong % 3, i.toLong * 5000, Long.MaxValue / 2))
+      .toDF("iid", "k", "s", "e")
+    val plan = finalPlanString(
+      graft.ops.IntervalJoin.bucketed(pts, ivs, "k", "t", "s", "e", 1000L))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to a non-equi join:\n$plan")
+    assert(plan.contains("Join"), s"expected an equi-join in:\n$plan")
+  }
+
   test("no registered query carries an unbounded global window (pinned allowlist)") {
     // A Window with an EMPTY partition spec funnels the whole input through
     // ONE task — fine over a frame already bounded to k rows, a scale-killer

@@ -104,6 +104,28 @@ object Progress {
       .drop("any_di", "any_fl")
   }
 
+  /** Registrar cross-check (SURVEY.md §5, the reference's one implicit
+    * correctness oracle): the registrar-computed cumulative credits
+    * (`F_TCDTTL`, app.py:108) ride along in the data and can be audited
+    * against OUR sum of passed credits per student. Output one row per
+    * student: the A3-pinned registrar figure, the computed sum (passed =
+    * grade ≥ 4.0, the `app.py:137` passing bar; '*'-marked courses are
+    * credit-bearing here — only the GPA excludes them), and the delta.
+    * A nonzero delta flags registrar/transcript drift — bad feed rows,
+    * transfer credits outside the transcript, or a broken upstream join.
+    * One shuffle on the student key; metrics-sized output. */
+  def creditsAudit(enrollment: DataFrame): DataFrame = {
+    val typed = enrollment
+      .withColumn("F_DIEM2", col("F_DIEM2").try_cast("double"))
+      .withColumn("F_DVHT", col("F_DVHT").try_cast("double"))
+    typed.groupBy("F_MASV").agg(
+      max_by(col("F_TCDTTL"), struct(col("NHHK"), col("F_MAMH")))
+        .as("registrar_credits"),
+      sum(when(col("F_DIEM2") >= 4.0, col("F_DVHT")).otherwise(0.0))
+        .as("computed_credits"))
+      .withColumn("delta", col("registrar_credits") - col("computed_credits"))
+  }
+
   /** Single-student transcript view (the table the reference renders):
     * T10 point filter, T12 projection, T17 year/semester split, sort, T21. */
   def transcript(enrollment: DataFrame, masv: String): DataFrame =

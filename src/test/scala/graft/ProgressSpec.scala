@@ -60,6 +60,23 @@ class ProgressSpec extends SparkSpec {
       s"unknown requirements must not yield a verdict: ${r.getAs[String]("status")}")
   }
 
+  test("credits audit: registrar figure vs computed passed-credit sum, with delta") {
+    // Student A: registrar says 9, transcript sums 6 passed (one failed
+    // course's 4 credits excluded) -> delta 3 (e.g. transfer credits).
+    // Student B: figures agree -> delta 0. The registrar figure is the
+    // A3-pinned latest (NHHK, course) value, so the stale 5.0 loses.
+    val rows = Seq(
+      (t0, "A", "C1", "Toán", "FL01", "46", Some(20231), "7.0", 3.0, 5.0),
+      (t0, "A", "C2", "Văn", "FL01", "46", Some(20232), "8.0", 3.0, 9.0),
+      (t0, "A", "C3", "Lý", "FL01", "46", Some(20232), "2.0", 4.0, 9.0),
+      (t0, "B", "C1", "Toán", "DI01", "46", Some(20231), "9.0", 2.0, 2.0)
+    ).toDF("@timestamp", "F_MASV", "F_MAMH", "F_TENMHVN", "F_TENLOP",
+      "F_KHOAHOC", "NHHK", "F_DIEM2", "F_DVHT", "F_TCDTTL")
+    val got = Progress.creditsAudit(rows)
+      .as[(String, Double, Double, Double)].collect().toSet
+    assert(got == Set(("A", 9.0, 6.0, 3.0), ("B", 2.0, 2.0, 0.0)), s"got $got")
+  }
+
   test("zero eligible credits -> GPA 0.0 (app.py:143-144 guard)") {
     val failing = Seq(
       (t0, "B2000009", "C1", "Toán", "FL02", "46", Some(20231), "2.0", 3.0, 10.0)

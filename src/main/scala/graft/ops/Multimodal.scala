@@ -338,8 +338,16 @@ object Multimodal {
             bb.position(math.min(next, end))
           }
         walk(payload.length, depth = 0)
+        // LONG frame-size check: stride(w)·h in Int arithmetic wraps for a
+        // crafted avih width (w = 0x55555556 → stride wraps to 4), aliasing
+        // the product onto a genuine frame length — the accepted Vid then
+        // indexes frames at the TRUE (huge) width and rgbAt dies in an
+        // uncaught ArrayIndexOutOfBounds outside this try (review finding).
+        // A frame is ≤ the payload ≤ Int.MaxValue bytes, so the long-exact
+        // product can only match when the Int forms are exact too.
+        val expected = ((w.toLong * 3 + 3) & ~3L) * h
         if (w <= 0 || h <= 0 || us <= 0 || !rgb24) None
-        else if (frames.isEmpty || frames.exists(_.length != stride(w) * h)) None
+        else if (frames.isEmpty || frames.exists(_.length.toLong != expected)) None
         else Some(Vid(w, h, us, frames.toVector))
       } catch { case scala.util.control.NonFatal(_) => None }
 

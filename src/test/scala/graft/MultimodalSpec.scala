@@ -218,6 +218,29 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.ops.Multimodal.VideoCodec.decode(avi(nest.array())).isEmpty)
   }
 
+  test("crafted avih dims whose stride·height wraps Int degrade, never crash") {
+    // stride(0x55555556) wraps Int arithmetic to 4, so 4·(frameLen/4)
+    // aliases the size check onto a genuine frame length — the accepted Vid
+    // would then index frames at the TRUE ~1.4e9 width and rgbAt dies in an
+    // uncaught ArrayIndexOutOfBounds (review finding). The long-exact check
+    // must reject the payload instead.
+    import graft.ops.Multimodal.VideoCodec
+    val good = VideoCodec.encodeAvi(8, 4, nFrames = 1,
+      VideoCodec.UsPerFrame, seedBase = 0L)
+    val frameLen = VideoCodec.stride(8) * 4
+    val bb = java.nio.ByteBuffer.wrap(good.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // avih payload starts at byte 32 (RIFF 12 + LIST 8 + 'hdrl' 4 + chunk
+    // header 8); width/height sit at +32/+36 within it
+    assert(bb.getInt(64) == 8 && bb.getInt(68) == 4, "avih offset drifted")
+    bb.putInt(64, 0x55555556)        // stride() wraps to 4
+    bb.putInt(68, frameLen / 4)      // 4 · h == real frame length
+    assert(VideoCodec.decode(bb.array()).isEmpty,
+      "wraparound dims must be rejected, not accepted with aliased sizes")
+    // and the untouched original still decodes
+    assert(VideoCodec.decode(good).exists(v => v.width == 8 && v.height == 4))
+  }
+
   test("audio decode rejects layouts pcmStats cannot read (8-bit, big-endian, rate 0)") {
     // AudioSystem parses AIFF (big-endian) and 8-bit WAVs "successfully",
     // but pcmStats reads 16-bit LE — silently wrong features; a rate-0

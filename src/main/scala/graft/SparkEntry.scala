@@ -2310,8 +2310,14 @@ object SparkEntry {
        |    i -> array_to_string(t[i:i+2], ' '))) AS shingles
        |  FROM toks WHERE len(t) >= 1),
        |hs AS (
-       |  SELECT doc_id, shingles, list_transform(shingles,
-       |    s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % ${Dedup.P}) AS hashes FROM sh),
+       |  -- list_distinct over the HASHES, not just the shingles: Spark's sh
+       |  -- is the distinct-hash set (collect_set(h)), so under a 31-bit
+       |  -- collision inside one document an un-deduped list would inflate
+       |  -- this oracle's jaccard denominators (the d9 oracle already
+       |  -- dedupes; this one had drifted). list_min is dedup-invariant, so
+       |  -- the signature legs are unchanged.
+       |  SELECT doc_id, shingles, list_distinct(list_transform(shingles,
+       |    s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % ${Dedup.P})) AS hashes FROM sh),
        |sig AS (SELECT doc_id, shingles, $mhArr AS mh FROM hs),
        |bands AS (
        |  SELECT doc_id, b.band_id,

@@ -672,8 +672,15 @@ object XlsxIO {
             case "row" =>
               row = mutable.ArrayBuffer.empty; nextIdx = 0
             case "c" =>
-              val ref = Option(r.getAttributeValue(null, "r"))
-              cellIdx = ref.map(colIndex).getOrElse(nextIdx)
+              // A ref with no leading letters (r="", r="123") parses to
+              // colIndex -1; treated like a MISSING ref (positional
+              // fallback) — propagated, the negative index crashed the
+              // partition reader's row array fill with an uncaught
+              // ArrayIndexOutOfBounds (the reader bound-checks i < width
+              // only) and skewed inference's width arithmetic
+              // (review finding).
+              cellIdx = Option(r.getAttributeValue(null, "r"))
+                .map(colIndex).filter(_ >= 0).getOrElse(nextIdx)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
               sb.clear()
             case "v" => inV = true

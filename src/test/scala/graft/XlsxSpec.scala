@@ -504,6 +504,21 @@ class XlsxSpec extends SparkSpec {
     assert(one.size == 1, s"maxRows=1 must stop after one row, got $one")
   }
 
+  test("letterless cell refs fall back to position instead of index -1") {
+    // colIndex of a ref with no leading letters (r="", r="123") is -1;
+    // propagated, the partition reader's row fill dies in an uncaught
+    // ArrayIndexOutOfBounds on arr(-1) and inference's width arithmetic
+    // goes negative (review finding). Junk refs must degrade like MISSING
+    // refs: the positional fallback.
+    val sheet =
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="" t="inlineStr"><is><t>a</t></is></c><c r="123" t="inlineStr"><is><t>b</t></is></c><c r="C1" t="inlineStr"><is><t>c</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin.getBytes("UTF-8")
+    val rows = graft.sources.xlsx.XlsxIO.parseSheet(sheet, IndexedSeq.empty).toSeq
+    assert(rows.head == Seq((0, "a"), (1, "b"), (2, "c")), rows.head)
+    assert(rows.head.forall(_._1 >= 0))
+  }
+
   test("scan-time options override table-construction options") {
     // newScanBuilder must honor the per-query options Spark passes it (a
     // catalog-registered xlsx table read with sheet=2), not silently reuse

@@ -593,6 +593,94 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("winsorize equals the interpolated-percentile clip reference") {
+    // Per group: exact interpolated percentiles (rank q·(n−1), linear
+    // between neighbors — Spark's percentile()) bound the clip; null group
+    // keys must survive (the null-safe re-join fix).
+    val rowGen = Gen.listOfN(30, Gen.zip(
+      Gen.option(Gen.choose(0L, 2L)), Gen.choose(0, 1000).map(_ / 10.0)))
+    check("winsorize-brute", 6)(Prop.forAll(rowGen) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+        .toDF("id", "g", "v")
+      val got = graft.query.Dashboards.winsorize(df, Seq("g"), "v", 0.1, 0.9)
+        .select("id", "v_w").as[(Long, Double)].collect().toMap
+      def pct(vs: Seq[Double], q: Double): Double = {
+        val s = vs.sorted; val pos = q * (s.size - 1)
+        val lo = s(pos.toInt)
+        if (pos.toInt + 1 >= s.size) lo
+        else lo + (pos - pos.toInt) * (s(pos.toInt + 1) - lo)
+      }
+      val byGroup = rows.groupBy(_._1).map { case (g, grp) =>
+        val vs = grp.map(_._2)
+        g -> (pct(vs, 0.1), pct(vs, 0.9))
+      }
+      rows.zipWithIndex.forall { case ((g, v), i) =>
+        val (lo, hi) = byGroup(g)
+        math.abs(got(i.toLong) - math.min(math.max(v, lo), hi)) < 1e-9
+      }
+    })
+  }
+
+  test("monotonic ingest sequence equals the sorted rank on random frames") {
+    val rowGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+    check("monoseq-brute", 6)(Prop.forAll(rowGen) { rows0 =>
+      // unique (t, tie) via index so the required total order exists
+      val rows = rows0.zipWithIndex.map { case ((t, _), i) => (t, i.toLong) }
+      val df = rows.toDF("t", "tie")
+      val got = graft.etl.Ingest.monotonicTimestamp(df, Seq(col("t"), col("tie")))
+        .select("t", "tie", "ingest_seq").as[(Long, Long, Long)]
+        .collect().toSet
+      val expect = rows.sortBy(identity).zipWithIndex
+        .map { case ((t, tie), i) => (t, tie, i + 1L) }.toSet
+      got == expect
+    })
+  }
+
+  test("chunk windows equal the integer stride fold on random docs") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    check("chunkwin-brute", 6)(Prop.forAll(Gen.listOfN(6, doc),
+        Gen.oneOf((4, 3), (5, 5), (8, 2))) { case (texts, (width, stride)) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ops.Packing.chunkWindows(df, "text", width, stride)
+        .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk")
+        .as[(Long, Int, Long, Long, String)].collect().toSet
+      val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split(" ").filter(_.nonEmpty).toVector
+        val n = if (toks.size <= width) 1
+          else ((toks.size - width + stride - 1) / stride) + 1
+        (0 until n).map { k =>
+          val start = k.toLong * stride
+          val slice = toks.slice(start.toInt, start.toInt + width)
+          (i.toLong, k, start,
+            math.max(0L, math.min(width.toLong, toks.size - start)),
+            slice.mkString(" "))
+        }
+      }.toSet
+      got == expect
+    })
+  }
+
+  test("language id equals the stopword-vote argmax on random token soups") {
+    val word = Gen.frequency(
+      6 -> Gen.oneOf("the", "der", "el", "le", "và", "of", "und", "que"),
+      4 -> Gen.oneOf("zzz", "qqq", "x1"))
+    val doc = Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    check("langid-brute", 6)(Prop.forAll(Gen.listOfN(8, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ops.TextAnalysis.languageId(spark, df, "text")
+        .as[(Long, String, Long)].collect().toSet
+      val langs = graft.ops.TextAnalysis.stopwords.toSeq.sortBy(_._1)
+      val expect = texts.zipWithIndex.map { case (t, i) =>
+        val toks = t.split(" ").filter(_.nonEmpty)
+        val hits = langs.map { case (l, ws) => l -> toks.count(ws.contains).toLong }
+        val (bl, bh) = hits.maxBy { case (l, h) => (h, -langs.indexWhere(_._1 == l)) }
+        if (bh > 0) (i.toLong, bl, bh) else (i.toLong, "und", 0L)
+      }.toSet
+      got == expect
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

@@ -681,6 +681,76 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+  private def h31ref(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(8), 16) % Dedup.P
+  private def shingles5(t: String): Seq[String] = {
+    val ts = graft.ops.TextAnalysis.TokenRegex.r.findAllIn(t.toLowerCase).toVector
+    if (ts.isEmpty) Nil // the "" fallback is dropEmpty-excluded
+    else (0 until math.max(1, ts.size - 4)).map(i => ts.slice(i, i + 5).mkString(" "))
+  }
+
+  test("fingerprint equals the min-md5 substring fold") {
+    val doc = Gen.chooseNum(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar)).map(_.mkString)
+    check("fingerprint-brute", 6)(Prop.forAll(Gen.listOfN(8, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ops.TextAnalysis.fingerprint(df, "text", 8)
+        .as[(Long, String)].collect().toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val n = math.max(t.length - 7, 1)
+        val expect = (0 until n).map(j => md5hex(t.substring(j, math.min(j + 8, t.length)))).min
+        got(i.toLong) == expect
+      }
+    })
+  }
+
+  test("dup-span stats equal the shared-shingle fold on random corpora") {
+    val word = Gen.oneOf("data", "spark", "query", "engine", "shuffle", "plan")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    check("dupspan-brute", 6)(Prop.forAll(Gen.listOfN(8, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.dupSpanStats(df, "text", n = 5)
+        .select("doc_id", "n_spans", "n_shared").as[(Long, Long, Long)]
+        .collect().toSet
+      val per = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> shingles5(t).map(h31ref).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      }.filter(_._2.nonEmpty)
+      val shared = per.flatMap(_._2.keys).groupBy(identity)
+        .filter(_._2.size >= 2).keySet
+      val expect = per.map { case (id, hs) =>
+        (id, hs.values.sum, hs.filter(kv => shared(kv._1)).values.sum)
+      }.toSet
+      got == expect
+    })
+  }
+
+  test("contamination equals the benchmark shingle-intersection fold") {
+    val word = Gen.oneOf("data", "spark", "query", "engine", "eval", "test")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    check("contamination-brute", 6)(Prop.forAll(Gen.listOfN(10, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.contaminationScore(df, col("doc_id") % 4 === 0, "text", n = 3)
+        .select("doc_id", "n_shingles", "n_hit").as[(Long, Long, Long)]
+        .collect().toSet
+      def sh3(t: String): Set[Long] = {
+        val ts = graft.ops.TextAnalysis.TokenRegex.r.findAllIn(t.toLowerCase).toVector
+        if (ts.isEmpty) Set.empty
+        else (0 until math.max(1, ts.size - 2))
+          .map(i => h31ref(ts.slice(i, i + 3).mkString(" "))).toSet
+      }
+      val bench = texts.zipWithIndex.filter(_._2 % 4 == 0).flatMap(p => sh3(p._1)).toSet
+      val expect = texts.zipWithIndex.filter(_._2 % 4 != 0)
+        .map { case (t, i) => (i.toLong, sh3(t)) }
+        .filter(_._2.nonEmpty)
+        .map { case (id, hs) => (id, hs.size.toLong, (hs & bench).size.toLong) }
+        .toSet
+      got == expect
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

@@ -1601,9 +1601,15 @@ object SparkEntry {
     // lexicalNearDup at the same n (OpsSpec equivalence), so the oracle IS
     // the d13 SQL with n=3. On bigrams the economics flip 6-8x the other
     // way, which is why d13 stays the plain capped join.
+    // Recall guard ARMED in the registered (production) shape since r16,
+    // same arms as d13_guarded (empty 0.1 / mass 0.5); the oracle is the
+    // DISARMED SQL, so the gate certifies arming is non-perturbing on a
+    // healthy corpus. Firing path: OpsSpec "recall guard arms fire on every
+    // scoring variant".
     ("d14_prefix_neardup",
       (s, d) => Dedup.prefixNearDup(docs(s, d), "text",
-        threshold = 0.8, maxDfFrac = 0.2, minShared = 3, n = 3),
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3, n = 3,
+        maxPrunedEmptyFrac = 0.1, maxPrunedMassFrac = 0.5),
       Some(Dedup.lexicalNearDupSql(TextAnalysis.TokenRegex,
         threshold = 0.8, maxDfFrac = 0.2, minShared = 3, n = 3))),
 
@@ -1612,9 +1618,11 @@ object SparkEntry {
     // for df in 1..N), reusing d13's single-tokenization posting frame; the
     // weighting production near-dup pipelines actually run, where rare
     // content-bearing shingles decide the threshold, not boilerplate.
+    // Guard armed in-gate since r16 (oracle disarmed — see d14 note).
     ("d15_idf_neardup",
       (s, d) => Dedup.lexicalNearDupIdf(docs(s, d), "text",
-        threshold = 0.8, maxDfFrac = 0.2, minShared = 3),
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3,
+        maxPrunedEmptyFrac = 0.1, maxPrunedMassFrac = 0.5),
       Some(Dedup.lexicalNearDupIdfSql(TextAnalysis.TokenRegex,
         threshold = 0.8, maxDfFrac = 0.2, minShared = 3))),
 
@@ -1669,9 +1677,15 @@ object SparkEntry {
     // one-row-per-content representative set (df cap back to content-level
     // densities), and per-side group multiplicities reconstruct the pair
     // count over the original corpus (pair_weight = |ga|·|gb|).
+    // Guard armed in-gate since r16 (oracle disarmed — see d14 note). The
+    // check runs over the REPRESENTATIVE set, after the exact prepass has
+    // absorbed replica density — the regime where these arms are the last
+    // line of defense, because replication can no longer mask a cap-emptied
+    // posting frame.
     ("d19_composed_neardup",
       (s, d) => Dedup.composedNearDup(docs(s, d), "text",
-        threshold = 0.8, maxDfFrac = 0.2, minShared = 3),
+        threshold = 0.8, maxDfFrac = 0.2, minShared = 3,
+        maxPrunedEmptyFrac = 0.1, maxPrunedMassFrac = 0.5),
       Some(Dedup.composedNearDupSql(TextAnalysis.TokenRegex,
         threshold = 0.8, maxDfFrac = 0.2, minShared = 3))),
 
@@ -1687,8 +1701,10 @@ object SparkEntry {
           .select(col("event_id").as("ivl_id"), col("user_id"),
             unix_micros(col("ts")).as("start_us"),
             (unix_micros(col("ts")) + lit(7200000000L)).as("end_us"))
+        // no-knob overload: bucket width derived from the measured median
+        // clamped-interval length (here ~2h, matching the window span)
         graft.ops.IntervalJoin.bucketed(pts, ivs, "user_id", "t_us",
-            "start_us", "end_us", bucketMicros = 7200000000L)
+            "start_us", "end_us")
           .select(col("p_event_id").as("event_id"), col("i_ivl_id").as("ivl_id"))
       },
       Some("""SELECT p.event_id AS event_id, i.event_id AS ivl_id

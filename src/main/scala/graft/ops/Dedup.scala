@@ -571,12 +571,18 @@ object Dedup {
     * survive with n_kept=0 and empty text.
     *
     * Scale: one tokenization scan, checkpointed as a per-doc chunk array so
-    * the explode and the n_chunks projection never re-tokenize; chunks
-    * shuffle ONCE keyed by chunk text for the global keep-first window (at
-    * 100 TB key the window by xxhash64(chunk) instead to shrink shuffle
-    * width — string identity kept here so the oracle shares it); reassembly
-    * rides a (doc_id) groupBy. No document pair ever materializes — linear
-    * in corpus chunks. */
+    * the explode and the n_chunks projection never re-tokenize. The global
+    * keep-first decision runs over NARROW rows — (xxhash64(chunk), doc_id,
+    * pos), 24 bytes — so chunk TEXT never rides the wide per-chunk shuffle
+    * and the window sort compares 8-byte longs, not strings; the winning
+    * positions then fold back onto the pinned per-doc chunk arrays via ONE
+    * doc_id equi-join, which is the only time text crosses the wire
+    * (previously it crossed twice: once keyed by chunk, once by doc_id).
+    * Chunk identity is the 64-bit hash — the same content-key assumption as
+    * the md5-keyed exact-dedup family ([[composedNearDup]]'s groups), with
+    * collision odds ~(corpus chunks)²/2⁶⁵; a collision would merge two
+    * distinct chunks and drop the later one. No document pair ever
+    * materializes — linear in corpus chunks. */
   def chunkDedup(docs: DataFrame, textCol: String, width: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(width > 0)
@@ -591,22 +597,21 @@ object Dedup {
             i => array_join(slice(toks, i * width + 1, lit(width)), " ")))
           .otherwise(array().cast("array<string>")).as("chunks"))
     val arr = Materialize.pin(arr0)
-    val exploded = arr.select(col("doc_id"),
-      posexplode(col("chunks")).as(Seq("pos", "chunk")))
-    val keepFirst = Window.partitionBy("chunk").orderBy(col("doc_id"), col("pos"))
-    val rebuilt = exploded
+    val slim = arr.select(col("doc_id"),
+        posexplode(col("chunks")).as(Seq("pos", "chunk")))
+      .select(xxhash64(col("chunk")).as("__h"), col("doc_id"), col("pos"))
+    val keepFirst = Window.partitionBy("__h").orderBy(col("doc_id"), col("pos"))
+    val winners = slim
       .withColumn("__rn", row_number().over(keepFirst))
       .filter(col("__rn") === 1)
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("chunk")))),
-          s => s("chunk")), " ").as("text_dedup"))
-    arr.select(col("doc_id"), size(col("chunks")).as("n_chunks"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("__keep"))
+    arr.join(winners, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
+        coalesce(size(col("__keep")), lit(0)).cast("long").as("n_kept"),
+        coalesce(array_join(transform(col("__keep"),
+          p => element_at(col("chunks"), p + 1)), " "), lit(""))
+          .as("text_dedup"))
   }
 
   /** [[chunkDedup]] as DuckDB SQL (oracle), sharing the token regex, chunk

@@ -487,8 +487,12 @@ object TextAnalysis {
       // signature), wrong here: a partial gram is not an n-gram, and the
       // SQL oracle's range() emits zero grams for short docs (review
       // finding). Grams are space-joined tokens and tokens cannot be empty
-      // or contain spaces, so the token count of a gram is exact.
-      .filter(size(split(col("ngram"), " ")) === n)
+      // or contain spaces, so the token count of a gram is exact — except
+      // the n=1 edge: split("", " ") is [""] of size 1, so the zero-token
+      // fallback shingle would pass the size check as a phantom ""
+      // unigram; the non-empty filter closes it (review finding), matching
+      // the dup-span/contamination paths.
+      .filter(col("ngram") =!= "" && size(split(col("ngram"), " ")) === n)
       .groupBy("ngram")
       .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("occurrences").desc, col("ngram").asc)

@@ -118,6 +118,12 @@ object Progress {
     val typed = enrollment
       .withColumn("F_DIEM2", col("F_DIEM2").try_cast("double"))
       .withColumn("F_DVHT", col("F_DVHT").try_cast("double"))
+      // F_TCDTTL typed like the others BEFORE the max_by pick: delta below
+      // is then double − double — a junk registrar value audits as a null
+      // delta under the same lenient-cast posture, instead of relying on
+      // implicit string−double coercion (silent null in legacy mode, a
+      // throw under ANSI) (review finding).
+      .withColumn("F_TCDTTL", col("F_TCDTTL").try_cast("double"))
     typed.groupBy("F_MASV").agg(
       max_by(col("F_TCDTTL"), struct(col("NHHK"), col("F_MAMH")))
         .as("registrar_credits"),

@@ -84,11 +84,43 @@ object StreamDedup {
         found = it.next().getPath.getName.endsWith(".parquet")
       found
     }
+    // Index layout migration (review finding): an index written by the
+    // pre-idempotence flat-append code has bare .parquet files at the top
+    // level — no batch=<id> partition dirs — and a mixed tree (legacy files
+    // + new partitions) is something Spark's partition discovery refuses
+    // outright ("conflicting directory structures"). Read the two layouts
+    // separately and union: legacy files are attributed batch = -1, which
+    // the replay self-exclusion can never match (foreachBatch ids are
+    // >= 0) — exactly right, since legacy rows are by definition from
+    // before the replayed batch.
+    def readIndex(): DataFrame = {
+      val top = fs.listStatus(p)
+      val flat = top.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+      val parts = top.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch="))
+      val partitioned =
+        if (parts.isEmpty) None
+        else Some(spark.read.option("basePath", indexPath)
+          .parquet(parts.map(_.getPath.toString).toIndexedSeq: _*)
+          .withColumn("batch", col("batch").cast("long")))
+      val legacy =
+        if (flat.isEmpty) None
+        else Some(spark.read.parquet(flat.toIndexedSeq: _*)
+          .withColumn("batch", lit(-1L)))
+      (partitioned, legacy) match {
+        case (Some(a), Some(b)) => a.unionByName(b.select(a.columns.map(col): _*))
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => // hasIndex guaranteed a .parquet somewhere
+          spark.read.parquet(indexPath).withColumn("batch", col("batch").cast("long"))
+      }
+    }
     val dupIds =
       if (!hasIndex) spark.range(0).select(col("id").as("doc_id"))
       else
         newIdx.select(col("doc_id"), col("band_id"), col("band_key"), col("sh").as("sh_new"))
-          .join(spark.read.parquet(indexPath)
+          .join(readIndex()
               .filter(col("batch") =!= id) // self-exclusion on replay
               .select(col("band_id"), col("band_key"), col("sh").as("sh_old")),
             Seq("band_id", "band_key"))

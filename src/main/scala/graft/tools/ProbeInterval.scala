@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
 object ProbeInterval {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val bucketUs = args.drop(1).headOption.map(_.toLong).getOrElse(3600000000L)
+    // second arg: bucket micros, or "derived" to exercise the no-knob
+    // median-length auto-width (the production default)
+    val bucketArg = args.drop(1).headOption.getOrElse("3600000000")
+    val bucketUs: Option[Long] =
+      if (bucketArg == "derived") None else Some(bucketArg.toLong)
     val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", width)
@@ -43,10 +47,14 @@ object ProbeInterval {
     val nOpen = ivs.filter(col("end_us") === sentinel).count()
     for (pass <- Seq("cold", "warm")) {
       val t0 = System.nanoTime()
-      val n = graft.ops.IntervalJoin.bucketed(pts, ivs, "user_id", "t_us",
-        "start_us", "end_us", bucketMicros = bucketUs).count()
+      val n = bucketUs match {
+        case Some(b) => graft.ops.IntervalJoin.bucketed(pts, ivs, "user_id",
+          "t_us", "start_us", "end_us", bucketMicros = b).count()
+        case None => graft.ops.IntervalJoin.bucketed(pts, ivs, "user_id",
+          "t_us", "start_us", "end_us").count()
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"probe":"interval_scd2","pass":"$pass","sf":"$sfDir","bucket_us":$bucketUs,"pairs":$n,"open_intervals":$nOpen,"sec":$sec%.1f}""")
+      println(f"""{"probe":"interval_scd2","pass":"$pass","sf":"$sfDir","bucket_us":"$bucketArg","pairs":$n,"open_intervals":$nOpen,"sec":$sec%.1f}""")
     }
     spark.stop()
   }

@@ -70,6 +70,31 @@ class IntervalJoinSpec extends SparkSpec {
     assert(plan.contains("Join") || plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
   }
 
+  test("derived width matches the naive range join exactly") {
+    // The no-knob overload must be a pure performance decision: identical
+    // output to every hand-picked width, including under the SCD2 sentinel
+    // shape (where the CLAMPED median keeps the width finite and sane).
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("t") >= col("s") && col("t") <= col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val got = IntervalJoin.bucketed(points, intervals, "k", "t", "s", "e")
+      .select(col("p_pid").as("pid"), col("i_iid").as("iid"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    val open = Seq(
+      (20L, 1L, 200L, Long.MaxValue / 2),
+      (21L, 2L, 0L, 9_999_999_999_999L)).toDF("iid", "k", "s", "e")
+    val gotOpen = IntervalJoin.bucketed(points, open, "k", "t", "s", "e")
+      .select(col("p_pid").as("pid"), col("i_iid").as("iid"))
+      .as[(Long, Long)].collect().toSet
+    assert(gotOpen == Set((2L, 20L), (3L, 20L), (4L, 20L), (5L, 21L), (6L, 21L)))
+    // degenerate inputs: no intervals / no points — empty, no width blowup
+    assert(IntervalJoin.bucketed(points, intervals.filter(col("k") === 99L),
+      "k", "t", "s", "e").isEmpty)
+    assert(IntervalJoin.bucketed(points.filter(col("k") === 99L), open,
+      "k", "t", "s", "e").isEmpty)
+  }
+
   test("a point on a bucket boundary matches intervals in both buckets") {
     val p = Seq((1L, 1L, 200L)).toDF("pid", "k", "t")
     val ivs = Seq((10L, 1L, 150L, 200L), (11L, 1L, 200L, 280L)).toDF("iid", "k", "s", "e")

@@ -298,6 +298,54 @@ class OpsSpec extends SparkSpec {
       maxDfFrac = 0.2, minShared = 3, maxPrunedEmptyFrac = 0.5).count() == 1)
   }
 
+  test("recall guard arms fire on every scoring variant (d14/d15/d19 armed in-gate)") {
+    // r15 verdict #1: the registered d14/d15/d19 run ARMED since r16 (same
+    // arms as d13_guarded); each variant's firing path must be exercised,
+    // not just d13's. `inflated` (30x whole-doc replicas) empties every
+    // doc's term set -> empty arm; `suffixed` (distinct texts, one rare
+    // bigram each, hot base mass capped) passes the empty arm but trips the
+    // mass arm — and because every text is DISTINCT, d19's exact prepass
+    // absorbs nothing, so its guard sees the same pathological rep set.
+    val base = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      1L -> "the quick brown fox jumps over the lazy dog near the river bend",
+      2L -> "completely different content about spark query engines and shuffles")
+    val inflated = (for ((id, t) <- base; k <- 0 until 30)
+      yield (id + 3L * k, t)).toDF("doc_id", "text")
+    val suffixed = (for ((id, t) <- base; k <- 0 until 30)
+      yield (id + 3L * k, s"$t rep$k")).toDF("doc_id", "text")
+    // d14 prefix variant: empty arm
+    val p = intercept[IllegalStateException] {
+      Dedup.prefixNearDup(inflated, "text", threshold = 0.8,
+        maxDfFrac = 0.2, minShared = 3, n = 3, maxPrunedEmptyFrac = 0.1)
+    }
+    assert(p.getMessage.contains("recall guard fired") &&
+      p.getMessage.contains("prefixNearDup"), p.getMessage)
+    // d15 idf variant: mass arm
+    val i = intercept[IllegalStateException] {
+      Dedup.lexicalNearDupIdf(suffixed, "text", threshold = 0.8,
+        maxDfFrac = 0.2, minShared = 3, maxPrunedMassFrac = 0.5)
+    }
+    assert(i.getMessage.contains("mass arm"), i.getMessage)
+    // d19 composed: all-distinct corpus -> rep set IS the corpus -> fires
+    val c = intercept[IllegalStateException] {
+      Dedup.composedNearDup(suffixed, "text", threshold = 0.8,
+        maxDfFrac = 0.2, minShared = 3, maxPrunedMassFrac = 0.5)
+    }
+    assert(c.getMessage.contains("mass arm"), c.getMessage)
+    // and the production arms (0.1/0.5) stay silent on the healthy corpus
+    // for all three variants — the in-gate non-perturbation posture
+    assert(Dedup.prefixNearDup(docs, "text", threshold = 0.8, maxDfFrac = 1.0,
+      minShared = 3, n = 3, maxPrunedEmptyFrac = 0.1,
+      maxPrunedMassFrac = 0.5).columns.nonEmpty)
+    assert(Dedup.lexicalNearDupIdf(docs, "text", threshold = 0.8,
+      maxDfFrac = 1.0, minShared = 3, maxPrunedEmptyFrac = 0.1,
+      maxPrunedMassFrac = 0.5).columns.nonEmpty)
+    assert(Dedup.composedNearDup(docs, "text", threshold = 0.8,
+      maxDfFrac = 1.0, minShared = 3, maxPrunedEmptyFrac = 0.1,
+      maxPrunedMassFrac = 0.5).columns.nonEmpty)
+  }
+
   test("simhash: identical -> hamming 0; near-dup closer than unrelated") {
     val sh = Dedup.simhash(docs, "text").as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
@@ -898,6 +946,13 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == Seq(("x y z", 1L)),
       s"partial/empty grams leaked into the frequency table: ${got.toSeq}")
+    // n=1 edge (review finding): split("", " ") is [""] of size 1, so the
+    // zero-token fallback shingle passes the size check — the non-empty
+    // filter must drop the phantom "" unigram for punctuation-only docs.
+    val uni = TextAnalysis.ngramTopK(
+      Seq((1L, "a b"), (2L, "..!!"), (3L, "")).toDF("doc_id", "text"),
+      "text", n = 1, k = 10).collect().map(_.getString(0)).toSet
+    assert(uni == Set("a", "b"), s"phantom unigram leaked: $uni")
   }
 
   test("lm cross-entropy, source drift, and dsir weights return empty on an empty corpus") {

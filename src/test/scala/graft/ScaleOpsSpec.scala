@@ -43,6 +43,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!j.contains("monotonically_increasing_id"), j)
   }
 
+  test("salted ops accept MapType columns (hash-unsafe columns skipped)") {
+    // Spark's hash() rejects maps at analysis — hashing every column made
+    // saltedSum/saltedJoin fail on any frame carrying a MapType, where the
+    // pre-fix mono-id salt accepted all schemas (review finding). The salt
+    // now hashes only hash-safe columns; results stay exact (the salt only
+    // partitions work).
+    val df = (1 to 1000).map(i => (s"k${i % 3}", i.toDouble, Map("m" -> i)))
+      .toDF("k", "v", "meta")
+    val salted = Skew.saltedSum(df, Seq("k"), "v", buckets = 8)
+      .select("k", "sum_v", "n").as[(String, Double, Long)].collect().toSet
+    val plain = df.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted == plain)
+    val right = Seq(("k0", "a"), ("k1", "b"), ("k2", "c")).toDF("k", "rv")
+    assert(Skew.saltedJoin(df, right, "k").count() == 1000)
+    // global (keyless) aggregation with a map column present stays exact
+    val withMap = Seq((Map("a" -> 1), 1.0), (Map("a" -> 1), 2.0))
+      .toDF("mk", "v")
+    assert(Skew.saltedSum(withMap, Seq.empty, "v").select("sum_v")
+      .as[Double].head() == 3.0)
+  }
+
   test("saltedJoin equals plain join") {
     val left = (1 to 5000).map(i => (s"k${i % 4}", i)).toDF("k", "lv")
     val right = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("k3", "d")).toDF("k", "rv")

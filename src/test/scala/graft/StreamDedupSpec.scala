@@ -150,6 +150,36 @@ class StreamDedupSpec extends SparkSpec {
     assert(idxDocs == Set(1L, 2L))
   }
 
+  test("dedup ingest: a legacy flat index reads as batch=-1, mixed tree included") {
+    // An index written by the pre-idempotence flat-append code has bare
+    // part-*.parquet files at the top level and no batch column; naive
+    // partition discovery over the MIXED tree (legacy files + new batch=<id>
+    // dirs) fails with "conflicting directory structures" (review finding).
+    // The migration path reads the layouts separately: legacy rows join the
+    // probe as batch=-1 — never self-excluded, which is correct because
+    // they predate every replayable batch.
+    val dir = java.nio.file.Files.createTempDirectory("ingest_legacy").toString
+    val idxPath = s"$dir/index"; val freshPath = s"$dir/fresh"
+    val legacy = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    StreamDedup.corpusIndex(legacy, "text").write.parquet(idxPath) // flat layout
+    val sink = StreamDedup.dedupIngest(idxPath, freshPath, threshold = 0.3)
+    sink(Seq(
+      // near-dup of LEGACY doc 1 -> rejected via the flat index
+      (3L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      (4L, "students enrolled in the database course passed the final exam with honors"))
+      .toDF("doc_id", "text"), 0L)
+    // tree is now mixed: flat legacy files + batch=0
+    sink(Seq(
+      // near-dup of batch-0 admission 4 -> rejected via the MIXED read
+      (5L, "students enrolled in the database course passed the final exam with distinction"),
+      (6L, "totally unrelated content regarding quantum chemistry simulations on clusters"))
+      .toDF("doc_id", "text"), 1L)
+    val fresh = spark.read.parquet(freshPath).select("doc_id").as[Long].collect().toSet
+    assert(fresh == Set(4L, 6L), s"admitted: $fresh")
+  }
+
   test("dedup ingest: an index that exists but cannot be read stays loud") {
     // Swallowing every AnalysisException as "no index yet" would admit the
     // whole batch with ZERO dedup on a broken index (review finding).

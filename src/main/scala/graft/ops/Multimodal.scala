@@ -163,12 +163,31 @@ object Multimodal {
         // features — and a crafted header with sample rate 0 would divide
         // the duration by zero downstream. Reject anything that is not the
         // layout the feature extractor reads (review finding).
+        // 16-bit PCM frames are exactly 2 bytes per channel; anything else
+        // is the wrong layout for pcmStats.
         if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
             fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
-            fmt.getSampleRate <= 0) None
+            fmt.getSampleRate <= 0 || fmt.getChannels <= 0 ||
+            fmt.getFrameSize != fmt.getChannels * 2) None
         else {
-          val pcm = ais.readAllBytes()
-          Some(Clip(fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength, pcm))
+          // LIVENESS (byte-mutation fuzz finding): readAllBytes() here can
+          // SPIN FOREVER — AudioInputStream.read rounds the requested
+          // length DOWN to whole frames and returns 0 (not -1) for a
+          // sub-frame request, while InputStream.readNBytes retries a 0
+          // return with the same arguments. Any frame size that does not
+          // divide the 8 KiB chunk (a mutated blockAlign > 8192, but also
+          // a perfectly legitimate 3-channel clip, frameSize 6, since
+          // 8192 % 6 != 0) wedges the reading task beyond what retries can
+          // fix. Read through a FRAME-ALIGNED buffer instead, so every
+          // request is a whole number of frames, and treat 0 as
+          // termination anyway (defense in depth).
+          val frameSize = fmt.getFrameSize
+          val buf = new Array[Byte](frameSize * math.max(1, 8192 / frameSize))
+          val out = new java.io.ByteArrayOutputStream()
+          var n = ais.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = ais.read(buf) }
+          Some(Clip(fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength,
+            out.toByteArray))
         }
       } catch { case _: javax.sound.sampled.UnsupportedAudioFileException |
                      _: java.io.IOException => None }

@@ -751,6 +751,75 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // --- multimodal decoder fuzz (r15 verdict #6): randomized byte mutation
+  // of VALID container payloads — flip random bytes, truncate at a random
+  // offset, or append random garbage — must never make a decoder throw or
+  // hang: the contract is None (rejected) or a CONSISTENT decoded value
+  // (same feature vector on a second decode). The r14/r15 crafted-payload
+  // fixes (AVI Int overflow, stride aliasing, WAV format laundering, LIST
+  // recursion) were each one adversarial example; these properties sweep
+  // the neighborhood around every valid payload. Driver-side pure
+  // functions — no Spark job per case, so the case counts are cheap.
+
+  private val anyByte: Gen[Byte] = Gen.choose(0, 255).map(_.toByte)
+
+  private def mutate(valid: Array[Byte]): Gen[Array[Byte]] = Gen.oneOf(
+    // flip 1-8 bytes at random offsets
+    for {
+      n <- Gen.choose(1, 8)
+      idxs <- Gen.listOfN(n, Gen.choose(0, valid.length - 1))
+      vals <- Gen.listOfN(n, anyByte)
+    } yield {
+      val c = valid.clone()
+      idxs.zip(vals).foreach { case (i, v) => c(i) = v }
+      c
+    },
+    // truncate anywhere (including to empty)
+    Gen.choose(0, valid.length).map(k => valid.take(k)),
+    // extend with 1-64 random trailing bytes
+    for {
+      n <- Gen.choose(1, 64)
+      extra <- Gen.listOfN(n, anyByte)
+    } yield valid ++ extra.toArray)
+
+  test("png decode survives random byte mutation: None or consistent stats") {
+    import graft.ops.Multimodal.ImageCodec
+    val payload = for {
+      w <- Gen.choose(4, 16); h <- Gen.choose(4, 14); s <- Gen.choose(0L, 999L)
+      bytes <- mutate(ImageCodec.encodePng(w, h, s))
+    } yield bytes
+    check("png-fuzz", 500)(Prop.forAll(payload) { bytes =>
+      def run() = ImageCodec.decode(bytes).map(i => ImageCodec.pixelStats(i, 8).toSeq)
+      run() == run()
+    })
+  }
+
+  test("wav decode survives random byte mutation: None or consistent stats") {
+    import graft.ops.Multimodal.AudioCodec
+    val payload = for {
+      n <- Gen.choose(0, 400); rate <- Gen.choose(8000, 48000)
+      s <- Gen.choose(0L, 999L)
+      bytes <- mutate(AudioCodec.encodeWav(n, rate, s))
+    } yield bytes
+    check("wav-fuzz", 500)(Prop.forAll(payload) { bytes =>
+      def run() = AudioCodec.decode(bytes).map(c => AudioCodec.pcmStats(c, 8).toSeq)
+      run() == run()
+    })
+  }
+
+  test("avi decode survives random byte mutation: None or consistent stats") {
+    import graft.ops.Multimodal.VideoCodec
+    val payload = for {
+      w <- Gen.choose(4, 15); h <- Gen.choose(4, 13); f <- Gen.choose(2, 8)
+      s <- Gen.choose(0L, 999L)
+      bytes <- mutate(VideoCodec.encodeAvi(w, h, f, 40000, s))
+    } yield bytes
+    check("avi-fuzz", 500)(Prop.forAll(payload) { bytes =>
+      def run() = VideoCodec.decode(bytes).map(v => VideoCodec.frameStats(v, 8).toSeq)
+      run() == run()
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

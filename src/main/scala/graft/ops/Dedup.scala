@@ -572,19 +572,31 @@ object Dedup {
     *
     * Scale: one tokenization scan, checkpointed as a per-doc chunk array so
     * the explode and the n_chunks projection never re-tokenize. The global
-    * keep-first decision runs over NARROW rows — (xxhash64(chunk), doc_id,
-    * pos), 24 bytes — so chunk TEXT never rides the wide per-chunk shuffle
-    * and the window sort compares 8-byte longs, not strings; the winning
-    * positions then fold back onto the pinned per-doc chunk arrays via ONE
-    * doc_id equi-join, which is the only time text crosses the wire
-    * (previously it crossed twice: once keyed by chunk, once by doc_id).
-    * Chunk identity is the 64-bit hash — the same content-key assumption as
-    * the md5-keyed exact-dedup family ([[composedNearDup]]'s groups), with
-    * collision odds ~(corpus chunks)²/2⁶⁵; a collision would merge two
-    * distinct chunks and drop the later one. No document pair ever
-    * materializes — linear in corpus chunks. */
+    * keep-first decision is an AGGREGATE, not a window —
+    * `groupBy(chunk).agg(min(doc_id*K + pos))` over a packed long (struct
+    * fallback when the corpus can't encode) — because an aggregate gets
+    * map-side partial combine and a row_number window does not: every
+    * duplicate occurrence of a chunk inside one map partition collapses to
+    * one (chunk, min-owner) row BEFORE the shuffle, so wire volume tracks
+    * the per-partition DISTINCT chunk count, not the raw chunk count — on
+    * a duplicate-heavy corpus (the regime this op exists for) that is the
+    * whole cost — and min(long) plans as a sort-free HashAggregate where
+    * both the window and a min(struct) SortAggregate sort every partition
+    * of the exploded corpus. Survivor text then rides the (small)
+    * per-doc rebuild shuffle, and the final n_chunks fold-back is a NARROW
+    * doc_id join (no text). Chunk identity is exact string equality — no
+    * hash-collision caveat. No document pair ever materializes — linear in
+    * corpus chunks.
+    *
+    * Measured (ProbeChunk, ×100 replica corpus, PLANS.md r16): this shape
+    * 66.8 MB / 5.1 s vs the r15 text-keyed window's 68.4 MB / 5.2 s (the
+    * ×100 corpus scatters each chunk's ~6 copies across 32 partitions, so
+    * combine finds no co-located duplicates — parity here, a win wherever
+    * duplicates DO co-locate) — while the hash-keyed-window +
+    * doc_id-text-fold-back shape the old comment prescribed for 100 TB
+    * measured 167 MB / 6-10 s: narrow hash rows don't lz4-compress and
+    * the fold-back re-shuffled the whole pinned text. */
   def chunkDedup(docs: DataFrame, textCol: String, width: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(width > 0)
     val toks = col("__t")
     val arr0 = graft.model.Tables
@@ -597,21 +609,44 @@ object Dedup {
             i => array_join(slice(toks, i * width + 1, lit(width)), " ")))
           .otherwise(array().cast("array<string>")).as("chunks"))
     val arr = Materialize.pin(arr0)
-    val slim = arr.select(col("doc_id"),
-        posexplode(col("chunks")).as(Seq("pos", "chunk")))
-      .select(xxhash64(col("chunk")).as("__h"), col("doc_id"), col("pos"))
-    val keepFirst = Window.partitionBy("__h").orderBy(col("doc_id"), col("pos"))
-    val winners = slim
-      .withColumn("__rn", row_number().over(keepFirst))
-      .filter(col("__rn") === 1)
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("__keep"))
-    arr.join(winners, Seq("doc_id"), "left")
-      .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
-        coalesce(size(col("__keep")), lit(0)).cast("long").as("n_kept"),
-        coalesce(array_join(transform(col("__keep"),
-          p => element_at(col("chunks"), p + 1)), " "), lit(""))
-          .as("text_dedup"))
+    val exploded = arr.select(col("doc_id"),
+      posexplode(col("chunks")).as(Seq("pos", "chunk")))
+    // min over a PACKED LONG, not min(struct): a struct-buffered aggregate
+    // plans as SortAggregate (struct buffers aren't UnsafeRow-mutable), and
+    // the per-partition sort of every exploded chunk is exactly the cost
+    // the aggregate exists to avoid. doc_id*K + pos with K > max pos is
+    // order-isomorphic to the lexicographic (doc_id, pos) keep-first rule
+    // and min(long) is a plain HashAggregate. Bounds come from one narrow
+    // aggregate over the pinned arrays (the IntervalJoin-clamp pattern);
+    // corpora that can't encode (negative ids, doc_id*K overflow) fall
+    // back to the struct shape — correct either way, ANSI-safe because
+    // the guard proves the arithmetic can't overflow before it runs.
+    val b = arr.agg(max(size(col("chunks"))).cast("long"),
+      min(col("doc_id")), max(col("doc_id"))).head()
+    val k = if (b.isNullAt(0)) 1L else math.max(1L, b.getLong(0))
+    val encodable = !b.isNullAt(1) && b.getLong(1) >= 0 &&
+      b.getLong(2) <= (Long.MaxValue - (k - 1)) / k
+    val firsts =
+      if (encodable)
+        exploded.groupBy("chunk")
+          .agg(min(col("doc_id") * k + col("pos")).as("__enc"))
+          .select(expr(s"__enc DIV $k").as("doc_id"),
+            pmod(col("__enc"), lit(k)).cast("int").as("pos"), col("chunk"))
+      else
+        exploded.groupBy("chunk")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("__w"))
+          .select(col("__w.doc_id").as("doc_id"), col("__w.pos").as("pos"),
+            col("chunk"))
+    val rebuilt = firsts.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("chunk")))),
+        s => s("chunk")), " ").as("text_dedup"))
+    arr.select(col("doc_id"), size(col("chunks")).as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
   /** [[chunkDedup]] as DuckDB SQL (oracle), sharing the token regex, chunk

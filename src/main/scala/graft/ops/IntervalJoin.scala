@@ -86,7 +86,22 @@ object IntervalJoin {
         .agg(percentile_approx(
           least(col(endCol), lit(hiT)) - greatest(col(startCol), lit(loT)) + 1L,
           lit(0.5), lit(10000))).head()
-      if (m.isNullAt(0)) 1L else math.max(1L, m.getLong(0))
+      val median = if (m.isNullAt(0)) 1L else math.max(1L, m.getLong(0))
+      // Median-of-lengths alone is a trap on bimodal corpora: many 1-µs
+      // intervals plus one range-spanning interval derive a 1-µs width,
+      // and the long interval then explodes sequence() past its 2^31
+      // element cap (r16 review finding — the same blowup class the r15
+      // clamp fixed for sentinels, reintroduced through the derivation).
+      // Floor the width so the whole CLAMPED point range holds at most
+      // 2^20 buckets: no single interval can explode past that budget
+      // (len_i/w ≤ span/w ≤ 2^20 « 2^31), and below ~2^-20 of the range a
+      // finer width cannot reduce per-bucket interval fan-in any further —
+      // it only multiplies the explode volume. BigInt: the span of
+      // caller-supplied longs may overflow Long arithmetic.
+      val span = BigInt(hiT) - BigInt(loT) + 1
+      val maxBuckets = 1L << 20
+      val minW = ((span + maxBuckets - 1) / maxBuckets).toLong
+      math.max(median, math.max(1L, minW))
     }
     // Bucket bounds follow arithmetically from the time bounds (floor is
     // monotonic), using the same double-division floor Spark's

@@ -95,6 +95,23 @@ class IntervalJoinSpec extends SparkSpec {
       "k", "t", "s", "e").isEmpty)
   }
 
+  test("derived width survives a bimodal distribution (tiny median, one huge span)") {
+    // Median-of-lengths alone is a trap: three 1-µs intervals drag the
+    // derived width to 1 µs, and the one range-spanning interval then
+    // explodes sequence() over a >2^31-element bucket range — the exact
+    // blowup class the r15 clamp fixed for sentinels. The derived width
+    // must be floored so no interval can explode past the bucket budget.
+    val p = Seq((1L, 1L, 0L), (2L, 1L, 2500000000L), (3L, 1L, 5000000000L))
+      .toDF("pid", "k", "t")
+    val ivs = Seq(
+      (10L, 1L, 100L, 100L), (11L, 1L, 200L, 200L), (12L, 1L, 300L, 300L),
+      (13L, 1L, 0L, 5000000000L)).toDF("iid", "k", "s", "e")
+    val got = IntervalJoin.bucketed(p, ivs, "k", "t", "s", "e")
+      .select(col("p_pid").as("pid"), col("i_iid").as("iid"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 13L), (2L, 13L), (3L, 13L)))
+  }
+
   test("a point on a bucket boundary matches intervals in both buckets") {
     val p = Seq((1L, 1L, 200L)).toDF("pid", "k", "t")
     val ivs = Seq((10L, 1L, 150L, 200L), (11L, 1L, 200L, 280L)).toDF("iid", "k", "s", "e")

@@ -93,6 +93,78 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("chunk dedup equals the keep-first model on both encodings (packed long / struct fallback)") {
+    // Full differential against an in-test sequential model of the
+    // keep-first rule (global (doc_id, pos)-lexicographic first owner per
+    // distinct chunk), not just set invariants: attribution of WHICH doc
+    // keeps a shared chunk is the part the invariants test cannot see.
+    // The id offset draws from {0, -5}: negative doc_ids defeat the
+    // packed-long encoding guard, so the struct-min fallback path runs
+    // under the same law as the production packed path (r16: the fallback
+    // was otherwise spec-dead).
+    val doc = Gen.oneOf(
+      Gen.listOfN(7, Gen.oneOf("ant", "bee", "cat", "dog")).map(_.mkString(" ")),
+      Gen.const(""))
+    val gen = for {
+      texts <- Gen.listOfN(10, doc)
+      offset <- Gen.oneOf(0L, -5L)
+    } yield (texts, offset)
+    check("chunk-model", 6)(Prop.forAll(gen) { case (texts, offset) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (offset + i, t) }
+      val width = 3
+      // sequential model
+      val chunksPerDoc = rows.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).grouped(width)
+          .map(_.mkString(" ")).toVector
+      }
+      val seen = scala.collection.mutable.Set[String]()
+      val keptBy = scala.collection.mutable.Map[Long, Vector[String]]()
+      for ((id, chunks) <- chunksPerDoc.sortBy(_._1); c <- chunks)
+        if (seen.add(c)) keptBy(id) = keptBy.getOrElse(id, Vector()) :+ c
+      val want = chunksPerDoc.map { case (id, chunks) =>
+        val k = keptBy.getOrElse(id, Vector())
+        (id, chunks.size.toLong, k.size.toLong, k.mkString(" "))
+      }.toSet
+      val got = Dedup.chunkDedup(rows.toDF("doc_id", "text"), "text", width)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getString(3)))
+        .toSet
+      got == want
+    })
+  }
+
+  test("interval join with derived width equals the naive theta join on random shapes") {
+    // The no-knob width must stay a pure performance decision under every
+    // interval-shape regime at once: tiny lengths (drag the median down),
+    // sentinel ends (the SCD2 current row), inverted intervals (dropped by
+    // contract), and point times far outside every interval. The naive
+    // equi-join + range filter is the semantics oracle.
+    val key = Gen.choose(1L, 3L)
+    val point = for { k <- key; t <- Gen.choose(0L, 2000L) } yield (k, t)
+    val interval = for {
+      k <- key
+      s <- Gen.choose(0L, 1500L)
+      len <- Gen.oneOf(Gen.choose(0L, 3L), Gen.choose(0L, 800L),
+        Gen.const(Long.MaxValue / 2), Gen.const(-5L)) // -5: inverted
+    } yield (k, s, s + len)
+    val gen = for {
+      ps <- Gen.listOfN(15, point)
+      ivs <- Gen.nonEmptyListOf(interval).map(_.take(8))
+    } yield (ps, ivs)
+    check("interval-derived", 6)(Prop.forAll(gen) { case (ps, ivs) =>
+      val p = ps.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("pid", "k", "t")
+      val iv = ivs.zipWithIndex.map { case ((k, s, e), i) => (i.toLong, k, s, e) }
+        .toDF("iid", "k", "s", "e")
+      val got = graft.ops.IntervalJoin.bucketed(p, iv, "k", "t", "s", "e")
+        .select(col("p_pid"), col("i_iid")).as[(Long, Long)].collect().toSet
+      val want = p.join(iv, Seq("k"))
+        .filter(col("t") >= col("s") && col("t") <= col("e"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      got == want
+    })
+  }
+
   test("lexical near-dup: partition-invariant, symmetric score, exact copy at 1.0") {
     val doc = Gen.listOfN(8, Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox"))
       .map(_.mkString(" "))

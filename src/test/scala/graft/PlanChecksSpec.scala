@@ -176,6 +176,21 @@ class PlanChecksSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("chunk dedup keep-first plans as a sort-free HashAggregate (packed long)") {
+    // The r16 keep-first is min(doc_id*K + pos) precisely so the heaviest
+    // stage hash-aggregates with map-side combine; a regression to the
+    // struct-min shape would plan SortAggregate and re-sort every partition
+    // of the exploded corpus (ProbeChunk measured the difference — see
+    // ops/Dedup.chunkDedup's Scaladoc). The rebuild's collect_list
+    // legitimately plans ObjectHashAggregate; only SortAggregate is the
+    // regression signal.
+    val plan = finalPlanString(
+      SparkEntry.queries("d10_chunk_dedup")(spark, sf))
+    assert(!plan.contains("SortAggregate"),
+      s"d10: keep-first regressed to SortAggregate in:\n$plan")
+    assert(plan.contains("HashAggregate"), s"d10: no hash aggregate in:\n$plan")
+  }
+
   test("AQE splits a skewed sort-merge join partition (skew=true)") {
     // The runtime half of the skew story: ops/Skew salts by hand where the
     // key set is known; AQE's OptimizeSkewedJoin must catch the rest. Force

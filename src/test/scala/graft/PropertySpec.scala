@@ -165,6 +165,73 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("salted sum equals the plain aggregation, MapType columns tolerated") {
+    // Exactness law for the skew rewrite: groupBy(keys+salt) partial then
+    // final groupBy(keys) must equal the one-shot aggregation for ANY salt
+    // assignment. The frame carries a MapType column on purpose — hash()
+    // rejects maps at analysis, so this also pins the r16 hash-safe salt
+    // (the pre-fix salt hashed every column and failed to plan here).
+    val row = for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-50L, 50L)
+    } yield (k, v)
+    check("salted-sum", 8)(Prop.forAll(Gen.nonEmptyListOf(row)) { rows =>
+      val df = rows.toDF("k", "v")
+        .withColumn("meta", map(lit("src"), col("k")))
+      val got = graft.ops.Skew.saltedSum(df, Seq("k"), "v", buckets = 4)
+        .select("k", "sum_v", "n").as[(String, Long, Long)].collect().toSet
+      val want = df.groupBy("k")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .as[(String, Long, Long)].collect().toSet
+      got == want
+    })
+  }
+
+  test("salted join equals the plain inner join as a multiset") {
+    // Replicating the right side `buckets` times and salting the left must
+    // be invisible in the output — including duplicate left rows, which
+    // share a salt (the documented caveat trades SPREAD, never rows).
+    val leftRow = for { k <- Gen.choose(1L, 4L); v <- Gen.choose(0L, 9L) } yield (k, v)
+    val rightRow = for { k <- Gen.choose(1L, 5L); w <- Gen.choose(0L, 9L) } yield (k, w)
+    check("salted-join", 8)(Prop.forAll(
+      Gen.nonEmptyListOf(leftRow), Gen.nonEmptyListOf(rightRow)) { (ls, rs) =>
+      val l = ls.toDF("k", "v"); val r = rs.toDF("k", "w")
+      val got = graft.ops.Skew.saltedJoin(l, r, "k", buckets = 3)
+        .select("k", "v", "w")
+      val want = l.join(r, Seq("k")).select("k", "v", "w")
+      got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
+    })
+  }
+
+  test("IVF top-k at full probe equals brute force exactly") {
+    // With nprobe = |centroids| every query probes every cell, so the
+    // candidate set is the whole (assignable) corpus and the exact rerank
+    // must reproduce brute force bit-for-bit — same cosine expression,
+    // same tie rule. This pins that IVF's recall loss comes ONLY from
+    // probing fewer cells, never from the plumbing.
+    val vec = Gen.listOfN(4, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+      .suchThat(v => v.exists(_ != 0f))
+    val gen = for {
+      corpus <- Gen.listOfN(12, vec)
+      cents <- Gen.listOfN(3, vec)
+      k <- Gen.choose(1, 4)
+    } yield (corpus, cents, k)
+    check("ivf-full-probe", 6)(Prop.forAll(gen) { case (corpus, cents, k) =>
+      val c = corpus.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val q = c.limit(3)
+      val cent = cents.zipWithIndex.map { case (v, i) => (100L + i, v) }
+        .toDF("vec_id", "embedding")
+      val got = graft.ops.Similarity.ivfTopK(c, q, cent, k, nprobe = cents.size)
+        .select("query_id", "nbr_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = graft.ops.Similarity.bruteForceTopK(c, q, k)
+        .select("query_id", "nbr_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      got == want
+    })
+  }
+
   test("lexical near-dup: partition-invariant, symmetric score, exact copy at 1.0") {
     val doc = Gen.listOfN(8, Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox"))
       .map(_.mkString(" "))

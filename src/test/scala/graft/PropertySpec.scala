@@ -971,4 +971,104 @@ class PropertySpec extends SparkSpec {
       (0 until 4).forall(i => got.getString(i) == cells(i))
     })
   }
+
+  test("SRP-LSH top-k at full probe coverage equals brute force exactly") {
+    // The IVF twin (above) pins that IVF's recall loss comes only from
+    // probing fewer cells; this pins the same for SRP-LSH: with planes = 2
+    // and multiProbe = 2 the probe set {own, 2 single-flips, 1 double-flip}
+    // covers ALL 4 buckets, so every (query, candidate) pair is scored and
+    // the result must reproduce brute force bit-for-bit — same cosine
+    // expression, same (cos desc, nbr_id asc) tie rule. Any divergence is a
+    // plumbing bug (bucket packing, probe expansion, dims guard), never
+    // "LSH being approximate".
+    val vec = Gen.listOfN(4, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+      .suchThat(v => v.exists(_ != 0f))
+    val gen = for {
+      corpus <- Gen.listOfN(12, vec)
+      k <- Gen.choose(1, 4)
+    } yield (corpus, k)
+    check("srp-full-probe", 6)(Prop.forAll(gen) { case (corpus, k) =>
+      val c = corpus.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val q = c.limit(3)
+      val got = graft.ops.Similarity.lshTopK(c, q, k,
+        planes = 2, dims = 4, multiProbe = 2)
+        .select("query_id", "nbr_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = graft.ops.Similarity.bruteForceTopK(c, q, k)
+        .select("query_id", "nbr_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      got == want
+    })
+  }
+
+  test("retention equals the brute-force cohort fold on random event streams") {
+    // Funnels.retention vs a from-scratch sequential model: cohort = each
+    // user's min event DAY, a user is retained at offset d iff they have
+    // any event exactly d days after cohort, users counted distinct per
+    // (cohort, offset). Random multi-day streams with repeated same-day
+    // events per user exercise the distinct-count and the maxDays clip; the
+    // fold works in integer day indices so the comparison is exact (both
+    // sides derive the calendar date from the same timestamp strings).
+    val ev = for {
+      user <- Gen.choose(0, 4)
+      day <- Gen.choose(0, 9)
+      hour <- Gen.choose(0, 23)
+    } yield (user.toLong, day, hour)
+    val gen = for {
+      events <- Gen.nonEmptyListOf(ev)
+      maxDays <- Gen.choose(0, 6)
+    } yield (events, maxDays)
+    check("retention-fold", 6)(Prop.forAll(gen) { case (events, maxDays) =>
+      val rows = events.map { case (u, d, h) =>
+        (u, java.sql.Timestamp.valueOf(f"2026-01-${d + 1}%02d $h%02d:30:00"))
+      }
+      val df = rows.toDF("user_id", "ts")
+      val got = graft.ops.Funnels.retention(df, maxDays)
+        .select(col("cohort_date").cast("string"), col("day_offset"), col("users"))
+        .as[(String, Int, Long)].collect().toSet
+      // reference fold in day indices
+      val cohort = events.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+      val want = events.map { case (u, d, _) => (u, d) }.distinct
+        .map { case (u, d) => (cohort(u.toLong), d - cohort(u.toLong), u) }
+        .filter { case (_, off, _) => off >= 0 && off <= maxDays }
+        .groupBy { case (c, off, _) => (c, off) }
+        .map { case ((c, off), us) =>
+          (f"2026-01-${c + 1}%02d", off, us.map(_._3).distinct.size.toLong) }
+        .toSet
+      got == want
+    })
+  }
+
+  test("phrase count equals the greedy non-overlapping token scan") {
+    // phraseTopK's replace-length arithmetic (double-space delimiter trick,
+    // Retrieval.scala:88-119) vs the definitional greedy left-to-right
+    // non-overlapping scan over the token list. A 3-word alphabet forces
+    // back-to-back repeats AND self-overlapping phrases ("a a" in "a a a")
+    // — the two edge classes the delimiter trick exists to get right.
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val gen = for {
+      docs <- Gen.listOfN(6, Gen.listOfN(8, word))
+      phrase <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, word))
+    } yield (docs, phrase)
+    check("phrase-scan", 6)(Prop.forAll(gen) { case (docs, phrase) =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.Retrieval.phraseTopK(df, "text", phrase, k = 100)
+        .as[(Long, Int)].collect().toMap
+      def greedy(toks: List[String]): Int = {
+        @annotation.tailrec
+        def go(i: Int, acc: Int): Int =
+          if (i + phrase.size > toks.size) acc
+          else if (toks.slice(i, i + phrase.size) == phrase) go(i + phrase.size, acc + 1)
+          else go(i + 1, acc)
+        go(0, 0)
+      }
+      val want = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, greedy(ws)) }
+        .filter(_._2 > 0).toMap
+      got == want
+    })
+  }
 }

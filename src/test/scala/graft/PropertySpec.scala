@@ -1071,4 +1071,223 @@ class PropertySpec extends SparkSpec {
       got == want
     })
   }
+
+  /** Sequential mirror of the codegen'd [[graft.functions.DotProduct]]
+    * fold (ascending index, single accumulator) — bit-identical doubles,
+    * so the similarity mirrors below can compare floats EXACTLY instead
+    * of with a tolerance that could hide a real arithmetic divergence. */
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.size) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  test("fuzzy join equals the all-pairs levenshtein scan, nulls dropped") {
+    // FastSS blocking (deletion variants + equi-join + verify) vs the
+    // definitional O(n²) scan. A 2-char alphabet at lengths 0-3 forces
+    // dense distance-1 neighborhoods (every string has many 1-edit
+    // cousins), exact-duplicate keys exercise the distance-0 self-join
+    // path, and None keys pin the null-drop contract.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val key = Gen.choose(0, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+    val gen = Gen.listOfN(12, Gen.option(key))
+    check("fuzzy-allpairs", 6)(Prop.forAll(gen) { keys =>
+      val df = keys.zipWithIndex
+        .map { case (k, i) => (i.toLong, k.orNull) }.toDF("id", "name")
+      val got = graft.ops.FuzzyJoin.editDistancePairs(df, "id", "name")
+        .select("a_id", "b_id", "a_key", "b_key", "dist")
+        .as[(Long, Long, String, String, Int)].collect().toSet
+      val present = keys.zipWithIndex.collect { case (Some(k), i) => (i.toLong, k) }
+      val want = (for {
+        (ia, ka) <- present; (ib, kb) <- present
+        if ia < ib
+        d = lev(ka, kb) if d <= 1
+      } yield (ia, ib, ka, kb, d)).toSet
+      got == want
+    })
+  }
+
+  test("hybrid RRF fusion equals the fold over its two collected legs") {
+    // hybridRrf recomputes both legs internally; since bm25TopK and
+    // bruteForceTopK are each property-pinned deterministic above, the
+    // fusion arithmetic (reciprocal ranks, missing leg -> 0, order by
+    // rrf desc / doc_id asc) is the only untested layer — mirror it in
+    // Scala over the legs' own collected output, exact doubles.
+    val word = Gen.oneOf("ant", "bee", "cat", "dog")
+    val vec = Gen.listOfN(4, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+      .suchThat(v => v.exists(_ != 0f))
+    val gen = for {
+      docs <- Gen.listOfN(6, Gen.listOfN(6, word).map(_.mkString(" ")))
+      vecs <- Gen.listOfN(6, vec)
+      terms <- Gen.someOf("ant", "bee", "cat").suchThat(_.nonEmpty)
+      kPerLeg <- Gen.choose(1, 5)
+      k <- Gen.choose(1, 6)
+    } yield (docs, vecs, terms.toList, kPerLeg, k)
+    check("rrf-fusion", 6)(Prop.forAll(gen) { case (docs, vecs, terms, kPerLeg, k) =>
+      val d = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val e = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = graft.ops.Retrieval.hybridRrf(d, "text", e, 0L, terms, kPerLeg, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      val lexRank = graft.ops.Retrieval.bm25TopK(d, "text", terms, kPerLeg)
+        .select("doc_id", "score").as[(Long, Double)].collect()
+        .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+        .map { case ((id, _), r) => id -> (r + 1) }.toMap
+      val denseRank = graft.ops.Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") === 0L), kPerLeg)
+        .select("nbr_id", "rank").as[(Long, Int)].collect().toMap
+      def rr(r: Option[Int]) = r.map(x => 1.0 / (60.0 + x.toDouble)).getOrElse(0.0)
+      val want = (lexRank.keySet ++ denseRank.keySet).toSeq
+        .map(id => (id, rr(lexRank.get(id)) + rr(denseRank.get(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+      got == want
+    })
+  }
+
+  test("rerank cascade equals the candidates-then-cosine fold") {
+    // rerankTopK = bm25 candidate pre-select, then exact cosine over ONLY
+    // the candidates. Mirror: the op's own lexical leg (pinned above)
+    // fed through the sequential-fold cosine, top-k by (cos desc, doc_id
+    // asc) — exact double comparison, no tolerance.
+    val word = Gen.oneOf("ant", "bee", "cat", "dog")
+    val vec = Gen.listOfN(4, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+      .suchThat(v => v.exists(_ != 0f))
+    val gen = for {
+      docs <- Gen.listOfN(6, Gen.listOfN(6, word).map(_.mkString(" ")))
+      vecs <- Gen.listOfN(6, vec)
+      terms <- Gen.someOf("ant", "bee").suchThat(_.nonEmpty)
+      k <- Gen.choose(1, 4)
+    } yield (docs, vecs, terms.toList, k)
+    check("rerank-cascade", 6)(Prop.forAll(gen) { case (docs, vecs, terms, k) =>
+      val d = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val e = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = graft.ops.Retrieval
+        .rerankTopK(d, "text", e, 0L, terms, candidates = 4, k)
+        .as[(Long, Double, Double)].collect().toSeq
+      val emb = vecs.map(_.map(_.toDouble).toSeq)
+      def cos(a: Seq[Double], b: Seq[Double]) =
+        dotSeq(a, b) / (math.sqrt(dotSeq(a, a)) * math.sqrt(dotSeq(b, b)))
+      val want = graft.ops.Retrieval.bm25TopK(d, "text", terms, 4)
+        .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+        .map { case (id, s) => (id, s, cos(emb.head, emb(id.toInt))) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(k)
+      got == want
+    })
+  }
+
+  test("SQ8 quantized top-k equals the sequential quantize-score-rank mirror") {
+    // quantizedTopK end-to-end vs a from-scratch mirror: per-vector
+    // max|x| scaling, HALF_UP rounding to the int8 grid (BigDecimal —
+    // Spark's round() semantics, away-from-zero on negatives where
+    // math.round is not), integer dot (exact at <= 64*127^2), cosine on
+    // the quantized vectors, rank by (approx_cos desc, nbr_id asc). The
+    // integer dot makes qdot engine-exact; the cosine divisions are
+    // mirrored operation-for-operation so doubles compare bit-equal.
+    val vec = Gen.listOfN(4, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+      .suchThat(v => v.exists(_ != 0f))
+    val gen = for {
+      corpus <- Gen.listOfN(10, vec)
+      k <- Gen.choose(1, 4)
+    } yield (corpus, k)
+    check("sq8-mirror", 6)(Prop.forAll(gen) { case (corpus, k) =>
+      val c = corpus.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val q = c.limit(3)
+      val got = graft.ops.Similarity.quantizedTopK(c, q, k)
+        .select("query_id", "nbr_id", "qdot", "approx_cos", "rank")
+        .as[(Long, Long, Long, Double, Int)].collect().toSet
+      def quant(v: Array[Float]): Seq[Double] = {
+        val e = v.map(_.toDouble)
+        val m = e.map(math.abs).max
+        e.map(x => java.math.BigDecimal.valueOf(x * 127.0 / m)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()).toSeq
+      }
+      val qv = corpus.map(quant)
+      val nrm = qv.map(v => math.sqrt(dotSeq(v, v)))
+      val want = (for {
+        qi <- 0 until 3
+        ranked = (0 until corpus.size).filter(_ != qi)
+          .map { ni =>
+            val d = dotSeq(qv(qi), qv(ni))
+            (ni, d.toLong, d / (nrm(qi) * nrm(ni)))
+          }
+          .sortBy { case (ni, _, a) => (-a, ni) }.take(k)
+        ((ni, qd, a), r) <- ranked.zipWithIndex
+      } yield (qi.toLong, ni.toLong, qd, a, r + 1)).toSet
+      got == want
+    })
+  }
+
+  test("random projection equals the signed-sum fold, wrong-dims dropped") {
+    // randomProjection's literal-weight dot per plane vs the direct
+    // Σ planeSign(p,d)·x_d fold — integer-valued floats, so the sums are
+    // exact in any order. A trailing wrong-arity vector pins the
+    // size(embedding) === dims guard.
+    val vec = Gen.listOfN(4, Gen.choose(-9, 9)).map(_.map(_.toFloat).toArray)
+    val gen = Gen.listOfN(8, vec)
+    check("rp-fold", 6)(Prop.forAll(gen) { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) } :+
+        (99L, Array(1f, 2f, 3f)) // arity 3: must be dropped
+      val df = rows.toDF("vec_id", "embedding")
+      val got = graft.ops.Similarity.randomProjection(df, outDims = 3, dims = 4)
+        .as[(Long, Double, Double, Double)].collect().toSet
+      val want = vecs.zipWithIndex.map { case (v, i) =>
+        def r(p: Int) = (0 until 4)
+          .map(dd => graft.ops.Similarity.planeSign(p, dd) * v(dd).toDouble).sum
+        (i.toLong, r(0), r(1), r(2))
+      }.toSet
+      got == want
+    })
+  }
+
+  test("semDedup equals the assign-then-keep-first sequential model") {
+    // Cell assignment (max cosine, tie -> lowest cell) and the
+    // drop-every-later-cell-mate-above-threshold rule vs a direct fold.
+    // Cosines are mirrored through the same sequential dot, so the argmax
+    // and the >= threshold decisions agree bit-for-bit.
+    val vec = Gen.listOfN(4, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+      .suchThat(v => v.exists(_ != 0f))
+    val gen = for {
+      corpus <- Gen.listOfN(10, vec)
+      cents <- Gen.listOfN(3, vec)
+      thr <- Gen.oneOf(0.3, 0.7, 0.95)
+    } yield (corpus, cents, thr)
+    check("semdedup-model", 6)(Prop.forAll(gen) { case (corpus, cents, thr) =>
+      val c = corpus.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val cf = cents.zipWithIndex.map { case (v, i) => (100L + i, v) }
+        .toDF("vec_id", "embedding")
+      val got = graft.ops.Similarity.semDedup(c, cf, thr, dims = 4)
+        .as[(Long, Long, Boolean)].collect().toSet
+      val emb = corpus.map(_.map(_.toDouble).toSeq)
+      val ce = cents.map(_.map(_.toDouble).toSeq)
+      val nrm = emb.map(v => math.sqrt(dotSeq(v, v)))
+      val cnrm = ce.map(v => math.sqrt(dotSeq(v, v)))
+      val cell = emb.indices.map { i =>
+        (0 until cents.size).map { j =>
+          (dotSeq(emb(i), ce(j)) / (nrm(i) * cnrm(j)), -(100L + j))
+        }.max match { case (_, negCell) => -negCell }
+      }
+      val dropped = (for {
+        a <- emb.indices; b <- emb.indices
+        if a < b && cell(a) == cell(b) &&
+          dotSeq(emb(a), emb(b)) / (nrm(a) * nrm(b)) >= thr
+      } yield b.toLong).toSet
+      val want = emb.indices
+        .map(i => (i.toLong, cell(i), !dropped(i.toLong))).toSet
+      got == want
+    })
+  }
 }

@@ -1290,4 +1290,148 @@ class PropertySpec extends SparkSpec {
       got == want
     })
   }
+
+  // ---- streaming batch-boundary invariance ----------------------------
+  // The replay specs (StreamingSpec, gate queries) pin FIXED batch splits;
+  // these properties pin that the settled output is invariant under a
+  // RANDOM micro-batch partitioning of the same rows — the property a
+  // restart/redelivery can silently break while every fixed split passes.
+
+  private val qn = new java.util.concurrent.atomic.AtomicInteger(0)
+  implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  /** Split `rows` into contiguous batches at positions drawn from `cuts`. */
+  private def batched[A](rows: List[A], cuts: List[Int]): List[List[A]] =
+    if (rows.isEmpty) Nil
+    else {
+      val points = cuts.map(c => 1 + math.abs(c) % rows.size).distinct.sorted
+      val bounds = (0 :: points ::: List(rows.size)).distinct.sorted
+      bounds.zip(bounds.tail).map { case (a, b) => rows.slice(a, b) }
+    }
+
+  private def settle[A](q: org.apache.spark.sql.streaming.StreamingQuery,
+                        name: String)(read: => A): A =
+    try { q.processAllAvailable(); read } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
+
+  test("stream dedup settles to the distinct rows under any batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val row = for {
+      m <- Gen.choose(0, 30); k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.oneOf(1.0, 2.0)
+    } yield (new java.sql.Timestamp(base + m * 60000L), k, v)
+    val gen = for {
+      rows <- Gen.listOfN(14, row) // 3 keys x 2 values: duplicates certain
+      cuts <- Gen.listOfN(3, Gen.choose(0, 1000))
+    } yield (rows, cuts)
+    check("dedup-split", 4)(Prop.forAll(gen) { case (rows, cuts) =>
+      val name = s"pdedup${qn.incrementAndGet()}"
+      val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+      // horizon (2h) > total span (30min): no row is ever late and no hash
+      // state evicts, so the settled output is exactly the distinct rows
+      // whatever the delivery order or batch boundaries.
+      val out = graft.streaming.Pipeline.dedupStream(
+        in.toDF().toDF("@timestamp", "k", "v"), horizon = "2 hours")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batched(rows, cuts).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = settle(q, name)(spark.table(name)
+        .select(col("`@timestamp`"), col("k"), col("v"))
+        .as[(java.sql.Timestamp, String, Double)].collect().toSeq)
+      got.size == rows.distinct.size && got.toSet == rows.toSet
+    })
+  }
+
+  test("sessionize settles to the batch gap-fold under any ordered batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def t(minutes: Long) = new java.sql.Timestamp(base + minutes * 60000L)
+    val ev = for { u <- Gen.choose(0L, 2L); m <- Gen.choose(0, 40) } yield (u, m)
+    val gen = for {
+      events <- Gen.nonEmptyListOf(ev).map(_.take(16))
+      cuts <- Gen.listOfN(3, Gen.choose(0, 1000))
+      gapMin <- Gen.oneOf(5, 10)
+    } yield (events, cuts, gapMin)
+    check("sess-split", 4)(Prop.forAll(gen) { case (events, cuts, gapMin) =>
+      val name = s"psess${qn.incrementAndGet()}"
+      val in = MemoryStream[(java.sql.Timestamp, Long)]
+      val q = graft.streaming.Sessionize.sessions(
+          in.toDF().toDF("ts", "user_id"), gapMs = gapMin * 60000L,
+          watermark = "10 minutes")
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // globally ts-ordered delivery, random contiguous boundaries (the
+      // in-order file-source contract); two escalating far-future sentinel
+      // events push the watermark past every real session's end + gap so
+      // the event-time timers all fire before we read.
+      val ordered = events.sortBy(_._2).map { case (u, m) => (t(m.toLong), u) }
+      batched(ordered, cuts).foreach { b => in.addData(b); q.processAllAvailable() }
+      in.addData((t(40L + gapMin + 30), 99L)); q.processAllAvailable()
+      in.addData((t(40L + gapMin + 60), 99L)); q.processAllAvailable()
+      // the two sentinels close a session for user 99 themselves (the
+      // second exceeds the gap) — exclude the flush user from the read
+      val got = settle(q, name)(spark.table(name)
+        .filter(col("user_id") =!= 99L)
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet)
+      val want = events.groupBy(_._1).flatMap { case (u, es) =>
+        val ts = es.map(_._2.toLong).sorted
+        ts.tail.foldLeft(List((ts.head, ts.head, 1L))) {
+          case ((s, e, n) :: done, x) =>
+            if (x - e <= gapMin) (s, math.max(e, x), n + 1) :: done
+            else (x, x, 1L) :: (s, e, n) :: done
+          case (Nil, _) => Nil // unreachable: seed is nonempty
+        }.map { case (s, e, n) => (u, t(s), t(e), n) }
+      }.toSet
+      got == want
+    })
+  }
+
+  test("stream-stream interval join settles to the theta join under any split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def t(minutes: Int) = new java.sql.Timestamp(base + minutes * 60000L)
+    val ev = for { u <- Gen.choose(0L, 2L); m <- Gen.choose(0, 30) } yield (u, m)
+    val gen = for {
+      clicks <- Gen.listOfN(6, ev)
+      buys <- Gen.listOfN(6, ev)
+      cuts <- Gen.listOfN(2, Gen.choose(0, 1000))
+      flip <- Gen.listOfN(4, Gen.oneOf(true, false))
+    } yield (clicks, buys, cuts, flip)
+    check("ssjoin-split", 4)(Prop.forAll(gen) { case (clicks, buys, cuts, flip) =>
+      val name = s"pssj${qn.incrementAndGet()}"
+      val cIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+      val bIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+      val q = graft.streaming.Pipeline.intervalJoinStreams(
+          cIn.toDF().toDF("ts", "user_id", "click_id"),
+          bIn.toDF().toDF("ts", "user_id", "buy_id"),
+          "user_id", "ts", within = "10 minutes")
+        .select(col("l.click_id"), col("r.buy_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // watermark (2h) >> span (30min): no state evicts, so every pair
+      // must eventually emit no matter how the two sides interleave.
+      val cRows = clicks.zipWithIndex.map { case ((u, m), i) => (t(m), u, 100L + i) }
+      val bRows = buys.zipWithIndex.map { case ((u, m), i) => (t(m), u, 500L + i) }
+      val cb = batched(cRows, cuts)
+      val bb = batched(bRows, cuts.map(_ + 7))
+      (0 until math.max(cb.size, bb.size)).foreach { i =>
+        val legs = List(
+          () => cb.lift(i).foreach(in => cIn.addData(in)),
+          () => bb.lift(i).foreach(in => bIn.addData(in)))
+        (if (flip.lift(i).getOrElse(false)) legs.reverse else legs).foreach(_())
+        q.processAllAvailable()
+      }
+      val got = settle(q, name)(spark.table(name)
+        .as[(Long, Long)].collect().toSet)
+      val want = (for {
+        (ct, cu, cid) <- cRows; (bt, bu, bid) <- bRows
+        if cu == bu && bt.getTime >= ct.getTime &&
+          bt.getTime <= ct.getTime + 10 * 60000L
+      } yield (cid, bid)).toSet
+      got == want
+    })
+  }
 }

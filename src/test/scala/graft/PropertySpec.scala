@@ -1291,6 +1291,106 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("PQ top-k equals the encode-LUT-scan mirror on integer grids") {
+    // pqTopK end-to-end vs a sequential mirror of its documented pipeline:
+    // codebook = `codes` lowest-vec_id vectors, per-subspace encode by
+    // min (3-dot expansion distance, code), query LUT in fixed-point
+    // floor(d·2^20 + 0.5), ADC = integer sum over subspaces, rank by
+    // (dist asc, nbr_id asc). Integer-valued vectors make every subspace
+    // distance an exact integer, so the comparison is exact — any
+    // mismatch is plumbing (slice bounds, encode tie rule, LUT join),
+    // not quantization noise.
+    val vec = Gen.listOfN(4, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+      .suchThat(v => v.exists(_ != 0f))
+    val gen = for {
+      corpus <- Gen.listOfN(10, vec)
+      k <- Gen.choose(1, 4)
+    } yield (corpus, k)
+    check("pq-mirror", 6)(Prop.forAll(gen) { case (corpus, k) =>
+      val c = corpus.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val q = c.limit(3)
+      val got = graft.ops.Similarity.pqTopK(c, q, k, m = 2, codes = 3, dims = 4)
+        .select("query_id", "nbr_id", "rank", "dist")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val emb = corpus.map(_.map(_.toDouble).toSeq)
+      val cb = (0 until 3).map(i => (i.toLong, emb(i))) // codes lowest ids
+      def sv(v: Seq[Double], mi: Int) = v.slice(mi * 2, mi * 2 + 2)
+      def sd(v: Seq[Double], cv: Seq[Double], mi: Int) = {
+        val (a, b) = (sv(v, mi), sv(cv, mi))
+        dotSeq(a, a) - 2.0 * dotSeq(a, b) + dotSeq(b, b)
+      }
+      def encode(v: Seq[Double], mi: Int): Long =
+        cb.map { case (code, cv) => (sd(v, cv, mi), code) }.min._2
+      def lut(qv: Seq[Double], mi: Int, code: Long): Long =
+        math.floor(sd(qv, cb(code.toInt)._2, mi) * 1048576.0 + 0.5).toLong
+      val want = (for {
+        qi <- 0 until 3
+        ranked = emb.indices.filter(_ != qi).map { ni =>
+          val fx = (0 until 2).map(mi => lut(emb(qi), mi, encode(emb(ni), mi))).sum
+          (ni.toLong, fx)
+        }.sortBy { case (ni, fx) => (fx, ni) }.take(k)
+        ((ni, fx), r) <- ranked.zipWithIndex
+      } yield (qi.toLong, ni, r + 1, fx.toDouble / 1048576.0)).toSet
+      got == want
+    })
+  }
+
+  test("PRF retrieval equals the two-pass seed-feedback-expansion fold") {
+    // prfTopK end-to-end vs a sequential mirror of both passes: BM25 over
+    // the seeds, top-fbDocs feedback set by (score desc, doc_id asc),
+    // expansion terms ranked by (feedback tf desc, corpus df asc, term
+    // asc) with seeds excluded, then BM25 over seeds ∪ expansion. The
+    // scoring core reuses the bm25 property's reference arithmetic
+    // (Robertson idf, k1/b normalization, 1e-6 fixed point), so what this
+    // adds is the feedback/expansion plumbing — the part the single-pass
+    // property cannot see. Seeds may repeat: set semantics must hold.
+    val vocab = Vector("data", "spark", "query", "plan", "học", "x1")
+    val doc = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+    val gen = for {
+      texts <- Gen.listOfN(10, doc)
+      seeds <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      fbTerms <- Gen.choose(0, 2)
+    } yield (texts, seeds, fbTerms)
+    check("prf-two-pass", 6)(Prop.forAll(gen) { case (texts, seeds, fbTerms) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.Retrieval
+        .prfTopK(df, "text", seeds, k = 5, fbDocs = 2, fbTerms = fbTerms)
+        .as[(Long, Int, Double)].collect().toSeq
+        .map { case (id, nt, s) => (id, nt, math.round(s * 1e6)) }
+      val (k1, b) = (1.2, 0.75)
+      val toks = texts.map(_.split(" ").filter(_.nonEmpty).toSeq)
+      val n = toks.size.toDouble
+      val avgdl = toks.map(_.size).sum.toDouble / n
+      def scorePass(terms: Seq[String], outK: Int): Seq[(Long, Int, Long)] = {
+        val dfs = terms.map(t => t -> toks.count(_.contains(t))).toMap
+        toks.zipWithIndex.flatMap { case (ts, i) =>
+          val hits = terms.filter(ts.contains)
+          if (hits.isEmpty) None
+          else Some((i.toLong, hits.size, hits.map { t =>
+            val tf = ts.count(_ == t).toDouble
+            val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+            val tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * ts.size / avgdl))
+            math.round(idf * tfn * 1e6)
+          }.sum))
+        }.sortBy(r => (-r._3, r._1)).take(outK)
+      }
+      val sd = seeds.distinct
+      val fb = scorePass(sd, 2).map(_._1.toInt).toSet
+      val expansion = toks.zipWithIndex.filter(p => fb(p._2))
+        .flatMap(_._1).groupBy(identity)
+        .map { case (t, xs) => (t, xs.size.toLong) } // feedback tf
+        .filterNot { case (t, _) => sd.contains(t) }
+        .map { case (t, tfFb) => (t, tfFb, toks.count(_.contains(t))) }
+        .toSeq.sortBy { case (t, tfFb, cdf) => (-tfFb, cdf, t) }
+        .take(fbTerms).map(_._1)
+      val want = scorePass(sd ++ expansion, 5)
+      got == want
+    })
+  }
+
   // ---- streaming batch-boundary invariance ----------------------------
   // The replay specs (StreamingSpec, gate queries) pin FIXED batch splits;
   // these properties pin that the settled output is invariant under a

@@ -1534,4 +1534,126 @@ class PropertySpec extends SparkSpec {
       got == want
     })
   }
+
+  // ---- random crash-point restart invariance ---------------------------
+  // The restart replay specs (StreamingSpec, gate queries) crash at a FIXED
+  // kill point (batch 2 of 4); these properties randomize BOTH the corpus
+  // and the crash position — including the first batch and the last data
+  // batch, the two edges where the r13 review found the batch-math bug.
+  // The settled table must be independent of where the crash lands.
+
+  test("upsert restart settles to latest-wins for any corpus and crash point") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ev = for {
+      u <- Gen.oneOf(10L, 20L, 30L)
+      day <- Gen.choose(0, 1)
+      min <- Gen.choose(0, 600)
+      t <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0, 99)
+    } yield (u, day, min, t, v.toDouble)
+    val gen = for {
+      rows <- Gen.listOfN(16, ev)
+      nFiles <- Gen.choose(3, 5)
+      kill <- Gen.choose(1, nFiles - 1)
+    } yield (rows, nFiles, kill)
+    check("upsert-crash-point", 4)(Prop.forAllNoShrink(gen) { case (rows, nFiles, kill) =>
+      val events = rows.zipWithIndex.map { case ((u, day, min, t, v), i) =>
+        (i + 1L, u, t, v,
+          new java.sql.Timestamp(base + day * 86400000L + min * 60000L))
+      }
+      val df = events.toDF("event_id", "user_id", "event_type", "value", "ts")
+      val got = graft.streaming.Pipeline
+        .replayUpsertRestart(spark, df, nFiles, kill)
+        .select(col("user_id"), col("event_id"))
+        .as[(Long, Long)].collect().toSet
+      // sequential latest-wins: max (ts, event_id) per (user, calendar day).
+      // Day via LocalDate in the JVM default zone — the same zone Spark's
+      // session-TZ default hands to to_date(ts), so the buckets agree even
+      // on a non-UTC host.
+      // NB valuesIterator, not Map.map — mapping a Map to (u, id) pairs
+      // would re-key by user and silently drop all but one day per user.
+      val want = events.groupBy { case (_, u, _, _, ts) =>
+        (u, ts.toLocalDateTime.toLocalDate)
+      }.valuesIterator.map { es =>
+        val (id, u, _, _, _) = es.maxBy { case (id, _, _, _, ts) => (ts.getTime, id) }
+        (u, id)
+      }.toSet
+      got == want
+    })
+  }
+
+  test("stateful-GPA restart settles like the steady replay at any crash point") {
+    // restart-vs-steady on the SAME staged corpus (shared stageKey): the
+    // recovered accumulator fold must be invariant in the crash position.
+    // Two pinned far-apart events guarantee the staging straddle premise
+    // (at least one student spread across micro-batch files) at any cut.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ev = for {
+      u <- Gen.choose(1L, 3L)
+      day <- Gen.choose(0, 5)
+      min <- Gen.choose(0, 600)
+      t <- Gen.oneOf("pass", "fail", "exam")
+      v <- Gen.choose(0, 500)
+    } yield (u, day, min, t, v.toDouble)
+    val gen = for {
+      rows <- Gen.listOfN(14, ev)
+      kill <- Gen.choose(1, 3)
+    } yield (rows, kill)
+    val keyN = new java.util.concurrent.atomic.AtomicInteger(0)
+    check("gpa-crash-point", 3)(Prop.forAllNoShrink(gen) { case (rows, kill) =>
+      val pinned = List((1L, 0, 0, "pass", 250.0), (1L, 5, 600, "fail", 100.0))
+      val events = (pinned ++ rows).zipWithIndex.map { case ((u, day, min, t, v), i) =>
+        (i + 1L, u, t, v,
+          new java.sql.Timestamp(base + day * 86400000L + min * 60000L))
+      }
+      val df = events.toDF("event_id", "user_id", "event_type", "value", "ts")
+      val excl = graft.query.EventsAdapter.ExcludedSemester
+      val key = Some(s"pgpa${keyN.incrementAndGet()}")
+      def settle(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("masv"), col("dtbctl"), col("credits"), col("n"))
+          .as[(String, Double, Double, Long)].collect().toSet
+      val steady = settle(graft.streaming.Pipeline
+        .replayStatefulGpa(spark, df, excl, nFiles = 4, stageKey = key))
+      val restarted = settle(graft.streaming.Pipeline
+        .replayStatefulGpaRestart(spark, df, excl, nFiles = 4,
+          killAfterBatches = kill, stageKey = key))
+      steady.nonEmpty && restarted == steady
+    })
+  }
+
+  test("session-timer restart settles like the steady replay at any crash point") {
+    // The RocksDB state + event-time timer shape: sessions and their close
+    // timers recovered from the checkpoint must yield the steady table no
+    // matter which micro-batch the crash follows. Pinned extreme events
+    // keep the time-ranged staging at 4 non-empty files for every draw.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val ev = for {
+      u <- Gen.choose(1L, 3L)
+      min <- Gen.choose(0, 180)
+      v <- Gen.choose(0, 99)
+    } yield (u, min, v.toDouble)
+    val gen = for {
+      rows <- Gen.listOfN(14, ev)
+      kill <- Gen.choose(1, 3)
+    } yield (rows, kill)
+    val keyN = new java.util.concurrent.atomic.AtomicInteger(0)
+    check("sess-crash-point", 3)(Prop.forAllNoShrink(gen) { case (rows, kill) =>
+      val pinned = List((1L, 0, 1.0), (2L, 90, 1.0), (3L, 180, 1.0))
+      val events = (pinned ++ rows).map { case (u, min, v) =>
+        (u, new java.sql.Timestamp(base + min * 60000L), v)
+      }
+      val df = events.toDF("user_id", "ts", "value")
+      val key = Some(s"psessr${keyN.incrementAndGet()}")
+      def settle(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("user_id"), col("n_events"), col("total_cents"),
+            col("start_ms"), col("end_ms"))
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val steady = settle(graft.streaming.Pipeline
+        .replaySessionSummaries(spark, df, nFiles = 4, stageKey = key))
+      val restarted = settle(graft.streaming.Pipeline
+        .replaySessionSummariesRestart(spark, df, nFiles = 4,
+          killAfterBatches = kill, stageKey = key))
+      steady.nonEmpty && restarted == steady
+    })
+  }
 }

@@ -264,14 +264,22 @@ object Similarity {
     // centroid norm computed once per centroid at broadcast build, not per pair
     val cent = broadcast(centroids.select(col("cell"), col("cemb"),
       l2norm(col("cemb")).as("cnrm")))
-    base.join(cent)
+    // The argmax runs as [[graft.functions.LexArgExtreme]] — max_by with the
+    // (cos, -cell) tie rule carried in PRIMITIVE buffer slots. The previous
+    // max_by(struct(cell, emb, nrm), struct(cos, -cell)) had TWO struct
+    // buffer fields; struct buffers are not UnsafeRow-mutable, so the whole
+    // n×k reduction fell off the HashAggregate codegen fast path (measured
+    // at ×100 / k=800 / 160M candidate rows: 353 s warm vs 12 s — ProbeAnn
+    // lab, BASELINE.md round-16). The winner cell folds back onto `base`
+    // with one narrow equi-join on vec_id (n rows — noise next to the
+    // candidate stream).
+    val win = base.select(col("vec_id"), col("emb"), col("nrm")).join(cent)
       .groupBy("vec_id")
-      .agg(max_by(
-        struct(col("cell"), col("emb"), col("nrm")),
-        struct((dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm"))).as("c"),
-          (-col("cell")).as("n"))).as("__p"))
-      .select(col("vec_id"), col("__p.emb").as("emb"), col("__p.nrm").as("nrm"),
-        col("__p.cell").as("cell"))
+      .agg(graft.functions.LexArgExtreme.maxByLex(col("cell"),
+        dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")),
+        -col("cell")).as("cell"))
+    base.join(win, Seq("vec_id"))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
   }
 
   /** Above this k, per-iteration k-means assignment abandons the literal
@@ -540,7 +548,10 @@ object Similarity {
     val enc = corp.join(broadcast(cb))
       .select(col("nbr_id"), col("code"), subDists(col("v_emb")).as("sd"))
       .groupBy(col("nbr_id"), col("sd.m").as("m"))
-      .agg(min_by(col("code"), struct(col("sd.d"), col("code"))).as("code"))
+      // primitive-buffer lexicographic argmin — the struct-ordered min_by
+      // demotes this n×codes×m reduction off codegen (see assignCells)
+      .agg(graft.functions.LexArgExtreme.minByLex(
+        col("code"), col("sd.d"), col("code")).as("code"))
 
     val lut = queries.filter(size(col("embedding")) === dims)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))

@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ×100 density probe for the blocked pairwise similarity ops (PLANS.md
+  * round-16 scale arc): the three ops whose cost is quadratic in BLOCK
+  * density — d8 semDedup (cell blocks), e2 embeddingNearDup (label
+  * blocks), e5 srpNearDup (SRP-signature blocks) — each probed at the
+  * registered configuration AND at the configuration its own Scaladoc
+  * prescribes for a grown corpus (more cells / finer buckets), so the
+  * ledger carries the measured cost of ignoring that prescription.
+  *
+  *   runMain graft.tools.ProbeAnn <scaledDir> [section]
+  *
+  * `section` ∈ d8 | e5 | e2 | all (default all). Forces with a count()
+  * over the pair/keep output (no keep-first elimination hazard here —
+  * the filters consume the scored columns). */
+object ProbeAnn {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf10")
+    val section = args.lift(1).getOrElse("all")
+    def on(s: String) = section == "all" || section == s
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "64"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.model.Tables(spark, dir, "embeddings")
+
+    // GRAFT_PROBE_PROF=1 prints per-stage task time + shuffle volumes on
+    // the second (warm) pass — the ProfStages listener, inlined so the
+    // probe shapes (non-registered configurations) are profilable too.
+    @volatile var collect = false
+    if (sys.env.get("GRAFT_PROBE_PROF").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            if (collect) {
+              val i = sc.stageInfo; val m = i.taskMetrics
+              println(f"[stage] id=${i.stageId}%-4d tasks=${i.numTasks}%-3d " +
+                f"taskTime=${m.executorRunTime / 1e3}%7.1fs " +
+                f"shufRead=${m.shuffleReadMetrics.recordsRead}%10d rec " +
+                f"shufWrite=${m.shuffleWriteMetrics.recordsWritten}%10d rec")
+            }
+        })
+
+    def time(label: String)(body: => Long): Unit = {
+      for (pass <- 1 to 2) {
+        collect = pass == 2
+        val t0 = System.nanoTime()
+        val n = body
+        collect = false
+        println(f"[ann] pass=$pass $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+    }
+
+    // d8: registered k=8 (per-cell density grows with the corpus — the
+    // mis-config semDedup's doc warns about) vs k grown with the corpus.
+    // Total cost ≈ c1·n·k (broadcast argmax assignment) + c2·n²/k (within-
+    // cell pairs): a U-curve in k with optimum ~√(c2·n/c1), so "more cells"
+    // overshoots once assignment dominates — k=80 probes the middle.
+    // Survivor counts differ by design — k is a clustering parameter.
+    // `d8:<k>` runs a single k arm (the assignment-shape experiments
+    // re-measure only the arm the shape can move).
+    val kOnly = Option(section).filter(_.startsWith("d8:")).map(_.drop(3).toInt)
+    if (on("d8") || kOnly.nonEmpty) for (k <- kOnly.map(Seq(_)).getOrElse(Seq(8, 80, 800))) {
+      time(s"d8_semdedup k=$k") {
+        graft.ops.Similarity
+          .semDedup(emb, emb.filter(col("vec_id") < k), 0.3)
+          .filter(col("keep")).count()
+      }
+    }
+
+    // e5 vs e2: signature blocking vs label blocking on the same corpus
+    // and threshold. e5's planes knob is the same density control as d8's
+    // k: planes=12 is the registered shape; the doc's scale answer is more
+    // planes when buckets saturate.
+    if (on("e5")) for (planes <- Seq(12, 16)) {
+      time(s"e5_srp_neardup planes=$planes") {
+        graft.ops.Similarity.srpNearDup(emb, 0.3, planes = planes).count()
+      }
+    }
+    if (on("e2")) time("e2_embed_neardup (label blocks)") {
+      graft.ops.Similarity.embeddingNearDup(emb, 0.3).count()
+    }
+
+    // lab: decompose the k=800 assignment stage cost — candidate-row
+    // production alone, + the dot, + the full struct-ordered argmax.
+    if (on("lab")) {
+      import graft.ops.Similarity.{asDouble, dot, l2norm}
+      val base = emb.filter(size(col("embedding")) === 64)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+          l2norm(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0)
+      val cent = broadcast(emb.filter(col("vec_id") < 800)
+        .select(col("vec_id").as("cell"),
+          asDouble(col("embedding")).as("cemb")))
+      def one(label: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"[lab] $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      // count() would let Catalyst PRUNE the aggregate expressions (the
+      // ProbeChunk elimination trap) — every arm folds its agg output into
+      // a scalar so the hot expression provably evaluates per row.
+      one("rows-only (count per vec)") {
+        base.join(cent).groupBy("vec_id")
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("n"))).head().getLong(0)
+      }
+      one("sum(dot) (cosine, no argmax)") {
+        base.join(cent).groupBy("vec_id")
+          .agg(sum(dot(col("emb"), col("cemb"))).as("s"))
+          .agg(sum(col("s"))).head().getDouble(0).toLong
+      }
+      one("max_by struct ordering (the real argmax)") {
+        base.join(cent).groupBy("vec_id")
+          .agg(max_by(col("cell"),
+            struct(dot(col("emb"), col("cemb")).as("c"),
+              (-col("cell")).as("n"))).as("cell"))
+          .agg(sum(col("cell"))).head().getLong(0)
+      }
+      one("max_by primitive ordering (cos only, ties arbitrary)") {
+        base.join(cent).groupBy("vec_id")
+          .agg(max_by(col("cell"),
+            dot(col("emb"), col("cemb")) / (col("nrm"))).as("cell"))
+          .agg(sum(col("cell"))).head().getLong(0)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1535,6 +1535,52 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("LexArgExtreme equals struct-ordered max_by/min_by on adversarial keys") {
+    // The primitive-buffer lexicographic argmax (the codegen-fast
+    // replacement for max_by(v, struct(o1, o2)) — Similarity.assignCells,
+    // pqTopK encode) must agree with the struct form on EVERY ordering
+    // edge the SQL ordering defines: null keys (row skipped), exact
+    // (o1, o2) ties (same winner), NaN (greatest), and -0.0 vs 0.0
+    // (equal for <, ordered for total order — both forms use the same
+    // SQL comparators, so they must agree whichever rule that is).
+    val o1 = Gen.oneOf[java.lang.Double](1.0, 2.0, Double.NaN, 0.0, -0.0, null)
+    // v is a FUNCTION of the normalized key (-0.0 ≡ 0.0, one NaN): rows
+    // whose keys tie under SQL comparison carry the same value, so the
+    // winner is well-defined even though which tied ROW wins is not.
+    def vOf(a: java.lang.Double, b: java.lang.Long): Long = {
+      val an = Option[java.lang.Double](a)
+        .map(x => java.lang.Double.doubleToLongBits(x.doubleValue() + 0.0))
+        .getOrElse(7L)
+      31L * an + Option[java.lang.Long](b).map(_.longValue()).getOrElse(11L) & 0xffL
+    }
+    val row = for {
+      g <- Gen.choose(0, 2)
+      a <- o1
+      b <- Gen.oneOf[java.lang.Long](1L, 2L, 3L, null)
+    } yield (g, a, b, vOf(a, b))
+    check("lex-arg-extreme", 8)(Prop.forAll(Gen.nonEmptyListOf(row)) { rows =>
+      val df = rows.toDF("g", "o1", "o2", "v")
+      def collect(c: org.apache.spark.sql.Column) =
+        df.groupBy("g").agg(c.as("w")).as[(Int, java.lang.Long)].collect().toSet
+      val maxGot = collect(graft.functions.LexArgExtreme.maxByLex(
+        col("v"), col("o1"), col("o2")))
+      // the struct form skips null-keyed rows too, via the same filter the
+      // callers apply; LexArgExtreme has the skip built in
+      val fd = df.filter(col("o1").isNotNull && col("o2").isNotNull)
+      def collectF(c: org.apache.spark.sql.Column) = {
+        val present = fd.groupBy("g").agg(c.as("w"))
+        df.select("g").distinct()
+          .join(present, Seq("g"), "left")
+          .as[(Int, java.lang.Long)].collect().toSet
+      }
+      val maxWant = collectF(max_by(col("v"), struct(col("o1"), col("o2"))))
+      val minGot = collect(graft.functions.LexArgExtreme.minByLex(
+        col("v"), col("o1"), col("o2")))
+      val minWant = collectF(min_by(col("v"), struct(col("o1"), col("o2"))))
+      maxGot == maxWant && minGot == minWant
+    })
+  }
+
   // ---- random crash-point restart invariance ---------------------------
   // The restart replay specs (StreamingSpec, gate queries) crash at a FIXED
   // kill point (batch 2 of 4); these properties randomize BOTH the corpus

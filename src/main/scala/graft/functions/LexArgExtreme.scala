@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * Semantics: among input rows whose BOTH ordering keys are non-null, pick
   * the value of the lexicographically greatest (`isMin = false`) or least
   * (`isMin = true`) (o1, o2) pair; null when no qualifying row. Doubles
-  * compare with Spark's SQL ordering (NaN greatest, -0 < 0 — `genComp`
-  * semantics), matching what the struct ordering used. Ties beyond (o1,
+  * compare with Spark's SQL ordering (NaN greatest; -0.0 TIES with 0.0 —
+  * nanSafeCompareDoubles short-circuits on ==, and UnsafeRow normalizes
+  * -0.0 anyway), matching what the struct ordering used. Ties beyond (o1,
   * o2) don't exist for callers that make o2 a total tiebreaker (the repo
   * call sites pass ids). Buffer stays flat-mutable only for fixed-size
   * value types (numeric/boolean/timestamp); var-length values (strings)

@@ -258,12 +258,21 @@ object Similarity {
     * identical to the `QUALIFY row_number() … ORDER BY cos DESC, cell`
     * oracle form and to [[ivfTopK]]'s window argmax.
     *
-    * `base`: (vec_id, emb double[], nrm); `centroids`: (cell, cemb double[]).
+    * `base`: (vec_id, emb double[], nrm) with `vec_id` a UNIQUE NON-NULL
+    * key (the embeddings-table contract; both callers feed id-keyed
+    * frames) — the fold-back equi-join below replicates duplicate ids and
+    * drops null ones, where the old single-pass groupBy collapsed/kept
+    * them; `centroids`: (cell, cemb double[]).
     * Returns (vec_id, emb, nrm, cell). */
   def assignCells(base: DataFrame, centroids: DataFrame): DataFrame = {
     // centroid norm computed once per centroid at broadcast build, not per pair
     val cent = broadcast(centroids.select(col("cell"), col("cemb"),
       l2norm(col("cemb")).as("cnrm")))
+    // Pinned: both the candidate join and the fold-back join consume base —
+    // unpinned, the source scan + norm fold would run twice per call (and
+    // per Lloyd iteration in kmeansCentroids). Same Materialize.mode=none
+    // pass-through caveat as every pin site.
+    val b = graft.Materialize.pin(base)
     // The argmax runs as [[graft.functions.LexArgExtreme]] — max_by with the
     // (cos, -cell) tie rule carried in PRIMITIVE buffer slots. The previous
     // max_by(struct(cell, emb, nrm), struct(cos, -cell)) had TWO struct
@@ -273,12 +282,12 @@ object Similarity {
     // lab, BASELINE.md round-16). The winner cell folds back onto `base`
     // with one narrow equi-join on vec_id (n rows — noise next to the
     // candidate stream).
-    val win = base.select(col("vec_id"), col("emb"), col("nrm")).join(cent)
+    val win = b.select(col("vec_id"), col("emb"), col("nrm")).join(cent)
       .groupBy("vec_id")
       .agg(graft.functions.LexArgExtreme.maxByLex(col("cell"),
         dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")),
         -col("cell")).as("cell"))
-    base.join(win, Seq("vec_id"))
+    b.join(win, Seq("vec_id"))
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
   }
 

@@ -13,13 +13,18 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.tools.ProbeAnn <scaledDir> [section]
   *
-  * `section` ∈ d8 | e5 | e2 | all (default all). Forces with a count()
-  * over the pair/keep output (no keep-first elimination hazard here —
-  * the filters consume the scored columns). */
+  * `section` ∈ d8 | d8:<k> (one k arm) | e5 | e2 | all | lab. `all`
+  * (default) runs the three op sections; `lab` is the opt-in argmax cost
+  * decomposition (it deliberately re-runs the ~6-minute struct-ordered
+  * cliff arm, so it is NOT part of `all`). Forces with a count() over the
+  * pair/keep output (no keep-first elimination hazard here — the filters
+  * consume the scored columns). */
 object ProbeAnn {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf10")
     val section = args.lift(1).getOrElse("all")
+    require(section.matches("all|lab|d8(:\\d+)?|e5|e2"),
+      s"unknown section '$section': use d8 | d8:<k> | e5 | e2 | all | lab")
     def on(s: String) = section == "all" || section == s
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
@@ -29,28 +34,19 @@ object ProbeAnn {
     val emb = graft.model.Tables(spark, dir, "embeddings")
 
     // GRAFT_PROBE_PROF=1 prints per-stage task time + shuffle volumes on
-    // the second (warm) pass — the ProfStages listener, inlined so the
-    // probe shapes (non-registered configurations) are profilable too.
+    // the second (warm) pass, via the shared StageProf listener.
     @volatile var collect = false
     if (sys.env.get("GRAFT_PROBE_PROF").contains("1"))
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-            if (collect) {
-              val i = sc.stageInfo; val m = i.taskMetrics
-              println(f"[stage] id=${i.stageId}%-4d tasks=${i.numTasks}%-3d " +
-                f"taskTime=${m.executorRunTime / 1e3}%7.1fs " +
-                f"shufRead=${m.shuffleReadMetrics.recordsRead}%10d rec " +
-                f"shufWrite=${m.shuffleWriteMetrics.recordsWritten}%10d rec")
-            }
-        })
+      StageProf.attachPrinter(spark)(() => collect)
 
     def time(label: String)(body: => Long): Unit = {
       for (pass <- 1 to 2) {
         collect = pass == 2
         val t0 = System.nanoTime()
         val n = body
+        // events are async — drain before dropping the flag or the final
+        // (usually heaviest) stage lines are silently lost
+        if (collect) StageProf.drain()
         collect = false
         println(f"[ann] pass=$pass $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
@@ -86,9 +82,10 @@ object ProbeAnn {
       graft.ops.Similarity.embeddingNearDup(emb, 0.3).count()
     }
 
-    // lab: decompose the k=800 assignment stage cost — candidate-row
-    // production alone, + the dot, + the full struct-ordered argmax.
-    if (on("lab")) {
+    // lab (opt-in only — NOT in `all`): decompose the k=800 assignment
+    // stage cost — candidate-row production alone, + the dot, + the full
+    // struct-ordered argmax (the ~6 min cliff arm, kept reproducible).
+    if (section == "lab") {
       import graft.ops.Similarity.{asDouble, dot, l2norm}
       val base = emb.filter(size(col("embedding")) === 64)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"),

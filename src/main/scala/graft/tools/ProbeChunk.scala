@@ -100,22 +100,16 @@ object ProbeChunk {
     val rR = new java.util.concurrent.atomic.AtomicLong(0)
     val wR = new java.util.concurrent.atomic.AtomicLong(0)
     @volatile var collect = false
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        if (collect) {
-          val m = sc.stageInfo.taskMetrics
-          rB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-          wB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          rR.addAndGet(m.shuffleReadMetrics.recordsRead)
-          wR.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-          if (sys.env.contains("GRAFT_PROBE_STAGES"))
-            println(f"[stage] id=${sc.stageInfo.stageId}%-4d " +
-              f"tasks=${sc.stageInfo.numTasks}%-3d " +
-              f"wRec=${m.shuffleWriteMetrics.recordsWritten}%9d " +
-              f"wMB=${m.shuffleWriteMetrics.bytesWritten / 1e6}%7.1f " +
-              f"rRec=${m.shuffleReadMetrics.recordsRead}%9d")
-        }
-    })
+    StageProf.attach(spark) { i =>
+      if (collect) {
+        val m = i.taskMetrics
+        rB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        wB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        rR.addAndGet(m.shuffleReadMetrics.recordsRead)
+        wR.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        if (sys.env.contains("GRAFT_PROBE_STAGES")) println(StageProf.line(i))
+      }
+    }
 
     val docs = graft.model.Tables(spark, sfDir, "documents")
     // Force EVERY column: a bare count() lets Catalyst prune the winners

@@ -18,17 +18,7 @@ object ProfStages {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     @volatile var collect = false
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        if (collect) {
-          val i = sc.stageInfo
-          val m = i.taskMetrics
-          println(f"[stage] id=${i.stageId}%-4d tasks=${i.numTasks}%-3d " +
-            f"taskTime=${m.executorRunTime / 1e3}%7.1fs " +
-            f"shufRead=${m.shuffleReadMetrics.recordsRead}%10d rec " +
-            f"shufWrite=${m.shuffleWriteMetrics.recordsWritten}%10d rec")
-        }
-    })
+    StageProf.attachPrinter(spark)(() => collect)
     graft.model.Tables(spark, sfDir, "documents").limit(1).count()
     for (n <- names) {
       graft.SparkEntry.queries(n)(spark, sfDir).count() // warm
@@ -36,6 +26,7 @@ object ProfStages {
       collect = true
       val t0 = System.nanoTime()
       val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      StageProf.drain() // async bus: don't lose the final stage lines
       collect = false
       println(f"[q] $n rows=$rows wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }

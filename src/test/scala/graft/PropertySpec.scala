@@ -1613,13 +1613,14 @@ class PropertySpec extends SparkSpec {
         .select(col("user_id"), col("event_id"))
         .as[(Long, Long)].collect().toSet
       // sequential latest-wins: max (ts, event_id) per (user, calendar day).
-      // Day via LocalDate in the JVM default zone — the same zone Spark's
-      // session-TZ default hands to to_date(ts), so the buckets agree even
-      // on a non-UTC host.
+      // Day via Instant-at-UTC: the SESSION timezone is pinned to UTC
+      // (SparkSpec/build.sbt), so to_date(ts) buckets by UTC day whatever
+      // the host JVM zone — a JVM-default LocalDate here failed under
+      // -Duser.timezone=Asia/Bangkok (review finding).
       // NB valuesIterator, not Map.map — mapping a Map to (u, id) pairs
       // would re-key by user and silently drop all but one day per user.
       val want = events.groupBy { case (_, u, _, _, ts) =>
-        (u, ts.toLocalDateTime.toLocalDate)
+        (u, ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
       }.valuesIterator.map { es =>
         val (id, u, _, _, _) = es.maxBy { case (id, _, _, _, ts) => (ts.getTime, id) }
         (u, id)

@@ -640,15 +640,33 @@ object XlsxIO {
     out.toIndexedSeq
   }
 
-  /** Column index from an A1-style cell reference: "BC12" -> 54. */
+  /** ECMA-376 / Excel column capacity: "XFD" = 16384 columns. Refs beyond
+    * it cannot come from a real workbook, so they are treated as MALFORMED
+    * (positional fallback), same as a letterless ref. */
+  val MaxCols: Int = 16384
+
+  /** Column index from an A1-style cell reference: "BC12" -> 54. Returns -1
+    * (the malformed-ref sentinel callers already map to positional
+    * fallback) for refs past [[MaxCols]] — without the cap, a crafted ref
+    * like r="ZZZZZZZ1" overflows the Int accumulator (26^7 > 2^31) into an
+    * arbitrary index, and a merely-huge one (r="AAAA1") would make schema
+    * inference build a ~450k-field StructType from `max(idx) + 1`: an
+    * adversarial workbook OOMing the DRIVER, which ignoreCorruptFiles (an
+    * executor-side reader flag) can never protect (fuzz-arc finding). */
   def colIndex(ref: String): Int = {
     var i = 0
-    var acc = 0
+    var acc = 0L
     while (i < ref.length && ref.charAt(i).isLetter) {
-      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      val c = ref.charAt(i).toUpper
+      // Only A-Z can appear in a real ref; a unicode letter ('é') is not a
+      // column digit and must not alias onto one via arbitrary code-point
+      // arithmetic — malformed, same sentinel.
+      if (c < 'A' || c > 'Z') return -1
+      acc = acc * 26L + (c - 'A' + 1)
+      if (acc > MaxCols) return -1
       i += 1
     }
-    acc - 1
+    acc.toInt - 1
   }
 
   /** worksheet XML: <sheetData><row><c r="A1" t="s"><v>0</v></c>...</row>.

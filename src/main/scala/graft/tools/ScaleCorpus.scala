@@ -35,19 +35,31 @@ object ScaleCorpus {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Replication shape: a broadcast cross-join against spark.range(factor)
+    // — ONE plan node regardless of factor, where the original factor-way
+    // unionByName built an O(factor) plan that the analyzer/optimizer walk
+    // per rule (fine at 10-100×, minutes of driver time at 1000×). Same
+    // output: replica r of every row, ids offset by r·span.
+    def withReplica(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      require(!df.columns.contains("__r"), "replica column name collision")
+      df.crossJoin(broadcast(spark.range(factor).toDF("__r")))
+    }
     val docs = graft.model.Tables(spark, src, "documents")
     val n = docs.count()
     // Preserve EVERY column (lang, n_chars, …) so the probe corpus can run
     // any registered query; n_chars is re-derived because the replica
     // suffix changes the text length.
-    val reps = (0 until factor).map { r =>
-      val rep0 = docs.withColumn("doc_id", col("doc_id") + lit(r * n))
+    val reps = {
+      val rep0 = withReplica(docs)
+        .withColumn("doc_id", col("doc_id") + col("__r") * lit(n))
       val rep = if (exactMode) rep0
-        else rep0.withColumn("text", concat(col("text"), lit(s" rep$r")))
-      if (rep.columns.contains("n_chars"))
+        // concat renders __r as its decimal digits — byte-identical to the
+        // old per-replica s" rep$r" literal.
+        else rep0.withColumn("text", concat(col("text"), lit(" rep"), col("__r")))
+      (if (rep.columns.contains("n_chars"))
         rep.withColumn("n_chars", length(col("text")).cast("long"))
-      else rep
-    }.reduce(_ unionByName _)
+      else rep).drop("__r")
+    }
     reps.repartition(32).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
     println(s"[scale] wrote ${factor}x corpus (${factor * n} docs, " +
@@ -55,13 +67,13 @@ object ScaleCorpus {
     if (exactMode) { spark.stop(); return }
     val emb = graft.model.Tables(spark, src, "embeddings")
     val m = emb.count()
-    val embReps = (0 until factor).map { r =>
-      emb.select(
-        (col("vec_id") + lit(r * m)).as("vec_id"),
-        transform(col("embedding"),
-          x => (x + lit(r * 1e-4f)).cast("float")).as("embedding"),
-        col("label"))
-    }.reduce(_ unionByName _)
+    // __r.cast(float) * 1e-4f keeps FLOAT multiply semantics — identical
+    // low bits to the old driver-side `r * 1e-4f` literal at any factor.
+    val embReps = withReplica(emb).select(
+      (col("vec_id") + col("__r") * lit(m)).as("vec_id"),
+      transform(col("embedding"),
+        x => (x + col("__r").cast("float") * lit(1e-4f)).cast("float")).as("embedding"),
+      col("label"))
     embReps.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
     println(s"[scale] wrote ${factor}x embeddings (${factor * m} vecs) to $out")
@@ -92,11 +104,9 @@ object ScaleCorpus {
       maxKey("customer", "c_custkey")) + 1L
     def replicate(table: String, keySpans: Seq[(String, Long)]): Unit = {
       val t = graft.model.Tables(spark, src, table)
-      val reps = (0 until factor).map { r =>
-        keySpans.foldLeft(t) { case (df, (k, span)) =>
-          df.withColumn(k, col(k) + lit(r * span))
-        }
-      }.reduce(_ unionByName _)
+      val reps = keySpans.foldLeft(withReplica(t)) { case (df, (k, span)) =>
+        df.withColumn(k, col(k) + col("__r") * lit(span))
+      }.drop("__r")
       reps.repartition(32).write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[scale] wrote ${factor}x $table to $out")
     }

@@ -959,6 +959,61 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("xlsx container survives random byte mutation: rows or a catchable error") {
+    // Same sweep as the codec fuzz, one layer up: the xlsx source parses an
+    // UNTRUSTED container format (zip + XML) with hand-rolled plumbing, and
+    // its poison-file contract (`ignoreCorruptFiles`, XlsxPartitionReader's
+    // corrupt() catch) only holds if every failure a mutated workbook can
+    // provoke surfaces as one of the classes that catch covers — an
+    // uncovered Throwable class would fail the TASK even under the flag and
+    // wedge a watched-directory stream forever. Contract per mutant:
+    // rows back (with every column index inside the ECMA-376 cap — the
+    // driver-OOM guard on inference's `max(idx)+1` width arithmetic), OR an
+    // exception in {IOException, XMLStreamException, RuntimeException};
+    // either way DETERMINISTIC on a second read. XlsxMissingSheetException
+    // is in the allowed set (it is loud by DESIGN under the flag — a
+    // mutated rels target is indistinguishable from a misconfigured `sheet`
+    // option) but tracked as its own outcome class for the determinism leg.
+    import graft.sources.xlsx.{XlsxIO, XlsxWriter}
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = java.nio.file.Files.createTempDirectory("xlsx-fuzz").toFile
+    dir.deleteOnExit()
+    val cell: Gen[Any] = Gen.oneOf(
+      Gen.alphaNumStr.map(s => (s.take(6)): Any),
+      Gen.choose(-99, 999).map(i => i: Any),
+      Gen.choose(-9.5, 9.5).map(d => d: Any),
+      Gen.oneOf(true, false).map(b => b: Any),
+      Gen.const(null: Any))
+    def build(rows: List[List[Any]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      XlsxWriter.writeTo(bos, rows)
+      bos.toByteArray
+    }
+    val payload = for {
+      nRows <- Gen.choose(1, 5)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(3, cell))
+      bytes <- mutate(build(rows))
+    } yield bytes
+    def outcome(bytes: Array[Byte]): Any = {
+      val f = new java.io.File(dir, s"m${bytes.hashCode}-${bytes.length}.xlsx")
+      java.nio.file.Files.write(f.toPath, bytes)
+      try {
+        val rows = XlsxIO.readSheet(f.getAbsolutePath, 1, conf).toSeq
+        assert(rows.forall(_.forall { case (i, _) => i >= 0 && i < XlsxIO.MaxCols }),
+          s"column index past the ECMA-376 cap: ${rows.flatten.map(_._1).max}")
+        rows
+      } catch {
+        // The EXACT classes XlsxPartitionReader.corrupt() covers — anything
+        // else propagates and fails the property with its real class.
+        case e @ (_: java.io.IOException | _: javax.xml.stream.XMLStreamException |
+                  _: RuntimeException) => e.getClass.getName
+      } finally f.delete()
+    }
+    check("xlsx-fuzz", 400)(Prop.forAll(payload) { bytes =>
+      outcome(bytes) == outcome(bytes)
+    })
+  }
+
   test("xlsx roundtrip preserves arbitrary unicode cell text") {
     val cell = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('đ', 'ư', 'ơ', 'ă', 'â', 'ê', 'ô', '<', '&', '"', ' ')))

@@ -519,6 +519,28 @@ class XlsxSpec extends SparkSpec {
     assert(rows.head.forall(_._1 >= 0))
   }
 
+  test("beyond-XFD and overflowing cell refs fall back to position") {
+    import graft.sources.xlsx.XlsxIO.colIndex
+    // The real capacity boundary parses exactly…
+    assert(colIndex("XFD1") == 16383)
+    assert(colIndex("A1") == 0 && colIndex("BC12") == 54)
+    // …and everything past it is the malformed-ref sentinel: one past the
+    // cap, a driver-OOM-sized index ("AAAA" → 457k-field inferred schema),
+    // an Int-overflowing ref (26^7 > 2^31 — pre-fix this aliased onto an
+    // arbitrary wrapped index), and a unicode letter (code-point
+    // arithmetic is not column arithmetic).
+    for (bad <- Seq("XFE1", "AAAA1", "ZZZZZZZ1", "ZZZZZZZZZZZZ1", "é1"))
+      assert(colIndex(bad) == -1, s"colIndex($bad)")
+    // End-to-end through the sheet parser: junk-ref cells land at their
+    // POSITION, so width stays bounded by the real cell count.
+    val sheet =
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="ZZZZZZZ1" t="inlineStr"><is><t>a</t></is></c><c r="AAAA1" t="inlineStr"><is><t>b</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin.getBytes("UTF-8")
+    val rows = graft.sources.xlsx.XlsxIO.parseSheet(sheet, IndexedSeq.empty).toSeq
+    assert(rows.head == Seq((0, "a"), (1, "b")), rows.head)
+  }
+
   test("scan-time options override table-construction options") {
     // newScanBuilder must honor the per-query options Spark passes it (a
     // catalog-registered xlsx table read with sheet=2), not silently reuse

@@ -197,8 +197,41 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       (size(a) + size(b) - size(array_intersect(a, b)))
 
+  /** Detection probability of the k/r banding scheme: a pair at Jaccard
+    * similarity `j` shares at least one band with probability
+    * 1 − (1 − j^r)^b — the standard MinHash-LSH S-curve. */
+  def lshDetectProb(j: Double, rowsPerBand: Int, bands: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+
+  /** Derive rows-per-band from the TARGET Jaccard threshold instead of
+    * hand-picking it (the same derive-the-knob rule as the interval-join
+    * bucket width and the pair-join shuffle width): the S-curve's midpoint
+    * — the similarity where [[lshDetectProb]] crosses ~1/2 — sits at
+    * (1/b)^(1/r) for the k/r scheme, so pick the divisor r of k whose
+    * midpoint is nearest the requested threshold (log-scale, since the
+    * midpoints cluster multiplicatively). Pairs ABOVE the threshold then
+    * land on the steep upper arm of the curve (higher detection), pairs
+    * below fall off fast (fewer junk candidates) — and the exact-Jaccard
+    * verify stage downstream makes precision exact regardless, so the only
+    * quality axis r moves is recall vs candidate volume. For the k=8
+    * signature and the registered threshold 0.5 this derives r=2 — the
+    * value every call site already uses, now pinned as DERIVED rather than
+    * chosen (OpsSpec). */
+  def rowsPerBandFor(threshold: Double, k: Int = minhashSeeds.size): Int = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    val divisors = (1 to k).filter(k % _ == 0)
+    divisors.minBy { r =>
+      val midpoint = math.pow(1.0 / (k / r), 1.0 / r)
+      math.abs(math.log(midpoint) - math.log(threshold))
+    }
+  }
+
   /** LSH banding: k signature columns -> k/r bands; band key = md5 of the
-    * band's slice. Docs sharing any (band_id, band_key) are candidates. */
+    * band's slice. Docs sharing any (band_id, band_key) are candidates.
+    * The default r=2 equals [[rowsPerBandFor]](0.5) — the derived value for
+    * the registered threshold, kept literal so the oracle surface cannot
+    * drift if the derivation changes. */
   def lshBands(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame =
     sigs.select(col("doc_id"), explode(array(bandStructs(rowsPerBand): _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))

@@ -40,9 +40,18 @@ object ScaleCorpus {
     // unionByName built an O(factor) plan that the analyzer/optimizer walk
     // per rule (fine at 10-100×, minutes of driver time at 1000×). Same
     // output: replica r of every row, ids offset by r·span.
+    //
+    // The SOURCE is repartitioned BEFORE the join, and the write has no
+    // shuffle after it: an sf0.1 table is a single ~10 MB input split, so
+    // without the pre-join spread the whole factor× generation runs in ONE
+    // task — and a post-join repartition would shuffle the full GENERATED
+    // volume (~30 GB of lineitem at 1000×) instead of the ~10 MB source.
+    // Parallelism must be seeded on the small side of a row-exploding
+    // operator (measured: the 1000× lineitem leg went from >20 min,
+    // single-task, to ~1 min this way).
     def withReplica(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       require(!df.columns.contains("__r"), "replica column name collision")
-      df.crossJoin(broadcast(spark.range(factor).toDF("__r")))
+      df.repartition(32).crossJoin(broadcast(spark.range(factor).toDF("__r")))
     }
     val docs = graft.model.Tables(spark, src, "documents")
     val n = docs.count()
@@ -60,7 +69,7 @@ object ScaleCorpus {
         rep.withColumn("n_chars", length(col("text")).cast("long"))
       else rep).drop("__r")
     }
-    reps.repartition(32).write.mode("overwrite")
+    reps.write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
     println(s"[scale] wrote ${factor}x corpus (${factor * n} docs, " +
       s"${if (exactMode) "exact" else "near-dup"} replicas) to $out")
@@ -74,7 +83,7 @@ object ScaleCorpus {
       transform(col("embedding"),
         x => (x + col("__r").cast("float") * lit(1e-4f)).cast("float")).as("embedding"),
       col("label"))
-    embReps.repartition(32).write.mode("overwrite")
+    embReps.write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
     println(s"[scale] wrote ${factor}x embeddings (${factor * m} vecs) to $out")
 
@@ -107,7 +116,7 @@ object ScaleCorpus {
       val reps = keySpans.foldLeft(withReplica(t)) { case (df, (k, span)) =>
         df.withColumn(k, col(k) + col("__r") * lit(span))
       }.drop("__r")
-      reps.repartition(32).write.mode("overwrite").parquet(s"$out/$table.parquet")
+      reps.write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[scale] wrote ${factor}x $table to $out")
     }
     // events joins nothing by key here: one single-scan agg for both spans

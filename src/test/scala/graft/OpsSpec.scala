@@ -35,6 +35,27 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("rowsPerBand derives from the threshold; registered default is the derived value") {
+    // The S-curve midpoints for k=8 are r=1: 0.125, r=2: 0.5, r=4: 0.841,
+    // r=8: 1.0 — the derivation must pick the log-nearest divisor, and the
+    // registered (threshold=0.5, r=2) pair must be ON the derivation so the
+    // default is pinned as derived, not chosen.
+    assert(Dedup.rowsPerBandFor(0.5) == 2)
+    assert(Dedup.rowsPerBandFor(0.2) == 1)   // loose threshold → wide recall bands
+    assert(Dedup.rowsPerBandFor(0.7) == 4)
+    assert(Dedup.rowsPerBandFor(0.95) == 8)  // near-exact → one strict band
+    // Monotone: a stricter threshold never derives FEWER rows per band.
+    val rs = Seq(0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.85, 0.95, 0.99)
+      .map(Dedup.rowsPerBandFor(_))
+    assert(rs == rs.sorted, rs.toString)
+    // And the curve math itself: at the registered operating point a true
+    // 0.5-Jaccard pair is caught with p≈0.684, a 0.9 pair with p>0.99.
+    assert(math.abs(Dedup.lshDetectProb(0.5, 2, 4) - 0.684) < 0.01)
+    assert(Dedup.lshDetectProb(0.9, 2, 4) > 0.99)
+    intercept[IllegalArgumentException](Dedup.rowsPerBandFor(0.0))
+    intercept[IllegalArgumentException](Dedup.rowsPerBandFor(1.0))
+  }
+
   test("near-dup pipeline finds the one-word-changed pair via jaccard") {
     val nd = Dedup.nearDupPairs(docs, "text", 3, threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet

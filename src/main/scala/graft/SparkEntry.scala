@@ -2579,19 +2579,21 @@ object SparkEntry {
        |FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN nd
        |GROUP BY tf.doc_id""".stripMargin
 
-  /** 32-bit SimHash CTE chain (per-bit majority votes), shared by the d4
+  /** 60-bit SimHash CTE chain (per-bit majority votes), shared by the d4
     * signature oracle and the d5 near-dup oracle. */
   private lazy val simhashCtes: String = {
-    val votes = (0 until 32).map { j =>
+    // 60-bit fingerprint (15 md5 hex chars) mirroring Dedup.simhash — 60
+    // and not 64 so '0x'||hex parses within a signed BIGINT on both engines.
+    val votes = (0 until 60).map { j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
     }.mkString(",\n  ")
-    val sig = (0 until 32).map { j =>
+    val sig = (0 until 60).map { j =>
       s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
     s"""tok AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokenRe')) AS token
        |  FROM documents),
-       |h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM tok),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h FROM tok),
        |votes AS (SELECT doc_id,
        |  $votes
        |FROM h GROUP BY doc_id),

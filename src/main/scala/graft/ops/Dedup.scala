@@ -755,22 +755,30 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** 32-bit SimHash over the token multiset: per-bit majority vote of
+  /** 60-bit SimHash over the token multiset: per-bit majority vote of
     * md5-derived token hashes, computed as `bits` flat conditional sums in
-    * one aggregation pass. Capped at 32 bits: the underlying token hash is
-    * 8 md5 hex chars (32 bits), so votes for bits 32+ would be constant −1
-    * and the signature's high bits constant 0 — downstream banding over
-    * those bits degenerates to all-pairs, the exact blowup the even-width
-    * band fix removed (review finding). */
-  def simhash(df: DataFrame, textCol: String, bits: Int = 32): DataFrame = {
-    require(bits >= 1 && bits <= 32,
-      s"simhash bits must be in [1, 32] (token hashes carry 32 bits); got $bits")
+    * one aggregation pass. 60 bits (15 md5 hex chars), not 32 (8): the
+    * fingerprint width sets the BAND width of the exact Hamming banding
+    * downstream — nBands is pigeonhole-forced to maxHamming+1, so at
+    * maxHamming=3 a 32-bit signature gives 8-bit bands and the candidate
+    * volume grows as |distinct sigs|²/256 (measured: ~2B in-bucket
+    * candidates at 500k distinct signatures — multi-minute straggler-bound
+    * joins), while 60 bits give 15-bit bands and /32768 — the same corpus
+    * stays subquadratic to ~30M distinct signatures. 60 and not 64 because
+    * the ORACLE parity requires the token hash to fit a signed BIGINT on
+    * the DuckDB side ('0x' || 15 hex chars < 2^60); votes for bits past the
+    * hash width would be constant −1 and the high bits constant 0 —
+    * banding over constant bits degenerates to all-pairs (review finding,
+    * originally against the 32-bit cap). */
+  def simhash(df: DataFrame, textCol: String, bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 60,
+      s"simhash bits must be in [1, 60] (token hashes carry 60 bits); got $bits")
     // Materialize the token hash once; the vote columns then reference the
     // column instead of each recomputing md5 (bits-times less hashing).
     val tok = graft.model.Tables.spread(df.select(col("doc_id"), col(textCol)), col("doc_id"))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .select(col("doc_id"),
-        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("h"))
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("h"))
     val h = col("h")
     val votes = (0 until bits).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
@@ -789,12 +797,15 @@ object Dedup {
     * near-dup shares a band and the result is EXACT — identical to the
     * all-pairs filter, at equi-join cost. (Round-1 hardcoded 4 bands but
     * allowed maxHamming=8, silently missing 4-8-bit pairs spread across all
-    * bands.) Wide buckets keep candidates ~corpus²/2^width per band — at
-    * 100 TB pick `bits`/`maxHamming` so width >= ~16 bits. */
-  def simhashNearDup(sigs: DataFrame, maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+    * bands.) Wide buckets keep candidates ~|distinct sigs|²/2^width per
+    * band — the prepass below joins DISTINCT signatures, so duplicate-heavy
+    * corpora (the common case near-dup dedup exists for) pay dedup-factor²
+    * less than the doc count suggests; at 100 TB additionally pick
+    * `bits`/`maxHamming` so width >= ~16 bits. */
+  def simhashNearDup(sigs: DataFrame, maxHamming: Int = 3, bits: Int = 60): DataFrame = {
     val nBands = maxHamming + 1
-    require(bits >= 1 && bits <= 32,
-      s"simhash signatures carry at most 32 meaningful bits; got bits=$bits — " +
+    require(bits >= 1 && bits <= 60,
+      s"simhash signatures carry at most 60 meaningful bits; got bits=$bits — " +
         "bands over constant-zero high bits would put every doc in one " +
         "bucket and go all-pairs (review finding)")
     require(nBands <= bits,
@@ -806,31 +817,58 @@ object Dedup {
     // EVERY doc shares its bucket and the self-join goes all-pairs — the
     // exact blowup the banding exists to avoid; review finding). The
     // pigeonhole exactness argument only needs the bands to partition the
-    // bit range, which this split preserves. For maxHamming=3/bits=32 the
-    // boundaries are 0/8/16/24 — identical to the old layout, so the d5/d6
-    // oracles are unchanged.
+    // bit range, which this split preserves. For maxHamming=3/bits=60 the
+    // boundaries are 0/15/30/45.
     val bounds = (0 to nBands).map(b => b * bits / nBands)
-    // Materialize the (doc_id, simhash) aggregate once: the band self-join
-    // references it twice and would otherwise re-tokenize the corpus per side.
+    // Materialize the (doc_id, simhash) aggregate once: downstream joins
+    // reference it several times and would otherwise re-tokenize per use.
     val sigsM = Materialize.pin(sigs)
-    val banded = sigsM.select(col("doc_id"), col("simhash"),
+    // Signature-group prepass (the d19 exact-prepass lesson applied to
+    // Hamming space): band and self-join DISTINCT signatures, not docs.
+    // Identical signatures — the replica/mirror regime that dominates
+    // dup-heavy corpora — previously collided in EVERY band, so a group of
+    // g same-sig docs cost g² candidate evaluations per band before the
+    // distinct; measured at ×100 replica density (500k docs, ~2k docs per
+    // 8-bit nib) the doc-level join streamed ~2B in-bucket candidates and
+    // at ×1000 the shape was infeasible (~200B). Over distinct sigs the
+    // band join is corpus-dedup-factor² cheaper, within-group pairs come
+    // from one equi-self-join (Hamming 0 by construction), and cross-group
+    // pairs expand through two simhash equi-joins — OUTPUT-bound, which is
+    // the floor: the result set itself is quadratic in group size. Output
+    // is row-identical to the doc-level join (same oracle): pigeonhole
+    // exactness applies unchanged at the signature level, and a doc pair
+    // realizes exactly one unordered sig pair, so no doc-level distinct is
+    // needed.
+    val uniq = Materialize.pin(sigsM.select(col("simhash")).distinct())
+    val banded = uniq.select(col("simhash"),
       explode(array((0 until nBands).map { b =>
         val start = bounds(b)
         val mask = (1L << (bounds(b + 1) - start)) - 1
         struct(lit(b).as("band_id"),
           shiftright(col("simhash"), start).bitwiseAND(mask).as("nib"))
       }: _*)).as("band"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("simhash"),
         col("band.band_id").as("band_id"), col("band.nib").as("nib"))
-    val l = banded.as("l")
-    val r = banded.as("r")
-    l.join(r,
+    val sigPairs = banded.as("l").join(banded.as("r"),
         col("l.band_id") === col("r.band_id") && col("l.nib") === col("r.nib") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming) // filter BEFORE distinct: shrink the shuffle
-      .distinct()
+        col("l.simhash") < col("r.simhash"))
+      .select(col("l.simhash").as("sig_a"), col("r.simhash").as("sig_b"))
+      .distinct() // a sig pair can share several bands
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+    val docsBySig = sigsM.select(col("doc_id"), col("simhash"))
+    val cross = sigPairs
+      .join(docsBySig.select(col("doc_id").as("da"), col("simhash").as("sig_a")),
+        Seq("sig_a"))
+      .join(docsBySig.select(col("doc_id").as("db"), col("simhash").as("sig_b")),
+        Seq("sig_b"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("hamming"))
+    val within = docsBySig.as("x").join(docsBySig.as("y"),
+        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(lit(0L)).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Inverted-index lexical cosine near-dup: tf-weighted cosine over bigram

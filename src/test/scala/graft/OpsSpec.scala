@@ -904,11 +904,13 @@ class OpsSpec extends SparkSpec {
       s"the '' shingle inflated the shared count: $over")
   }
 
-  test("simhash refuses bits outside [1, 32] (token hashes carry 32 bits)") {
+  test("simhash refuses bits outside [1, 60] (token hashes carry 60 bits)") {
+    // 60, not 64: the fingerprint must round-trip through the oracle's
+    // CAST('0x' || 15 hex chars AS BIGINT), which caps at signed-64 range.
     val docs = Seq((1L, "some words")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] { Dedup.simhash(docs, "text", bits = 64) }
     intercept[IllegalArgumentException] {
-      Dedup.simhashNearDup(Seq((1L, 0L)).toDF("doc_id", "simhash"), 3, bits = 33)
+      Dedup.simhashNearDup(Seq((1L, 0L)).toDF("doc_id", "simhash"), 3, bits = 61)
     }
   }
 

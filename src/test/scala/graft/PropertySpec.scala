@@ -658,7 +658,7 @@ class PropertySpec extends SparkSpec {
     // non-divisible splits too, which is where the arithmetic can silently
     // break. Signatures cluster near a few seeds so near-pairs exist.
     val shapeGen = for {
-      bits <- Gen.oneOf(7, 16, 31, 32)
+      bits <- Gen.oneOf(7, 16, 31, 32, 59, 60)
       maxH <- Gen.choose(0, 5)
     } yield (bits, maxH)
     val sigGen = (bits: Int) => {

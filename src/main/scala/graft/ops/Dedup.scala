@@ -306,7 +306,12 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, textCol: String, n: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignaturesWithSets(docs, textCol, n)
-    val pairs = candidatePairs(lshBands(sigs))
+    // Banding derived from the threshold ([[rowsPerBandFor]]): a loose
+    // threshold widens recall bands instead of silently dropping ~85% of
+    // threshold-level pairs before the exact verify (review finding — the
+    // derivation existed but only tests called it). At the default 0.5 the
+    // derived r is the same 2 this call always used.
+    val pairs = candidatePairs(lshBands(sigs, rowsPerBandFor(threshold)))
     jaccardFromSets(pairs, sigs).filter(col("jaccard") >= threshold)
   }
 
@@ -319,19 +324,28 @@ object Dedup {
     * equi-join on (band_id, band_key), and only flagged hits reach the
     * per-doc summary. Output per new doc: match count, deterministic best
     * match (max Jaccard, min corpus id on ties), and the keep verdict.
-    */
+    *
+    * `rowsPerBand = 0` (the default) derives the banding from the
+    * threshold via [[rowsPerBandFor]], so a caller loosening the threshold
+    * gets wider recall bands automatically (review finding — the
+    * derivation existed but nothing production called it); pass an
+    * explicit r > 0 only to match a PERSISTED band index built under a
+    * different value (the streaming index path, whose own default stays a
+    * literal 2 for checkpoint compatibility). At the default threshold 0.5
+    * the derived r IS 2 — unchanged behavior for every existing caller. */
   def crossDedup(newDocs: DataFrame, corpus: DataFrame, textCol: String,
-                 n: Int = 3, rowsPerBand: Int = 2,
+                 n: Int = 3, rowsPerBand: Int = 0,
                  threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val r = if (rowsPerBand > 0) rowsPerBand else rowsPerBandFor(threshold)
     val cSigs = minhashSignaturesWithSets(corpus, textCol, n)
     // Same LSH skew guard as candidatePairs: a band key shared by a large
     // fraction of the incumbent corpus carries no near-dup signal but makes
     // the probe join quadratic on that key — drop over-full index buckets.
-    val index = capBuckets(lshBands(cSigs, rowsPerBand), maxBucket)
+    val index = capBuckets(lshBands(cSigs, r), maxBucket)
       .join(cSigs.select(col("doc_id").as("corpus_doc_id"), col("sh").as("sh_corpus")),
         col("doc_id") === col("corpus_doc_id")).drop("doc_id")
     val nSigs = rowMinhashSignatures(newDocs, textCol, n)
-    val hits = probeIndex(nSigs, index, rowsPerBand, threshold)
+    val hits = probeIndex(nSigs, index, r, threshold)
       .distinct() // multi-band pair copies carry the identical jaccard
     val summary = hits.groupBy("doc_id").agg(
       count(lit(1)).cast("int").as("n_matches"),
@@ -853,15 +867,27 @@ object Dedup {
         col("l.band_id") === col("r.band_id") && col("l.nib") === col("r.nib") &&
         col("l.simhash") < col("r.simhash"))
       .select(col("l.simhash").as("sig_a"), col("r.simhash").as("sig_b"))
-      .distinct() // a sig pair can share several bands
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      // filter BEFORE the distinct: bit_count is a map-side expression and
+      // commutes with it, so only true near-dup sig pairs (not every
+      // in-bucket candidate, multi-band copies included) pay the dedup
+      // shuffle (review finding — the old doc-level join made the same
+      // ordering choice).
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a sig pair can share several bands
+    // Input contract: `sigs` carries ONE row per doc_id (every producer in
+    // this file guarantees it — simhash() ends in groupBy(doc_id)).
+    // Duplicate doc_id rows under DIFFERENT signatures would otherwise
+    // fabricate self-pairs through the cross expansion; the a =!= b guard
+    // below drops those cheaply, while duplicate identical rows (same doc,
+    // same sig twice) remain the caller's malformed input (review finding).
     val docsBySig = sigsM.select(col("doc_id"), col("simhash"))
     val cross = sigPairs
       .join(docsBySig.select(col("doc_id").as("da"), col("simhash").as("sig_a")),
         Seq("sig_a"))
       .join(docsBySig.select(col("doc_id").as("db"), col("simhash").as("sig_b")),
         Seq("sig_b"))
+      .filter(col("da") =!= col("db"))
       .select(least(col("da"), col("db")).as("a"),
         greatest(col("da"), col("db")).as("b"), col("hamming"))
     val within = docsBySig.as("x").join(docsBySig.as("y"),

@@ -657,11 +657,14 @@ object XlsxIO {
     var i = 0
     var acc = 0L
     while (i < ref.length && ref.charAt(i).isLetter) {
-      val c = ref.charAt(i).toUpper
-      // Only A-Z can appear in a real ref; a unicode letter ('é') is not a
-      // column digit and must not alias onto one via arbitrary code-point
-      // arithmetic — malformed, same sentinel.
-      if (c < 'A' || c > 'Z') return -1
+      val c0 = ref.charAt(i)
+      // Only raw A-Z/a-z can appear in a real ref; the range check runs on
+      // the RAW char, not toUpper's output — unicode letters whose
+      // uppercase lands in A-Z ('ı' dotless i → 'I', 'ſ' long
+      // s → 'S') would otherwise alias onto column digits (review
+      // finding). Malformed → same sentinel.
+      if (!((c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z'))) return -1
+      val c = if (c0 >= 'a') (c0 - 32).toChar else c0
       acc = acc * 26L + (c - 'A' + 1)
       if (acc > MaxCols) return -1
       i += 1

@@ -529,7 +529,11 @@ class XlsxSpec extends SparkSpec {
     // an Int-overflowing ref (26^7 > 2^31 — pre-fix this aliased onto an
     // arbitrary wrapped index), and a unicode letter (code-point
     // arithmetic is not column arithmetic).
-    for (bad <- Seq("XFE1", "AAAA1", "ZZZZZZZ1", "ZZZZZZZZZZZZ1", "é1"))
+    // 'ı' (dotless i) and 'ſ' (long s) uppercase INTO A-Z ('I'/'S') — the
+    // guard must check the raw char, or they alias onto real columns
+    // (review finding).
+    for (bad <- Seq("XFE1", "AAAA1", "ZZZZZZZ1", "ZZZZZZZZZZZZ1", "é1",
+                    "ı1", "ſ1"))
       assert(colIndex(bad) == -1, s"colIndex($bad)")
     // End-to-end through the sheet parser: junk-ref cells land at their
     // POSITION, so width stays bounded by the real cell count.

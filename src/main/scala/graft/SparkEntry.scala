@@ -1508,8 +1508,10 @@ object SparkEntry {
     // graph; cluster_id = min reachable doc_id (the survivor each cluster
     // keeps). Oracle computes the same closure with a recursive CTE.
     ("d6_dup_clusters",
-      (s, d) => Dedup.connectedComponents(
-        Dedup.simhashNearDup(Dedup.simhash(docs(s, d), "text"), maxHamming = 3)),
+      // Sig-level closure (Dedup.dupClusters): row-identical to
+      // connectedComponents over the d5 pairs, but the quadratic doc-level
+      // edge set is never materialized — the mirror-regime scale path.
+      (s, d) => Dedup.dupClusters(Dedup.simhash(docs(s, d), "text"), maxHamming = 3),
       Some(dupClustersSql)),
 
     // ---- d9: cross-corpus dedup — flag a fresh slice (doc_id % 10 = 0)
@@ -1636,8 +1638,7 @@ object SparkEntry {
       (s, d) => {
         val dd = docs(s, d)
         Dedup.canonicalPick(
-          Dedup.connectedComponents(
-            Dedup.simhashNearDup(Dedup.simhash(dd, "text"), maxHamming = 3)),
+          Dedup.dupClusters(Dedup.simhash(dd, "text"), maxHamming = 3),
           TextAnalysis.qualityScore(dd, "text"))
       },
       Some(canonicalPickSql)),
@@ -1650,8 +1651,7 @@ object SparkEntry {
     ("d17_leakage_safe_split",
       (s, d) => {
         val dd = docs(s, d)
-        val clusters = Dedup.connectedComponents(
-          Dedup.simhashNearDup(Dedup.simhash(dd, "text"), maxHamming = 3))
+        val clusters = Dedup.dupClusters(Dedup.simhash(dd, "text"), maxHamming = 3)
         val keyed = dd.select(col("doc_id"))
           .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
           .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))

@@ -816,7 +816,23 @@ object Dedup {
     * corpora (the common case near-dup dedup exists for) pay dedup-factor²
     * less than the doc count suggests; at 100 TB additionally pick
     * `bits`/`maxHamming` so width >= ~16 bits. */
-  def simhashNearDup(sigs: DataFrame, maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+  /** Near-dup SIGNATURE pairs (sig_a < sig_b, hamming ≤ maxHamming) via
+    * pigeonhole banding over a DISTINCT-signature frame (one `simhash`
+    * column) — the shared core of [[simhashNearDup]] (which expands back to
+    * doc pairs) and [[dupClusters]] (which closes over the sig graph and
+    * never materializes doc pairs at all).
+    *
+    * EVEN bit distribution: band b covers [b·bits/B, (b+1)·bits/B) — widths
+    * differ by at most 1 and every band holds real signature bits. The old
+    * uniform ceil() width gave trailing bands few or ZERO real bits (e.g.
+    * bits=32, maxHamming=8: band 8 would read bits 32-35 = constant 0, so
+    * EVERY doc shares its bucket and the self-join goes all-pairs — the
+    * exact blowup the banding exists to avoid; review finding). The
+    * pigeonhole exactness argument only needs the bands to partition the
+    * bit range, which this split preserves. For maxHamming=3/bits=60 the
+    * boundaries are 0/15/30/45. */
+  private[graft] def simhashSigPairs(uniqSigs: DataFrame, maxHamming: Int,
+                                     bits: Int): DataFrame = {
     val nBands = maxHamming + 1
     require(bits >= 1 && bits <= 60,
       s"simhash signatures carry at most 60 meaningful bits; got bits=$bits — " +
@@ -824,16 +840,31 @@ object Dedup {
         "bucket and go all-pairs (review finding)")
     require(nBands <= bits,
       s"maxHamming=$maxHamming needs ${nBands} bands over only $bits bits")
-    // EVEN bit distribution: band b covers [b·bits/B, (b+1)·bits/B) — widths
-    // differ by at most 1 and every band holds real signature bits. The old
-    // uniform ceil() width gave trailing bands few or ZERO real bits (e.g.
-    // bits=32, maxHamming=8: band 8 would read bits 32-35 = constant 0, so
-    // EVERY doc shares its bucket and the self-join goes all-pairs — the
-    // exact blowup the banding exists to avoid; review finding). The
-    // pigeonhole exactness argument only needs the bands to partition the
-    // bit range, which this split preserves. For maxHamming=3/bits=60 the
-    // boundaries are 0/15/30/45.
     val bounds = (0 to nBands).map(b => b * bits / nBands)
+    val banded = uniqSigs.select(col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        val start = bounds(b)
+        val mask = (1L << (bounds(b + 1) - start)) - 1
+        struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), start).bitwiseAND(mask).as("nib"))
+      }: _*)).as("band"))
+      .select(col("simhash"),
+        col("band.band_id").as("band_id"), col("band.nib").as("nib"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band_id") === col("r.band_id") && col("l.nib") === col("r.nib") &&
+        col("l.simhash") < col("r.simhash"))
+      .select(col("l.simhash").as("sig_a"), col("r.simhash").as("sig_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      // filter BEFORE the distinct: bit_count is a map-side expression and
+      // commutes with it, so only true near-dup sig pairs (not every
+      // in-bucket candidate, multi-band copies included) pay the dedup
+      // shuffle (review finding — the old doc-level join made the same
+      // ordering choice).
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a sig pair can share several bands
+  }
+
+  def simhashNearDup(sigs: DataFrame, maxHamming: Int = 3, bits: Int = 60): DataFrame = {
     // Materialize the (doc_id, simhash) aggregate once: downstream joins
     // reference it several times and would otherwise re-tokenize per use.
     val sigsM = Materialize.pin(sigs)
@@ -854,27 +885,7 @@ object Dedup {
     // realizes exactly one unordered sig pair, so no doc-level distinct is
     // needed.
     val uniq = Materialize.pin(sigsM.select(col("simhash")).distinct())
-    val banded = uniq.select(col("simhash"),
-      explode(array((0 until nBands).map { b =>
-        val start = bounds(b)
-        val mask = (1L << (bounds(b + 1) - start)) - 1
-        struct(lit(b).as("band_id"),
-          shiftright(col("simhash"), start).bitwiseAND(mask).as("nib"))
-      }: _*)).as("band"))
-      .select(col("simhash"),
-        col("band.band_id").as("band_id"), col("band.nib").as("nib"))
-    val sigPairs = banded.as("l").join(banded.as("r"),
-        col("l.band_id") === col("r.band_id") && col("l.nib") === col("r.nib") &&
-        col("l.simhash") < col("r.simhash"))
-      .select(col("l.simhash").as("sig_a"), col("r.simhash").as("sig_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      // filter BEFORE the distinct: bit_count is a map-side expression and
-      // commutes with it, so only true near-dup sig pairs (not every
-      // in-bucket candidate, multi-band copies included) pay the dedup
-      // shuffle (review finding — the old doc-level join made the same
-      // ordering choice).
-      .filter(col("hamming") <= maxHamming)
-      .distinct() // a sig pair can share several bands
+    val sigPairs = simhashSigPairs(uniq, maxHamming, bits)
     // Input contract: `sigs` carries ONE row per doc_id (every producer in
     // this file guarantees it — simhash() ends in groupBy(doc_id)).
     // Duplicate doc_id rows under DIFFERENT signatures would otherwise
@@ -895,6 +906,53 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(lit(0L)).as("hamming"))
     cross.unionByName(within)
+  }
+
+  /** Near-dup clusters computed at the SIGNATURE level: row-identical to
+    * `connectedComponents(simhashNearDup(sigs))` — (doc_id, cluster_id =
+    * min reachable doc_id) for every doc with at least one near-dup pair —
+    * but the closure runs over the SIG graph and the doc-level edge set is
+    * NEVER materialized. That edge set is quadratic in same-signature group
+    * size (C(g, 2) per group: 2.5B pairs at ×1000 mirror density, where
+    * this shape stays output-LINEAR — 5M rows out), so it is the production
+    * clustering path for replica/mirror-heavy corpora; fourth-decade probe
+    * ledgered in BASELINE.md.
+    *
+    * Equivalence: same-sig docs form a clique (Hamming 0 ≤ maxHamming), so
+    * doc connectivity == connectivity of their signatures; the component
+    * minimum over docs == min over the component's per-sig min doc ids. A
+    * doc participates in the pair graph iff its sig group has ≥2 members
+    * (within-clique edge) or its sig has a sig-graph neighbor (every sig
+    * node of an edge carries ≥1 doc) — the `g_n >= 2 || c_sigs >= 2`
+    * filter below. Same one-row-per-doc_id input contract as
+    * [[simhashNearDup]]. */
+  def dupClusters(sigs: DataFrame, maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    val sigsM = Materialize.pin(sigs)
+    val docsBySig = sigsM.select(col("doc_id"), col("simhash"))
+    // One row per signature: member count and min member (the group's
+    // candidate cluster id) — also the distinct-sig frame the banding needs.
+    val groups = Materialize.pin(docsBySig.groupBy("simhash")
+      .agg(count(lit(1)).as("g_n"), min(col("doc_id")).as("g_min")))
+    val sigPairs = simhashSigPairs(groups.select(col("simhash")), maxHamming, bits)
+    // Closure over SIGNATURES (node ids are the sig values — Longs, which
+    // is all connectedComponents requires of its node column).
+    val sigComp = connectedComponents(
+      sigPairs.select(col("sig_a").as("a"), col("sig_b").as("b")))
+      .select(col("doc_id").as("simhash"), col("cluster_id").as("root_sig"))
+    // Edge-less sigs root themselves; then one narrow agg per component
+    // gives its doc-min and its sig count.
+    val withRoot = groups.join(sigComp, Seq("simhash"), "left")
+      .select(col("simhash"), col("g_n"), col("g_min"),
+        coalesce(col("root_sig"), col("simhash")).as("root_sig"))
+    val rootAgg = withRoot.groupBy("root_sig").agg(
+      min(col("g_min")).as("cluster_id"),
+      count(lit(1)).as("c_sigs"))
+    docsBySig
+      .join(withRoot.join(rootAgg, Seq("root_sig"))
+        .select(col("simhash"), col("g_n"), col("cluster_id"), col("c_sigs")),
+        Seq("simhash"))
+      .filter(col("g_n") >= 2 || col("c_sigs") >= 2)
+      .select(col("doc_id"), col("cluster_id"))
   }
 
   /** Inverted-index lexical cosine near-dup: tf-weighted cosine over bigram

@@ -683,6 +683,38 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("sig-level dupClusters equals components over the doc-level pair graph") {
+    // dupClusters closes over the SIGNATURE graph and never materializes
+    // doc pairs; this differential pins row-identity with the composed
+    // doc-level shape it replaced (connectedComponents ∘ simhashNearDup) —
+    // including duplicate-signature groups (the seeds generate flips=0
+    // often, so same-sig cliques and edge-less multi-doc groups both
+    // occur), singleton exclusion, and the min-doc cluster id.
+    val shapeGen = for {
+      bits <- Gen.oneOf(16, 32, 60)
+      maxH <- Gen.choose(0, 4)
+    } yield (bits, maxH)
+    val sigGen = (bits: Int) => {
+      val mask = (1L << bits) - 1
+      val seed = Gen.oneOf(0L, 0x5a5a5a5aL, 0x7fffffffL)
+      Gen.listOfN(20, Gen.zip(seed, Gen.choose(0, 5), Gen.choose(0, bits - 1))
+        .map { case (s, flips, at) =>
+          (0 until flips).foldLeft(s)((v, i) => v ^ (1L << ((at + i * 7) % bits))) & mask
+        })
+    }
+    check("dupclusters-diff", 6)(Prop.forAll(shapeGen.flatMap { case (bits, maxH) =>
+      sigGen(bits).map(sigs => (bits, maxH, sigs)) }) { case (bits, maxH, sigList) =>
+      val sigs = sigList.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "simhash")
+      val want = Dedup.connectedComponents(
+        Dedup.simhashNearDup(sigs, maxHamming = maxH, bits = bits))
+        .as[(Long, Long)].collect().toSet
+      val got = Dedup.dupClusters(sigs, maxHamming = maxH, bits = bits)
+        .as[(Long, Long)].collect().toSet
+      got == want
+    })
+  }
+
   test("LSH near-dup pairs equal a from-scratch minhash pipeline reference") {
     // Independent end-to-end reimplementation of d3: regex tokens, word
     // trigram shingles (truncated shingle for short docs, zero-token docs

@@ -1769,15 +1769,13 @@ object SparkEntry {
         |                            ORDER BY cos DESC, nbr_id) AS INT) AS rank
         |  FROM scored) WHERE rank <= 3""".stripMargin)),
 
+    // Registered at the PRODUCTION blocking — label ∧ SRP bucket — so the
+    // gated shape is the one you'd run at ×100 (label-only blocking is
+    // density-quadratic: ProbeAnn measured 2.0B pairs / 92.6 s at ×100;
+    // the label-only form stays as the recall ground truth in OpsSpec).
     ("e2_embed_neardup",
-      (s, d) => Similarity.embeddingNearDup(emb(s, d), 0.3),
-      Some("""SELECT l.label, l.vec_id AS a, r.vec_id AS b,
-        |list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
-        |                       CAST(r.embedding AS DOUBLE[])) AS cos
-        |FROM embeddings l JOIN embeddings r
-        |  ON l.label = r.label AND l.vec_id < r.vec_id
-        |WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
-        |                             CAST(r.embedding AS DOUBLE[])) >= 0.3""".stripMargin)),
+      (s, d) => Similarity.embeddingNearDupBucketed(emb(s, d), 0.3),
+      Some(embNearDupBucketedSql)),
 
     ("e3_srp_ann_topk",
       (s, d) => Similarity.lshTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),
@@ -1862,25 +1860,20 @@ object SparkEntry {
 
     // ---- d8: SemDeDup — semantic dedup via centroid cells + in-cell cosine
     // prune; catches paraphrases that share no n-grams with d2/d3's shingle
-    // dedup. Centroids: the deterministic vec_id<8 stand-in e4 uses
-    // (kmeansCentroidFrame is the real producer at scale).
+    // dedup. Registered at the PRODUCTION configuration: real k-means
+    // centroids (the same deterministic Lloyd iterations e6 gates) at the
+    // derived k = ⌈√n⌉ — a fixed small k lets per-cell density grow with
+    // the corpus and the in-cell pair term go quadratic (ProbeAnn measured
+    // the old k=8 stand-in at ~255 s / 2.5B within-cell pairs at ×100,
+    // where a corpus-grown k ran 7.3 s; the stand-in survives as OpsSpec's
+    // semantics fixture).
     ("d8_semdedup",
-      (s, d) => Similarity.semDedup(emb(s, d), emb(s, d).filter(col("vec_id") < 8), 0.3),
-      Some("""WITH base AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-        |  WHERE len(embedding) = 64),
-        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM base WHERE vec_id < 8),
-        |assign AS (
-        |  SELECT b.vec_id, b.emb, c.cid AS cell
-        |  FROM base b CROSS JOIN cent c
-        |  QUALIFY row_number() OVER (PARTITION BY b.vec_id
-        |    ORDER BY list_cosine_similarity(b.emb, c.cemb) DESC, c.cid) = 1),
-        |dropped AS (
-        |  SELECT DISTINCT r.vec_id
-        |  FROM assign l JOIN assign r ON l.cell = r.cell AND l.vec_id < r.vec_id
-        |  WHERE list_cosine_similarity(l.emb, r.emb) >= 0.3)
-        |SELECT a.vec_id, a.cell, d.vec_id IS NULL AS keep
-        |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin)),
+      (s, d) => {
+        val e = emb(s, d)
+        val k = Similarity.derivedCellCount(e)
+        Similarity.semDedup(e, Similarity.kmeansCentroidFrame(s, e, k, iters = 2), 0.3)
+      },
+      Some(semDedupDerivedSql)),
 
     // ---- m: multimodal plumbing (north star). ALL THREE legs are REAL:
     // image payloads are genuine PNGs, audio payloads genuine PCM WAVs,
@@ -2612,20 +2605,25 @@ object SparkEntry {
        |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
        |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin
 
-  /** e3 oracle: the SRP bucket is a sum of sign bits of ±1-weighted plane
-    * projections. The plane sums are unrolled with the SAME signs
-    * (Similarity.planeSign) and the same left-to-right add order as Spark's
-    * zip_with/aggregate fold, so the projections — and hence buckets — are
-    * bit-identical; rerank mirrors the e1 cosine oracle. */
-  private lazy val srpAnnSql: String = {
-    val planes = 12; val dims = 64
-    val bucketExpr = (0 until planes).map { p =>
+  /** The SRP bucket id in DuckDB SQL — ONE definition for every oracle
+    * that blocks on it (e3/e5/e2): each plane's projection is unrolled
+    * with the SAME signs (Similarity.planeSign) and the same left-to-right
+    * add order as Spark's zip_with/aggregate fold, so the projections —
+    * and hence buckets — are bit-identical. */
+  private def srpBucketSqlExpr(planes: Int, dims: Int): String =
+    (0 until planes).map { p =>
       val terms = (0 until dims).map { d =>
         val sgn = if (Similarity.planeSign(p, d) > 0) "+" else "-"
         s"$sgn emb[${d + 1}]"
       }.mkString(" ")
       s"(CASE WHEN (0.0 $terms) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("\n    + ")
+
+  /** e3 oracle: SRP bucket + Hamming-1 probe + exact rerank; rerank
+    * mirrors the e1 cosine oracle. */
+  private lazy val srpAnnSql: String = {
+    val planes = 12; val dims = 64
+    val bucketExpr = srpBucketSqlExpr(planes, dims)
     s"""WITH base AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings WHERE len(embedding) = $dims),
@@ -2650,13 +2648,7 @@ object SparkEntry {
     * at or above threshold — shares the bucket expression with e3. */
   private lazy val srpNearDupSql: String = {
     val planes = 12; val dims = 64
-    val bucketExpr = (0 until planes).map { p =>
-      val terms = (0 until dims).map { d =>
-        val sgn = if (Similarity.planeSign(p, d) > 0) "+" else "-"
-        s"$sgn emb[${d + 1}]"
-      }.mkString(" ")
-      s"(CASE WHEN (0.0 $terms) > 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString("\n    + ")
+    val bucketExpr = srpBucketSqlExpr(planes, dims)
     s"""WITH base AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings WHERE len(embedding) = $dims),
@@ -2667,6 +2659,26 @@ object SparkEntry {
        |SELECT l.vec_id AS a, r.vec_id AS b,
        |  list_cosine_similarity(l.emb, r.emb) AS cos
        |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |WHERE list_cosine_similarity(l.emb, r.emb) >= 0.3""".stripMargin
+  }
+
+  /** e2 oracle at the production blocking: pairs must share label AND SRP
+    * bucket (the composed key the Spark side shuffles on); 8 planes — the
+    * label contributes the rest of the blocking factor (Scaladoc on
+    * Similarity.embeddingNearDupBucketed). */
+  private lazy val embNearDupBucketedSql: String = {
+    val planes = 8; val dims = 64
+    s"""WITH base AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings WHERE len(embedding) = $dims),
+       |bk AS (
+       |  SELECT vec_id, label, emb,
+       |    ${srpBucketSqlExpr(planes, dims)} AS bucket
+       |  FROM base)
+       |SELECT l.label, l.vec_id AS a, r.vec_id AS b,
+       |  list_cosine_similarity(l.emb, r.emb) AS cos
+       |FROM bk l JOIN bk r
+       |  ON l.label = r.label AND l.bucket = r.bucket AND l.vec_id < r.vec_id
        |WHERE list_cosine_similarity(l.emb, r.emb) >= 0.3""".stripMargin
   }
 
@@ -2853,8 +2865,18 @@ object SparkEntry {
     * max list_cosine_similarity with cell-ascending ties; update =
     * sum(round(x*1e6) BIGINT) / (1e6 * n) per dimension; empty cells keep
     * their previous centroid). */
-  private lazy val kmeansSql: String = {
-    val k = 8; val iters = 2; val dims = 64
+  /** Lloyd-iteration CTE chain shared by the e6 and d8 oracles: `base`
+    * (len-guarded corpus), `kk` (the cell count — `kkDef` supplies the
+    * definition: a literal for e6, the √n derivation for d8), `c0` (the k
+    * lowest-vec_id seeds), then per iteration the assignment / fixed-point
+    * per-dimension sums / updated centroids — `c<iters>` is the final
+    * centroid frame callers assign against. `cellType` matches the Spark
+    * side's cell column type (INT for e6's driver centFrame, BIGINT for
+    * d8's kmeansCentroidFrame). Identical float arithmetic to
+    * Similarity.kmeansCentroids (sequential cosine folds, round(x·1e6)
+    * BIGINT sums), so assignments hash-match exactly. */
+  private def kmeansCtes(kkDef: String, iters: Int, dims: Int,
+                         cellType: String): String = {
     val sumsCols = (0 until dims).map(d =>
       s"sum(CAST(round(emb[${d + 1}] * 1000000.0) AS BIGINT)) AS s$d").mkString(", ")
     val newc = (0 until dims).map(d =>
@@ -2863,9 +2885,10 @@ object SparkEntry {
     cte ++= s"""base AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings WHERE len(embedding) = $dims),
+       |kk AS ($kkDef),
        |c0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, emb AS c
-       |  FROM base ORDER BY vec_id LIMIT $k)""".stripMargin
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS $cellType) - 1 AS cell, emb AS c
+       |  FROM base QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk))""".stripMargin
     for (i <- 1 to iters) {
       cte ++= s""",
          |a$i AS (
@@ -2880,11 +2903,39 @@ object SparkEntry {
          |  SELECT c.cell, CASE WHEN s.cell IS NULL THEN c.c ELSE $newc END AS c
          |  FROM c${i - 1} c LEFT JOIN s$i s ON c.cell = s.cell)""".stripMargin
     }
-    s"""WITH $cte
+    cte.toString
+  }
+
+  private lazy val kmeansSql: String = {
+    val iters = 2
+    s"""WITH ${kmeansCtes("SELECT 8 AS k", iters, 64, "INT")}
        |SELECT b.vec_id, c.cell
        |FROM base b CROSS JOIN c$iters c
        |QUALIFY row_number() OVER (PARTITION BY b.vec_id
        |  ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) = 1""".stripMargin
+  }
+
+  /** d8 oracle at the production configuration: k-means centroids at the
+    * derived k = ⌈√n⌉ (the same two fixed-point Lloyd iterations as e6's
+    * oracle, k from a scalar subquery instead of a literal), then the
+    * SemDeDup assign/drop/keep over nonzero-norm vectors. */
+  private lazy val semDedupDerivedSql: String = {
+    val iters = 2
+    val kkDef = "SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM base"
+    s"""WITH ${kmeansCtes(kkDef, iters, 64, "BIGINT")},
+       |bnz AS (
+       |  SELECT vec_id, emb FROM base WHERE list_dot_product(emb, emb) > 0),
+       |assign AS (
+       |  SELECT b.vec_id, b.emb, c.cell
+       |  FROM bnz b CROSS JOIN c$iters c
+       |  QUALIFY row_number() OVER (PARTITION BY b.vec_id
+       |    ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) = 1),
+       |dropped AS (
+       |  SELECT DISTINCT r.vec_id
+       |  FROM assign l JOIN assign r ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |  WHERE list_cosine_similarity(l.emb, r.emb) >= 0.3)
+       |SELECT a.vec_id, a.cell, d.vec_id IS NULL AS keep
+       |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
   }
 
   /** e8 oracle: the identical 16 signed-sum projections; the ±1 weights are

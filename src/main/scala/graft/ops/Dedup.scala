@@ -207,24 +207,31 @@ object Dedup {
     * hand-picking it (the same derive-the-knob rule as the interval-join
     * bucket width and the pair-join shuffle width): the S-curve's midpoint
     * — the similarity where [[lshDetectProb]] crosses ~1/2 — sits at
-    * (1/b)^(1/r) for the k/r scheme, so pick the divisor r of k whose
-    * midpoint is nearest the requested threshold (log-scale, since the
-    * midpoints cluster multiplicatively). Pairs ABOVE the threshold then
-    * land on the steep upper arm of the curve (higher detection), pairs
-    * below fall off fast (fewer junk candidates) — and the exact-Jaccard
-    * verify stage downstream makes precision exact regardless, so the only
-    * quality axis r moves is recall vs candidate volume. For the k=8
-    * signature and the registered threshold 0.5 this derives r=2 — the
-    * value every call site already uses, now pinned as DERIVED rather than
-    * chosen (OpsSpec). */
+    * (1/b)^(1/r) for the k/r scheme. Pick the LARGEST divisor r of k whose
+    * midpoint is at or below the requested threshold, so the threshold
+    * always sits on the steep UPPER arm of the chosen curve: detection of
+    * an at-threshold pair is then ≥ 1 − (1 − 1/b)^b (0.75 / 0.68 / 0.66
+    * for b = 2/4/8 at k = 8) and rises fast above it, while pairs below
+    * the midpoint fall off (fewer junk candidates). The earlier
+    * nearest-midpoint rule could round UP to a strict banding whose
+    * midpoint exceeded the threshold — at 0.7 it picked r=4 and silently
+    * cut at-threshold detection to ~0.42 (review finding; LSH misses are
+    * invisible to the exact verify, which only sees surfaced candidates).
+    * For thresholds TIGHTER than the widest midpoint (≥ ~0.84 at k = 8)
+    * this still trades recall vs the maximal r=1 banding — the bound above
+    * is the floor, and the exact-Jaccard verify keeps precision exact
+    * regardless; the only axis r moves is recall vs candidate volume.
+    * Thresholds below every midpoint derive r=1, the widest-recall
+    * banding. For the k=8 signature and the registered threshold 0.5 this
+    * derives r=2 — the value every registered call site uses, pinned as
+    * DERIVED rather than chosen (OpsSpec). */
   def rowsPerBandFor(threshold: Double, k: Int = minhashSeeds.size): Int = {
     require(threshold > 0.0 && threshold < 1.0,
       s"threshold must be in (0, 1), got $threshold")
     val divisors = (1 to k).filter(k % _ == 0)
-    divisors.minBy { r =>
-      val midpoint = math.pow(1.0 / (k / r), 1.0 / r)
-      math.abs(math.log(midpoint) - math.log(threshold))
-    }
+    divisors.filter { r =>
+      math.pow(1.0 / (k / r), 1.0 / r) <= threshold
+    }.maxOption.getOrElse(1)
   }
 
   /** LSH banding: k signature columns -> k/r bands; band key = md5 of the
@@ -302,16 +309,24 @@ object Dedup {
   }
 
   /** MinHash-LSH near-duplicate pipeline: signatures -> bands -> candidate
-    * pairs -> exact Jaccard verify -> pairs above threshold. */
+    * pairs -> exact Jaccard verify -> pairs above threshold.
+    *
+    * `rowsPerBand = 0` (the default) derives the banding from the
+    * threshold via [[rowsPerBandFor]] — a loose threshold widens recall
+    * bands instead of silently dropping most threshold-level pairs before
+    * the exact verify (review finding — the derivation existed but only
+    * tests called it). Pass an explicit r > 0 only to match a PERSISTED
+    * band index built under a different value (the streaming index path
+    * pins a literal 2 for checkpoint compatibility — a ground-truth
+    * comparison against it must band the same way). At the default 0.5
+    * the derived r is the same 2 this call always used. */
   def nearDupPairs(docs: DataFrame, textCol: String, n: Int = 3,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, rowsPerBand: Int = 0): DataFrame = {
+    require(rowsPerBand >= 0,
+      s"rowsPerBand must be > 0, or 0 to derive from the threshold; got $rowsPerBand")
+    val r = if (rowsPerBand > 0) rowsPerBand else rowsPerBandFor(threshold)
     val sigs = minhashSignaturesWithSets(docs, textCol, n)
-    // Banding derived from the threshold ([[rowsPerBandFor]]): a loose
-    // threshold widens recall bands instead of silently dropping ~85% of
-    // threshold-level pairs before the exact verify (review finding — the
-    // derivation existed but only tests called it). At the default 0.5 the
-    // derived r is the same 2 this call always used.
-    val pairs = candidatePairs(lshBands(sigs, rowsPerBandFor(threshold)))
+    val pairs = candidatePairs(lshBands(sigs, r))
     jaccardFromSets(pairs, sigs).filter(col("jaccard") >= threshold)
   }
 
@@ -336,6 +351,10 @@ object Dedup {
   def crossDedup(newDocs: DataFrame, corpus: DataFrame, textCol: String,
                  n: Int = 3, rowsPerBand: Int = 0,
                  threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    // only the documented 0 sentinel may trigger derivation — a negative
+    // caller typo must fail loudly, not silently re-band (review finding)
+    require(rowsPerBand >= 0,
+      s"rowsPerBand must be > 0, or 0 to derive from the threshold; got $rowsPerBand")
     val r = if (rowsPerBand > 0) rowsPerBand else rowsPerBandFor(threshold)
     val cSigs = minhashSignaturesWithSets(corpus, textCol, n)
     // Same LSH skew guard as candidatePairs: a band key shared by a large

@@ -72,18 +72,20 @@ object Similarity {
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
   }
 
-  /** Keyed pair-cosine core: self-join rows sharing `key`, ordered a < b,
-    * exact cosine — ONE definition for the three near-dup ops (review
-    * finding). Input shape: (key, vec_id, emb double[], nrm) with zero
-    * norms already excluded. */
-  private def pairCosine(keyed: DataFrame, key: String): DataFrame = {
-    val l = keyed.select(col(key), col("vec_id").as("a"),
-      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val r = keyed.select(col(key), col("vec_id").as("b"),
-      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
-    l.join(r, Seq(key)).filter(col("a") < col("b"))
-      .select(col(key), col("a"), col("b"),
-        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
+  /** Keyed pair-cosine core: self-join rows sharing every `keys` column,
+    * ordered a < b, exact cosine — ONE definition for the near-dup ops
+    * (review finding); composite blockers (label ∧ SRP bucket) pass
+    * several keys and the equi-join shuffles on all of them. Input shape:
+    * (keys…, vec_id, emb double[], nrm) with zero norms already excluded. */
+  private def pairCosine(keyed: DataFrame, keys: String*): DataFrame = {
+    val kc = keys.map(col)
+    val l = keyed.select(kc :+ col("vec_id").as("a") :+
+      col("emb").as("emb_a") :+ col("nrm").as("nrm_a"): _*)
+    val r = keyed.select(kc :+ col("vec_id").as("b") :+
+      col("emb").as("emb_b") :+ col("nrm").as("nrm_b"): _*)
+    l.join(r, keys).filter(col("a") < col("b"))
+      .select(kc :+ col("a") :+ col("b") :+
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"): _*)
   }
 
   /** Deterministic ±1 hyperplane weights: plane p, dimension d -> sign from
@@ -103,18 +105,26 @@ object Similarity {
     * form generated a 768-term codegen class whose one-time compilation
     * dominated the query), and the loop itself is codegen'd. */
   def srpBucket(df: DataFrame, planes: Int = 12, dims: Int = 64): DataFrame = {
-    val emb = col("embedding")
-    val bucket = (0 until planes).map { p =>
-      val w = typedLit((0 until dims).map(d => planeSign(p, d).toDouble))
-      val proj = dot(emb, w)
-      when(proj > 0, 1L << p).otherwise(0L)
-    }.reduce(_ + _)
+    val bucket = srpBucketExpr(planes, dims)
     // Guard: a vector of the wrong length would null-pad in zip_with, null
     // the fold, and silently collapse every row into bucket 0 (turning the
     // LSH join quadratic). Wrong-length vectors are excluded instead —
     // callers pass the corpus dimensionality explicitly.
-    df.filter(size(emb) === dims).select(col("vec_id"), emb, bucket.as("bucket"))
+    df.filter(size(col("embedding")) === dims)
+      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
   }
+
+  /** The SRP bucket id as a bare Column over `embedding` — the shared
+    * definition [[srpBucket]] projects and the composed blockers
+    * ([[embeddingNearDupBucketed]]) fold alongside their own columns.
+    * Callers must apply the same `size(embedding) === dims` guard
+    * [[srpBucket]] applies: a wrong-length vector null-pads the fold and
+    * lands every such row in bucket 0 (quadratic-join hazard). */
+  def srpBucketExpr(planes: Int = 12, dims: Int = 64): Column =
+    (0 until planes).map { p =>
+      val w = typedLit((0 until dims).map(d => planeSign(p, d).toDouble))
+      when(dot(col("embedding"), w) > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
 
   /** LSH-accelerated ANN with multi-probe: each query searches its own SRP
     * bucket plus every bucket within Hamming radius `multiProbe` of it —
@@ -493,8 +503,14 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine above `threshold` among pairs
-    * sharing a coarse partition key (here: label) — the pattern that bounds
-    * the pair space; swap the key for an SRP bucket at scale.
+    * sharing a coarse partition key (here: label) — the oracle-trivial
+    * spec shape. The key bounds the pair space only as far as the key's
+    * own cardinality: with a handful of labels over a grown corpus the
+    * within-label pair count is density-QUADRATIC (ProbeAnn measured 2.0B
+    * candidate pairs / 92.6 s at ×100), so the registered production
+    * shape is [[embeddingNearDupBucketed]], which composes the label with
+    * an SRP bucket. This form remains the recall ground truth the
+    * bucketed variant is measured against.
     *
     * Norms are computed once per vector before the pair join (norm(v) is
     * pair-invariant); only the dot product runs per pair — 3x less array
@@ -504,6 +520,55 @@ object Similarity {
       asDouble(col("embedding")).as("emb"), l2norm(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
     pairCosine(normed, "label").filter(col("cos") >= threshold)
+  }
+
+  /** [[embeddingNearDup]]'s scale shape: block on (label ∧ SRP bucket), so
+    * the pair space inside each label shrinks by ~2^planes while pairs
+    * still never cross a label. The equi-join shuffles on the composite
+    * key; per-bucket population — and with it the quadratic term — falls
+    * as planes grow, the same lever as [[srpNearDup]]. The default 8 is
+    * one-and-a-half octaves looser than srpNearDup's 12 BECAUSE of the
+    * composition: the label key already divides the corpus (~10×), so the
+    * composed blocking factor ~10·2^8 ≈ 2560 lands within ~1.6× of e5's
+    * standalone 2^12 candidate volume at any corpus size.
+    *
+    * The trade is SRP's usual one, and it is LOUD here, not hidden: a pair
+    * straddling a bucket boundary (any one sign bit disagreeing) is
+    * missed; at cosine `c` both vectors agree on one plane with
+    * p = 1 − arccos(c)/π, on all planes with p^planes. At the loose
+    * registered threshold 0.3 (p ≈ 0.60) that keeps only ~p^8 ≈ 2–3% of
+    * at-threshold pairs (measured against the label-only ground truth at
+    * sf0.01: 3 of 111; the full measured curve is 2 planes → 40%,
+    * 4 → 20%, 8 → 2.7%, 12 → 0%) — single-signature SRP is a
+    * TIGHT-threshold tool (at cos 0.9, p ≈ 0.86, the same 8 planes keep
+    * ~29%). For loose-threshold semantic grouping at scale, use the
+    * distribution-aware ops instead: [[semDedup]] (k-means cells grown
+    * with the corpus) or [[ivfTopK]]. */
+  def embeddingNearDupBucketed(df: DataFrame, threshold: Double,
+                               planes: Int = 8, dims: Int = 64): DataFrame = {
+    val keyed0 = df.filter(size(col("embedding")) === dims)
+      .select(col("label"), srpBucketExpr(planes, dims).as("bucket"),
+        col("vec_id"), asDouble(col("embedding")).as("emb"),
+        l2norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    // consumed by both sides of the self-join
+    val keyed = Materialize.pin(keyed0)
+    pairCosine(keyed, "label", "bucket")
+      .filter(col("cos") >= threshold)
+      .select(col("label"), col("a"), col("b"), col("cos"))
+  }
+
+  /** √n cell-count heuristic for [[semDedup]] — the same derive-the-knob
+    * rule as the pair-join shuffle width and the interval bucket width:
+    * total cost ≈ c1·n·k (assignment) + c2·n²/k (within-cell pairs) is a
+    * U-curve in k with optimum at k ≈ √(c2·n/c1), so k grows with the
+    * corpus instead of letting per-cell density (the quadratic term) grow
+    * unbounded — ProbeAnn measured the k=8 stand-in at ~255 s / 2.5B
+    * within-cell pairs at ×100 where k=800 ran 7.3 s. One driver-side
+    * scalar (a count), same bounded-collect contract as the guard scalars. */
+  def derivedCellCount(df: DataFrame, dims: Int = 64): Int = {
+    val n = df.filter(size(col("embedding")) === dims).count()
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
   }
 
   /** Product-quantization ANN top-k (asymmetric distance computation): the

@@ -37,23 +37,39 @@ class OpsSpec extends SparkSpec {
 
   test("rowsPerBand derives from the threshold; registered default is the derived value") {
     // The S-curve midpoints for k=8 are r=1: 0.125, r=2: 0.5, r=4: 0.841,
-    // r=8: 1.0 — the derivation must pick the log-nearest divisor, and the
-    // registered (threshold=0.5, r=2) pair must be ON the derivation so the
-    // default is pinned as derived, not chosen.
+    // r=8: 1.0 — the derivation must pick the LARGEST divisor whose
+    // midpoint is at or below the threshold (never round UP past it: the
+    // old log-nearest rule picked r=4 at 0.7, cutting at-threshold
+    // detection to ~0.42 silently), and the registered (threshold=0.5,
+    // r=2) pair must be ON the derivation so the default is pinned as
+    // derived, not chosen.
     assert(Dedup.rowsPerBandFor(0.5) == 2)
     assert(Dedup.rowsPerBandFor(0.2) == 1)   // loose threshold → wide recall bands
-    assert(Dedup.rowsPerBandFor(0.7) == 4)
-    assert(Dedup.rowsPerBandFor(0.95) == 8)  // near-exact → one strict band
+    assert(Dedup.rowsPerBandFor(0.7) == 2)   // 0.841 > 0.7 → stay at r=2
+    assert(Dedup.rowsPerBandFor(0.95) == 4)  // near-exact → strictest in-bound banding
+    assert(Dedup.rowsPerBandFor(0.05) == 1)  // below every midpoint → max recall
     // Monotone: a stricter threshold never derives FEWER rows per band.
     val rs = Seq(0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.85, 0.95, 0.99)
       .map(Dedup.rowsPerBandFor(_))
     assert(rs == rs.sorted, rs.toString)
+    // The recall floor the midpoint-bound rule guarantees: wherever a
+    // midpoint sits at or below the threshold (≥ 0.125 at k=8), an
+    // at-threshold pair is caught with p ≥ 1-(1-1/b)^b ≥ 0.63, and the
+    // steep upper arm takes over above it. (Below every midpoint the r=1
+    // fallback is simply the maximal-recall banding — no floor to pin.)
+    for (t <- Seq(0.2, 0.3, 0.5, 0.7, 0.85, 0.95, 0.99)) {
+      val r = Dedup.rowsPerBandFor(t)
+      assert(Dedup.lshDetectProb(t, r, 8 / r) >= 0.63, s"threshold $t, r $r")
+    }
     // And the curve math itself: at the registered operating point a true
     // 0.5-Jaccard pair is caught with p≈0.684, a 0.9 pair with p>0.99.
     assert(math.abs(Dedup.lshDetectProb(0.5, 2, 4) - 0.684) < 0.01)
     assert(Dedup.lshDetectProb(0.9, 2, 4) > 0.99)
     intercept[IllegalArgumentException](Dedup.rowsPerBandFor(0.0))
     intercept[IllegalArgumentException](Dedup.rowsPerBandFor(1.0))
+    // only the documented 0 sentinel derives — negative typos fail loudly
+    intercept[IllegalArgumentException](
+      Dedup.nearDupPairs(docs, "text", 3, 0.5, rowsPerBand = -1))
   }
 
   test("near-dup pipeline finds the one-word-changed pair via jaccard") {
@@ -421,6 +437,42 @@ class OpsSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.forall(p => p._1 != 9L && p._2 != 9L),
       s"zero vector paired as near-dup: $pairs")
+    // the bucketed production shape excludes the zero vector the same way
+    val bucketed = Similarity.embeddingNearDupBucketed(all, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(bucketed.forall(p => p._1 != 9L && p._2 != 9L))
+  }
+
+  test("bucketed embedding near-dup ⊆ label-only ground truth, same cosines") {
+    // 40 vectors over 4 labels; identical-vector pairs (cos = 1, same SRP
+    // bucket by construction) MUST survive the bucket blocking — the
+    // bucketed shape may only lose pairs at bucket boundaries, never
+    // invent pairs or change a surfaced pair's cosine.
+    val vecs = (0 until 40).map { i =>
+      val base = i % 20 // i and i+20 are identical twins
+      (i.toLong, Array.tabulate(64)(d => math.sin(base * 131 + d * 7).toFloat), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val truth = Similarity.embeddingNearDup(vecs, threshold = 0.4)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val got = Similarity.embeddingNearDupBucketed(vecs, threshold = 0.4)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.keySet.subsetOf(truth.keySet),
+      s"bucketed invented pairs: ${got.keySet -- truth.keySet}")
+    got.foreach { case (k, c) => assert(c == truth(k), s"cos drifted at $k") }
+    // twins share every plane sign (identical projections) and, since
+    // 20 % 4 = 0, the label
+    val twins = (0 until 20).map(i => (i.toLong, (i + 20).toLong)).toSet
+    assert(twins.subsetOf(got.keySet), s"missing twins: ${twins -- got.keySet}")
+  }
+
+  test("derivedCellCount is ⌈√n⌉ over dims-valid vectors only") {
+    val rows = (0 until 10).map(i => (i.toLong, Array.fill(64)(1f))) :+
+      (99L, Array.fill(3)(1f)) // wrong dims — must not count
+    val df = rows.toDF("vec_id", "embedding")
+    assert(Similarity.derivedCellCount(df) == 4)     // ceil(sqrt(10))
+    assert(Similarity.derivedCellCount(df.limit(0)) == 1)
   }
 
   test("multiProbe is the Hamming probe radius: 2 reaches a two-bit-flipped bucket") {

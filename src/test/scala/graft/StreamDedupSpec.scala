@@ -52,7 +52,11 @@ class StreamDedupSpec extends SparkSpec {
     // batch ground truth: near-dup pairs over corpus+incoming, restricted to
     // (incoming x corpus) orientation
     val all = corpus.unionByName(incoming.toDF("doc_id", "text"))
-    val batchPairs = Dedup.nearDupPairs(all, "text", threshold = 0.3)
+    // band the ground truth like the PERSISTED streaming index (r=2, the
+    // checkpoint-compat literal) — at threshold 0.3 the derivation would
+    // pick the wider r=1 banding and could surface pairs the r=2 index
+    // structurally cannot
+    val batchPairs = Dedup.nearDupPairs(all, "text", threshold = 0.3, rowsPerBand = 2)
       .filter((col("a") >= 100 && col("b") < 100) || (col("b") >= 100 && col("a") < 100))
       .select(greatest(col("a"), col("b")).as("new_doc_id"),
         least(col("a"), col("b")).as("corpus_doc_id"), col("jaccard"))

@@ -23,8 +23,8 @@ object ProbeAnn {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf10")
     val section = args.lift(1).getOrElse("all")
-    require(section.matches("all|lab|d8(:\\d+)?|e5|e2"),
-      s"unknown section '$section': use d8 | d8:<k> | e5 | e2 | all | lab")
+    require(section.matches("all|lab|d8(:\\d+)?|d8reg|e5|e2|e2reg"),
+      s"unknown section '$section': use d8 | d8:<k> | d8reg | e5 | e2 | e2reg | all | lab")
     def on(s: String) = section == "all" || section == s
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
@@ -69,6 +69,18 @@ object ProbeAnn {
       }
     }
 
+    // d8reg: the REGISTERED shape verbatim — derived k = ceil(sqrt(n)) with
+    // real Lloyd centroids (the round-17 fix for the k=8 density cliff).
+    // Includes the kmeans training cost, which the vec_id<k arms skip.
+    if (on("d8reg")) time("d8_semdedup registered (derived-k kmeans)") {
+      val k = graft.ops.Similarity.derivedCellCount(emb)
+      println(s"[ann] d8reg derived k=$k")
+      graft.ops.Similarity
+        .semDedup(emb,
+          graft.ops.Similarity.kmeansCentroidFrame(spark, emb, k, iters = 2), 0.3)
+        .filter(col("keep")).count()
+    }
+
     // e5 vs e2: signature blocking vs label blocking on the same corpus
     // and threshold. e5's planes knob is the same density control as d8's
     // k: planes=12 is the registered shape; the doc's scale answer is more
@@ -80,6 +92,10 @@ object ProbeAnn {
     }
     if (on("e2")) time("e2_embed_neardup (label blocks)") {
       graft.ops.Similarity.embeddingNearDup(emb, 0.3).count()
+    }
+    // e2reg: the REGISTERED round-17 shape — label ∧ 8-plane SRP bucket.
+    if (on("e2reg")) time("e2_embed_neardup registered (label ∧ bucket)") {
+      graft.ops.Similarity.embeddingNearDupBucketed(emb, 0.3).count()
     }
 
     // lab (opt-in only — NOT in `all`): decompose the k=800 assignment

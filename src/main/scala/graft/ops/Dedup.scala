@@ -1165,10 +1165,30 @@ object Dedup {
     * pruning a large MASS fraction is the cap doing its JOB on
     * boilerplate-heavy corpora — hot shingles dominate Σtf² by design — so
     * `maxPrunedMassFrac` must be armed deliberately, with a corpus-informed
-    * bound (dfCapReport/d18 measures both fractions for exactly this
-    * calibration). Cost when armed: one countDistinct on the pinned tf
+    * bound. Cost when armed: one countDistinct on the pinned tf
     * frame and one two-sided aggregate on the pinned posting join — no
-    * re-tokenization, no new scan of the corpus. */
+    * re-tokenization, no new scan of the corpus.
+    *
+    * CALIBRATION RECIPE (the authoritative one — README's scale-design
+    * section and PLANS.md point here). Arms are corpus properties, not
+    * constants: (1) run [[dfCapReport]] (registered as d18) on the target
+    * corpus, or a uniform sample of it, with the SAME n-gram/cap settings
+    * as the scoring query; (2) read the two healthy fractions —
+    * `docs_pruned_empty / docs_tokenized` and `1 − mass_kept/mass_total`;
+    * (3) set each arm a safety factor above its healthy reading and well
+    * below its failure regime. The registered production arms (0.1 empty,
+    * 0.5 mass — d13_guarded, d14, d15, d19) come from exactly this: the
+    * gate corpora measure 0.000 pruned-empty and ≤ 0.25 pruned mass
+    * (healthy), while the measured failure regimes sit at 0.97
+    * pruned-empty (exact-×100 replicas) and 0.982 pruned mass
+    * (suffix-near-dup ×100) — BASELINE.md round 14. A fraction between
+    * the arm and the failure regime means replica density has grown past
+    * what the cap tolerates: collapse exact duplicates first
+    * ([[composedNearDup]]) rather than raising the arm — raising the arm
+    * accepts traded recall, it does not restore it. Re-calibrate when the
+    * corpus mix shifts (new source, new dedup stage upstream), not per
+    * run: the arms exist to catch REGIME changes, and a freshly-measured
+    * arm that merely tracks the corpus would never fire. */
   private def assertRecallGuard(tf: DataFrame, posts: DataFrame,
                                 maxPrunedEmptyFrac: Double,
                                 maxPrunedMassFrac: Double, op: String): Unit = {

@@ -137,17 +137,32 @@ object Pipeline {
     // Serialized on a monitor: the save/set/restore below mutates a
     // session-GLOBAL conf, so two concurrent replays on one SparkSession
     // could interleave and a late restore would write back the temporary
-    // "8", permanently capping the session (ADVICE r11). Replays are
+    // width, permanently capping the session (ADVICE r11). Replays are
     // driver-sequential today; the lock makes that assumption enforced
     // rather than assumed.
+    //
+    // The width this sets is the replay's STATE width: a streaming query
+    // pins its state-store partition count from spark.sql.shuffle.partitions
+    // at first checkpoint, so this — not the session width outside the
+    // block — decides how many RocksDB instances the live keys spread
+    // over. The default clamp (8) fits the gate corpora, where wider state
+    // is pure per-partition overhead. Scale probes override it with
+    // SPARK_GRAFT_STATE_SHUFFLE (mirroring SPARK_GRAFT_SHUFFLE): at ×1000
+    // the sess replay carries ~43M live session keys, and the clamp packs
+    // them into 8 RocksDB instances at ~5.4M keys each — the exact cost a
+    // real cluster answers by widening state partitions (BASELINE.md round
+    // 17 measures the knob). Checkpoint compatibility is not a concern
+    // here: every replay starts from a fresh checkpoint dir.
     replayConfLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val saved = spark.conf.get(key)
+      val target = sys.env.get("SPARK_GRAFT_STATE_SHUFFLE")
+        .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(8)
       // Non-integer values (e.g. "auto" on managed platforms) can't be
       // clamped — run at the existing fan-out rather than fail the replay.
       scala.util.Try(saved.toInt).toOption match {
-        case Some(n) if n > 8 =>
-          spark.conf.set(key, "8")
+        case Some(n) if n != target =>
+          spark.conf.set(key, target.toString)
           try body finally spark.conf.set(key, saved)
         case _ => body
       }

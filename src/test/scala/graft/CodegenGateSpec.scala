@@ -68,6 +68,23 @@ class CodegenGateSpec extends SparkSpec {
     }
   }
 
+  test("LexTopK stays on HashAggregate (not Object/Sort) under strict codegen") {
+    withStrictCodegen {
+      // the operator's whole reason to exist is the flat-primitive buffer:
+      // a struct/array buffer slot would demote the plan to
+      // ObjectHashAggregate/SortAggregate exactly like the max_by cliff
+      val df = (0 until 100).map(i => ((i % 5).toLong, i.toLong, (i * 37 % 11).toDouble))
+        .toDF("g", "id", "v").repartition(4)
+      val agg = df.groupBy("g").agg(
+        graft.functions.LexTopK.topKByLex(col("id"), col("v"), -col("id"), 3).as("t"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("HashAggregate"), plan)
+      assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"), plan)
+      val rows = agg.collect()
+      assert(rows.length == 5 && rows.forall(_.getSeq[Any](1).size == 3))
+    }
+  }
+
   test("MinHashSig compiles under strict codegen and matches the aggregate minima") {
     withStrictCodegen {
       val df = Seq((1L, Seq(5L, 17L, 5L, 999999L))).toDF("id", "hs")

@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.tools.ProbeAnn <scaledDir> [section]
   *
-  * `section` ∈ d8 | d8:<k> (one k arm) | e5 | e2 | all | lab. `all`
-  * (default) runs the three op sections; `lab` is the opt-in argmax cost
-  * decomposition (it deliberately re-runs the ~6-minute struct-ordered
-  * cliff arm, so it is NOT part of `all`). Forces with a count() over the
-  * pair/keep output (no keep-first elimination hazard here — the filters
-  * consume the scored columns). */
+  * `section` ∈ d8 | d8:<k> (one k arm) | d8reg | e5 | e2 | e2reg | all |
+  * lab. `all` (default) runs the op sections including the REGISTERED
+  * round-17 shapes (d8reg: derived-k kmeans semDedup; e2reg: label ∧
+  * bucket); `lab` is the opt-in argmax cost decomposition (it
+  * deliberately re-runs the ~6-minute struct-ordered cliff arm, so it is
+  * NOT part of `all`). Forces with a count() over the pair/keep output
+  * (no keep-first elimination hazard here — the filters consume the
+  * scored columns). */
 object ProbeAnn {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf10")

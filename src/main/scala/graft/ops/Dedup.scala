@@ -206,31 +206,37 @@ object Dedup {
   /** Derive rows-per-band from the TARGET Jaccard threshold instead of
     * hand-picking it (the same derive-the-knob rule as the interval-join
     * bucket width and the pair-join shuffle width): the S-curve's midpoint
-    * — the similarity where [[lshDetectProb]] crosses ~1/2 — sits at
-    * (1/b)^(1/r) for the k/r scheme. Pick the LARGEST divisor r of k whose
-    * midpoint is at or below the requested threshold, so the threshold
-    * always sits on the steep UPPER arm of the chosen curve: detection of
-    * an at-threshold pair is then ≥ 1 − (1 − 1/b)^b (0.75 / 0.68 / 0.66
-    * for b = 2/4/8 at k = 8) and rises fast above it, while pairs below
-    * the midpoint fall off (fewer junk candidates). The earlier
-    * nearest-midpoint rule could round UP to a strict banding whose
-    * midpoint exceeded the threshold — at 0.7 it picked r=4 and silently
-    * cut at-threshold detection to ~0.42 (review finding; LSH misses are
-    * invisible to the exact verify, which only sees surfaced candidates).
-    * For thresholds TIGHTER than the widest midpoint (≥ ~0.84 at k = 8)
-    * this still trades recall vs the maximal r=1 banding — the bound above
-    * is the floor, and the exact-Jaccard verify keeps precision exact
-    * regardless; the only axis r moves is recall vs candidate volume.
-    * Thresholds below every midpoint derive r=1, the widest-recall
-    * banding. For the k=8 signature and the registered threshold 0.5 this
-    * derives r=2 — the value every registered call site uses, pinned as
-    * DERIVED rather than chosen (OpsSpec). */
+    * — the similarity where [[lshDetectProb]] crosses exactly 1/2 — sits
+    * at (1 − 2^(−1/b))^(1/r) for the k/r scheme (the EXACT root of
+    * 1 − (1−j^r)^b = 1/2, not the (1/b)^(1/r) approximation: the
+    * approximation degenerates to 1.0 at b = 1, which would make the
+    * single-band r=k underivable — and for a PRIME k, where the only
+    * divisors are {1, k}, every threshold would then collapse to the
+    * maximal-volume r=1; review finding). Pick the LARGEST divisor r of k
+    * whose midpoint is at or below the requested threshold, so the
+    * threshold always sits on the steep UPPER arm of the chosen curve:
+    * detection of an at-threshold pair is then ≥ 1/2 by the midpoint's
+    * definition (≥ 0.63 at every k=8 operating point OpsSpec pins) and
+    * rises fast above it, while pairs below the midpoint fall off (fewer
+    * junk candidates). The earlier nearest-midpoint rule could round UP
+    * to a strict banding whose midpoint exceeded the threshold — at 0.7
+    * it picked r=4 and silently cut at-threshold detection to ~0.42
+    * (review finding; LSH misses are invisible to the exact verify, which
+    * only sees surfaced candidates). For tight thresholds this still
+    * trades recall vs the maximal r=1 banding — 1/2 is the floor, and the
+    * exact-Jaccard verify keeps precision exact regardless; the only axis
+    * r moves is recall vs candidate volume. Thresholds below every
+    * midpoint derive r=1, the widest-recall banding. For the k=8
+    * signature and the registered threshold 0.5 this derives r=2 — the
+    * value every registered call site uses, pinned as DERIVED rather than
+    * chosen (OpsSpec). */
   def rowsPerBandFor(threshold: Double, k: Int = minhashSeeds.size): Int = {
     require(threshold > 0.0 && threshold < 1.0,
       s"threshold must be in (0, 1), got $threshold")
     val divisors = (1 to k).filter(k % _ == 0)
     divisors.filter { r =>
-      math.pow(1.0 / (k / r), 1.0 / r) <= threshold
+      val b = k / r
+      math.pow(1.0 - math.pow(2.0, -1.0 / b), 1.0 / r) <= threshold
     }.maxOption.getOrElse(1)
   }
 

@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   * [[groupedTopK]] is the AGGREGATE shape: one hash aggregate carrying the
   * top-k in flat primitive buffer slots ([[graft.functions.LexTopK]]),
   * map-side combined, fixed-width buffers through the exchange, zero
-  * sorts. Identical rows and ranks (LexTopKSpec pins the equivalence on
-  * randomized data). Which shape wins is a GROUP-CARDINALITY crossover —
+  * sorts. Identical rows and ranks for rows with NON-NULL ordering keys
+  * (LexTopKSpec pins the equivalence on randomized data); the one
+  * divergence is null ordering keys — row_number ranks null-ordered rows
+  * at the tail (still within k when the group is small), LexTopK skips
+  * them entirely, so swap shapes only where the ordering columns are
+  * non-null or null rows are not wanted in the leaderboard. Which shape
+  * wins is a GROUP-CARDINALITY crossover —
   * measured at two decades in BASELINE.md round 17 (ProbeTopN): the
   * aggregate wins while the per-task group table stays cache-resident,
   * the window's flat-row sort wins 3–4× once groups number in the

@@ -132,7 +132,10 @@ object Pipeline {
     * per staged FILE, not per partition. At real scale a stream carries
     * real per-batch volume and wants the full fan-out; this is a
     * replay-harness knob, not an operator default. Tests run at 4
-    * partitions already — min() keeps them byte-identical. */
+    * partitions already — min() keeps them byte-identical.
+    * SPARK_GRAFT_STATE_SHUFFLE overrides the width EXACTLY (up or down;
+    * validated positive-integer) for the scale probes, where the state
+    * width IS the experiment. */
   private def withReplayFanout[T](spark: SparkSession)(body: => T): T =
     // Serialized on a monitor: the save/set/restore below mutates a
     // session-GLOBAL conf, so two concurrent replays on one SparkSession
@@ -156,13 +159,26 @@ object Pipeline {
     replayConfLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val saved = spark.conf.get(key)
-      val target = sys.env.get("SPARK_GRAFT_STATE_SHUFFLE")
-        .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(8)
-      // Non-integer values (e.g. "auto" on managed platforms) can't be
-      // clamped — run at the existing fan-out rather than fail the replay.
-      scala.util.Try(saved.toInt).toOption match {
-        case Some(n) if n != target =>
-          spark.conf.set(key, target.toString)
+      // The env override must fail LOUDLY on junk (same rule as the
+      // rowsPerBand sentinel): a typo'd value would otherwise run a
+      // state-width measurement silently at the default clamp and ledger
+      // a wrong number.
+      val target = sys.env.get("SPARK_GRAFT_STATE_SHUFFLE").map { s =>
+        val t = scala.util.Try(s.toInt).getOrElse(throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STATE_SHUFFLE must be a positive integer; got '$s'"))
+        require(t > 0,
+          s"SPARK_GRAFT_STATE_SHUFFLE must be a positive integer; got $t")
+        t
+      }
+      // Non-integer session values (e.g. "auto" on managed platforms)
+      // can't be clamped — run at the existing fan-out rather than fail
+      // the replay.
+      (scala.util.Try(saved.toInt).toOption, target) match {
+        case (Some(n), Some(t)) if n != t => // probe: exact-set, up or down
+          spark.conf.set(key, t.toString)
+          try body finally spark.conf.set(key, saved)
+        case (Some(n), None) if n > 8 => // default: min(current, 8)
+          spark.conf.set(key, "8")
           try body finally spark.conf.set(key, saved)
         case _ => body
       }

@@ -54,8 +54,10 @@ object ProbeAnn {
       }
     }
 
-    // d8: registered k=8 (per-cell density grows with the corpus — the
-    // mis-config semDedup's doc warns about) vs k grown with the corpus.
+    // d8: the FORMER registered k=8 stand-in (per-cell density grows with
+    // the corpus — the mis-config semDedup's doc warns about; round 17
+    // re-registered d8 at derived-k kmeans, probed by d8reg below) vs k
+    // grown with the corpus.
     // Total cost ≈ c1·n·k (broadcast argmax assignment) + c2·n²/k (within-
     // cell pairs): a U-curve in k with optimum ~√(c2·n/c1), so "more cells"
     // overshoots once assignment dominates — k=80 probes the middle.
@@ -71,15 +73,13 @@ object ProbeAnn {
       }
     }
 
-    // d8reg: the REGISTERED shape verbatim — derived k = ceil(sqrt(n)) with
-    // real Lloyd centroids (the round-17 fix for the k=8 density cliff).
-    // Includes the kmeans training cost, which the vec_id<k arms skip.
+    // d8reg: the REGISTERED shape verbatim — pulled from the registry (not
+    // re-built here) so the probe cannot drift from the registration:
+    // derived k = ceil(sqrt(n)) with real Lloyd centroids (the round-17
+    // fix for the k=8 density cliff). Includes the kmeans training cost,
+    // which the vec_id<k arms skip.
     if (on("d8reg")) time("d8_semdedup registered (derived-k kmeans)") {
-      val k = graft.ops.Similarity.derivedCellCount(emb)
-      println(s"[ann] d8reg derived k=$k")
-      graft.ops.Similarity
-        .semDedup(emb,
-          graft.ops.Similarity.kmeansCentroidFrame(spark, emb, k, iters = 2), 0.3)
+      graft.SparkEntry.queries("d8_semdedup")(spark, dir)
         .filter(col("keep")).count()
     }
 
@@ -95,9 +95,10 @@ object ProbeAnn {
     if (on("e2")) time("e2_embed_neardup (label blocks)") {
       graft.ops.Similarity.embeddingNearDup(emb, 0.3).count()
     }
-    // e2reg: the REGISTERED round-17 shape — label ∧ 8-plane SRP bucket.
+    // e2reg: the REGISTERED round-17 shape — label ∧ 8-plane SRP bucket —
+    // pulled from the registry so the probe cannot drift from it.
     if (on("e2reg")) time("e2_embed_neardup registered (label ∧ bucket)") {
-      graft.ops.Similarity.embeddingNearDupBucketed(emb, 0.3).count()
+      graft.SparkEntry.queries("e2_embed_neardup")(spark, dir).count()
     }
 
     // lab (opt-in only — NOT in `all`): decompose the k=800 assignment

@@ -36,27 +36,35 @@ class OpsSpec extends SparkSpec {
   }
 
   test("rowsPerBand derives from the threshold; registered default is the derived value") {
-    // The S-curve midpoints for k=8 are r=1: 0.125, r=2: 0.5, r=4: 0.841,
-    // r=8: 1.0 — the derivation must pick the LARGEST divisor whose
-    // midpoint is at or below the threshold (never round UP past it: the
-    // old log-nearest rule picked r=4 at 0.7, cutting at-threshold
-    // detection to ~0.42 silently), and the registered (threshold=0.5,
-    // r=2) pair must be ON the derivation so the default is pinned as
-    // derived, not chosen.
+    // The EXACT S-curve midpoints (1-2^(-1/b))^(1/r) for k=8 are
+    // r=1: 0.083, r=2: 0.399, r=4: 0.736, r=8: 0.917 — the derivation
+    // must pick the LARGEST divisor whose midpoint is at or below the
+    // threshold (never round UP past it: the old log-nearest rule picked
+    // r=4 at 0.7, cutting at-threshold detection to ~0.42 silently), and
+    // the registered (threshold=0.5, r=2) pair must be ON the derivation
+    // so the default is pinned as derived, not chosen.
     assert(Dedup.rowsPerBandFor(0.5) == 2)
     assert(Dedup.rowsPerBandFor(0.2) == 1)   // loose threshold → wide recall bands
-    assert(Dedup.rowsPerBandFor(0.7) == 2)   // 0.841 > 0.7 → stay at r=2
-    assert(Dedup.rowsPerBandFor(0.95) == 4)  // near-exact → strictest in-bound banding
+    assert(Dedup.rowsPerBandFor(0.7) == 2)   // 0.736 > 0.7 → stay at r=2
+    assert(Dedup.rowsPerBandFor(0.95) == 8)  // near-exact → the single strict band
     assert(Dedup.rowsPerBandFor(0.05) == 1)  // below every midpoint → max recall
+    // prime k degrades gracefully: {1, k} are the divisors and the exact
+    // r=k midpoint (0.5^(1/k)) is derivable — the approximate (1/b)^(1/r)
+    // midpoint was 1.0 at b=1, which would have collapsed EVERY prime-k
+    // threshold to the maximal-volume r=1 (review finding)
+    assert(Dedup.rowsPerBandFor(0.95, k = 7) == 7)  // 0.5^(1/7) ≈ 0.906 ≤ 0.95
+    assert(Dedup.rowsPerBandFor(0.5, k = 7) == 1)
     // Monotone: a stricter threshold never derives FEWER rows per band.
     val rs = Seq(0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.85, 0.95, 0.99)
       .map(Dedup.rowsPerBandFor(_))
     assert(rs == rs.sorted, rs.toString)
     // The recall floor the midpoint-bound rule guarantees: wherever a
-    // midpoint sits at or below the threshold (≥ 0.125 at k=8), an
-    // at-threshold pair is caught with p ≥ 1-(1-1/b)^b ≥ 0.63, and the
-    // steep upper arm takes over above it. (Below every midpoint the r=1
-    // fallback is simply the maximal-recall banding — no floor to pin.)
+    // midpoint sits at or below the threshold (≥ 0.083 at k=8), an
+    // at-threshold pair is caught with p ≥ 1/2 by the midpoint's exact
+    // definition — and ≥ 0.63 at every operating point pinned here, since
+    // the thresholds sit above (not on) their midpoints. (Below every
+    // midpoint the r=1 fallback is simply the maximal-recall banding — no
+    // floor to pin.)
     for (t <- Seq(0.2, 0.3, 0.5, 0.7, 0.85, 0.95, 0.99)) {
       val r = Dedup.rowsPerBandFor(t)
       assert(Dedup.lshDetectProb(t, r, 8 / r) >= 0.63, s"threshold $t, r $r")

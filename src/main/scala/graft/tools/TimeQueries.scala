@@ -40,9 +40,26 @@ object TimeQueries {
       println(s"[time] $k=$v")
     }
     graft.model.Tables(spark, sfDir, "documents").limit(1).count() // warm session
+    // count() lets Catalyst PRUNE computed columns nothing downstream
+    // consumes — a MAP-ONLY query (x13's per-doc rule columns, x1's token
+    // stats) times as a bare scan (the ProbeChunk elimination trap).
+    // SPARK_GRAFT_FORCE=hash folds every output column through xxhash64
+    // into one bit_xor (xor, not sum — an ANSI long sum overflows on
+    // full-range hashes) so the full projection provably evaluates per
+    // row; count mode stays the default because filters/joins/aggregates
+    // force their own inputs and the fold adds per-row hash cost to the
+    // reading.
+    val forceHash = sys.env.get("SPARK_GRAFT_FORCE").contains("hash")
     for (pass <- 1 to 2; n <- names) {
       val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      val rows =
+        if (forceHash) {
+          import org.apache.spark.sql.functions._
+          val r = df.agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*))).head()
+          println(s"[time] $n checksum=${r.get(1)}")
+          r.getLong(0)
+        } else df.count()
       println(f"[time] pass=$pass $n rows=$rows t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()

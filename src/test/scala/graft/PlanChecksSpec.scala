@@ -129,6 +129,25 @@ class PlanChecksSpec extends SparkSpec {
       s"assignCells: literal greatest() argmax tree still present in:\n$assignPlan")
   }
 
+  test("e2's registered pair join blocks on the composed (label, bucket) key") {
+    // Label-only blocking was the r16 density-quadratic weak config; the
+    // registered round-17 shape must equi-join on BOTH components (a
+    // cartesian or single-key join is the scale regression this pins),
+    // and the bucketed/normed frame must be pinned — the SRP fold and
+    // norms computed once, not once per self-join side.
+    val df = SparkEntry.queries("e2_embed_neardup")(spark, sf)
+    val plan = finalPlanString(df)
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("label") && l.contains("bucket"))
+    assert(joinLine.nonEmpty,
+      s"no equi-join keyed on both label AND bucket in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian pair join in:\n$plan")
+    // pinned input: both join sides scan the checkpointed RDD, so the
+    // 8-plane SRP fold must NOT appear in the executed plan at all
+    assert(!plan.contains("xxhash") && countOf(plan, "Scan ExistingRDD") >= 2,
+      s"bucketed frame not consumed from the pin on both sides:\n$plan")
+  }
+
   test("near-dup pair joins pin their width against AQE partition coalescing") {
     // The posting self-join expands by Σ df² — orders of magnitude more
     // output than input — so byte-based AQE coalescing of the small posting

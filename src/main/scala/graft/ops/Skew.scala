@@ -21,7 +21,7 @@ object Skew {
     * means coarser spread, never wrong results (the salt only partitions
     * work); a frame with NO hash-safe columns degrades to a single salt
     * bucket, i.e. plain unsalted aggregation. */
-  private def hashSafe(dt: DataType): Boolean = dt match {
+  private[graft] def hashSafe(dt: DataType): Boolean = dt match {
     case _: MapType => false
     case s: StructType => s.fields.forall(f => hashSafe(f.dataType))
     case a: ArrayType => hashSafe(a.elementType)

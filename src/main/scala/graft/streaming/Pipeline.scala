@@ -170,11 +170,17 @@ object Pipeline {
           s"SPARK_GRAFT_STATE_SHUFFLE must be a positive integer; got $t")
         t
       }
-      // Non-integer session values (e.g. "auto" on managed platforms)
-      // can't be clamped — run at the existing fan-out rather than fail
-      // the replay.
+      // An EXPLICIT override always applies — even when the session value
+      // is non-integer (e.g. "auto" on managed platforms) and can't be
+      // compared to it. The old (parsed, target) match let that case fall
+      // through to the bare-body arm, silently running a state-width probe
+      // at an unknown width — the wrong-ledger failure the fail-loud
+      // validation above exists to prevent (ADVICE r17). The saved STRING
+      // is restored verbatim either way. Only the no-override default
+      // clamp still needs the parse: an unparseable width can't be
+      // compared to the clamp, so it runs as-is.
       (scala.util.Try(saved.toInt).toOption, target) match {
-        case (Some(n), Some(t)) if n != t => // probe: exact-set, up or down
+        case (_, Some(t)) if saved != t.toString => // probe: exact-set, up or down
           spark.conf.set(key, t.toString)
           try body finally spark.conf.set(key, saved)
         case (Some(n), None) if n > 8 => // default: min(current, 8)

@@ -56,7 +56,16 @@ object TimeQueries {
       val rows =
         if (forceHash) {
           import org.apache.spark.sql.functions._
-          val r = df.agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*))).head()
+          // xxhash64 rejects MapType at analysis (Skew.hashSafe documents
+          // the constraint) — a map-valued output column would abort the
+          // whole timing run. Route non-hashable columns through to_json
+          // instead of dropping them: the point of hash mode is forcing
+          // EVERY output column to evaluate per row (ADVICE r17).
+          val folded = df.schema.fields.map { f =>
+            if (graft.ops.Skew.hashSafe(f.dataType)) col(f.name)
+            else to_json(col(f.name))
+          }
+          val r = df.agg(count(lit(1)), bit_xor(xxhash64(folded.toIndexedSeq: _*))).head()
           println(s"[time] $n checksum=${r.get(1)}")
           r.getLong(0)
         } else df.count()

@@ -143,8 +143,14 @@ class PlanChecksSpec extends SparkSpec {
       s"no equi-join keyed on both label AND bucket in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian pair join in:\n$plan")
     // pinned input: both join sides scan the checkpointed RDD, so the
-    // 8-plane SRP fold must NOT appear in the executed plan at all
-    assert(!plan.contains("xxhash") && countOf(plan, "Scan ExistingRDD") >= 2,
+    // 8-plane SRP fold must NOT appear in the executed plan at all. The
+    // fold's marker is the raw `embedding` column it reads (the pinned
+    // frame carries only label/bucket/vec_id/emb/nrm) — NOT xxhash, which
+    // the ±1-literal zip_with fold never lowers to, making that old check
+    // vacuously green even with the pin removed (ADVICE r17).
+    assert(!plan.contains("embedding"),
+      s"raw embedding column (the SRP fold input) re-read past the pin in:\n$plan")
+    assert(countOf(plan, "Scan ExistingRDD") >= 2,
       s"bucketed frame not consumed from the pin on both sides:\n$plan")
   }
 

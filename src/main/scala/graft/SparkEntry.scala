@@ -1848,6 +1848,31 @@ object SparkEntry {
         k = 3, m = 4, codes = 4, dims = 64),
       Some(pqSql)),
 
+    // ---- e10: IVF-PQ composed ANN — the composition both halves' Scaladocs
+    // point at as the actual 100-TB workhorse (IVF narrows WHERE, PQ shrinks
+    // WHAT). Same registered config as its parents: e4's vec_id<8 coarse
+    // centroids / nprobe=2, e9's m=4 / codes=4 codebook, vec_id<10 queries.
+    // Oracle nests the e4 cell CTEs and the e9 encode/LUT CTEs into one
+    // probe-restricted ADC scan, so the gate certifies the COMPOSED plan,
+    // not the parts (VERDICT r17 #3).
+    ("e10_ivfpq_topk",
+      (s, d) => Similarity.ivfPqTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10),
+        emb(s, d).filter(col("vec_id") < 8), k = 3, nprobe = 2, m = 4, codes = 4,
+        dims = 64),
+      Some(ivfPqSql)),
+
+    // ---- r9: the recall harness's IVF-PQ leg — the composed index against
+    // the same exact-cosine ground truth as r4/r6/r7, so the fidelity cost
+    // of composing (cell misses x code quantization) is measured, not
+    // inferred from the parents' separate curves.
+    ("r9_ivfpq_recall",
+      (s, d) => Similarity.recallVsExact(
+        Similarity.bruteForceTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),
+        Similarity.ivfPqTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10),
+          emb(s, d).filter(col("vec_id") < 8), k = 3, nprobe = 2, m = 4, codes = 4,
+          dims = 64)),
+      Some(ivfPqRecallSql)),
+
     // ---- r7: the recall harness's PQ leg — how much nearest-neighbor
     // fidelity the 16x compression costs, against the same exact-cosine
     // ground truth as r4 (SRP) and r6 (IVF). Oracle nests pqSql verbatim.
@@ -2708,6 +2733,71 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |                            ORDER BY cos DESC, nbr_id) AS INT) AS rank
        |  FROM scored) WHERE rank <= 3""".stripMargin
+
+  /** e10 oracle: IVF-PQ composition — the e4 cell-assignment CTEs (argmax
+    * cosine vs the vec_id<8 centroids, ties to the lower cent_id; corpus
+    * keeps 1 cell, queries probe 2) wired into the e9 PQ CTEs (codebook =
+    * 4 lowest vec_ids, fixed-point ADC LUT): the scan joins corpus codes to
+    * the LUT only where the corpus cell is one of the query's probed cells.
+    * Both halves' fragments match ivfSql / pqSql line-for-line, with the
+    * e9 len-guard applied uniformly (the gate corpus is all-64-dim, so the
+    * guard changes nothing there — it pins the contract). */
+  private lazy val ivfPqSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |  WHERE len(embedding) = 64),
+      |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id < 8),
+      |cells AS (
+      |  SELECT vec_id AS nbr_id, cent_id AS cell FROM (
+      |    SELECT b.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY b.vec_id
+      |        ORDER BY list_cosine_similarity(b.emb, c.cent_emb) DESC, c.cent_id) AS rn
+      |    FROM base b, cent c) WHERE rn <= 1),
+      |qcells AS (
+      |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+      |    SELECT b.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY b.vec_id
+      |        ORDER BY list_cosine_similarity(b.emb, c.cent_emb) DESC, c.cent_id) AS rn
+      |    FROM base b, cent c WHERE b.vec_id < 10) WHERE rn <= 2),
+      |cb AS (SELECT vec_id AS code, emb AS cemb FROM base
+      |       ORDER BY vec_id LIMIT 4),
+      |ms AS (SELECT CAST(unnest(range(4)) AS INT) AS m),
+      |encd AS (
+      |  SELECT v.vec_id AS nbr_id, ms.m, cb.code,
+      |    (list_dot_product(v.emb[ms.m*16+1 : ms.m*16+16],
+      |                      v.emb[ms.m*16+1 : ms.m*16+16])
+      |     - 2.0 * list_dot_product(v.emb[ms.m*16+1 : ms.m*16+16],
+      |                              cb.cemb[ms.m*16+1 : ms.m*16+16])
+      |     + list_dot_product(cb.cemb[ms.m*16+1 : ms.m*16+16],
+      |                        cb.cemb[ms.m*16+1 : ms.m*16+16])) AS d
+      |  FROM base v, ms, cb),
+      |enc AS (
+      |  SELECT nbr_id, m, code FROM (
+      |    SELECT nbr_id, m, code,
+      |      row_number() OVER (PARTITION BY nbr_id, m ORDER BY d, code) AS rn
+      |    FROM encd) WHERE rn = 1),
+      |lut AS (
+      |  SELECT q.nbr_id AS query_id, q.m, q.code,
+      |    CAST(floor(q.d * 1048576 + 0.5) AS BIGINT) AS qd
+      |  FROM encd q WHERE q.nbr_id < 10),
+      |scored AS (
+      |  SELECT lut.query_id, enc.nbr_id, CAST(sum(lut.qd) AS BIGINT) AS dist_fx
+      |  FROM enc
+      |  JOIN cells  ON enc.nbr_id = cells.nbr_id
+      |  JOIN qcells ON cells.cell = qcells.cell
+      |  JOIN lut    ON enc.m = lut.m AND enc.code = lut.code
+      |             AND lut.query_id = qcells.query_id
+      |  WHERE lut.query_id <> enc.nbr_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, nbr_id, rank, CAST(dist_fx AS DOUBLE) / 1048576 AS dist
+      |FROM (
+      |  SELECT query_id, nbr_id, dist_fx,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dist_fx, nbr_id) AS INT) AS rank
+      |  FROM scored) WHERE rank <= 3""".stripMargin
+
+  /** r9 oracle: recall of the e10 IVF-PQ leg. */
+  private lazy val ivfPqRecallSql: String = recallSqlOver(ivfPqSql)
 
   /** x5 oracle: quality + language oracles composed as nested CTEs, then the
     * exact-dedup group oracle over the surviving docs. */

@@ -601,47 +601,153 @@ object Similarity {
              codes: Int = 4, dims: Int = 64): DataFrame = {
     require(m > 0 && dims % m == 0 && codes > 0)
     val sub = dims / m
-    // same dims guard as the corpus/query sides (and the oracle's base CTE):
-    // a wrong-length vector with a low vec_id must not enter the codebook.
-    // orderBy+limit, not `vec_id < codes` (doc above); the code value stays
-    // the vec_id itself — it is an identifier, joins and tie-breaks only.
-    val cb = corpus.filter(size(col("embedding")) === dims)
+    val cb = pqCodebook(corpus, codes, dims)
+    val corp = corpus.filter(size(col("embedding")) === dims)
+      .select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("v_emb"))
+    val enc = pqEncode(corp, "nbr_id", "v_emb", cb, m, sub)
+    val lut = pqLut(queries, cb, m, sub)
+    val scored = enc.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .groupBy("query_id", "nbr_id").agg(sum(col("qd")).as("dist_fx"))
+    adcRankTail(scored, k)
+  }
+
+  /** PQ codebook: the `codes` lowest-vec_id corpus vectors (rank-selected —
+    * see [[pqTopK]]'s codebook doc). Same dims guard as the corpus/query
+    * sides (and the oracle's base CTE): a wrong-length vector with a low
+    * vec_id must not enter the codebook. orderBy+limit, not
+    * `vec_id < codes`; the code value stays the vec_id itself — it is an
+    * identifier, joins and tie-breaks only. */
+  private def pqCodebook(corpus: DataFrame, codes: Int, dims: Int): DataFrame =
+    corpus.filter(size(col("embedding")) === dims)
       .select(col("vec_id"), asDouble(col("embedding")).as("cb_emb"))
       .orderBy(col("vec_id").asc).limit(codes)
       .select(col("vec_id").as("code"), col("cb_emb"))
 
-    def subv(e: Column, mi: Int): Column = slice(e, mi * sub + 1, sub)
-    def subDists(e: Column): Column = explode(array((0 until m).map { mi =>
+  /** Per-subspace squared distances of `e` against the joined codebook row
+    * (`cb_emb` in scope), exploded to (m, d) structs — the 3-dot expansion
+    * ‖v‖² − 2·v·c + ‖c‖² via the sequential-fold [[dot]], bit-identical in
+    * the oracle. */
+  private def pqSubDists(e: Column, m: Int, sub: Int): Column = {
+    def subv(c: Column, mi: Int): Column = slice(c, mi * sub + 1, sub)
+    explode(array((0 until m).map { mi =>
       val vm = subv(e, mi); val cm = subv(col("cb_emb"), mi)
       struct(lit(mi).as("m"),
         (dot(vm, vm) - lit(2.0) * dot(vm, cm) + dot(cm, cm)).as("d"))
     }: _*))
+  }
 
-    val corp = corpus.filter(size(col("embedding")) === dims)
-      .select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("v_emb"))
-    val enc = corp.join(broadcast(cb))
-      .select(col("nbr_id"), col("code"), subDists(col("v_emb")).as("sd"))
-      .groupBy(col("nbr_id"), col("sd.m").as("m"))
+  /** PQ encode: one code per (vector, subspace) — nearest codebook entry,
+    * ties to the lower code. Input: (`idCol`, `embCol` double[]). */
+  private def pqEncode(vecs: DataFrame, idCol: String, embCol: String,
+                       cb: DataFrame, m: Int, sub: Int): DataFrame =
+    vecs.join(broadcast(cb))
+      .select(col(idCol), col("code"), pqSubDists(col(embCol), m, sub).as("sd"))
+      .groupBy(col(idCol), col("sd.m").as("m"))
       // primitive-buffer lexicographic argmin — the struct-ordered min_by
       // demotes this n×codes×m reduction off codegen (see assignCells)
       .agg(graft.functions.LexArgExtreme.minByLex(
         col("code"), col("sd.d"), col("code")).as("code"))
 
-    val lut = queries.filter(size(col("embedding")) === dims)
+  /** Per-query ADC lookup table: (query_id, m, code, qd) with qd the
+    * fixed-point (floor(d·2²⁰ + 0.5)) subspace distance — queries × m ×
+    * codes rows, always broadcast by callers. */
+  private def pqLut(queries: DataFrame, cb: DataFrame, m: Int, sub: Int): DataFrame =
+    queries.filter(size(col("embedding")) === (m * sub))
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
       .join(broadcast(cb))
-      .select(col("query_id"), col("code"), subDists(col("q_emb")).as("sd"))
+      .select(col("query_id"), col("code"), pqSubDists(col("q_emb"), m, sub).as("sd"))
       .select(col("query_id"), col("sd.m").as("m"), col("code"),
         floor(col("sd.d") * lit(1048576.0) + lit(0.5)).cast("long").as("qd"))
 
-    val scored = enc.join(broadcast(lut), Seq("m", "code"))
-      .filter(col("query_id") =!= col("nbr_id"))
-      .groupBy("query_id", "nbr_id").agg(sum(col("qd")).as("dist_fx"))
+  /** Shared ADC ranking tail: per-query ascending fixed-point distance,
+    * ties to the lower nbr_id, de-scaled double dist on the way out. */
+  private def adcRankTail(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("dist_fx").asc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("rank"),
         (col("dist_fx").cast("double") / lit(1048576.0)).as("dist"))
+  }
+
+  /** IVF-PQ composed ANN — the 100-TB workhorse both halves' Scaladocs
+    * point at: IVF narrows WHERE to look (each query scans only its
+    * `nprobe` coarse cells), PQ shrinks WHAT is scanned there (codes, not
+    * floats). [[ivfTopK]] alone still computes exact cosine against every
+    * vector in the probed cells; [[pqTopK]] alone still scans every
+    * corpus code for every query. The composition does neither.
+    *
+    * Execution shape, in scale order:
+    *  1. corpus cell assignment — broadcast-centroid argmax via
+    *     [[graft.functions.LexArgExtreme]] (map-side combinable; the same
+    *     primitive-buffer shape assignCells pins), ONE pass;
+    *  2. PQ encode — broadcast-codebook pass + (vec, subspace) argmin
+    *     ([[pqEncode]]), ONE pass;
+    *  3. enc ⋈ cells on nbr_id — narrow int-only equi-join of two
+    *     corpus-keyed frames (co-partitionable on a cluster);
+    *  4. probe scan — map-side joins against TWO broadcasts (the per-query
+    *     probed-cell list and the ADC LUT restricted to it), then one
+    *     integer-sum shuffle keyed (query_id, nbr_id).
+    * The corpus never pairs with itself, floats never cross a shuffle, and
+    * per-query work is |cells probed| · codes-per-vector — independent of
+    * corpus size once cells are balanced.
+    *
+    * Determinism matches the two halves exactly: cell ties to the lower
+    * cent_id, code ties to the lower code, ADC sums are fixed-point longs,
+    * rank ties to the lower nbr_id. `centroids` is any (vec_id, embedding)
+    * frame — [[kmeansCentroidFrame]] at production, deterministic stand-ins
+    * in the gate (same contract as [[ivfTopK]]). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                k: Int, nprobe: Int = 2, m: Int = 4, codes: Int = 4,
+                dims: Int = 64): DataFrame = {
+    require(m > 0 && dims % m == 0 && codes > 0 && nprobe > 0)
+    val sub = dims / m
+    val cent = broadcast(centroids.filter(size(col("embedding")) === dims)
+      .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cent_emb"),
+        l2norm(col("embedding")).as("cent_nrm"))
+      .filter(col("cent_nrm") > 0))
+    // Corpus base, pinned: feeds the cell argmax AND the PQ encode — two
+    // consumers, one scan + norm fold (same rule as every pin site).
+    val corp = Materialize.pin(corpus.filter(size(col("embedding")) === dims)
+      .select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("v_emb"),
+        l2norm(col("embedding")).as("v_nrm"))
+      .filter(col("v_nrm") > 0))
+    // 1. IVF leg, corpus side: one cell per vector (argmax cosine, ties to
+    // the lower cent_id) — LexArgExtreme, not a window: map-side combinable.
+    val cells = corp.join(cent)
+      .groupBy(col("nbr_id"))
+      .agg(graft.functions.LexArgExtreme.maxByLex(col("cent_id"),
+        dot(col("v_emb"), col("cent_emb")) / (col("v_nrm") * col("cent_nrm")),
+        -col("cent_id")).as("cell"))
+    // IVF leg, query side: nprobe cells per query (window — queries are
+    // tiny and broadcast; same argmax/tie rule as ivfTopK's assign).
+    val qscored = queries.filter(size(col("embedding")) === dims)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"))
+      .filter(col("q_nrm") > 0)
+      .join(cent)
+      .select(col("query_id"), col("cent_id"),
+        (dot(col("q_emb"), col("cent_emb")) / (col("q_nrm") * col("cent_nrm"))).as("__ccos"))
+    val wq = Window.partitionBy("query_id").orderBy(col("__ccos").desc, col("cent_id").asc)
+    val qcells = qscored.withColumn("__crn", row_number().over(wq))
+      .filter(col("__crn") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    // 2. PQ leg: codebook + corpus codes + per-query LUT (shared machinery
+    // with pqTopK — the composition is new wiring, not new arithmetic).
+    val cb = pqCodebook(corpus, codes, dims)
+    val enc = pqEncode(corp.select(col("nbr_id"), col("v_emb")), "nbr_id", "v_emb", cb, m, sub)
+    val lut = pqLut(queries, cb, m, sub)
+    // 3-4. Probe scan: restrict the LUT to each query's probed cells (tiny:
+    // queries × nprobe × m × codes rows — broadcast), key it by cell, and
+    // equi-join the cell-annotated codes. Each (query, nbr-in-probed-cell,
+    // m) matches exactly one LUT row, so the integer sum is the full ADC
+    // distance over all m subspaces.
+    val lutCell = broadcast(qcells.join(lut, Seq("query_id")))
+    val scored = enc.join(cells, Seq("nbr_id"))
+      .join(lutCell, Seq("cell", "m", "code"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .groupBy("query_id", "nbr_id").agg(sum(col("qd")).as("dist_fx"))
+    adcRankTail(scored, k)
   }
 }

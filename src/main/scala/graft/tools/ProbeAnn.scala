@@ -25,8 +25,8 @@ object ProbeAnn {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf10")
     val section = args.lift(1).getOrElse("all")
-    require(section.matches("all|lab|d8(:\\d+)?|d8reg|e5|e2|e2reg"),
-      s"unknown section '$section': use d8 | d8:<k> | d8reg | e5 | e2 | e2reg | all | lab")
+    require(section.matches("all|lab|d8(:\\d+)?|d8reg|e5|e2|e2reg|e10"),
+      s"unknown section '$section': use d8 | d8:<k> | d8reg | e5 | e2 | e2reg | e10 | all | lab")
     def on(s: String) = section == "all" || section == s
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
@@ -99,6 +99,24 @@ object ProbeAnn {
     // pulled from the registry so the probe cannot drift from it.
     if (on("e2reg")) time("e2_embed_neardup registered (label ∧ bucket)") {
       graft.SparkEntry.queries("e2_embed_neardup")(spark, dir).count()
+    }
+
+    // e10: the IVF-PQ composition at the REGISTERED config (from the
+    // registry — no drift) next to its two parents at the same config, so
+    // the ledger shows what composing buys: e4 (IVF alone) still pays
+    // exact float cosine inside probed cells; e9 (PQ alone) still scans
+    // every corpus code per query; e10 pays integer ADC on probed cells
+    // only. Forced through the full output (rank filter consumes dist_fx).
+    if (on("e10")) {
+      time("e4_ivf_topk (IVF alone)") {
+        graft.SparkEntry.queries("e4_ivf_topk")(spark, dir).count()
+      }
+      time("e9_pq_topk (PQ alone)") {
+        graft.SparkEntry.queries("e9_pq_topk")(spark, dir).count()
+      }
+      time("e10_ivfpq_topk registered (IVF-PQ)") {
+        graft.SparkEntry.queries("e10_ivfpq_topk")(spark, dir).count()
+      }
     }
 
     // lab (opt-in only — NOT in `all`): decompose the k=800 assignment

@@ -154,6 +154,24 @@ class PlanChecksSpec extends SparkSpec {
       s"bucketed frame not consumed from the pin on both sides:\n$plan")
   }
 
+  test("e10's composed IVF-PQ plan probes via broadcasts and never self-joins the corpus") {
+    // The composition's scale contract (Similarity.ivfPqTopK Scaladoc):
+    // the probe scan is map-side against broadcast LUT/probed-cell frames,
+    // the only corpus-corpus join is the narrow enc-cells equi-join on
+    // nbr_id, and the pinned corpus base feeds BOTH the cell argmax and
+    // the PQ encode from one scan.
+    val plan = finalPlanString(SparkEntry.queries("e10_ivfpq_topk")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in composed plan:\n$plan")
+    assert(countOf(plan, "BroadcastHashJoin") >= 3, // cent argmax, codebook encode, LUT probe
+      s"probe scan not broadcast-joined in:\n$plan")
+    assert(countOf(plan, "Scan ExistingRDD") >= 2,
+      s"pinned corpus base not consumed by both legs in:\n$plan")
+    // the ADC reduction must stay an int-sum HashAggregate (map-side
+    // combinable), not a sort-based fallback
+    assert(plan.contains("HashAggregate") && plan.contains("sum(qd"),
+      s"ADC sum not a hash aggregate in:\n$plan")
+  }
+
   test("near-dup pair joins pin their width against AQE partition coalescing") {
     // The posting self-join expands by Σ df² — orders of magnitude more
     // output than input — so byte-based AQE coalescing of the small posting

@@ -216,13 +216,32 @@ object Similarity {
       val base = df.select(col("vec_id").as(idAs), asDouble(col("embedding")).as(embAs),
         l2norm(col("embedding")).as(nrmAs))
         .filter(col(nrmAs) > 0)
-      val scored = base.join(cent)
-        .select(col(idAs), col(embAs), col(nrmAs), col("cent_id"),
-          (dot(col(embAs), col("cent_emb")) / (col(nrmAs) * col("cent_nrm"))).as("__ccos"))
-      val w = Window.partitionBy(idAs).orderBy(col("__ccos").desc, col("cent_id").asc)
-      scored.withColumn("__crn", row_number().over(w))
-        .filter(col("__crn") <= keep)
-        .select(col(idAs), col(embAs), col(nrmAs), col("cent_id").as("cell"))
+      if (keep == 1) {
+        // Corpus side (top-1): LexArgExtreme argmax aggregate — map-side
+        // combinable, so the n×k candidate stream reduces before any
+        // shuffle. The window form below pushed the FULL candidate stream
+        // through a per-vector sort (measured at ×100 / k=800: 27.4 s vs
+        // 7.4 s inside ivfPqTopK's aggregate-shaped assignment — the same
+        // struct-window-vs-primitive-aggregate cliff assignCells pins).
+        // Tie rule identical: max cosine, then the LOWER cent_id.
+        val pinned = Materialize.pin(base)
+        val win = pinned.join(cent)
+          .groupBy(col(idAs))
+          .agg(graft.functions.LexArgExtreme.maxByLex(col("cent_id"),
+            dot(col(embAs), col("cent_emb")) / (col(nrmAs) * col("cent_nrm")),
+            -col("cent_id")).as("cell"))
+        pinned.join(win, Seq(idAs))
+          .select(col(idAs), col(embAs), col(nrmAs), col("cell"))
+      } else {
+        // Query side (top-nprobe): tiny frame, the window is fine.
+        val scored = base.join(cent)
+          .select(col(idAs), col(embAs), col(nrmAs), col("cent_id"),
+            (dot(col(embAs), col("cent_emb")) / (col(nrmAs) * col("cent_nrm"))).as("__ccos"))
+        val w = Window.partitionBy(idAs).orderBy(col("__ccos").desc, col("cent_id").asc)
+        scored.withColumn("__crn", row_number().over(w))
+          .filter(col("__crn") <= keep)
+          .select(col(idAs), col(embAs), col(nrmAs), col("cent_id").as("cell"))
+      }
     }
 
     val cb = assign(corpus, "nbr_id", "nbr_emb", "nbr_nrm", keep = 1)

@@ -117,6 +117,30 @@ object ProbeAnn {
       time("e10_ivfpq_topk registered (IVF-PQ)") {
         graft.SparkEntry.queries("e10_ivfpq_topk")(spark, dir).count()
       }
+      // Scale-config arms: the composition's win is the probed FRACTION
+      // (nprobe/k), so at the gate's 8 coarse cells (25% probed) the extra
+      // enc⋈cells join can cost more than the ADC restriction saves. 800
+      // cells (0.25% probed — the k≈√n regime d8 derives) is where IVF-PQ
+      // must beat IVF alone: exact float cosine over probed cells vs
+      // integer ADC over the same cells.
+      val q = emb.filter(col("vec_id") < 10)
+      val cent800 = emb.filter(col("vec_id") < 800)
+      time("e4 ivfTopK k=800 cells") {
+        graft.ops.Similarity.ivfTopK(emb, q, cent800, 3, nprobe = 2).count()
+      }
+      time("e10 ivfPqTopK k=800 cells") {
+        graft.ops.Similarity.ivfPqTopK(emb, q, cent800, 3, nprobe = 2).count()
+      }
+      // Query-volume arms: with 10 queries the probed-cell rerank is noise
+      // either way; the PQ leg's 16× bandwidth cut only matters when the
+      // candidate stream (n·nprobe·nq/k pairs) dominates — batch ANN.
+      val q1k = emb.filter(col("vec_id") < 1000)
+      time("e4 ivfTopK k=800 cells nq=1000") {
+        graft.ops.Similarity.ivfTopK(emb, q1k, cent800, 3, nprobe = 2).count()
+      }
+      time("e10 ivfPqTopK k=800 cells nq=1000") {
+        graft.ops.Similarity.ivfPqTopK(emb, q1k, cent800, 3, nprobe = 2).count()
+      }
     }
 
     // lab (opt-in only — NOT in `all`): decompose the k=800 assignment

@@ -1769,13 +1769,17 @@ object SparkEntry {
         |                            ORDER BY cos DESC, nbr_id) AS INT) AS rank
         |  FROM scored) WHERE rank <= 3""".stripMargin)),
 
-    // Registered at the PRODUCTION blocking — label ∧ SRP bucket — so the
-    // gated shape is the one you'd run at ×100 (label-only blocking is
-    // density-quadratic: ProbeAnn measured 2.0B pairs / 92.6 s at ×100;
-    // the label-only form stays as the recall ground truth in OpsSpec).
+    // Registered at the PRODUCTION blocking — label ∧ derived-k k-means
+    // cell (the d8 machinery; re-registered r18 per ADVICE r17): label-only
+    // blocking is density-quadratic (2.0B pairs / 92.6 s at ×100), and the
+    // r17 label∧SRP-bucket shape kept only ~2.7% of at-threshold pairs at
+    // the loose registered threshold — the cell blocking keeps 5–10× more
+    // at the same O(n²/(labels·k)) bound (measured table on
+    // Similarity.embeddingNearDupCelled; OpsSpec pins the recall). The
+    // label-only form stays as the recall ground truth.
     ("e2_embed_neardup",
-      (s, d) => Similarity.embeddingNearDupBucketed(emb(s, d), 0.3),
-      Some(embNearDupBucketedSql)),
+      (s, d) => Similarity.embeddingNearDupCelled(emb(s, d), 0.3),
+      Some(embNearDupCelledSql)),
 
     ("e3_srp_ann_topk",
       (s, d) => Similarity.lshTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 3),
@@ -2687,23 +2691,28 @@ object SparkEntry {
        |WHERE list_cosine_similarity(l.emb, r.emb) >= 0.3""".stripMargin
   }
 
-  /** e2 oracle at the production blocking: pairs must share label AND SRP
-    * bucket (the composed key the Spark side shuffles on); 8 planes — the
-    * label contributes the rest of the blocking factor (Scaladoc on
-    * Similarity.embeddingNearDupBucketed). */
-  private lazy val embNearDupBucketedSql: String = {
-    val planes = 8; val dims = 64
-    s"""WITH base AS (
-       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-       |  FROM embeddings WHERE len(embedding) = $dims),
-       |bk AS (
-       |  SELECT vec_id, label, emb,
-       |    ${srpBucketSqlExpr(planes, dims)} AS bucket
-       |  FROM base)
+  /** e2 oracle at the r18 production blocking: pairs must share label AND
+    * derived-k k-means cell. Replays the training exactly — the same
+    * shared Lloyd CTE chain as the d8 oracle (k = ⌈√n⌉ from a scalar
+    * subquery, fixed-point per-dimension sums), assignment over nonzero
+    * vectors only (zero-norm rows never reach the Spark pair join either),
+    * then the label ∧ cell pair join the Spark side shuffles on. */
+  private lazy val embNearDupCelledSql: String = {
+    val iters = 2
+    val kkDef = "SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM base"
+    s"""WITH ${kmeansCtes(kkDef, iters, 64, "BIGINT")},
+       |assign AS (
+       |  SELECT b.vec_id, b.emb, c.cell
+       |  FROM bz b CROSS JOIN c$iters c
+       |  QUALIFY row_number() OVER (PARTITION BY b.vec_id
+       |    ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) = 1),
+       |keyed AS (
+       |  SELECT a.vec_id, a.emb, a.cell, e.label
+       |  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id)
        |SELECT l.label, l.vec_id AS a, r.vec_id AS b,
        |  list_cosine_similarity(l.emb, r.emb) AS cos
-       |FROM bk l JOIN bk r
-       |  ON l.label = r.label AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |FROM keyed l JOIN keyed r
+       |  ON l.label = r.label AND l.cell = r.cell AND l.vec_id < r.vec_id
        |WHERE list_cosine_similarity(l.emb, r.emb) >= 0.3""".stripMargin
   }
 
@@ -2955,8 +2964,13 @@ object SparkEntry {
     * max list_cosine_similarity with cell-ascending ties; update =
     * sum(round(x*1e6) BIGINT) / (1e6 * n) per dimension; empty cells keep
     * their previous centroid). */
-  /** Lloyd-iteration CTE chain shared by the e6 and d8 oracles: `base`
-    * (len-guarded corpus), `kk` (the cell count — `kkDef` supplies the
+  /** Lloyd-iteration CTE chain shared by the e6, d8, and e2 oracles: `base`
+    * (len-guarded corpus), `bz` (base minus zero-norm vectors — the
+    * object-level exclusion Similarity.kmeansCentroids applies: zero
+    * vectors neither seed, nor vote in per-cell means, nor get assigned;
+    * callers' final assignment CTEs must read from `bz`, and `kkDef` that
+    * mirrors derivedCellCount still counts `base`), `kk` (the cell count —
+    * `kkDef` supplies the
     * definition: a literal for e6, the √n derivation for d8), `c0` (the k
     * lowest-vec_id seeds), then per iteration the assignment / fixed-point
     * per-dimension sums / updated centroids — `c<iters>` is the final
@@ -2975,15 +2989,17 @@ object SparkEntry {
     cte ++= s"""base AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings WHERE len(embedding) = $dims),
+       |bz AS (
+       |  SELECT vec_id, emb FROM base WHERE list_dot_product(emb, emb) > 0),
        |kk AS ($kkDef),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS $cellType) - 1 AS cell, emb AS c
-       |  FROM base QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk))""".stripMargin
+       |  FROM bz QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk))""".stripMargin
     for (i <- 1 to iters) {
       cte ++= s""",
          |a$i AS (
          |  SELECT b.vec_id, b.emb, c.cell
-         |  FROM base b CROSS JOIN c${i - 1} c
+         |  FROM bz b CROSS JOIN c${i - 1} c
          |  QUALIFY row_number() OVER (PARTITION BY b.vec_id
          |    ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) = 1),
          |s$i AS (
@@ -3000,7 +3016,7 @@ object SparkEntry {
     val iters = 2
     s"""WITH ${kmeansCtes("SELECT 8 AS k", iters, 64, "INT")}
        |SELECT b.vec_id, c.cell
-       |FROM base b CROSS JOIN c$iters c
+       |FROM bz b CROSS JOIN c$iters c
        |QUALIFY row_number() OVER (PARTITION BY b.vec_id
        |  ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) = 1""".stripMargin
   }
@@ -3013,11 +3029,9 @@ object SparkEntry {
     val iters = 2
     val kkDef = "SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM base"
     s"""WITH ${kmeansCtes(kkDef, iters, 64, "BIGINT")},
-       |bnz AS (
-       |  SELECT vec_id, emb FROM base WHERE list_dot_product(emb, emb) > 0),
        |assign AS (
        |  SELECT b.vec_id, b.emb, c.cell
-       |  FROM bnz b CROSS JOIN c$iters c
+       |  FROM bz b CROSS JOIN c$iters c
        |  QUALIFY row_number() OVER (PARTITION BY b.vec_id
        |    ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) = 1),
        |dropped AS (

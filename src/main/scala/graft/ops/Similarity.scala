@@ -353,9 +353,15 @@ object Similarity {
                       literalMaxK: Int = literalArgmaxMaxK)
       : Seq[(Int, Array[Double])] = {
     val scale = 1e6
+    // Zero-norm exclusion (the object-level contract): a zero vector has
+    // no cosine to any centroid — under ANSI the assignment division
+    // throws DIVIDE_BY_ZERO outright (caught by OpsSpec's celled test, r18)
+    // — so zero vectors neither seed, nor vote in the per-cell means, nor
+    // receive a cell. The oracle CTEs carry the identical bz filter.
     val corpus = df.filter(size(col("embedding")) === dims)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         l2norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
     var cents: Seq[(Int, Array[Double])] = corpus.orderBy("vec_id").limit(k)
       .select(col("emb")).collect()
       .map(_.getSeq[Double](0).toArray).zipWithIndex.map { case (c, i) => (i, c) }.toSeq
@@ -406,6 +412,7 @@ object Similarity {
     val corpus = df.filter(size(col("embedding")) === dims)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         l2norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // same zero-norm exclusion as the training
     assignCells(corpus, centFrame(df.sparkSession, cents))
       .select(col("vec_id"), col("cell"))
   }
@@ -527,9 +534,9 @@ object Similarity {
     * own cardinality: with a handful of labels over a grown corpus the
     * within-label pair count is density-QUADRATIC (ProbeAnn measured 2.0B
     * candidate pairs / 92.6 s at ×100), so the registered production
-    * shape is [[embeddingNearDupBucketed]], which composes the label with
-    * an SRP bucket. This form remains the recall ground truth the
-    * bucketed variant is measured against.
+    * shape is [[embeddingNearDupCelled]], which composes the label with a
+    * corpus-grown k-means cell. This form remains the recall ground truth
+    * the blocked variants are measured against (OpsSpec pins the numbers).
     *
     * Norms are computed once per vector before the pair join (norm(v) is
     * pair-invariant); only the dot product runs per pair — 3x less array
@@ -561,8 +568,10 @@ object Similarity {
     * 4 → 20%, 8 → 2.7%, 12 → 0%) — single-signature SRP is a
     * TIGHT-threshold tool (at cos 0.9, p ≈ 0.86, the same 8 planes keep
     * ~29%). For loose-threshold semantic grouping at scale, use the
-    * distribution-aware ops instead: [[semDedup]] (k-means cells grown
-    * with the corpus) or [[ivfTopK]]. */
+    * distribution-aware ops instead: [[embeddingNearDupCelled]] (e2's
+    * registered shape since round 18 — label ∧ corpus-grown k-means cell,
+    * 5–10× this form's at-threshold recall at the same pair-space bound),
+    * [[semDedup]] (k-means cells grown with the corpus) or [[ivfTopK]]. */
   def embeddingNearDupBucketed(df: DataFrame, threshold: Double,
                                planes: Int = 8, dims: Int = 64): DataFrame = {
     val keyed0 = df.filter(size(col("embedding")) === dims)
@@ -573,6 +582,44 @@ object Similarity {
     // consumed by both sides of the self-join
     val keyed = Materialize.pin(keyed0)
     pairCosine(keyed, "label", "bucket")
+      .filter(col("cos") >= threshold)
+      .select(col("label"), col("a"), col("b"), col("cos"))
+  }
+
+  /** Embedding near-dup at the loose-threshold production blocking:
+    * label ∧ corpus-grown k-means cell (k = ⌈√n⌉ derived, real Lloyd
+    * centroids trained in-query — the d8 machinery, which this op's own
+    * loose-threshold guidance points at). Replaces the r17 label ∧ SRP
+    * composed blocking as e2's REGISTERED shape: single-signature SRP is
+    * a tight-threshold tool, and the measured recall of at-threshold
+    * (0.3) pairs against the label-only ground truth is
+    *
+    *   | blocking            | sf0.01 (111 true pairs) | sf0.1 (1449) |
+    *   |---------------------|-------------------------|--------------|
+    *   | SRP 16 planes       | 0.000                   | 0.000        |
+    *   | SRP  8 planes (r17) | 0.027                   | 0.025        |
+    *   | SRP  4 planes       | 0.198                   | 0.153        |
+    *   | label ∧ derived-k cell | **0.279**            | **0.137**    |
+    *
+    * (ProbeAnn e2recall, round 18) — the cell blocking dominates every
+    * SRP width that is still scale-bounded, at the same O(n²/(labels·k))
+    * pair-space bound with k growing as √n. The residual loss is the
+    * cell-boundary trade SemDeDup itself accepts by construction; OpsSpec
+    * pins the recall numerically so a regression fails loudly. Training
+    * cost is the d8 price: O(n·k) assignment per Lloyd iteration,
+    * O(k·dims·iters) driver traffic. */
+  def embeddingNearDupCelled(df: DataFrame, threshold: Double,
+                             dims: Int = 64): DataFrame = {
+    val k = derivedCellCount(df, dims)
+    val cells = kmeansAssign(df, k, iters = 2, dims = dims)
+    val keyed0 = df.filter(size(col("embedding")) === dims)
+      .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("emb"),
+        l2norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+      .join(cells, Seq("vec_id"))
+    // consumed by both sides of the self-join
+    val keyed = Materialize.pin(keyed0)
+    pairCosine(keyed, "label", "cell")
       .filter(col("cos") >= threshold)
       .select(col("label"), col("a"), col("b"), col("cos"))
   }

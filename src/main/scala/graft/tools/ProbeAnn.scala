@@ -25,8 +25,8 @@ object ProbeAnn {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf10")
     val section = args.lift(1).getOrElse("all")
-    require(section.matches("all|lab|d8(:\\d+)?|d8reg|e5|e2|e2reg|e10"),
-      s"unknown section '$section': use d8 | d8:<k> | d8reg | e5 | e2 | e2reg | e10 | all | lab")
+    require(section.matches("all|lab|d8(:\\d+)?|d8reg|e5|e2|e2reg|e10|e2recall"),
+      s"unknown section '$section': use d8 | d8:<k> | d8reg | e5 | e2 | e2reg | e10 | e2recall | all | lab")
     def on(s: String) = section == "all" || section == s
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
@@ -95,9 +95,9 @@ object ProbeAnn {
     if (on("e2")) time("e2_embed_neardup (label blocks)") {
       graft.ops.Similarity.embeddingNearDup(emb, 0.3).count()
     }
-    // e2reg: the REGISTERED round-17 shape — label ∧ 8-plane SRP bucket —
+    // e2reg: the REGISTERED shape (r18: label ∧ derived-k k-means cell) —
     // pulled from the registry so the probe cannot drift from it.
-    if (on("e2reg")) time("e2_embed_neardup registered (label ∧ bucket)") {
+    if (on("e2reg")) time("e2_embed_neardup registered (label ∧ cell)") {
       graft.SparkEntry.queries("e2_embed_neardup")(spark, dir).count()
     }
 
@@ -141,6 +141,42 @@ object ProbeAnn {
       time("e10 ivfPqTopK k=800 cells nq=1000") {
         graft.ops.Similarity.ivfPqTopK(emb, q1k, cent800, 3, nprobe = 2).count()
       }
+    }
+
+    // e2recall (opt-in — NOT in `all`: it runs the density-quadratic
+    // label-only ground truth): the registered composed blocking's recall
+    // curve vs plane count and threshold, against the label-only pair set.
+    // Feeds the registration decision (8 vs 16 planes) and the gate-level
+    // recall pin OpsSpec carries (ADVICE r17 medium).
+    if (section == "e2recall") {
+      import graft.ops.Similarity
+      val thr = 0.3 // the gate corpus has NO pairs above 0.6 (measured)
+      val truth = Similarity.embeddingNearDup(emb, thr).count()
+      println(f"[recall] thr=$thr label-only truth pairs=$truth")
+      for (planes <- Seq(4, 8, 16)) {
+        val got = Similarity
+          .embeddingNearDupBucketed(emb, thr, planes = planes).count()
+        val rec = if (truth == 0) Double.NaN else got.toDouble / truth
+        println(f"[recall] thr=$thr planes=$planes pairs=$got recall=$rec%.4f")
+      }
+      // the d8-machinery alternative: block on label ∧ derived-k kmeans cell
+      val k = Similarity.derivedCellCount(emb)
+      val base = emb.filter(size(col("embedding")) === 64)
+        .select(col("label"), col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("emb"),
+          Similarity.l2norm(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0)
+      val assigned = Similarity.kmeansAssign(emb, k, iters = 2)
+        .join(base, Seq("vec_id"))
+      val l = assigned.select(col("label"), col("cell"), col("vec_id").as("a"),
+        col("emb").as("ea"), col("nrm").as("na"))
+      val r = assigned.select(col("label"), col("cell"), col("vec_id").as("b"),
+        col("emb").as("eb"), col("nrm").as("nb"))
+      val got = l.join(r, Seq("label", "cell")).filter(col("a") < col("b"))
+        .filter(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= thr)
+        .count()
+      val rec = if (truth == 0) Double.NaN else got.toDouble / truth
+      println(f"[recall] thr=$thr label∧cell k=$k pairs=$got recall=$rec%.4f")
     }
 
     // lab (opt-in only — NOT in `all`): decompose the k=800 assignment

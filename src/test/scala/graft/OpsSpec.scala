@@ -475,6 +475,52 @@ class OpsSpec extends SparkSpec {
     assert(twins.subsetOf(got.keySet), s"missing twins: ${twins -- got.keySet}")
   }
 
+  test("celled embedding near-dup ⊆ label-only ground truth, twins survive") {
+    // the r18 registered blocking (label ∧ derived-k k-means cell) obeys
+    // the same containment contract as the SRP form: it may only lose
+    // pairs at cell boundaries, never invent pairs or change a surfaced
+    // pair's cosine; identical twins (cos = 1) assign to the same cell by
+    // construction (identical cosine to every centroid, same tie-break)
+    // and MUST survive.
+    val vecs = (0 until 40).map { i =>
+      val base = i % 20 // i and i+20 are identical twins
+      (i.toLong, Array.tabulate(64)(d => math.sin(base * 131 + d * 7).toFloat), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val truth = Similarity.embeddingNearDup(vecs, threshold = 0.4)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val got = Similarity.embeddingNearDupCelled(vecs, threshold = 0.4)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.keySet.subsetOf(truth.keySet),
+      s"celled invented pairs: ${got.keySet -- truth.keySet}")
+    got.foreach { case (k, c) => assert(c == truth(k), s"cos drifted at $k") }
+    val twins = (0 until 20).map(i => (i.toLong, (i + 20).toLong)).toSet
+    assert(twins.subsetOf(got.keySet), s"missing twins: ${twins -- got.keySet}")
+    // zero-norm exclusion, same guard as every cosine path
+    val zero = vecs.union(Seq((99L, Array.fill(64)(0f), 0)).toDF("vec_id", "embedding", "label"))
+    val z = Similarity.embeddingNearDupCelled(zero, threshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(z.forall(p => p._1 != 99L && p._2 != 99L), s"zero vector paired: ${z.toSeq}")
+  }
+
+  test("e2's gate-level recall vs the label-only ground truth is pinned (ADVICE r17)") {
+    // The registered blocking trades recall for a bounded pair space; this
+    // pins the trade NUMERICALLY at the gate corpus so a regression (or a
+    // silent blocking change) fails loudly instead of hiding behind an
+    // oracle updated in lockstep. Measured r18 (ProbeAnn e2recall):
+    // 111 true at-threshold pairs at sf0.01; label ∧ derived-k cell keeps
+    // 31 (recall 0.279) — vs 3 (0.027) for the r17 label ∧ 8-plane SRP
+    // bucket shape and 0 for 16 planes, which is why e2 was re-registered.
+    val e = graft.model.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val truth = Similarity.embeddingNearDup(e, 0.3).count()
+    assert(truth == 111L, s"ground-truth pair count drifted: $truth")
+    val got = SparkEntry.queries("e2_embed_neardup")(spark, "/root/testdata/sf0.01").count()
+    assert(got == 31L, s"registered e2 pair count drifted: $got")
+    val recall = got.toDouble / truth
+    assert(recall > 0.25, f"registered e2 recall $recall%.3f fell below the pinned floor 0.25")
+  }
+
   test("derivedCellCount is ⌈√n⌉ over dims-valid vectors only") {
     val rows = (0 until 10).map(i => (i.toLong, Array.fill(64)(1f))) :+
       (99L, Array.fill(3)(1f)) // wrong dims — must not count

@@ -129,29 +129,34 @@ class PlanChecksSpec extends SparkSpec {
       s"assignCells: literal greatest() argmax tree still present in:\n$assignPlan")
   }
 
-  test("e2's registered pair join blocks on the composed (label, bucket) key") {
+  test("e2's registered pair join blocks on the composed (label, cell) key") {
     // Label-only blocking was the r16 density-quadratic weak config; the
-    // registered round-17 shape must equi-join on BOTH components (a
-    // cartesian or single-key join is the scale regression this pins),
-    // and the bucketed/normed frame must be pinned — the SRP fold and
-    // norms computed once, not once per self-join side.
+    // registered shape (r18: label ∧ derived-k k-means cell) must
+    // equi-join on BOTH components (a cartesian or single-key join is the
+    // scale regression this pins), and the celled/normed frame must be
+    // pinned — assignment and norms computed once, not once per self-join
+    // side.
     val df = SparkEntry.queries("e2_embed_neardup")(spark, sf)
     val plan = finalPlanString(df)
     val joinLine = plan.linesIterator
-      .find(l => l.contains("Join") && l.contains("label") && l.contains("bucket"))
+      .find(l => l.contains("Join") && l.contains("label") && l.contains("cell"))
     assert(joinLine.nonEmpty,
-      s"no equi-join keyed on both label AND bucket in:\n$plan")
+      s"no equi-join keyed on both label AND cell in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian pair join in:\n$plan")
-    // pinned input: both join sides scan the checkpointed RDD, so the
-    // 8-plane SRP fold must NOT appear in the executed plan at all. The
-    // fold's marker is the raw `embedding` column it reads (the pinned
-    // frame carries only label/bucket/vec_id/emb/nrm) — NOT xxhash, which
-    // the ±1-literal zip_with fold never lowers to, making that old check
-    // vacuously green even with the pin removed (ADVICE r17).
+    // pinned input: both join sides scan the checkpointed RDD, so neither
+    // the cell assignment nor the norm fold may re-run per side. The
+    // marker is the raw `embedding` column they read (the pinned frame
+    // carries only label/cell/vec_id/emb/nrm) — NOT xxhash, which the
+    // fold never lowers to, making the old check vacuously green even
+    // with the pin removed (ADVICE r17).
     assert(!plan.contains("embedding"),
-      s"raw embedding column (the SRP fold input) re-read past the pin in:\n$plan")
-    assert(countOf(plan, "Scan ExistingRDD") >= 2,
-      s"bucketed frame not consumed from the pin on both sides:\n$plan")
+      s"raw embedding column (the assignment input) re-read past the pin in:\n$plan")
+    // both self-join sides consume the pin: either two scans of the
+    // checkpointed RDD, or one scan whose exchange the other side reuses
+    // (strictly better — AQE dedups the broadcast build)
+    assert(countOf(plan, "Scan ExistingRDD") >= 2 ||
+      (countOf(plan, "Scan ExistingRDD") == 1 && plan.contains("ReusedExchange")),
+      s"celled frame not consumed from the pin on both sides:\n$plan")
   }
 
   test("e10's composed IVF-PQ plan probes via broadcasts and never self-joins the corpus") {

@@ -1378,8 +1378,14 @@ object SparkEntry {
     // ---- x5: composed cleaning pass (C4-style): quality gate + language
     // filter + exact dedup (min doc_id survives per content hash). The ops
     // compose as plain DataFrame stages; one pipeline, one oracle.
+    // Registered at the FOLD shape since r18: the per-doc token stats run
+    // as one map-side higher-order aggregate() instead of explode +
+    // groupBy(doc_id) — 7.2× at ×1000 (145 → 20.1 s warm, ProbeX5; x5 was
+    // the slowest linear pass in the r17 fourth-decade table). Output is
+    // row-identical (OpsSpec equivalence); the explode form stays as the
+    // library reference shape cleanCorpus.
     ("x5_clean_corpus",
-      (s, d) => TextAnalysis.cleanCorpus(docs(s, d), "text", 0.7, "en"),
+      (s, d) => TextAnalysis.cleanCorpusFold(docs(s, d), "text", 0.7, "en"),
       Some(cleanCorpusSql)),
 
     // ---- x6/x7: deterministic sampling — stable hash-based train/valid/test

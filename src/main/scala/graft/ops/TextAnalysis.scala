@@ -262,6 +262,66 @@ object TextAnalysis {
       .select("doc_id", "n_dups")
   }
 
+  /** [[cleanCorpus]] with the per-doc token statistics folded MAP-SIDE via
+    * one higher-order `aggregate()` over the token array instead of
+    * explode + groupBy(doc_id) — the same no-shuffle trick as the
+    * packed-long chunk dedup (VERDICT r17 #2's hypothesis). The
+    * accumulator is a single struct carrying every count (n_tokens,
+    * token chars, stopword hits, one hit counter per language), so the
+    * token array — and with it the `tokens()` regexp — has exactly ONE
+    * consumer expression and evaluates once per document no matter how
+    * the optimizer collapses projections. The token-row stream (corpus
+    * token count × rows through HashAggregate in the explode form) never
+    * materializes; the only remaining shuffle is the content-hash dedup
+    * group. Output is row-identical to [[cleanCorpus]] (OpsSpec pins the
+    * equivalence); which form is FASTER is measured, not assumed — see
+    * BASELINE.md round 18 (ProbeX5) before switching a registration. */
+  def cleanCorpusFold(df: DataFrame, textCol: String, minQuality: Double = 0.7,
+                      keepLang: String = "en"): DataFrame = {
+    val t = col(textCol)
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    // isInCollection, not array_contains(literal): InSet is a hash-set
+    // probe, the literal-array scan is linear in the lexicon
+    def hit(s: Column, ws: Seq[String]): Column =
+      when(s.isInCollection(ws), 1L).otherwise(0L)
+    val zero = struct((lit(0L).as("n") +: lit(0L).as("tc") +: lit(0L).as("sh") +:
+      langsSorted.indices.map(i => lit(0L).as(s"h$i"))): _*)
+    def step(acc: Column, x: Column): Column =
+      struct(((acc.getField("n") + 1L).as("n") +:
+        (acc.getField("tc") + length(x)).as("tc") +:
+        (acc.getField("sh") + hit(x, allStop)).as("sh") +:
+        langsSorted.zipWithIndex.map { case ((_, ws), i) =>
+          (acc.getField(s"h$i") + hit(x, ws)).as(s"h$i") }): _*)
+    val base = graft.model.Tables.spread(df.select(col("doc_id"), t), col("doc_id"))
+      .select(col("doc_id"),
+        length(t).as("n_chars"),
+        (length(t) - length(regexp_replace(lower(t), NonTokenRegex, ""))).as("punct_chars"),
+        md5(t).as("content_hash"),
+        aggregate(tokens(t), zero, step).as("__f"))
+    val agg = base
+      .withColumn("n_tokens", coalesce(col("__f.n"), lit(0L)))
+      .withColumn("tok_chars", coalesce(col("__f.tc"), lit(0L)))
+      .withColumn("stop_hits", coalesce(col("__f.sh"), lit(0L)))
+      .withColumns(langsSorted.indices.map(i =>
+        s"__h$i" -> coalesce(col(s"__f.h$i"), lit(0L))).toMap)
+      .drop("__f")
+      .withColumn("mean_word_len",
+        when(col("n_tokens") > 0, col("tok_chars").cast("double") / col("n_tokens"))
+          .otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0, col("punct_chars").cast("double") / col("n_chars"))
+          .otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0, col("stop_hits").cast("double") / col("n_tokens"))
+          .otherwise(0.0))
+    val kept = bestLang(agg)
+      .withColumn("quality", qualityBand)
+      .filter(col("quality") >= minQuality && col("pred_lang") === keepLang)
+    kept.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .select("doc_id", "n_dups")
+  }
+
   /** Intra-document repetition score (C4-style boilerplate heuristic): the
     * fraction of word n-gram shingles that are repeats of an earlier shingle
     * in the same document — near 0 for natural prose, near 1 for templated /

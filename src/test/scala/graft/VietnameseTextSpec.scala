@@ -78,5 +78,12 @@ class VietnameseTextSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(actual == expected, s"\nactual:   $actual\nexpected: $expected")
     assert(actual.nonEmpty) // doc 3/5 survive as one group
+    // the registered r18 FOLD shape (map-side aggregate(), no explode) must
+    // be row-identical on the same tricky corpus — empty-token docs, pure
+    // punctuation, exact dups (the cases where explode_outer/count-null
+    // semantics could silently diverge from the array fold)
+    val folded = TextAnalysis.cleanCorpusFold(docs, "text", 0.7, "en")
+      .orderBy("doc_id").collect().toSeq
+    assert(folded == expected, s"\nfolded:   $folded\nexpected: $expected")
   }
 }

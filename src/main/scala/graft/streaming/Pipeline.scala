@@ -153,9 +153,17 @@ object Pipeline {
     // SPARK_GRAFT_STATE_SHUFFLE (mirroring SPARK_GRAFT_SHUFFLE): at ×1000
     // the sess replay carries ~43M live session keys, and the clamp packs
     // them into 8 RocksDB instances at ~5.4M keys each — the exact cost a
-    // real cluster answers by widening state partitions (BASELINE.md round
-    // 17 measures the knob). Checkpoint compatibility is not a concern
-    // here: every replay starts from a fresh checkpoint dir.
+    // real cluster answers by widening state partitions. SIZING RULE
+    // (measured U-curve, BASELINE.md rounds 17-18, 43M keys / 32 cores):
+    // 8 → 503 s, 256 → 256 s, 512 → 338 s, 1024 → 339 s min-of-passes.
+    // The knee sits at ~8 state partitions per core (~170k keys per
+    // RocksDB instance here); past it, per-instance PER-BATCH lifecycle
+    // (open/commit/snapshot) grows linearly in width while the key-side
+    // win is already amortized, so width = min(keys / ~150k, ~8 × total
+    // cores) — width is a query-start decision, so size it to the
+    // projected LIVE-key plateau, not the first batch. Checkpoint
+    // compatibility is not a concern here: every replay starts from a
+    // fresh checkpoint dir.
     replayConfLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val saved = spark.conf.get(key)

@@ -26,11 +26,29 @@ object ProbeX5 {
         val n = body
         println(f"[x5] pass=$pass $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
-    time("explode+groupBy (registered cleanCorpus)") {
-      graft.ops.TextAnalysis.cleanCorpus(docs, "text").count()
-    }
-    time("map-side aggregate() fold (cleanCorpusFold)") {
-      graft.ops.TextAnalysis.cleanCorpusFold(docs, "text").count()
+    if (args.lift(1).contains("x3")) {
+      // x3 arm: languageId alone. Both forms hash-forced through every
+      // output column (pred_lang/hits are map-only in the fold form — a
+      // bare count would prune them, the ProbeChunk elimination trap).
+      import org.apache.spark.sql.functions._
+      def force(df: org.apache.spark.sql.DataFrame): Long = {
+        val r = df.agg(count(lit(1)),
+          bit_xor(xxhash64(df.columns.map(col): _*))).head()
+        r.getLong(0)
+      }
+      time("x3 explode+groupBy (registered languageId)") {
+        force(graft.ops.TextAnalysis.languageId(spark, docs, "text"))
+      }
+      time("x3 map-side fold (languageIdFold)") {
+        force(graft.ops.TextAnalysis.languageIdFold(docs, "text"))
+      }
+    } else {
+      time("explode+groupBy (registered cleanCorpus)") {
+        graft.ops.TextAnalysis.cleanCorpus(docs, "text").count()
+      }
+      time("map-side aggregate() fold (cleanCorpusFold)") {
+        graft.ops.TextAnalysis.cleanCorpusFold(docs, "text").count()
+      }
     }
     spark.stop()
   }

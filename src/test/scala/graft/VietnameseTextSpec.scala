@@ -59,6 +59,10 @@ class VietnameseTextSpec extends SparkSpec {
     val actual = TextAnalysis.languageId(spark, viDocs, "text")
       .orderBy("doc_id").collect().toSeq
     assert(actual == expected, s"\nactual:   $actual\nexpected: $expected")
+    // the shuffle-free fold form must match the same reference rows
+    val folded = TextAnalysis.languageIdFold(viDocs, "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(folded == expected, s"\nfolded:   $folded\nexpected: $expected")
   }
 
   test("fused cleanCorpus equals the three-stage composition") {

@@ -172,13 +172,13 @@ object Bench {
     // only informative where time is actually spent, so keep the slowest
     // `top` queries verbatim and fold the fast tail into one "_other_sum"
     // entry (total stays exact).
-    def lineTop(dec: Int, sf: String, top: Int): String = {
+    def lineTop(dec: Int, sf: String, top: Int, spreadTop: Int = 3): String = {
       val sorted = results.toSeq.sortBy { case (n, v) => (-v, n) }
       val kept = sorted.take(top)
       val rest = sorted.drop(top).map(_._2).sum
       val qs = (kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) } :+
         ("\"_other_sum\":" + fmt(rest, dec))).mkString("{", ",", "}")
-      s"""{"metric":"total",$totalJson,"unit":"sec",$teleJson,$failJson,"queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total",$totalJson,"unit":"sec",$teleJson,$failJson,${spreadJson(spreadTop)}"queries":$qs,"sf":"$sf"}"""
     }
     // Sidecar: FULL per-pass arrays + telemetry, no stdout budget. Written
     // best-effort (a read-only cwd must not fail the bench); path announced
@@ -205,10 +205,14 @@ object Bench {
     // budget loses its HEAD — the "metric"/"value" fields — so fitting
     // under it is a hard requirement, not cosmetics. Spread arrays ride the
     // top rungs only; host telemetry rides every rung.
-    val out = (Seq(line(2, sfDir, 6), line(1, sfDir, 4), line(1, base, 2), line(1, base, 0)) ++
-      Seq(70, 50, 35, 20).map(n => lineTop(1, base, n)))
+    // The slowest-N rungs keep a SMALL spread map (top-3 most-discrepant
+    // per-pass arrays): the driver stores only this stdout line, so the
+    // burst evidence must ride the artifact itself, not just the sidecar.
+    val out = (Seq(line(2, sfDir, 6), line(1, sfDir, 4), line(1, base, 2)) ++
+      Seq(70, 50, 35, 20).map(n => lineTop(1, base, n)) ++
+      Seq(20, 10).map(n => lineTop(1, base, n, spreadTop = 0)))
       .find(_.length <= 1900)
-      .getOrElse(lineTop(1, base, 10))
+      .getOrElse(lineTop(1, base, 10, spreadTop = 0))
     spark.stop()
     // Print AFTER spark.stop() so no late executor/driver log line can land
     // between the JSON and process exit.

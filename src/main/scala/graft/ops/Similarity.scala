@@ -607,7 +607,19 @@ object Similarity {
     * cell-boundary trade SemDeDup itself accepts by construction; OpsSpec
     * pins the recall numerically so a regression fails loudly. Training
     * cost is the d8 price: O(n·k) assignment per Lloyd iteration,
-    * O(k·dims·iters) driver traffic. */
+    * O(k·dims·iters) driver traffic.
+    *
+    * 100-TB training posture (measured, ProbeAnn e2sample r18): train the
+    * Lloyd iterations on a deterministic md5-bucket SAMPLE (the
+    * Sampling.hashBucket convention — oracle-replayable) and assign the
+    * full corpus — the SemDeDup paper's own posture. At ×1000 a 10%
+    * training sample cuts this op 143.8 → 58.9 s with 97.5% of the pair
+    * mass retained; at sf0.1 recall vs the label-only truth is flat
+    * (0.127–0.133 sampled vs 0.137 full). Past ~10% the wall is
+    * assignment + output emission, not training. Kept OUT of the
+    * registered shape for now (registry churn discipline); wiring it in
+    * means sampling the kmeansCentroidFrame input and adding the same
+    * bucket predicate to the oracle's c0/a-iteration CTEs. */
   def embeddingNearDupCelled(df: DataFrame, threshold: Double,
                              dims: Int = 64): DataFrame = {
     val k = derivedCellCount(df, dims)

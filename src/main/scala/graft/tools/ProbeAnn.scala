@@ -25,8 +25,8 @@ object ProbeAnn {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf10")
     val section = args.lift(1).getOrElse("all")
-    require(section.matches("all|lab|d8(:\\d+)?|d8reg|e5|e2|e2reg|e10|e2recall"),
-      s"unknown section '$section': use d8 | d8:<k> | d8reg | e5 | e2 | e2reg | e10 | e2recall | all | lab")
+    require(section.matches("all|lab|d8(:\\d+)?|d8reg|e5|e2|e2reg|e10|e2recall|e2sample"),
+      s"unknown section '$section': use d8 | d8:<k> | d8reg | e5 | e2 | e2reg | e10 | e2recall | e2sample | all | lab")
     def on(s: String) = section == "all" || section == s
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
@@ -177,6 +177,53 @@ object ProbeAnn {
         .count()
       val rec = if (truth == 0) Double.NaN else got.toDouble / truth
       println(f"[recall] thr=$thr label∧cell k=$k pairs=$got recall=$rec%.4f")
+    }
+
+    // e2sample (opt-in): the SemDeDup-paper training posture — Lloyd
+    // iterations over a deterministic SAMPLE, assignment over the full
+    // corpus. e2/d8's registered shapes train on the full corpus each
+    // iteration (O(n·k·dims) per iteration); at 100 TB the paper answer
+    // is sampled training, so this measures what it costs in recall and
+    // buys in wall. Sample = md5-bucket on vec_id (the x6 oracle-
+    // replayable convention), k stays derived from the FULL corpus.
+    if (section == "e2sample") {
+      import graft.ops.Similarity
+      val thr = 0.3
+      val dims = 64
+      val k = Similarity.derivedCellCount(emb)
+      val full = emb.filter(size(col("embedding")) === dims)
+      val base = full
+        .select(col("label"), col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("emb"),
+          Similarity.l2norm(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0)
+      val small = emb.count() <= 10000
+      val truth = if (small) Similarity.embeddingNearDup(emb, thr).count() else -1L
+      if (small) println(s"[sample] truth pairs=$truth")
+      for (pct <- Seq(100, 10, 1)) {
+        val train =
+          if (pct == 100) emb
+          else emb.filter(
+            graft.ops.Sampling.hashBucket(col("vec_id"), 100, "e2s") < pct)
+        val t0 = System.nanoTime()
+        val centF = Similarity.kmeansCentroidFrame(spark, train, k, iters = 2)
+          .select(col("vec_id").as("cell"),
+            Similarity.asDouble(col("embedding")).as("cemb"))
+        val assigned = Similarity.assignCells(
+          base.select(col("vec_id"), col("emb"), col("nrm")), centF)
+          .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
+        val keyed = graft.Materialize.pin(assigned)
+        val l = keyed.select(col("label"), col("cell"), col("vec_id").as("a"),
+          col("emb").as("ea"), col("nrm").as("na"))
+        val r = keyed.select(col("label"), col("cell"), col("vec_id").as("b"),
+          col("emb").as("eb"), col("nrm").as("nb"))
+        val pairs = l.join(r, Seq("label", "cell")).filter(col("a") < col("b"))
+          .filter(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= thr)
+          .count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val rec = if (truth > 0) f"${pairs.toDouble / truth}%.4f" else "n/a"
+        println(f"[sample] train=$pct%% k=$k pairs=$pairs recall=$rec t=$wall%.2fs")
+      }
     }
 
     // lab (opt-in only — NOT in `all`): decompose the k=800 assignment

@@ -2726,19 +2726,20 @@ object SparkEntry {
     * to the lower centroid id), 2-cell probing, exact rerank. */
   private lazy val ivfSql: String =
     s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id < 8),
+       |bnz AS (SELECT vec_id, emb FROM base WHERE list_dot_product(emb, emb) > 0),
+       |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM bnz WHERE vec_id < 8),
        |cassign AS (
        |  SELECT vec_id, emb, cent_id AS cell FROM (
        |    SELECT b.vec_id, b.emb, c.cent_id,
        |      row_number() OVER (PARTITION BY b.vec_id
        |        ORDER BY list_cosine_similarity(b.emb, c.cent_emb) DESC, c.cent_id) AS rn
-       |    FROM base b, cent c) WHERE rn <= 1),
+       |    FROM bnz b, cent c) WHERE rn <= 1),
        |qassign AS (
        |  SELECT vec_id AS query_id, emb AS q_emb, cent_id AS cell FROM (
        |    SELECT b.vec_id, b.emb, c.cent_id,
        |      row_number() OVER (PARTITION BY b.vec_id
        |        ORDER BY list_cosine_similarity(b.emb, c.cent_emb) DESC, c.cent_id) AS rn
-       |    FROM base b, cent c WHERE b.vec_id < 10) WHERE rn <= 2),
+       |    FROM bnz b, cent c WHERE b.vec_id < 10) WHERE rn <= 2),
        |scored AS (
        |  SELECT q.query_id, c.vec_id AS nbr_id,
        |    list_cosine_similarity(q.q_emb, c.emb) AS cos
@@ -2756,24 +2757,29 @@ object SparkEntry {
     * the LUT only where the corpus cell is one of the query's probed cells.
     * Both halves' fragments match ivfSql / pqSql line-for-line, with the
     * e9 len-guard applied uniformly (the gate corpus is all-64-dim, so the
-    * guard changes nothing there — it pins the contract). */
+    * guard changes nothing there — it pins the contract). The `bnz` CTE
+    * replays the Spark side's documented zero-norm exclusion
+    * (v_nrm/q_nrm/cent_nrm > 0 in ivfPqTopK — ADVICE r18); `cb` stays on
+    * `base` because pqCodebook only dims-guards (a zero codebook entry is
+    * well-defined: d = ‖v‖², no division). */
   private lazy val ivfPqSql: String =
     """WITH base AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       |  WHERE len(embedding) = 64),
-      |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id < 8),
+      |bnz AS (SELECT vec_id, emb FROM base WHERE list_dot_product(emb, emb) > 0),
+      |cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM bnz WHERE vec_id < 8),
       |cells AS (
       |  SELECT vec_id AS nbr_id, cent_id AS cell FROM (
       |    SELECT b.vec_id, c.cent_id,
       |      row_number() OVER (PARTITION BY b.vec_id
       |        ORDER BY list_cosine_similarity(b.emb, c.cent_emb) DESC, c.cent_id) AS rn
-      |    FROM base b, cent c) WHERE rn <= 1),
+      |    FROM bnz b, cent c) WHERE rn <= 1),
       |qcells AS (
       |  SELECT vec_id AS query_id, cent_id AS cell FROM (
       |    SELECT b.vec_id, c.cent_id,
       |      row_number() OVER (PARTITION BY b.vec_id
       |        ORDER BY list_cosine_similarity(b.emb, c.cent_emb) DESC, c.cent_id) AS rn
-      |    FROM base b, cent c WHERE b.vec_id < 10) WHERE rn <= 2),
+      |    FROM bnz b, cent c WHERE b.vec_id < 10) WHERE rn <= 2),
       |cb AS (SELECT vec_id AS code, emb AS cemb FROM base
       |       ORDER BY vec_id LIMIT 4),
       |ms AS (SELECT CAST(unnest(range(4)) AS INT) AS m),
@@ -2785,7 +2791,7 @@ object SparkEntry {
       |                              cb.cemb[ms.m*16+1 : ms.m*16+16])
       |     + list_dot_product(cb.cemb[ms.m*16+1 : ms.m*16+16],
       |                        cb.cemb[ms.m*16+1 : ms.m*16+16])) AS d
-      |  FROM base v, ms, cb),
+      |  FROM bnz v, ms, cb),
       |enc AS (
       |  SELECT nbr_id, m, code FROM (
       |    SELECT nbr_id, m, code,

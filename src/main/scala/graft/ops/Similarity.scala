@@ -208,8 +208,14 @@ object Similarity {
     * the probe join is an equi-join on cell id — never an all-pairs pass. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2): DataFrame = {
+    // Zero-norm exclusion on ALL THREE frames (corpus/queries below via
+    // assign's nrm filter): a zero centroid has no cosine to anything —
+    // under ANSI the assignment division throws — so it is excluded here
+    // exactly as in ivfPqTopK, and the oracle CTEs carry the same filter
+    // (ADVICE r18: the IVF family was the one left asymmetric).
     val cent = broadcast(centroids.select(col("vec_id").as("cent_id"),
-      asDouble(col("embedding")).as("cent_emb"), l2norm(col("embedding")).as("cent_nrm")))
+      asDouble(col("embedding")).as("cent_emb"), l2norm(col("embedding")).as("cent_nrm"))
+      .filter(col("cent_nrm") > 0))
 
     def assign(df: DataFrame, idAs: String, embAs: String, nrmAs: String,
                keep: Int): DataFrame = {

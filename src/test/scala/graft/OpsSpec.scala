@@ -514,9 +514,14 @@ class OpsSpec extends SparkSpec {
     // bucket shape and 0 for 16 planes, which is why e2 was re-registered.
     val e = graft.model.Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val truth = Similarity.embeddingNearDup(e, 0.3).count()
-    assert(truth == 111L, s"ground-truth pair count drifted: $truth")
     val got = SparkEntry.queries("e2_embed_neardup")(spark, "/root/testdata/sf0.01").count()
-    assert(got == 31L, s"registered e2 pair count drifted: $got")
+    // The exact counts (111 true / 31 kept on the canonical fixture) are a
+    // property of the testdata BYTES (seeded generator — TESTDATA.md), not
+    // of the op: a regenerated sf0.01 moves both without any code change,
+    // and an exact-count assert would then blame the op (ADVICE r18). The
+    // CONTRACT is the recall floor; the counts are reported for the ledger.
+    info(s"e2 at sf0.01: truth=$truth registered=$got")
+    assert(truth > 0, s"label-only ground truth is empty — testdata changed shape")
     val recall = got.toDouble / truth
     assert(recall > 0.25, f"registered e2 recall $recall%.3f fell below the pinned floor 0.25")
   }

@@ -1784,7 +1784,8 @@ object SparkEntry {
     // Similarity.embeddingNearDupCelled; OpsSpec pins the recall). The
     // label-only form stays as the recall ground truth.
     ("e2_embed_neardup",
-      (s, d) => Similarity.embeddingNearDupCelled(emb(s, d), 0.3),
+      (s, d) => Similarity.embeddingNearDupCelled(emb(s, d), 0.3,
+        trainPct = 10, nprobe = 2),
       Some(embNearDupCelledSql)),
 
     ("e3_srp_ann_topk",
@@ -1906,7 +1907,8 @@ object SparkEntry {
       (s, d) => {
         val e = emb(s, d)
         val k = Similarity.derivedCellCount(e)
-        Similarity.semDedup(e, Similarity.kmeansCentroidFrame(s, e, k, iters = 2), 0.3)
+        Similarity.semDedup(e,
+          Similarity.kmeansCentroidFrame(s, e, k, iters = 2, trainPct = 10), 0.3)
       },
       Some(semDedupDerivedSql)),
 
@@ -2697,25 +2699,29 @@ object SparkEntry {
        |WHERE list_cosine_similarity(l.emb, r.emb) >= 0.3""".stripMargin
   }
 
-  /** e2 oracle at the r18 production blocking: pairs must share label AND
-    * derived-k k-means cell. Replays the training exactly — the same
-    * shared Lloyd CTE chain as the d8 oracle (k = ⌈√n⌉ from a scalar
-    * subquery, fixed-point per-dimension sums), assignment over nonzero
-    * vectors only (zero-norm rows never reach the Spark pair join either),
-    * then the label ∧ cell pair join the Spark side shuffles on. */
+  /** e2 oracle at the production blocking: pairs must share label AND one
+    * of each vector's top-2 probed k-means cells (corpus-side multi-probe,
+    * r19 — buys back the cell-boundary recall the sampled training costs).
+    * Replays the training exactly — the same shared Lloyd CTE chain as the
+    * d8 oracle (k = ⌈√n⌉ from a scalar subquery, fixed-point per-dimension
+    * sums, iterations over the 10% md5-bucket training sample), assignment
+    * over ALL nonzero vectors via QUALIFY rn <= 2 (row 2 of the (cos DESC,
+    * cell) order ≡ the Spark side's excluded second argmax, same tie rule),
+    * then the label ∧ cell pair join with DISTINCT collapsing pairs that
+    * share both probed cells (cos is bit-identical across duplicates). */
   private lazy val embNearDupCelledSql: String = {
     val iters = 2
     val kkDef = "SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM base"
-    s"""WITH ${kmeansCtes(kkDef, iters, 64, "BIGINT")},
+    s"""WITH ${kmeansCtes(kkDef, iters, 64, "BIGINT", trainPct = 10)},
        |assign AS (
        |  SELECT b.vec_id, b.emb, c.cell
        |  FROM bz b CROSS JOIN c$iters c
        |  QUALIFY row_number() OVER (PARTITION BY b.vec_id
-       |    ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) = 1),
+       |    ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) <= 2),
        |keyed AS (
        |  SELECT a.vec_id, a.emb, a.cell, e.label
        |  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id)
-       |SELECT l.label, l.vec_id AS a, r.vec_id AS b,
+       |SELECT DISTINCT l.label, l.vec_id AS a, r.vec_id AS b,
        |  list_cosine_similarity(l.emb, r.emb) AS cos
        |FROM keyed l JOIN keyed r
        |  ON l.label = r.label AND l.cell = r.cell AND l.vec_id < r.vec_id
@@ -2990,28 +2996,44 @@ object SparkEntry {
     * side's cell column type (INT for e6's driver centFrame, BIGINT for
     * d8's kmeansCentroidFrame). Identical float arithmetic to
     * Similarity.kmeansCentroids (sequential cosine folds, round(x·1e6)
-    * BIGINT sums), so assignments hash-match exactly. */
+    * BIGINT sums), so assignments hash-match exactly.
+    *
+    * `trainPct` < 100 replays the sampled-training posture (the r19
+    * registered shape for d8/e2): a `bs` CTE restricts seeds and every
+    * Lloyd iteration to the rows whose md5 vec_id-bucket (the
+    * Sampling.hashBucket arithmetic, salt "lloyd") falls below trainPct —
+    * callers' FINAL assignment CTEs still read `bz`, exactly as the Spark
+    * side assigns the full corpus against sample-trained centroids. */
   private def kmeansCtes(kkDef: String, iters: Int, dims: Int,
-                         cellType: String): String = {
+                         cellType: String, trainPct: Int = 100): String = {
     val sumsCols = (0 until dims).map(d =>
       s"sum(CAST(round(emb[${d + 1}] * 1000000.0) AS BIGINT)) AS s$d").mkString(", ")
     val newc = (0 until dims).map(d =>
       s"CAST(s.s$d AS DOUBLE) / (1000000.0 * s.n)").mkString("list_value(", ", ", ")")
+    val train = if (trainPct >= 100) "bz" else "bs"
     val cte = new StringBuilder
     cte ++= s"""base AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings WHERE len(embedding) = $dims),
        |bz AS (
-       |  SELECT vec_id, emb FROM base WHERE list_dot_product(emb, emb) > 0),
+       |  SELECT vec_id, emb FROM base WHERE list_dot_product(emb, emb) > 0),""".stripMargin
+    if (trainPct < 100)
+      cte ++= s"""
+         |bs AS (
+         |  SELECT vec_id, emb FROM bz
+         |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) ||
+         |      '_${Similarity.lloydTrainSalt}'), 1, 8) AS BIGINT)
+         |    % 2147483647 % 100 < $trainPct),""".stripMargin
+    cte ++= s"""
        |kk AS ($kkDef),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS $cellType) - 1 AS cell, emb AS c
-       |  FROM bz QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk))""".stripMargin
+       |  FROM $train QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk))""".stripMargin
     for (i <- 1 to iters) {
       cte ++= s""",
          |a$i AS (
          |  SELECT b.vec_id, b.emb, c.cell
-         |  FROM bz b CROSS JOIN c${i - 1} c
+         |  FROM $train b CROSS JOIN c${i - 1} c
          |  QUALIFY row_number() OVER (PARTITION BY b.vec_id
          |    ORDER BY list_cosine_similarity(b.emb, c.c) DESC, c.cell) = 1),
          |s$i AS (
@@ -3035,12 +3057,13 @@ object SparkEntry {
 
   /** d8 oracle at the production configuration: k-means centroids at the
     * derived k = ⌈√n⌉ (the same two fixed-point Lloyd iterations as e6's
-    * oracle, k from a scalar subquery instead of a literal), then the
-    * SemDeDup assign/drop/keep over nonzero-norm vectors. */
+    * oracle, k from a scalar subquery instead of a literal) trained on the
+    * 10% md5-bucket sample (the r19 registered posture — see kmeansCtes),
+    * then the SemDeDup assign/drop/keep over ALL nonzero-norm vectors. */
   private lazy val semDedupDerivedSql: String = {
     val iters = 2
     val kkDef = "SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM base"
-    s"""WITH ${kmeansCtes(kkDef, iters, 64, "BIGINT")},
+    s"""WITH ${kmeansCtes(kkDef, iters, 64, "BIGINT", trainPct = 10)},
        |assign AS (
        |  SELECT b.vec_id, b.emb, c.cell
        |  FROM bz b CROSS JOIN c$iters c

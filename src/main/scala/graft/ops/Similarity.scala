@@ -326,6 +326,58 @@ object Similarity {
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
   }
 
+  /** Top-`nprobe` max-cosine cells per vector against a centroid frame —
+    * the corpus-side multi-probe that buys back cell-BOUNDARY recall for
+    * blocking ops ([[embeddingNearDupCelled]] at nprobe=2: two near-dups
+    * split by a Voronoi boundary still meet when either's second-nearest
+    * cell is the other's first). Same trade IVF makes on the query side
+    * ([[ivfTopK]] probes 2 cells per query); here each CORPUS vector joins
+    * its top-2 cells and pair dedup happens downstream.
+    *
+    * Shape: `nprobe` sequential [[graft.functions.LexArgExtreme]] argmax
+    * passes, each excluding the cells already won — NOT one struct-window
+    * rank (the n×k candidate stream through a per-vector sort is the
+    * measured 27.4→3.8 s cliff assignCells pins). Each pass is map-side
+    * combinable, so cost is exactly nprobe × the single-probe assignment;
+    * the pair-space bound grows ≤ nprobe² per cell pair shared.
+    * Returns (vec_id, cell), one row per probed cell; vectors with fewer
+    * reachable cells than nprobe (k < nprobe) emit what exists. */
+  def assignCellsMulti(base: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    require(nprobe == 1 || nprobe == 2,
+      "corpus-side multi-probe is registered at nprobe <= 2 (pair space grows with nprobe²)")
+    val cent = broadcast(centroids.select(col("cell"), col("cemb"),
+      l2norm(col("cemb")).as("cnrm")))
+    // One pin feeds both argmax passes and the (implicit) caller fold-back.
+    val b = graft.Materialize.pin(base)
+    def argmax(src: DataFrame): DataFrame = src
+      .groupBy("vec_id")
+      .agg(graft.functions.LexArgExtreme.maxByLex(col("cell"),
+        dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")),
+        -col("cell")).as("cell"))
+    val top1 = argmax(b.select(col("vec_id"), col("emb"), col("nrm")).join(cent))
+    if (nprobe == 1) top1
+    else {
+      val top2 = argmax(
+        b.select(col("vec_id"), col("emb"), col("nrm"))
+          .join(top1.withColumnRenamed("cell", "__c1"), Seq("vec_id"))
+          .join(cent).filter(col("cell") =!= col("__c1")))
+      top1.union(top2)
+    }
+  }
+
+  /** [[kmeansAssign]] at corpus-side multi-probe: (vec_id, cell) with one
+    * row per probed cell — the blocking input for nprobe ≥ 2 callers. */
+  def kmeansAssignMulti(df: DataFrame, k: Int, iters: Int, dims: Int = 64,
+                        trainPct: Int = 100, nprobe: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(df, k, iters, dims, trainPct = trainPct)
+    val corpus = df.filter(size(col("embedding")) === dims)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+        l2norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // same zero-norm exclusion as the training
+    assignCellsMulti(corpus, centFrame(df.sparkSession, cents), nprobe)
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Above this k, per-iteration k-means assignment abandons the literal
     * map-only argmax (plan/codegen size O(k·dims)) for [[assignCells]]'s
     * broadcast join. */
@@ -355,9 +407,16 @@ object Similarity {
     * quantize, de-quantize) has the identical sequential form in the
     * generated DuckDB oracle, so assignments hash-match exactly.
     */
+  /** Salt for the Lloyd training-sample bucket ([[Sampling.hashBucket]] on
+    * vec_id) — shared with the oracle CTEs, which replay the identical md5
+    * arithmetic. */
+  val lloydTrainSalt = "lloyd"
+
   def kmeansCentroids(df: DataFrame, k: Int, iters: Int, dims: Int = 64,
-                      literalMaxK: Int = literalArgmaxMaxK)
+                      literalMaxK: Int = literalArgmaxMaxK,
+                      trainPct: Int = 100)
       : Seq[(Int, Array[Double])] = {
+    require(trainPct > 0 && trainPct <= 100)
     val scale = 1e6
     // Zero-norm exclusion (the object-level contract): a zero vector has
     // no cosine to any centroid — under ANSI the assignment division
@@ -368,7 +427,18 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         l2norm(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
-    var cents: Seq[(Int, Array[Double])] = corpus.orderBy("vec_id").limit(k)
+    // Sampled training (SemDeDup's own posture, measured ProbeAnn e2sample
+    // r18: 10% sample cuts the ×1000 wall 143.8 → 58.9 s, recall flat):
+    // seeds AND every Lloyd iteration read only the deterministic
+    // md5-bucket sample; callers assign the FULL corpus against the
+    // resulting centroids. Membership is hash arithmetic on vec_id (the
+    // x6/x7 convention), so the oracle replays it with one `bs` CTE and
+    // the same predicate — no seed drift, engine-independent. When the
+    // sample has fewer than k vectors both engines degrade identically
+    // (min(k, |sample|) seeds — QUALIFY rn <= k on the same smaller set).
+    val train = if (trainPct >= 100) corpus
+      else corpus.filter(Sampling.hashBucket(col("vec_id"), 100, lloydTrainSalt) < trainPct)
+    var cents: Seq[(Int, Array[Double])] = train.orderBy("vec_id").limit(k)
       .select(col("emb")).collect()
       .map(_.getSeq[Double](0).toArray).zipWithIndex.map { case (c, i) => (i, c) }.toSeq
 
@@ -388,9 +458,9 @@ object Similarity {
     // paths compute bit-identical cosines (same sequential dot/norm folds).
     def assignIter(cs: Seq[(Int, Array[Double])]): DataFrame =
       if (cs.size <= literalMaxK)
-        corpus.select(cellOf(cs).as("cell"), col("emb"))
+        train.select(cellOf(cs).as("cell"), col("emb"))
       else
-        assignCells(corpus, centFrame(df.sparkSession, cs))
+        assignCells(train, centFrame(df.sparkSession, cs))
           .select(col("cell"), col("emb"))
 
     for (_ <- 1 to iters) {
@@ -413,8 +483,9 @@ object Similarity {
     * Always the [[assignCells]] broadcast-join shape: this is the one-shot
     * output pass, so the extra pre-reduced shuffle is cheap insurance that
     * the plan stays O(1) in k all the way to IVF-scale centroid counts. */
-  def kmeansAssign(df: DataFrame, k: Int, iters: Int, dims: Int = 64): DataFrame = {
-    val cents = kmeansCentroids(df, k, iters, dims)
+  def kmeansAssign(df: DataFrame, k: Int, iters: Int, dims: Int = 64,
+                   trainPct: Int = 100): DataFrame = {
+    val cents = kmeansCentroids(df, k, iters, dims, trainPct = trainPct)
     val corpus = df.filter(size(col("embedding")) === dims)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         l2norm(col("embedding")).as("nrm"))
@@ -425,9 +496,10 @@ object Similarity {
 
   /** [[kmeansCentroids]] as a centroid frame consumable by [[ivfTopK]]. */
   def kmeansCentroidFrame(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
-                          k: Int, iters: Int, dims: Int = 64): DataFrame = {
+                          k: Int, iters: Int, dims: Int = 64,
+                          trainPct: Int = 100): DataFrame = {
     import spark.implicits._
-    kmeansCentroids(df, k, iters, dims)
+    kmeansCentroids(df, k, iters, dims, trainPct = trainPct)
       .map { case (cell, c) => (cell.toLong, c.toSeq) }
       .toDF("vec_id", "embedding")
   }
@@ -605,31 +677,42 @@ object Similarity {
     *   | SRP 16 planes       | 0.000                   | 0.000        |
     *   | SRP  8 planes (r17) | 0.027                   | 0.025        |
     *   | SRP  4 planes       | 0.198                   | 0.153        |
-    *   | label ∧ derived-k cell | **0.279**            | **0.137**    |
+    *   | label ∧ cell, full train, nprobe=1 | 0.279    | 0.121–0.137  |
+    *   | label ∧ cell, 10% train, nprobe=1  | 0.225    | 0.121        |
+    *   | label ∧ cell, 10% train, nprobe=2 (r19, REGISTERED) | **0.459** | **0.299** |
     *
-    * (ProbeAnn e2recall, round 18) — the cell blocking dominates every
-    * SRP width that is still scale-bounded, at the same O(n²/(labels·k))
-    * pair-space bound with k growing as √n. The residual loss is the
-    * cell-boundary trade SemDeDup itself accepts by construction; OpsSpec
-    * pins the recall numerically so a regression fails loudly. Training
-    * cost is the d8 price: O(n·k) assignment per Lloyd iteration,
-    * O(k·dims·iters) driver traffic.
+    * (ProbeAnn e2recall r18 / e2probe r19) — the cell blocking dominates
+    * every SRP width that is still scale-bounded, at the same
+    * O(n²/(labels·k)) pair-space bound with k growing as √n. The
+    * corpus-side nprobe=2 multi-probe ([[assignCellsMulti]]) recovers the
+    * cell-BOUNDARY pairs — 2.0×/2.5× the single-probe recall at sf0.01/
+    * sf0.1 — for ≤2× assignment cost and a pair space still bounded by
+    * within-cell density (measured ×100: 27.5→20.5 s wall, +17% pairs;
+    * the pair join, not the second argmax, is where the time lives).
+    * OpsSpec pins the recall numerically so a regression fails loudly.
+    * Training cost is the d8 price: O(n·k) assignment per Lloyd iteration
+    * over the 10% training sample, O(k·dims·iters) driver traffic.
     *
-    * 100-TB training posture (measured, ProbeAnn e2sample r18): train the
-    * Lloyd iterations on a deterministic md5-bucket SAMPLE (the
+    * 100-TB training posture (measured, ProbeAnn e2sample r18; REGISTERED
+    * r19 at `trainPct = 10` per the r18 verdict): train the Lloyd
+    * iterations on a deterministic md5-bucket SAMPLE (the
     * Sampling.hashBucket convention — oracle-replayable) and assign the
     * full corpus — the SemDeDup paper's own posture. At ×1000 a 10%
     * training sample cuts this op 143.8 → 58.9 s with 97.5% of the pair
     * mass retained; at sf0.1 recall vs the label-only truth is flat
     * (0.127–0.133 sampled vs 0.137 full). Past ~10% the wall is
-    * assignment + output emission, not training. Kept OUT of the
-    * registered shape for now (registry churn discipline); wiring it in
-    * means sampling the kmeansCentroidFrame input and adding the same
-    * bucket predicate to the oracle's c0/a-iteration CTEs. */
+    * assignment + output emission, not training. The oracle replays the
+    * sample with one `bs` CTE carrying the identical bucket predicate on
+    * the c0/a-iteration chain (final assignment still reads the full
+    * nonzero corpus). */
   def embeddingNearDupCelled(df: DataFrame, threshold: Double,
-                             dims: Int = 64): DataFrame = {
+                             dims: Int = 64, trainPct: Int = 100,
+                             nprobe: Int = 1): DataFrame = {
     val k = derivedCellCount(df, dims)
-    val cells = kmeansAssign(df, k, iters = 2, dims = dims)
+    val cells =
+      if (nprobe == 1) kmeansAssign(df, k, iters = 2, dims = dims, trainPct = trainPct)
+      else kmeansAssignMulti(df, k, iters = 2, dims = dims, trainPct = trainPct,
+        nprobe = nprobe)
     val keyed0 = df.filter(size(col("embedding")) === dims)
       .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("emb"),
         l2norm(col("embedding")).as("nrm"))
@@ -637,9 +720,13 @@ object Similarity {
       .join(cells, Seq("vec_id"))
     // consumed by both sides of the self-join
     val keyed = Materialize.pin(keyed0)
-    pairCosine(keyed, "label", "cell")
+    val pairs = pairCosine(keyed, "label", "cell")
       .filter(col("cos") >= threshold)
       .select(col("label"), col("a"), col("b"), col("cos"))
+    // nprobe >= 2: a pair sharing BOTH probed cells matches twice — dedup.
+    // cos is bit-identical across the duplicates (same sequential fold on
+    // the same inputs), so distinct() collapses them exactly.
+    if (nprobe == 1) pairs else pairs.distinct()
   }
 
   /** √n cell-count heuristic for [[semDedup]] — the same derive-the-knob

@@ -25,8 +25,8 @@ object ProbeAnn {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf10")
     val section = args.lift(1).getOrElse("all")
-    require(section.matches("all|lab|d8(:\\d+)?|d8reg|e5|e2|e2reg|e10|e2recall|e2sample"),
-      s"unknown section '$section': use d8 | d8:<k> | d8reg | e5 | e2 | e2reg | e10 | e2recall | e2sample | all | lab")
+    require(section.matches("all|lab|d8(:\\d+)?|d8reg|e5|e2|e2reg|e10|e2recall|e2sample|e2probe|d768"),
+      s"unknown section '$section': use d8 | d8:<k> | d8reg | e5 | e2 | e2reg | e10 | e2recall | e2sample | e2probe | d768 | all | lab")
     def on(s: String) = section == "all" || section == s
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
@@ -200,13 +200,11 @@ object ProbeAnn {
       val small = emb.count() <= 10000
       val truth = if (small) Similarity.embeddingNearDup(emb, thr).count() else -1L
       if (small) println(s"[sample] truth pairs=$truth")
+      // trainPct is the REGISTERED sampling path since r19 (salt "lloyd"),
+      // so this arm measures exactly the shape the gate certifies.
       for (pct <- Seq(100, 10, 1)) {
-        val train =
-          if (pct == 100) emb
-          else emb.filter(
-            graft.ops.Sampling.hashBucket(col("vec_id"), 100, "e2s") < pct)
         val t0 = System.nanoTime()
-        val centF = Similarity.kmeansCentroidFrame(spark, train, k, iters = 2)
+        val centF = Similarity.kmeansCentroidFrame(spark, emb, k, iters = 2, trainPct = pct)
           .select(col("vec_id").as("cell"),
             Similarity.asDouble(col("embedding")).as("cemb"))
         val assigned = Similarity.assignCells(
@@ -223,6 +221,61 @@ object ProbeAnn {
         val wall = (System.nanoTime() - t0) / 1e9
         val rec = if (truth > 0) f"${pairs.toDouble / truth}%.4f" else "n/a"
         println(f"[sample] train=$pct%% k=$k pairs=$pairs recall=$rec t=$wall%.2fs")
+      }
+    }
+
+    // d768 (opt-in): the e-family at REALISTIC embedding dims — point this
+    // at a ScaleCorpus `dims768` corpus (12 perturbed 64-dim tiles per
+    // vector). The Similarity Scaladocs claim PQ / IVF-PQ's lever appears
+    // when dims grow toward 768 (the 16× scan-footprint argument, the
+    // fixed-point LUT range at sub=192); this measures it instead of
+    // claiming it. Same k=800 / nq=1000 configs as the e10 scale arms so
+    // the 64-dim decades in BASELINE.md compare row-for-row. Recall curves
+    // on the tiled corpus are NOT meaningful (tiles correlate) — wall and
+    // footprint are the probe's subject.
+    if (section == "d768") {
+      import graft.ops.Similarity
+      val q1k = emb.filter(col("vec_id") < 1000)
+      val cent800 = emb.filter(col("vec_id") < 800)
+      time("e1 bruteForceTopK d768 nq=1000") {
+        Similarity.bruteForceTopK(emb, q1k, 3).count()
+      }
+      time("e4 ivfTopK d768 k=800 nq=1000") {
+        Similarity.ivfTopK(emb, q1k, cent800, 3, nprobe = 2).count()
+      }
+      time("e9 pqTopK d768 m=4 nq=1000") {
+        Similarity.pqTopK(emb, q1k, 3, m = 4, codes = 4, dims = 768).count()
+      }
+      time("e10 ivfPqTopK d768 k=800 nq=1000") {
+        Similarity.ivfPqTopK(emb, q1k, cent800, 3, nprobe = 2,
+          m = 4, codes = 4, dims = 768).count()
+      }
+    }
+
+    // e2probe (opt-in): corpus-side multi-probe A/B — the r19 registration
+    // decision. Same sampled training (trainPct=10, the registered
+    // posture); nprobe=1 vs 2 on the corpus side of the celled blocking.
+    // Recall vs the label-only truth where the corpus is small enough to
+    // compute it; wall + pair count always.
+    if (section == "e2probe") {
+      import graft.ops.Similarity
+      val thr = 0.3
+      val small = emb.count() <= 10000
+      val truth = if (small) Similarity.embeddingNearDup(emb, thr).count() else -1L
+      if (small) println(s"[probe2] truth pairs=$truth")
+      // time() = two passes per arm: the first ×1000 run of this section
+      // timed JVM/scan warmup into the nprobe=1 arm and a 30-load window
+      // into the nprobe=2 arm (432 vs 90 s for the SAME nprobe=1 leg
+      // across windows) — single-pass numbers here measure the host.
+      for (np <- Seq(1, 2)) {
+        var pairs = -1L
+        time(s"e2 celled trainPct=10 nprobe=$np") {
+          pairs = Similarity
+            .embeddingNearDupCelled(emb, thr, trainPct = 10, nprobe = np).count()
+          pairs
+        }
+        val rec = if (truth > 0) f"${pairs.toDouble / truth}%.4f" else "n/a"
+        println(s"[probe2] nprobe=$np pairs=$pairs recall=$rec")
       }
     }
 

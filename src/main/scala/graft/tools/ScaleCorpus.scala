@@ -20,7 +20,15 @@ import org.apache.spark.sql.functions._
   * A 4th arg `exact` switches the documents replicas to EXACT duplicates
   * (no per-replica suffix) — the mirror/repost duplication regime, the
   * case d19's exact-prepass composition exists for. Only documents is
-  * written in this mode (the d13-vs-d19 probe needs nothing else). */
+  * written in this mode (the d13-vs-d19 probe needs nothing else).
+  *
+  * A 4th arg `dims768` writes ONLY embeddings, expanded to 768 dims: each
+  * replicated 64-dim vector is tiled 12× with a small per-tile float
+  * offset (tiles stay distinct values; float arithmetic end-to-end). This
+  * is the realistic-dims PERF corpus for the e-family (verdict r18 #5):
+  * per-distance cost, PQ code footprint, and fixed-point LUT ranges scale
+  * with dims regardless of inter-tile correlation — recall CURVES on it
+  * are not meaningful (tiles correlate), wall/footprint decades are. */
 object ScaleCorpus {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
@@ -28,9 +36,10 @@ object ScaleCorpus {
     // Strict: a typo'd mode flag must abort, not silently stage the wrong
     // replica regime (the probe conclusions depend entirely on which one
     // was built).
-    require(args.length <= 3 || args(3) == "exact",
-      s"unknown mode '${args(3)}': the only accepted 4th arg is 'exact'")
+    require(args.length <= 3 || args(3) == "exact" || args(3) == "dims768",
+      s"unknown mode '${args(3)}': accepted 4th args are 'exact' and 'dims768'")
     val exactMode = args.length > 3 && args(3) == "exact"
+    val dims768Mode = args.length > 3 && args(3) == "dims768"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -52,6 +61,23 @@ object ScaleCorpus {
     def withReplica(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       require(!df.columns.contains("__r"), "replica column name collision")
       df.repartition(32).crossJoin(broadcast(spark.range(factor).toDF("__r")))
+    }
+    if (dims768Mode) {
+      val emb = graft.model.Tables(spark, src, "embeddings")
+      val m = emb.count()
+      val rep = withReplica(emb).select(
+        (col("vec_id") + col("__r") * lit(m)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + col("__r").cast("float") * lit(1e-4f)).cast("float")).as("embedding"),
+        col("label"))
+      // 12 tiles × 64 dims; per-tile offset keeps tile values distinct.
+      val expanded = rep.withColumn("embedding",
+        flatten(transform(sequence(lit(0), lit(11)),
+          t => transform(col("embedding"),
+            x => (x + t.cast("float") * lit(2e-3f)).cast("float")))))
+      expanded.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"[scale] wrote ${factor}x dims-768 embeddings (${factor * m} vecs) to $out")
+      spark.stop(); return
     }
     val docs = graft.model.Tables(spark, src, "documents")
     val n = docs.count()

@@ -508,10 +508,13 @@ class OpsSpec extends SparkSpec {
     // The registered blocking trades recall for a bounded pair space; this
     // pins the trade NUMERICALLY at the gate corpus so a regression (or a
     // silent blocking change) fails loudly instead of hiding behind an
-    // oracle updated in lockstep. Measured r18 (ProbeAnn e2recall):
-    // 111 true at-threshold pairs at sf0.01; label ∧ derived-k cell keeps
-    // 31 (recall 0.279) — vs 3 (0.027) for the r17 label ∧ 8-plane SRP
-    // bucket shape and 0 for 16 planes, which is why e2 was re-registered.
+    // oracle updated in lockstep. Measured history at sf0.01 (111 true
+    // at-threshold pairs): r17 label ∧ 8-plane SRP kept 3 (0.027); r18
+    // label ∧ derived-k cell, full training, kept 31 (0.279); r19 sampled
+    // training (trainPct=10) alone dropped to 25 (0.225 — below floor,
+    // which is exactly what this pin exists to catch), and the corpus-side
+    // nprobe=2 multi-probe registered with it recovers 51 (0.459) — the
+    // boundary pairs the single-cell blocking loses.
     val e = graft.model.Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val truth = Similarity.embeddingNearDup(e, 0.3).count()
     val got = SparkEntry.queries("e2_embed_neardup")(spark, "/root/testdata/sf0.01").count()
@@ -523,7 +526,7 @@ class OpsSpec extends SparkSpec {
     info(s"e2 at sf0.01: truth=$truth registered=$got")
     assert(truth > 0, s"label-only ground truth is empty — testdata changed shape")
     val recall = got.toDouble / truth
-    assert(recall > 0.25, f"registered e2 recall $recall%.3f fell below the pinned floor 0.25")
+    assert(recall > 0.3, f"registered e2 recall $recall%.3f fell below the pinned floor 0.3")
   }
 
   test("derivedCellCount is ⌈√n⌉ over dims-valid vectors only") {

@@ -1023,10 +1023,14 @@ object Dedup {
                      maxPrunedMassFrac: Double = 1.0): DataFrame = {
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
     val (tf, posts, _) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
-    assertRecallGuard(tf, posts, maxPrunedEmptyFrac, maxPrunedMassFrac,
-      "lexicalNearDup")
+    val stats = assertRecallGuard(tf, posts, maxPrunedEmptyFrac,
+      maxPrunedMassFrac, "lexicalNearDup")
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
-    val spread = byTerm(posts, pairJoinWidth(posts))
+    // Candidate volume rides the guard/stats job — no separate width job.
+    val width =
+      if (stats.postingRows == 0) numShufflePartitions(posts)
+      else widthForVolume(numShufflePartitions(posts), stats.volume)
+    val spread = byTerm(posts, width)
     val pa = spread.select(col("term"), col("doc_id").as("a"), col("tf").as("ta"))
     val pb = spread.select(col("term"), col("doc_id").as("b"), col("tf").as("tb"))
     val pairs = pa.join(pb, Seq("term")).filter(col("a") < col("b"))
@@ -1069,13 +1073,27 @@ object Dedup {
   private def byTerm(df: DataFrame, width: Int): DataFrame =
     df.repartition(width, col("term"))
 
-  /** Records-per-task budget for the pair-join width: calibrated on the sf1
-    * probes (BASELINE.md round 13) — 1.64B candidate records completed in
-    * the default 8g heap at 256-wide (~6.4M records/task), while the fixed
-    * 32-wide pin OOM'd; sf0.1's 34.2M records at 32-wide (~1.1M/task) is
-    * comfortably under. 4M/task keeps small corpora at the configured
-    * width and scales large ones automatically. */
-  private val PairRecordsPerTask = 4L * 1000 * 1000
+  /** Records-per-task budget for the pair-join width. Two regimes bound it:
+    *
+    *  - SURVIVAL (r13 sf1 probes): 1.64B candidate records completed in the
+    *    default 8g heap at ~6.4M records/task while a fixed 32-wide pin
+    *    OOM'd — so anything ≤ ~6M records/task is safe.
+    *  - SPILL-FREE SPEED (r19 stage profile): the pair join's PARTIAL
+    *    aggregate holds ~one map entry per candidate record (term-partitioned
+    *    input means (a,b) keys rarely repeat within a task), ~48 B/entry
+    *    ((a,b) key row + sum/count buffer + map overhead). At the old
+    *    4M/task budget sf0.1's 34.2M candidates ran 32-wide ≈ 1.1M
+    *    entries/task ≈ 50 MB/task — past the per-task share of the unified
+    *    execution region (≈145 MB/task nominal at 32 concurrent tasks on
+    *    8g, but shared with the pinned posting blocks), and the stage
+    *    measured 1 555 MB spilled + 8–12 s GC. At 512k/task the map stays
+    *    ≈25 MB/task: same stage re-measured 0 B spilled, GC 8.5→3.3 s,
+    *    task time −26 % (ProfStages, BASELINE.md r19).
+    *
+    * 512k/task keeps small corpora at the configured width (the max() in
+    * [[widthForVolume]]), turns sf0.1 into ~67 tasks (2 waves on 32 cores),
+    * and sf1's 1.64B into ~3 200 tasks — wave-amortized, each spill-free. */
+  private val PairRecordsPerTask = 512L * 1000
 
   /** Pair-join parallelism derived from the CANDIDATE VOLUME, not the
     * posting bytes (r13 verdict #2): the posting self-join expands each
@@ -1195,25 +1213,54 @@ object Dedup {
     * corpus mix shifts (new source, new dedup stage upstream), not per
     * run: the arms exist to catch REGIME changes, and a freshly-measured
     * arm that merely tracks the corpus would never fire. */
+  /** The driver scalars the lexical family needs from the pinned frames,
+    * produced by ONE aggregation job (r19 guide-§1 pass: the armed guard
+    * previously ran two separate scalar jobs and the pair-join width a
+    * third — three sequential driver round-trips over the same pinned
+    * frames per query). `volume`/`postingRows`/`keptDocs` are 0 when the
+    * capped posting frame is empty. */
+  private[graft] final case class LexPostingStats(volume: Long,
+                                                  postingRows: Long,
+                                                  keptDocs: Long)
+
   private def assertRecallGuard(tf: DataFrame, posts: DataFrame,
                                 maxPrunedEmptyFrac: Double,
-                                maxPrunedMassFrac: Double, op: String): Unit = {
+                                maxPrunedMassFrac: Double,
+                                op: String): LexPostingStats = {
     require(maxPrunedEmptyFrac >= 0 && maxPrunedEmptyFrac <= 1,
       s"maxPrunedEmptyFrac must be in [0,1], got $maxPrunedEmptyFrac")
     require(maxPrunedMassFrac >= 0 && maxPrunedMassFrac <= 1,
       s"maxPrunedMassFrac must be in [0,1], got $maxPrunedMassFrac")
-    if (maxPrunedEmptyFrac >= 1.0 && maxPrunedMassFrac >= 1.0)
-      return // both arms disarmed (default)
-    val tot = tf.agg(countDistinct(col("doc_id")).as("__d"),
-      sum(col("tf") * col("tf")).as("__m")).head()
-    val kept = posts.agg(countDistinct(col("doc_id")).as("__d"),
-      sum(col("tf") * col("tf")).as("__m")).head()
+    val armed = maxPrunedEmptyFrac < 1.0 || maxPrunedMassFrac < 1.0
+    // One job for every scalar: the posting side carries Σdf (the pair-join
+    // candidate volume, Σ_rows df = Σ_term df²), row count, distinct docs
+    // and squared-norm mass; when an arm is armed the pre-cap tf side rides
+    // the same job as a second union branch instead of its own round-trip.
+    val pSide = posts.select(lit(1).as("__side"), col("doc_id"),
+      (col("tf") * col("tf")).as("__m"), col("df"))
+    val both =
+      if (armed) pSide.unionByName(tf.select(lit(0).as("__side"),
+        col("doc_id"), (col("tf") * col("tf")).as("__m"), lit(0L).as("df")))
+      else pSide
+    val rows = both.groupBy("__side").agg(
+      countDistinct(col("doc_id")).as("__d"), sum(col("__m")).as("__m"),
+      sum(col("df")).as("__v"), count(lit(1)).as("__n")).collect()
+    // Row layout: [__side, __d, __m, __v, __n] — the group key rides at 0.
+    val bySide = rows.map(r => r.getInt(0) -> r).toMap
+    val kept = bySide.get(1)
+    val stats = kept match {
+      case Some(p) => LexPostingStats(
+        if (p.isNullAt(3)) 0L else p.getLong(3), p.getLong(4), p.getLong(1))
+      case None => LexPostingStats(0L, 0L, 0L)
+    }
+    if (!armed) return stats
     def remedies = "Remedies: collapse exact duplicates first " +
       "(composedNearDup/d19), raise maxDfCap/maxDfFrac, or rerun with " +
       "maxPrunedEmptyFrac=1.0 to accept the traded recall explicitly."
-    val tokenized = if (tot.isNullAt(0)) 0L else tot.getLong(0)
-    if (tokenized == 0) return
-    val prunedDocs = tokenized - (if (kept.isNullAt(0)) 0L else kept.getLong(0))
+    val tot = bySide.get(0)
+    val tokenized = tot.map(_.getLong(1)).getOrElse(0L)
+    if (tokenized == 0) return stats
+    val prunedDocs = tokenized - stats.keptDocs
     if (maxPrunedEmptyFrac < 1.0 &&
         prunedDocs.toDouble / tokenized > maxPrunedEmptyFrac)
       throw new IllegalStateException(
@@ -1222,8 +1269,10 @@ object Dedup {
           f"$maxPrunedEmptyFrac%.3f) had EVERY term pruned by the dual df " +
           "cap and cannot appear in any pair (zero-recall regime; see " +
           s"dfCapReport/d18). $remedies")
-    val mass = tot.getLong(1)
-    val prunedMass = mass - (if (kept.isNullAt(1)) 0L else kept.getLong(1))
+    val mass = tot.get.getLong(2)
+    val keptMass = kept.map(p => if (p.isNullAt(2)) 0L else p.getLong(2))
+      .getOrElse(0L)
+    val prunedMass = mass - keptMass
     if (maxPrunedMassFrac < 1.0 && mass > 0 &&
         prunedMass.toDouble / mass > maxPrunedMassFrac)
       throw new IllegalStateException(
@@ -1232,6 +1281,7 @@ object Dedup {
           f"(${prunedMass.toDouble / mass}%.3f > $maxPrunedMassFrac%.3f); " +
           "the cosine scores over a sliver of each document and recall is " +
           s"effectively traded even though no document emptied. $remedies")
+    stats
   }
 
   /** Diagnostic twin of the df cap (d18): reports how much of the corpus the
@@ -1313,8 +1363,12 @@ object Dedup {
                         maxPrunedMassFrac: Double = 1.0): DataFrame = {
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
     val (tf, posts, nDocs) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
-    assertRecallGuard(tf, posts, maxPrunedEmptyFrac, maxPrunedMassFrac,
-      "lexicalNearDupIdf")
+    // Guard only when armed: the disarmed path needs no scalar from the
+    // guard job (this op's width volume rides its own overflow-bound stats
+    // job below), so skipping keeps it at one driver round-trip.
+    if (maxPrunedEmptyFrac < 1.0 || maxPrunedMassFrac < 1.0)
+      assertRecallGuard(tf, posts, maxPrunedEmptyFrac, maxPrunedMassFrac,
+        "lexicalNearDupIdf")
     // N rides from cappedPostingsWithTf's one driver-side count — embedding
     // it as a literal lets every consumer derive the weighted values
     // MAP-SIDE from the already-checkpointed posting frame (no second
@@ -1446,8 +1500,8 @@ object Dedup {
     require(threshold > 0 && threshold <= 1)
     require(maxDfFrac > 0 && maxDfFrac <= 1 && minShared >= 1 && maxDfCap >= 2)
     val (tf, posts, _) = cappedPostingsWithTf(docs, textCol, n, maxDfFrac, maxDfCap)
-    assertRecallGuard(tf, posts, maxPrunedEmptyFrac, maxPrunedMassFrac,
-      "prefixNearDup")
+    val stats = assertRecallGuard(tf, posts, maxPrunedEmptyFrac,
+      maxPrunedMassFrac, "prefixNearDup")
     val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
 
     // PINNED: both candidate-join sides and the stage-volume aggregate read
@@ -1473,10 +1527,9 @@ object Dedup {
         .join(spread.select(col("term"), col("doc_id").as("b")), Seq("term"))
         .filter(col("a") < col("b"))
         .select("a", "b").distinct())
-    val postStats = posts.agg(count(lit(1)).as("__p"),
-      countDistinct(col("doc_id")).as("__d")).head()
-    val avgTerms = if (postStats.getLong(1) == 0L) 1L
-      else math.max(1L, postStats.getLong(0) / postStats.getLong(1))
+    // Posting row/doc counts ride the guard/stats job — no separate job.
+    val avgTerms = if (stats.keptDocs == 0L) 1L
+      else math.max(1L, stats.postingRows / stats.keptDocs)
     val verWidth = widthForVolume(numShufflePartitions(posts),
       2L * cand.count() * avgTerms)
     val verCand = cand.repartition(verWidth, col("a"))

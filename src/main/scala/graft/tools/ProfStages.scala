@@ -13,8 +13,11 @@ object ProfStages {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("d13_lexical_neardup")
+    // Width override mirrors TimeQueries' SPARK_GRAFT_SHUFFLE so spill/GC
+    // effects of the volume-derived pair-join width can be profiled A/B.
+    val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", width)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     @volatile var collect = false

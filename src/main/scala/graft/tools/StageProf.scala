@@ -32,6 +32,8 @@ object StageProf {
     val m = i.taskMetrics
     f"[stage] id=${i.stageId}%-4d tasks=${i.numTasks}%-3d " +
       f"taskTime=${m.executorRunTime / 1e3}%7.1fs " +
+      f"gc=${m.jvmGCTime / 1e3}%5.1fs " +
+      f"spill=${m.memoryBytesSpilled / 1e6}%6.1f MB " +
       f"shufRead=${m.shuffleReadMetrics.recordsRead}%10d rec " +
       f"${m.shuffleReadMetrics.totalBytesRead / 1e6}%7.1f MB " +
       f"shufWrite=${m.shuffleWriteMetrics.recordsWritten}%10d rec " +

@@ -290,10 +290,12 @@ class OpsSpec extends SparkSpec {
     // tiny volume: stays at the configured width
     val (_, posts, _) = Dedup.cappedPostingsWithTf(docs, "text", 2, 1.0, 1000)
     assert(Dedup.pairJoinWidth(posts) == conf)
-    // synthetic posting frame with sum(df) = 9e9 -> ceil(9e9/4e6) = 2250
+    // synthetic posting frame with sum(df) = 9e9 -> ceil(9e9/512e3) = 17579
+    // (r19: budget lowered 4M -> 512k so the pair join's partial-agg map
+    // stays ~25 MB/task — the measured spill-free regime)
     val fat = Seq(("t", 0L, 3L, 3000000000L), ("u", 1L, 2L, 6000000000L))
       .toDF("term", "doc_id", "tf", "df")
-    assert(Dedup.pairJoinWidth(fat) == 2250)
+    assert(Dedup.pairJoinWidth(fat) == 17579)
   }
 
   test("recall guard: loud failure in the zero-recall regime, silent when healthy") {

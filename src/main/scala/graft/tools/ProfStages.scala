@@ -15,8 +15,13 @@ object ProfStages {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("d13_lexical_neardup")
     // Width override mirrors TimeQueries' SPARK_GRAFT_SHUFFLE so spill/GC
     // effects of the volume-derived pair-join width can be profiled A/B.
-    val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
-    val spark = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_CPUS additionally sets the master's core count (default
+    // 32, the bench's 32-core leg) so a stage profile can be taken at the
+    // driver's 8-core leg too — the join_fuzzy width adjudication (r19
+    // verdict #1) needs like-for-like stage rows at both widths.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", width)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

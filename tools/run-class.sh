@@ -8,7 +8,9 @@
 #   tools/run-class.sh graft.Explain /root/testdata/sf0.001 d13_lexical_neardup
 set -euo pipefail
 cd "$(dirname "$0")/.."
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# SPARK_EXTRA_JARS keeps parity with build.sbt's forked run (the opt-in
+# kafka connector rides it); test classes are NOT on this classpath.
+CP="target/scala-2.13/classes:/opt/spark/jars/*${SPARK_EXTRA_JARS:+:$SPARK_EXTRA_JARS}"
 ADD_OPENS=(
   java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect
   java.base/java.io java.base/java.net java.base/java.nio java.base/java.util

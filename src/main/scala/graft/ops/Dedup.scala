@@ -472,9 +472,17 @@ object Dedup {
       // columns, so its exchanges canonicalize equal and are computed once
       // (ReusedExchange). Convergence over the PAIR is safe: a no-change
       // first round forces a no-change second round.
-      val step = propagate(propagate(labels.withColumn("label0", col("label"))))
-        .pinned
-      changed = step.filter(col("label") =!= col("label0")).count()
+      //
+      // The convergence count RIDES the materialization (pinWithMetrics)
+      // instead of running as its own job per iteration — and it is a
+      // control decision the accumulator caveat tolerates: labels only ever
+      // tighten (least(...) of the previous label), so label != label0 on
+      // ANY row is exact evidence of progress and a count of 0 can only
+      // happen when no row changed.
+      val (step, metrics) = graft.Materialize.pinWithMetrics(
+        propagate(propagate(labels.withColumn("label0", col("label")))),
+        count(when(col("label") =!= col("label0"), lit(1))).as("__changed"))
+      changed = metrics("__changed").asInstanceOf[Long]
       labels = step.select(col("id"), col("label"))
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -1162,8 +1170,18 @@ object Dedup {
   private[graft] def cappedPostingsWithTf(docs: DataFrame, textCol: String,
                              n: Int, maxDfFrac: Double,
                              maxDfCap: Int): (DataFrame, DataFrame, Long) = {
+    // The doc count and the tokenize+tf pin are independent actions over the
+    // same input; run them CONCURRENTLY (guide §2.6 — actions are only
+    // sequential because the driver calls them sequentially) so the count's
+    // driver round-trip hides under the pin instead of following it. The
+    // count cannot ride the pin itself: observe forbids DISTINCT aggregates,
+    // and tf's plan drops short documents the cap arithmetic must count.
+    val nDocsF = scala.concurrent.Future {
+      docs.select(countDistinct(col("doc_id"))).head().getLong(0)
+    }(scala.concurrent.ExecutionContext.global)
     val tf = postingTf(docs, textCol, n)
-    val nDocs = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val nDocs = scala.concurrent.Await.result(
+      nDocsF, scala.concurrent.duration.Duration.Inf)
     val capVal = math.min(maxDfCap.toLong,
       math.max(2L, math.ceil(nDocs * maxDfFrac).toLong))
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -1452,15 +1470,24 @@ object Dedup {
     * exactly what d14 executes — a hand-copied twin would silently drift.
     * `norms` is taken as a parameter (not derived here) so the caller's
     * already-built norms frame is reused and the plan shape is unchanged. */
-  private[graft] def prefixIndexFrame(posts: DataFrame, norms: DataFrame,
+  private[graft] def prefixIndexFrame(posts: DataFrame,
                                       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hotFirst = Window.partitionBy("doc_id")
       .orderBy(col("df").desc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    posts.join(norms, Seq("doc_id"))
+    // ‖d‖² as a whole-partition window over the SAME doc_id partitioning the
+    // running sum already needs, instead of joining the caller's norms
+    // groupBy back in: same addends (all of the doc's capped postings), same
+    // exact Long sum, one exchange of posts instead of two plus a join
+    // (r20 guide-§2.4 pass; the caller's norms frame still feeds the cosine
+    // tail, where it is genuinely an aggregate). The whole-partition frame
+    // buffers one document's postings — bounded by document length.
+    val whole = Window.partitionBy("doc_id")
+    posts
       .withColumn("__cum", sum(col("tf") * col("tf")).over(hotFirst))
-      .filter(col("__cum") >= lit(threshold * threshold) * col("sq"))
+      .withColumn("__sq", sum(col("tf") * col("tf")).over(whole))
+      .filter(col("__cum") >= lit(threshold * threshold) * col("__sq"))
       .select(col("term"), col("doc_id"))
   }
 
@@ -1512,7 +1539,7 @@ object Dedup {
 
     // PINNED: both candidate-join sides and the stage-volume aggregate read
     // the materialized index instead of re-running the window.
-    val idx = Materialize.pin(prefixIndexFrame(posts, norms, threshold))
+    val idx = Materialize.pin(prefixIndexFrame(posts, threshold))
     // d14's two expansion stages have DIFFERENT volumes (the sf1 OOM probe,
     // r13→r14): the candidate join expands by Σ df_idx² over INDEXED tails,
     // while the verification join expands each surviving candidate by a
@@ -1528,16 +1555,20 @@ object Dedup {
       if (genVolRow.isNullAt(0)) numShufflePartitions(posts)
       else widthForVolume(numShufflePartitions(posts), genVolRow.getLong(0))
     val spread = byTerm(idx, genWidth)
-    val cand = Materialize.pin(
+    // The candidate count sizes the verification width and would otherwise
+    // be its own job; it rides the pin (pinWithMetrics — a width decision,
+    // which the observe accumulator caveat tolerates).
+    val (cand, candM) = Materialize.pinWithMetrics(
       spread.select(col("term"), col("doc_id").as("a"))
         .join(spread.select(col("term"), col("doc_id").as("b")), Seq("term"))
         .filter(col("a") < col("b"))
-        .select("a", "b").distinct())
+        .select("a", "b").distinct(),
+      count(lit(1)).as("__n"))
     // Posting row/doc counts ride the guard/stats job — no separate job.
     val avgTerms = if (stats.keptDocs == 0L) 1L
       else math.max(1L, stats.postingRows / stats.keptDocs)
     val verWidth = widthForVolume(numShufflePartitions(posts),
-      2L * cand.count() * avgTerms)
+      2L * candM("__n").asInstanceOf[Long] * avgTerms)
     val verCand = cand.repartition(verWidth, col("a"))
 
     val pa = posts.select(col("doc_id").as("a"), col("term"), col("tf").as("ta"))

@@ -30,14 +30,18 @@ object ProbeJobs {
     spark.sparkContext.setLogLevel("WARN")
 
     final case class J(id: Int, start: Long, var end: Long = 0L,
-                       var stages: Int = 0, var tasks: Int = 0)
+                       var stages: Int = 0, var tasks: Int = 0,
+                       var site: String = "")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     @volatile var collect = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (collect) {
         val j = J(e.jobId, e.time, stages = e.stageInfos.size,
-          tasks = e.stageInfos.map(_.numTasks).sum)
+          tasks = e.stageInfos.map(_.numTasks).sum,
+          site = Option(e.properties).map(p =>
+            "exec=" + Option(p.getProperty("spark.sql.execution.id")).getOrElse("-") +
+            " " + Option(p.getProperty("callSite.short")).getOrElse("")).getOrElse(""))
         jobs.put(e.jobId, j); order.add(e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -63,7 +67,7 @@ object ProbeJobs {
         val gap = math.max(j.start - prevEnd, 0L)
         gapSum += gap; jobSum += math.max(j.end - j.start, 0L)
         println(f"[job] id=${j.id}%-4d wall=${(j.end - j.start) / 1e3}%6.2fs " +
-          f"gap=${gap / 1e3}%5.2fs stages=${j.stages}%-3d tasks=${j.tasks}%-4d")
+          f"gap=${gap / 1e3}%5.2fs stages=${j.stages}%-3d tasks=${j.tasks}%-4d ${j.site}%s")
         prevEnd = math.max(j.end, prevEnd)
       }
       println(f"[q] $n rows=$rows wall=${(t1 - t0) / 1e3}%.2fs " +

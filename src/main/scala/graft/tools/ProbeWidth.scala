@@ -29,8 +29,7 @@ object ProbeWidth {
       s"sumDf=${longAt(posts.agg(sum(col("df"))).head(), 0)} " +
       s"width=${graft.ops.Dedup.pairJoinWidth(posts)}")
     // d14's stage-volume derivation, on d14's own index (threshold 0.8)
-    val norms = posts.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
-    val idx = graft.ops.Dedup.prefixIndexFrame(posts, norms, 0.8)
+    val idx = graft.ops.Dedup.prefixIndexFrame(posts, 0.8)
       .localCheckpoint(true)
     val genVol = longAt(idx.groupBy("term").agg(count(lit(1)).as("c"))
       .agg(sum(col("c") * col("c"))).head(), 0)

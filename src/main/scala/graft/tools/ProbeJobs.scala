@@ -72,6 +72,13 @@ object ProbeJobs {
       }
       println(f"[q] $n rows=$rows wall=${(t1 - t0) / 1e3}%.2fs " +
         f"jobs=${order.size} jobSum=${jobSum / 1e3}%.2fs gapSum=${gapSum / 1e3}%.2fs")
+      // Catalyst phase costs for one fresh build of the same query (what a
+      // bench pass pays before any job runs): driver-side, single-threaded.
+      val qe = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution
+      qe.executedPlan // force analysis -> optimization -> physical planning
+      val ph = qe.tracker.phases.toSeq.sortBy(_._2.startTimeMs)
+        .map { case (k, s) => f"$k=${s.endTimeMs - s.startTimeMs}ms" }
+      println(s"[q] $n phases: ${ph.mkString(" ")}")
     }
     spark.stop()
   }

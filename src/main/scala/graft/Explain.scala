@@ -25,6 +25,7 @@ object Explain {
       // injected grade_scale routine, so the sweep can cover all 159.
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      .config(model.Tables.ShuffleWriterThreshold._1, model.Tables.ShuffleWriterThreshold._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (names == Seq("--sweep")) sweep(spark, sfDir)

@@ -93,6 +93,21 @@ object Dims {
   *     (e.g. a future explicitly-annotated NTZ logical type).
   */
 object Tables {
+
+  /** Static (builder-time) conf every graft measurement/driver session
+    * applies: the bypass-merge shuffle writer keeps one buffered stream PER
+    * REDUCE PARTITION open in every map task, and the lexical family's
+    * volume-derived pair/agg exchanges routinely land in the 65–199
+    * partition band where that is 3× slower than the sort-based writer
+    * (×100 probe, plans/r20: the 183-wide pair stage read 313 s of task
+    * time under bypass, 110 s under sort, same records/bytes). 64 keeps
+    * the session-width (≤ core count) exchanges — the common case — on the
+    * bypass fast path and puts every derived-width exchange on the sort
+    * writer, which is also Spark's own default regime past 200. Must be
+    * set at session BUILD time (core conf, not runtime-settable). */
+  val ShuffleWriterThreshold: (String, String) =
+    "spark.shuffle.sort.bypassMergeThreshold" -> "64"
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1041,7 +1041,16 @@ object Dedup {
     val spread = byTerm(posts, width)
     val pa = spread.select(col("term"), col("doc_id").as("a"), col("tf").as("ta"))
     val pb = spread.select(col("term"), col("doc_id").as("b"), col("tf").as("tb"))
+    // The (a,b) aggregation reads the SAME candidate volume the pair join
+    // emits, so its exchange runs at the SAME derived width — left at the
+    // configured width, the ×100 probe measured the 32-task final agg
+    // spilling 5.1 GB with 20.6 s of GC while the 183-task pair stage ahead
+    // of it stayed healthy (plans/r20). An explicit keyed repartition in
+    // place of the agg's own exchange shuffles the same records (the
+    // term-partitioned partial agg reduces ~nothing: (a,b) repeats within a
+    // term partition only when two shared terms hash together, ~1/width).
     val pairs = pa.join(pb, Seq("term")).filter(col("a") < col("b"))
+      .repartition(width, col("a"), col("b"))
       .groupBy("a", "b")
       .agg(sum(col("ta") * col("tb")).as("dot"), count(lit(1)).as("shared_terms"))
       .filter(col("shared_terms") >= minShared)
@@ -1446,7 +1455,10 @@ object Dedup {
     val spread = byTerm(vm, width)
     val pa = spread.select(col("term"), col("doc_id").as("a"), col("v").as("va"))
     val pb = spread.select(col("term"), col("doc_id").as("b"), col("v").as("vb"))
+    // Same derived-width (a,b) exchange as lexicalNearDup — see the ×100
+    // final-agg spill note there.
     val pairs = pa.join(pb, Seq("term")).filter(col("a") < col("b"))
+      .repartition(width, col("a"), col("b"))
       .groupBy("a", "b")
       .agg(sq(col("va"), col("vb")).as("dot"), count(lit(1)).as("shared_terms"))
       .filter(col("shared_terms") >= minShared)
@@ -1581,7 +1593,13 @@ object Dedup {
     // repartition pins the second exchange; pb co-partitions to match.
     val expanded = verCand.join(pa, Seq("a"))
       .repartition(verWidth, col("b"), col("term"))
+    // The (a,b) aggregation's input is the verification join's match volume
+    // (bounded by the same |cand| × terms expansion verWidth was derived
+    // from) — run its exchange at verWidth too, not the configured width
+    // (the ×100 d13 probe measured the configured-width final agg spilling
+    // 5.1 GB; d14's verification tail has the same shape).
     val pairs = expanded.join(pb, Seq("b", "term"))
+      .repartition(verWidth, col("a"), col("b"))
       .groupBy("a", "b")
       .agg(sum(col("ta") * col("tb")).as("dot"), count(lit(1)).as("shared_terms"))
       .filter(col("shared_terms") >= minShared)

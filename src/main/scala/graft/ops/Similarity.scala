@@ -436,8 +436,15 @@ object Similarity {
     // the same predicate — no seed drift, engine-independent. When the
     // sample has fewer than k vectors both engines degrade identically
     // (min(k, |sample|) seeds — QUALIFY rn <= k on the same smaller set).
-    val train = if (trainPct >= 100) corpus
-      else corpus.filter(Sampling.hashBucket(col("vec_id"), 100, lloydTrainSalt) < trainPct)
+    // Pinned: the seed collect and EVERY Lloyd iteration read this frame —
+    // unpinned, each of those (iters + 1) actions re-ran the source scan,
+    // the norm fold and the sample filter (guide §5: cache what is reused
+    // and expensive to recompute; MLlib pins its training set for the same
+    // reason). Values are unchanged: same rows, same per-row arithmetic,
+    // and the per-cell sums are commutative exact-integer folds.
+    val train = graft.Materialize.pin(
+      if (trainPct >= 100) corpus
+      else corpus.filter(Sampling.hashBucket(col("vec_id"), 100, lloydTrainSalt) < trainPct))
     var cents: Seq[(Int, Array[Double])] = train.orderBy("vec_id").limit(k)
       .select(col("emb")).collect()
       .map(_.getSeq[Double](0).toArray).zipWithIndex.map { case (c, i) => (i, c) }.toSeq

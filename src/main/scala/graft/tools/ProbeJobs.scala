@@ -26,6 +26,7 @@ object ProbeJobs {
     val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", width)
+      .config(graft.model.Tables.ShuffleWriterThreshold._1, graft.model.Tables.ShuffleWriterThreshold._2)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

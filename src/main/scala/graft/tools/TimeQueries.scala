@@ -22,6 +22,7 @@ object TimeQueries {
     val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", width)
+      .config(graft.model.Tables.ShuffleWriterThreshold._1, graft.model.Tables.ShuffleWriterThreshold._2)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (k <- Seq(graft.Materialize.ModeKey, graft.Materialize.DirKey);

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 
 /** The one materialization seam for "compute this frame once, then fan out".
   *
@@ -82,34 +82,14 @@ object Materialize {
     }
   }
 
-  /** [[pin]] plus named row-level aggregate metrics computed in the SAME
-    * action (`Dataset.observe`): the checkpoint job already touches every
-    * row, so a scalar the caller needs next (a convergence count, a pinned
-    * frame's row count) rides it instead of being its own driver
-    * round-trip — the r19/r20 job profiles show each such round-trip costs
-    * 0.1–0.5 s of schedule/plan latency regardless of data size.
-    * Constraints are observe's: aggregates only, no DISTINCT forms.
-    * Metric names come from the columns' aliases.
-    *
-    * Mode `none` has no eager action to ride (and `Observation.get` would
-    * block forever), so the metrics run as their own aggregate job there —
-    * the debug mode pays one extra job, the pinning modes save one.
-    * Exactness note: observed metrics are accumulator-backed; a
-    * re-attempted task could in principle double-count, so callers must
-    * use these for CONTROL decisions (loop convergence, width sizing)
-    * whose correctness tolerates that, never for query RESULTS. */
-  def pinWithMetrics(df: DataFrame, first: Column,
-                     rest: Column*): (DataFrame, Map[String, Any]) = {
-    require(!df.isStreaming, "pinWithMetrics is a batch seam")
-    if (df.sparkSession.conf.get(ModeKey, "local") == "none") {
-      val row = df.agg(first, rest: _*).head()
-      (df, row.schema.fieldNames.zip(row.toSeq).toMap)
-    } else {
-      val obs = org.apache.spark.sql.Observation()
-      val out = pin(df.observe(obs, first, rest: _*))
-      (out, obs.get)
-    }
-  }
+  // NOTE (r20): a pinWithMetrics seam — riding row-level aggregates on the
+  // checkpoint action via Dataset.observe — was built, verified to deliver
+  // metrics on eager localCheckpoint (tools/ProbeObserve), and then REVERTED:
+  // interleaved A/B showed Observation.get's wait on the ASYNC listener bus
+  // (which drains behind a 32-wide run's task events) costs MORE per
+  // iteration than the synchronous sub-second count it replaced (d6 7.9→9.7 s,
+  // d16 7.5→11.6 s warm — OPTIMIZATION_r20.md). Don't rebuild it without
+  // first timing action-end → metric-delivery on a busy session.
 
   /** Chainable form: `frame.groupBy(...).agg(...).pinned`. */
   implicit class DatasetPin(private val df: DataFrame) extends AnyVal {

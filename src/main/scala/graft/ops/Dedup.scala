@@ -473,16 +473,17 @@ object Dedup {
       // (ReusedExchange). Convergence over the PAIR is safe: a no-change
       // first round forces a no-change second round.
       //
-      // The convergence count RIDES the materialization (pinWithMetrics)
-      // instead of running as its own job per iteration — and it is a
-      // control decision the accumulator caveat tolerates: labels only ever
-      // tighten (least(...) of the previous label), so label != label0 on
-      // ANY row is exact evidence of progress and a count of 0 can only
-      // happen when no row changed.
-      val (step, metrics) = graft.Materialize.pinWithMetrics(
-        propagate(propagate(labels.withColumn("label0", col("label")))),
-        count(when(col("label") =!= col("label0"), lit(1))).as("__changed"))
-      changed = metrics("__changed").asInstanceOf[Long]
+      // Riding the convergence count on the materialization via
+      // Dataset.observe was tried (r20) and REFUTED by interleaved A/B:
+      // d6 7.9→9.7 s, d16 7.5→11.6 s warm, consistently across rounds.
+      // Observation.get waits on the ASYNC listener bus, which drains
+      // behind the 32-wide run's task events — costlier per iteration
+      // than this synchronous sub-second count over the just-checkpointed
+      // frame (ProbeObserve holds the mechanism; OPTIMIZATION_r20.md the
+      // numbers).
+      val step = propagate(propagate(labels.withColumn("label0", col("label"))))
+        .pinned
+      changed = step.filter(col("label") =!= col("label0")).count()
       labels = step.select(col("id"), col("label"))
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -1567,20 +1568,20 @@ object Dedup {
       if (genVolRow.isNullAt(0)) numShufflePartitions(posts)
       else widthForVolume(numShufflePartitions(posts), genVolRow.getLong(0))
     val spread = byTerm(idx, genWidth)
-    // The candidate count sizes the verification width and would otherwise
-    // be its own job; it rides the pin (pinWithMetrics — a width decision,
-    // which the observe accumulator caveat tolerates).
-    val (cand, candM) = Materialize.pinWithMetrics(
+    val cand = Materialize.pin(
       spread.select(col("term"), col("doc_id").as("a"))
         .join(spread.select(col("term"), col("doc_id").as("b")), Seq("term"))
         .filter(col("a") < col("b"))
-        .select("a", "b").distinct(),
-      count(lit(1)).as("__n"))
+        .select("a", "b").distinct())
     // Posting row/doc counts ride the guard/stats job — no separate job.
+    // (Riding the candidate count on the pin via observe was tried and
+    // reverted with the CC-loop fusion — see connectedComponents: the
+    // async-bus wait behind Observation.get costs more than this
+    // synchronous count over the pinned frame.)
     val avgTerms = if (stats.keptDocs == 0L) 1L
       else math.max(1L, stats.postingRows / stats.keptDocs)
     val verWidth = widthForVolume(numShufflePartitions(posts),
-      2L * candM("__n").asInstanceOf[Long] * avgTerms)
+      2L * cand.count() * avgTerms)
     val verCand = cand.repartition(verWidth, col("a"))
 
     val pa = posts.select(col("doc_id").as("a"), col("term"), col("tf").as("ta"))

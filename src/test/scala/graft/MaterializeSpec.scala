@@ -61,25 +61,6 @@ class MaterializeSpec extends SparkSpec {
     assert(local == reliable && local.nonEmpty)
   }
 
-  test("pinWithMetrics returns the same frame as pin plus exact metrics, in every mode") {
-    val df = (1L to 1000L).map(i => (i, i % 7)).toDF("id", "k")
-    val expect = df.orderBy("id").collect().toSeq
-    val ckpt = java.nio.file.Files.createTempDirectory("mat_ckpt_m").toString
-    spark.conf.set(Materialize.DirKey, ckpt)
-    for (mode <- Seq("local", "reliable", "none")) withMode(mode) {
-      val (pinned, m) = Materialize.pinWithMetrics(df,
-        count(when(col("k") === 0, lit(1))).as("zeros"),
-        count(lit(1)).as("n"))
-      assert(pinned.orderBy("id").collect().toSeq == expect, s"mode=$mode rows")
-      // 1000 ids, k = id % 7 == 0 for 7,14,...,994 -> 142 rows
-      assert(m("zeros") == 142L && m("n") == 1000L, s"mode=$mode metrics=$m")
-      if (mode != "none")
-        assert(pinned.queryExecution.optimizedPlan.collectLeaves()
-          .forall(l => !l.toString.contains("LocalRelation") ||
-            !l.toString.contains("Range")), s"mode=$mode lineage kept")
-    }
-  }
-
   test("an unknown materialize mode fails fast instead of silently going local") {
     // A typo like 'relaible' on a 100 TB cluster must not silently drop the
     // fault-tolerance posture the mode was set for.
